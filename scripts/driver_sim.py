@@ -1,0 +1,145 @@
+"""Simulate the driver's verify protocol against __spark_entry__.py.
+
+Mirrors the driver: build a PLAIN SparkSession (none of the engine's
+confs — the loader must self-repair), run entry(spark) at sf0.001
+(t1 smoke), then for every queries()[name] at sf0.01 run the Spark
+DataFrame AND oracle_sql()[name] in DuckDB and compare row count,
+column names, and an order-insensitive value hash (exact — no float
+tolerance). ROWS-tier queries (no oracle) get a rows>=0 check.
+
+Usage: python scripts/driver_sim.py [--sf-dir /root/testdata/sf0.01] [names...]
+"""
+
+from __future__ import annotations
+
+import argparse
+import datetime
+import hashlib
+import json
+import math
+import sys
+import time
+
+import duckdb
+from pyspark.sql import SparkSession
+
+
+def norm_cell(v):
+    if v is None:
+        return "∅"
+    if isinstance(v, bool):
+        return f"b:{v}"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "f:nan"
+        if v == 0.0:
+            v = 0.0  # -0.0 == 0.0
+        return f"f:{v!r}"
+    if isinstance(v, int):
+        return f"i:{v}"
+    if isinstance(v, datetime.datetime):
+        return f"t:{v.replace(tzinfo=None).isoformat()}"
+    if isinstance(v, datetime.date):
+        return f"d:{v.isoformat()}"
+    if isinstance(v, (list, tuple)):
+        return "l:[" + ",".join(norm_cell(x) for x in v) + "]"
+    if isinstance(v, bytes):
+        return "y:" + v.hex()
+    return "s:" + str(v)
+
+
+def value_hash(cols, rows):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    lines = sorted("|".join(norm_cell(r[i]) for i in order) for r in rows)
+    h = hashlib.sha256()
+    for line in lines:
+        h.update(line.encode())
+        h.update(b"\n")
+    return h.hexdigest()
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    ap.add_argument("--smoke-dir", default="/root/testdata/sf0.001")
+    ap.add_argument("names", nargs="*")
+    args = ap.parse_args()
+
+    sys.path.insert(0, "/root/repo")
+    import __spark_entry__ as mod
+
+    # Plain session — deliberately NOT using sparkml_spark.get_spark.
+    spark = (
+        SparkSession.builder.master("local[8]")
+        .appName("driver-sim")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    t0 = time.time()
+    entry_rows = mod.entry(spark).collect()
+    print(f"t1 smoke: entry() -> {len(entry_rows)} rows in {time.time()-t0:.1f}s "
+          f"({'PASS' if len(entry_rows) > 0 else 'FAIL'})")
+
+    queries = mod.queries()
+    oracles = mod.oracle_sql()
+    names = args.names or sorted(queries)
+
+    con = duckdb.connect()
+    for t in ("region nation customer supplier part orders lineitem events "
+              "documents embeddings").split():
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{args.sf_dir}/{t}.parquet')"
+        )
+
+    n_pass = n_fail = n_rows_tier = 0
+    for name in names:
+        fn = queries[name]
+        t0 = time.time()
+        try:
+            sdf = fn(spark, args.sf_dir)
+            s_rows = sdf.collect()
+            s_cols = sdf.columns
+        except Exception as e:
+            print(f"  {name}: SPARK ERROR {type(e).__name__}: {e}")
+            n_fail += 1
+            continue
+        dt = time.time() - t0
+        if name not in oracles:
+            print(f"  {name}: ROWS-tier, {len(s_rows)} rows [{dt:.1f}s]")
+            n_rows_tier += 1
+            continue
+        try:
+            rel = con.execute(oracles[name])
+            d_cols = [d[0] for d in rel.description]
+            d_rows = rel.fetchall()
+        except Exception as e:
+            print(f"  {name}: ORACLE ERROR {type(e).__name__}: {e}")
+            n_fail += 1
+            continue
+        problems = []
+        if len(s_rows) != len(d_rows):
+            problems.append(f"rowcount spark={len(s_rows)} duck={len(d_rows)}")
+        if sorted(s_cols) != sorted(d_cols):
+            problems.append(f"cols spark={sorted(s_cols)} duck={sorted(d_cols)}")
+        if not problems:
+            sh, dh = value_hash(s_cols, s_rows), value_hash(d_cols, d_rows)
+            if sh != dh:
+                problems.append(f"value-hash mismatch ({sh[:10]} vs {dh[:10]})")
+        if problems:
+            print(f"  {name}: FAIL {'; '.join(problems)} [{dt:.1f}s]")
+            n_fail += 1
+        else:
+            print(f"  {name}: hash-match, {len(s_rows)} rows [{dt:.1f}s]")
+            n_pass += 1
+
+    print(json.dumps({
+        "t2_pass": n_pass, "t2_fail": n_fail, "rows_tier": n_rows_tier,
+        "declared": len(queries), "oracle_declared": len(oracles),
+    }))
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,441 @@
+"""§2.D Aggregation operators (SURVEY.md).
+
+Physical shape (all of these): partial hash-agg on each input partition
+→ shuffle on the grouping keys → final hash-agg, with sort-based
+fallback on spill. That is Catalyst's plan, not ours — we only declare
+the logical agg. At 100 TB the shuffle width is the grouping-key
+cardinality, which for every query here is small (flags, priorities,
+nations), so the map-side partial agg collapses the data before the
+exchange: these scale linearly with input and are not shuffle-bound.
+
+Float parity: every SUM/AVG over doubles goes through `dsum`/`davg`
+(exact decimal-cast summation — see registry.py) so results are
+bit-identical to the DuckDB oracle with no rounding slop. Variance /
+correlation are decomposed into exact sums and recombined with
+identical double arithmetic on both sides.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from sparkml_spark.registry import davg_sql, dsum, dsum_sql, query
+from sparkml_spark.sources.loader import load_table, load_tables
+
+
+def _davg(col: str) -> F.Column:
+    return (dsum(col) / F.count(col)).alias("")  # caller re-aliases
+
+
+# ---------------------------------------------------------------------------
+# agg_global — whole-table aggregates, no grouping key.
+# Plan: partial agg per partition → single-row final agg. No wide shuffle.
+# ---------------------------------------------------------------------------
+@query(
+    "agg_global",
+    section="2.D",
+    oracle=f"""
+SELECT
+  COUNT(*) AS n_rows,
+  {dsum_sql('l_extendedprice')} AS sum_price,
+  {davg_sql('l_quantity')} AS avg_qty,
+  MIN(l_extendedprice) AS min_price,
+  MAX(l_extendedprice) AS max_price,
+  MIN(l_shipdate) AS min_ship,
+  MAX(l_shipdate) AS max_ship
+FROM lineitem
+""",
+)
+def agg_global(spark, sf_dir):
+    """Global count/sum/avg/min/max over lineitem."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        dsum("l_extendedprice").alias("sum_price"),
+        (dsum("l_quantity") / F.count("l_quantity")).alias("avg_qty"),
+        F.min("l_extendedprice").alias("min_price"),
+        F.max("l_extendedprice").alias("max_price"),
+        F.min("l_shipdate").alias("min_ship"),
+        F.max("l_shipdate").alias("max_ship"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# agg_groupby_multi — THE FLAGSHIP (TPC-H Q1 shape, measured in BASELINE.md
+# as q_pricing_summary). Multi-key group, 8 aggregates, pushed-down filter.
+# ---------------------------------------------------------------------------
+@query(
+    "agg_groupby_multi",
+    section="2.D",
+    oracle=f"""
+SELECT
+  l_returnflag,
+  l_linestatus,
+  {dsum_sql('l_quantity')} AS sum_qty,
+  {dsum_sql('l_extendedprice')} AS sum_base_price,
+  {dsum_sql('l_extendedprice * (1 - l_discount)')} AS sum_disc_price,
+  {dsum_sql('l_extendedprice * (1 - l_discount) * (1 + l_tax)')} AS sum_charge,
+  {davg_sql('l_quantity')} AS avg_qty,
+  {davg_sql('l_extendedprice')} AS avg_price,
+  {davg_sql('l_discount')} AS avg_disc,
+  COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+""",
+)
+def agg_groupby_multi(spark, sf_dir):
+    """Pricing summary: filter → 2-key groupBy → 8 aggregates.
+
+    The `l_shipdate <=` predicate reaches the parquet scan as a pushed
+    filter and `ReadSchema` carries only the 7 referenced columns
+    (verified via explain — SURVEY.md §4.2).
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp_ntz"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum("l_quantity").alias("sum_qty"),
+            dsum("l_extendedprice").alias("sum_base_price"),
+            dsum(disc_price).alias("sum_disc_price"),
+            dsum(charge).alias("sum_charge"),
+            (dsum("l_quantity") / F.count("l_quantity")).alias("avg_qty"),
+            (dsum("l_extendedprice") / F.count("l_extendedprice")).alias("avg_price"),
+            (dsum("l_discount") / F.count("l_discount")).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# agg_having — post-aggregation filter (HAVING).
+# ---------------------------------------------------------------------------
+@query(
+    "agg_having",
+    section="2.D",
+    oracle=f"""
+SELECT o_custkey, COUNT(*) AS n_orders, {dsum_sql('o_totalprice')} AS total_spent
+FROM orders
+GROUP BY o_custkey
+HAVING COUNT(*) >= 12
+""",
+)
+def agg_having(spark, sf_dir):
+    """Customers with >= 12 orders (HAVING == filter after agg)."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n_orders"), dsum("o_totalprice").alias("total_spent"))
+        .filter(F.col("n_orders") >= 12)
+    )
+
+
+# ---------------------------------------------------------------------------
+# agg_count_distinct — exact distinct counts (expands to a 2-phase agg:
+# distinct-ify on (group, key) then count; Catalyst plans both shuffles).
+# ---------------------------------------------------------------------------
+@query(
+    "agg_count_distinct",
+    section="2.D",
+    oracle="""
+SELECT o_orderpriority,
+       COUNT(DISTINCT o_custkey) AS n_customers,
+       COUNT(*) AS n_orders
+FROM orders
+GROUP BY o_orderpriority
+""",
+)
+def agg_count_distinct(spark, sf_dir):
+    """Distinct customers per order priority."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.countDistinct("o_custkey").alias("n_customers"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# agg_approx_distinct — HyperLogLog++ sketch. ROWS tier: the sketch (and
+# so the estimate) is engine-specific by design. At 100 TB this is the
+# operator you reach for instead of agg_count_distinct: one pass, fixed
+# memory per group, no distinct-expansion shuffle.
+# ---------------------------------------------------------------------------
+@query("agg_approx_distinct", section="2.D")
+def agg_approx_distinct(spark, sf_dir):
+    """Approximate distinct customers per priority (HLL++, rsd=2%)."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.approx_count_distinct("o_custkey", 0.02).alias("approx_customers")
+    )
+
+
+# ---------------------------------------------------------------------------
+# agg_stats — stddev / variance / correlation / covariance, decomposed
+# into exact sums so both engines recombine identical doubles:
+#   var_samp(x)    = (Sxx - Sx²/n) / (n-1)
+#   covar_samp     = (Sxy - Sx·Sy/n) / (n-1)
+#   corr           = covar / sqrt(varx · vary)
+#
+# Parity subtlety (found empirically at sf0.01): summing decimal-cast
+# SQUARES of prices drifts — at magnitude ~1e10 a double's neighbors
+# are ~2e-6 apart, so the double→decimal(…,6) cast is ambiguous and
+# Spark (shortest-repr rounding) and DuckDB disagree on ~1-ulp of the
+# total. Fix: QUANTIZE THE INPUTS first (cents grid — cast the raw
+# ~1e5-magnitude values to DECIMAL(…,2), where the cast is unambiguous
+# by ~9 orders of magnitude), then square/cross-multiply/sum entirely
+# in exact decimal arithmetic, and cast the exact result to double.
+# ---------------------------------------------------------------------------
+_STATS_ORACLE = """
+WITH q AS (
+  SELECT l_returnflag,
+         CAST(l_quantity AS DECIMAL(12,2)) AS qd,
+         CAST(l_extendedprice AS DECIMAL(14,2)) AS pd
+  FROM lineitem
+), s AS (
+  SELECT l_returnflag,
+         COUNT(*) AS n,
+         CAST(SUM(qd) AS DOUBLE) AS sx,
+         CAST(SUM(qd * qd) AS DOUBLE) AS sxx,
+         CAST(SUM(pd) AS DOUBLE) AS sy,
+         CAST(SUM(pd * pd) AS DOUBLE) AS syy,
+         CAST(SUM(qd * pd) AS DOUBLE) AS sxy
+  FROM q GROUP BY l_returnflag
+)
+SELECT l_returnflag,
+       n,
+       (sxx - sx * sx / n) / (n - 1) AS var_qty,
+       SQRT((sxx - sx * sx / n) / (n - 1)) AS std_qty,
+       (syy - sy * sy / n) / (n - 1) AS var_price,
+       (sxy - sx * sy / n) / (n - 1) AS covar_qty_price,
+       ((sxy - sx * sy / n) / (n - 1))
+         / SQRT(((sxx - sx * sx / n) / (n - 1)) * ((syy - sy * sy / n) / (n - 1)))
+         AS corr_qty_price
+FROM s
+"""
+
+
+@query("agg_stats", section="2.D", oracle=_STATS_ORACLE)
+def agg_stats(spark, sf_dir):
+    """Variance/stddev/covar/corr per return flag, engine-exact."""
+    li = load_table(spark, sf_dir, "lineitem")
+    qd = F.col("l_quantity").cast("decimal(12,2)")
+    pd_ = F.col("l_extendedprice").cast("decimal(14,2)")
+    s = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(qd).cast("double").alias("sx"),
+        F.sum(qd * qd).cast("double").alias("sxx"),
+        F.sum(pd_).cast("double").alias("sy"),
+        F.sum(pd_ * pd_).cast("double").alias("syy"),
+        F.sum(qd * pd_).cast("double").alias("sxy"),
+    )
+    n, sx, sxx, sy, syy, sxy = (F.col(c) for c in ("n", "sx", "sxx", "sy", "syy", "sxy"))
+    var_qty = (sxx - sx * sx / n) / (n - 1)
+    var_price = (syy - sy * sy / n) / (n - 1)
+    covar = (sxy - sx * sy / n) / (n - 1)
+    return s.select(
+        "l_returnflag",
+        "n",
+        var_qty.alias("var_qty"),
+        F.sqrt(var_qty).alias("std_qty"),
+        var_price.alias("var_price"),
+        covar.alias("covar_qty_price"),
+        (covar / F.sqrt(var_qty * var_price)).alias("corr_qty_price"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# agg_percentile — exact percentiles (single interpolation step; rounded
+# to 4 dp on both sides since the interpolation op order may differ).
+# Scale note: exact percentile sorts each group; at 100 TB switch to
+# approx_percentile (t-digest) — that twin is agg_approx_distinct-style
+# ROWS tier and documented in SURVEY §4.3.
+# ---------------------------------------------------------------------------
+@query(
+    "agg_percentile",
+    section="2.D",
+    oracle="""
+SELECT l_returnflag,
+       ROUND(quantile_cont(l_extendedprice, 0.25), 4) AS p25,
+       ROUND(quantile_cont(l_extendedprice, 0.50), 4) AS p50,
+       ROUND(quantile_cont(l_extendedprice, 0.75), 4) AS p75
+FROM lineitem
+GROUP BY l_returnflag
+""",
+)
+def agg_percentile(spark, sf_dir):
+    """Exact quartiles of extended price per return flag."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.percentile("l_extendedprice", F.lit(0.25)), 4).alias("p25"),
+        F.round(F.percentile("l_extendedprice", F.lit(0.50)), 4).alias("p50"),
+        F.round(F.percentile("l_extendedprice", F.lit(0.75)), 4).alias("p75"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# agg_minmax_by — value of column A at the min/max of column B.
+# Determinism: the ordering column is o_orderkey (unique PK), so the
+# argmin/argmax is single-valued — no tie-break needed (SURVEY §7.4 #4).
+# ---------------------------------------------------------------------------
+@query(
+    "agg_minmax_by",
+    section="2.D",
+    oracle="""
+SELECT o_orderpriority,
+       arg_min(o_totalprice, o_orderkey) AS first_order_price,
+       arg_max(o_totalprice, o_orderkey) AS last_order_price,
+       MAX(o_totalprice) AS max_price
+FROM orders
+GROUP BY o_orderpriority
+""",
+)
+def agg_minmax_by(spark, sf_dir):
+    """Price of the lowest/highest orderkey per priority (min_by/max_by)."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.min_by("o_totalprice", "o_orderkey").alias("first_order_price"),
+        F.max_by("o_totalprice", "o_orderkey").alias("last_order_price"),
+        F.max("o_totalprice").alias("max_price"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# agg_collect_sorted — per-group array, sorted for determinism.
+# ---------------------------------------------------------------------------
+@query(
+    "agg_collect_sorted",
+    section="2.D",
+    oracle="""
+SELECT r_name, list_sort(list(n_name)) AS nations
+FROM nation JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name
+""",
+)
+def agg_collect_sorted(spark, sf_dir):
+    """Sorted list of nation names per region."""
+    t = load_tables(spark, sf_dir)
+    return (
+        t.nation.join(t.region, t.nation.n_regionkey == t.region.r_regionkey)
+        .groupBy("r_name")
+        .agg(F.sort_array(F.collect_list("n_name")).alias("nations"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# agg_string_concat — ordered per-group string aggregation.
+# ---------------------------------------------------------------------------
+@query(
+    "agg_string_concat",
+    section="2.D",
+    oracle="""
+SELECT r_name, string_agg(n_name, ',' ORDER BY n_name) AS nation_csv
+FROM nation JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name
+""",
+)
+def agg_string_concat(spark, sf_dir):
+    """CSV of nation names per region, order pinned by sort_array."""
+    t = load_tables(spark, sf_dir)
+    return (
+        t.nation.join(t.region, t.nation.n_regionkey == t.region.r_regionkey)
+        .groupBy("r_name")
+        .agg(F.array_join(F.sort_array(F.collect_list("n_name")), ",").alias("nation_csv"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# agg_rollup / agg_cube / agg_grouping_sets — hierarchical aggregates.
+# NULL-extended subtotal rows hash-match because both engines emit SQL
+# NULL for the rolled-up keys.
+# ---------------------------------------------------------------------------
+@query(
+    "agg_rollup",
+    section="2.D",
+    oracle=f"""
+SELECT l_returnflag, l_linestatus,
+       {dsum_sql('l_quantity')} AS sum_qty, COUNT(*) AS n
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+""",
+)
+def agg_rollup(spark, sf_dir):
+    """(flag, status) → (flag) → () subtotal hierarchy."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        dsum("l_quantity").alias("sum_qty"), F.count(F.lit(1)).alias("n")
+    )
+
+
+@query(
+    "agg_cube",
+    section="2.D",
+    oracle=f"""
+SELECT l_returnflag, l_linestatus,
+       {dsum_sql('l_quantity')} AS sum_qty, COUNT(*) AS n
+FROM lineitem
+GROUP BY CUBE (l_returnflag, l_linestatus)
+""",
+)
+def agg_cube(spark, sf_dir):
+    """Power-set grouping over (flag, status)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        dsum("l_quantity").alias("sum_qty"), F.count(F.lit(1)).alias("n")
+    )
+
+
+@query(
+    "agg_grouping_sets",
+    section="2.D",
+    oracle=f"""
+SELECT l_returnflag, l_linestatus,
+       {dsum_sql('l_quantity')} AS sum_qty, COUNT(*) AS n
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+""",
+)
+def agg_grouping_sets(spark, sf_dir):
+    """Explicit grouping sets: by flag only, and by status only."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupingSets(
+        [["l_returnflag"], ["l_linestatus"]], "l_returnflag", "l_linestatus"
+    ).agg(dsum("l_quantity").alias("sum_qty"), F.count(F.lit(1)).alias("n"))
+
+
+# ---------------------------------------------------------------------------
+# agg_pivot — segments → columns. Spark's pivot leaves NULL where a
+# (nation, segment) cell is empty; the oracle's FILTER'd count yields 0,
+# so we normalize with fillna(0) and make the value list explicit (an
+# implicit pivot would scan twice to discover values — wrong at scale).
+# ---------------------------------------------------------------------------
+_SEGMENTS = ["AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY"]
+
+
+@query(
+    "agg_pivot",
+    section="2.D",
+    oracle="""
+SELECT c_nationkey,
+       COUNT(*) FILTER (WHERE c_mktsegment = 'AUTOMOBILE') AS seg_automobile,
+       COUNT(*) FILTER (WHERE c_mktsegment = 'BUILDING')   AS seg_building,
+       COUNT(*) FILTER (WHERE c_mktsegment = 'FURNITURE')  AS seg_furniture,
+       COUNT(*) FILTER (WHERE c_mktsegment = 'HOUSEHOLD')  AS seg_household,
+       COUNT(*) FILTER (WHERE c_mktsegment = 'MACHINERY')  AS seg_machinery
+FROM customer
+GROUP BY c_nationkey
+""",
+)
+def agg_pivot(spark, sf_dir):
+    """Customer count per nation pivoted by market segment."""
+    c = load_table(spark, sf_dir, "customer")
+    df = (
+        c.groupBy("c_nationkey")
+        .pivot("c_mktsegment", _SEGMENTS)
+        .agg(F.count(F.lit(1)))
+        .na.fill(0)
+    )
+    renames = {s: f"seg_{s.lower()}" for s in _SEGMENTS}
+    return df.select("c_nationkey", *[F.col(s).alias(a) for s, a in renames.items()])

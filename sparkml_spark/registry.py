@@ -1,0 +1,86 @@
+"""Query/oracle registry — the spine of the driver contract.
+
+Every operator from SURVEY.md §2 registers here via the `@query`
+decorator; `__spark_entry__.py` simply re-exports the two dicts.
+
+- QUERIES[name] -> Callable[(SparkSession, sf_dir) -> DataFrame]
+- ORACLES[name] -> DuckDB SQL string (omitted for ROWS-tier ops)
+
+Parity rules baked into helpers here (SURVEY.md §7.4):
+- every computed column aliased identically on both sides;
+- floating aggregates made *exactly* reproducible where possible by
+  summing DECIMAL-cast inputs (aggregation-order independent) and
+  casting the exact sum back to double — see `dsum` / `dsum_sql`;
+- deterministic tie-breakers everywhere order matters.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from typing import Dict
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLES: Dict[str, str] = {}
+#: Optional per-query metadata (tier, survey section) for reporting.
+META: Dict[str, dict] = {}
+
+
+def query(name: str, oracle: str | None = None, section: str = "", doc: str = ""):
+    """Register an operator query; `oracle=None` => ROWS-tier check."""
+
+    def deco(fn):
+        if name in QUERIES:
+            raise ValueError(f"duplicate query id: {name}")
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle.strip()
+        META[name] = {
+            "tier": "ORACLE" if oracle is not None else "ROWS",
+            "section": section,
+            "doc": doc or (fn.__doc__ or "").strip().splitlines()[:1],
+        }
+        return fn
+
+    return deco
+
+
+# ---------------------------------------------------------------------------
+# Float-parity helpers (SURVEY.md §7.4 trap #3)
+#
+# Double summation order differs between engines (and between Spark
+# runs, since partial aggregation order is nondeterministic), so a raw
+# SUM(double) can drift in the last ulps — enough to flip a round() at a
+# boundary and break the driver's value hash. Instead we cast each
+# input to a DECIMAL before summing: per-row double arithmetic is
+# IEEE-deterministic and identical across engines, double->decimal
+# rounding is well-defined, and decimal summation is exact and
+# order-independent. Casting the exact decimal sum back to double is
+# again deterministic. Net: bit-identical aggregates with no rounding
+# slop, at ~zero extra cost (decimal sum is still a JVM codegen path).
+# ---------------------------------------------------------------------------
+
+DEC = "decimal(27,6)"  # 21 integer digits — no overflow risk at 100 TB scale
+
+
+def dsum(col: Column | str) -> Column:
+    """Order-independent, engine-exact sum of a double column."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.sum(c.cast(DEC)).cast("double")
+
+
+def dsum_sql(expr: str) -> str:
+    """DuckDB twin of `dsum`."""
+    return f"CAST(SUM(CAST(({expr}) AS DECIMAL(27,6))) AS DOUBLE)"
+
+
+def davg(col: Column | str) -> Column:
+    """Exact-sum average: deterministic double = exact_sum / count."""
+    c = F.col(col) if isinstance(col, str) else col
+    return dsum(c) / F.count(c)
+
+
+def davg_sql(expr: str) -> str:
+    return f"{dsum_sql(expr)} / COUNT({expr})"

@@ -1,0 +1,78 @@
+"""SparkSession construction + the engine's required SQL confs.
+
+Two paths:
+- `get_spark()` — build our own session (tests, bench.py).
+- `ensure_confs(spark)` — the driver hands us ITS session for
+  `entry()`/`queries()`; all confs the engine depends on are
+  runtime-settable SQL confs, so we (re)apply them on every loader
+  call instead of trusting the builder.
+
+Scale note: these confs are the local[32] test profile. On a real
+cluster the same code runs unchanged; only `shuffle.partitions` (or
+better, AQE's coalesce with a high initial partition number) and
+executor sizing move. Nothing here hard-codes a single-node assumption.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+#: SQL confs the engine REQUIRES for correctness (SURVEY.md §7.4).
+REQUIRED_SQL_CONFS: dict[str, str] = {
+    # events.ts is Parquet TIMESTAMP(NANOS); without this flag the scan
+    # throws [PARQUET_TYPE_ILLEGAL]. Column then loads as bigint nanos
+    # and the loader repairs it (sources/loader.py).
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # Pin the session TZ so timestamp repair / date_trunc hash-match the
+    # DuckDB oracle regardless of runner TZ.
+    "spark.sql.session.timeZone": "UTC",
+}
+
+#: Performance confs (safe defaults at any scale; SURVEY.md §7.5).
+PERF_SQL_CONFS: dict[str, str] = {
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    # 200 default wastes ~1 s/query at local bench scale; AQE coalesces
+    # down from this anyway. On a 1000-executor cluster raise it (AQE's
+    # initialPartitionNum is the better knob there).
+    "spark.sql.shuffle.partitions": os.environ.get("SPARK_GRAFT_SHUFFLE", "32"),
+    # Arrow for the pandas-UDF escape hatches and toPandas.
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+}
+
+
+def ensure_confs(spark: SparkSession) -> SparkSession:
+    """Apply required (and best-effort perf) confs to a live session.
+
+    All keys above are runtime-settable SQL confs, so this works on a
+    driver-provided session too. Idempotent and cheap.
+    """
+    for k, v in REQUIRED_SQL_CONFS.items():
+        spark.conf.set(k, v)
+    for k, v in PERF_SQL_CONFS.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            pass  # perf conf locked by the host — correctness unaffected
+    return spark
+
+
+def get_spark(app_name: str = "sparkml_spark", master: str | None = None) -> SparkSession:
+    """Build (or reuse) a SparkSession with the engine's confs."""
+    active = SparkSession.getActiveSession()
+    if active is not None:
+        return ensure_confs(active)
+    if master is None:
+        cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+        master = f"local[{cpus}]"
+    builder = SparkSession.builder.appName(app_name).master(master)
+    for k, v in {**REQUIRED_SQL_CONFS, **PERF_SQL_CONFS}.items():
+        builder = builder.config(k, v)
+    # Quieter driver logs; harmless if log4j overrides.
+    builder = builder.config("spark.ui.enabled", "false")
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return ensure_confs(spark)

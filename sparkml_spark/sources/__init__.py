@@ -1,0 +1,1 @@
+from sparkml_spark.sources.loader import TABLES, load_table, load_tables, register_views  # noqa: F401
