@@ -1,0 +1,385 @@
+"""§2.C Join operators (SURVEY.md).
+
+Physical strategy is Catalyst's call (broadcast-hash / shuffled-hash /
+sort-merge / broadcast-nested-loop) — we shape the logical join and
+give hints where the right answer is known statically:
+
+- dimension tables (region/nation/supplier at any scale; customer at
+  fixture scale) → `F.broadcast` hint: no shuffle of the fact side.
+- fact⋈fact (lineitem⋈orders) → let AQE pick; at 100 TB this is a
+  sort-merge join whose skew AQE splits automatically.
+- the as-of join deliberately avoids a join altogether (union + window
+  carry-forward) — that form scales linearly and never explodes,
+  unlike the naive theta-join + argmax formulation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from sparkml_spark.registry import dsum, dsum_sql, query
+from sparkml_spark.sources.loader import load_table, load_tables
+
+
+# ---------------------------------------------------------------------------
+# join_inner_equi — TPC-H Q3 shape (BASELINE q_top_orders_join):
+# customer(filter) ⋈ orders(filter) ⋈ lineitem(filter) → agg → top-10.
+# customer is broadcast (dim at this shape); orders⋈lineitem is the
+# fact join. Tie-break on o_orderkey for a deterministic top-10.
+# ---------------------------------------------------------------------------
+@query(
+    "join_inner_equi",
+    section="2.C",
+    oracle=f"""
+SELECT l_orderkey,
+       {dsum_sql('l_extendedprice * (1 - l_discount)')} AS revenue,
+       o_orderdate,
+       o_orderpriority
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1996-06-30'
+  AND l_shipdate > TIMESTAMP '1996-06-30'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, l_orderkey ASC
+LIMIT 10
+""",
+)
+def join_inner_equi(spark, sf_dir):
+    """Q3: unshipped-orders revenue top-10 (3-way equi inner join)."""
+    t = load_tables(spark, sf_dir)
+    cutoff = F.lit("1996-06-30").cast("timestamp_ntz")
+    cust = t.customer.filter(F.col("c_mktsegment") == "BUILDING")
+    orders = t.orders.filter(F.col("o_orderdate") < cutoff)
+    li = t.lineitem.filter(F.col("l_shipdate") > cutoff)
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey").asc())
+        .limit(10)
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+    )
+
+
+@query(
+    "join_left",
+    section="2.C",
+    oracle="""
+SELECT c_custkey, c_mktsegment, o_orderkey, o_totalprice
+FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+""",
+)
+def join_left(spark, sf_dir):
+    """Left outer: every customer, null-extended where orderless."""
+    t = load_tables(spark, sf_dir)
+    return t.customer.join(
+        t.orders, t.customer.c_custkey == t.orders.o_custkey, "left"
+    ).select("c_custkey", "c_mktsegment", "o_orderkey", "o_totalprice")
+
+
+@query(
+    "join_right",
+    section="2.C",
+    oracle="""
+SELECT c_custkey, c_mktsegment, o_orderkey, o_totalprice
+FROM orders RIGHT JOIN customer ON o_custkey = c_custkey
+""",
+)
+def join_right(spark, sf_dir):
+    """Right outer (mirror of join_left, probed from the other side)."""
+    t = load_tables(spark, sf_dir)
+    return t.orders.join(
+        t.customer, t.orders.o_custkey == t.customer.c_custkey, "right"
+    ).select("c_custkey", "c_mktsegment", "o_orderkey", "o_totalprice")
+
+
+@query(
+    "join_full",
+    section="2.C",
+    oracle="""
+SELECT c.c_custkey, o.o_orderkey
+FROM (SELECT * FROM customer WHERE c_acctbal > 5000) c
+FULL OUTER JOIN orders o ON c.c_custkey = o.o_custkey
+""",
+)
+def join_full(spark, sf_dir):
+    """Full outer with null-extension on BOTH sides (customer side is
+    filtered so some orders lose their match)."""
+    t = load_tables(spark, sf_dir)
+    c = t.customer.filter(F.col("c_acctbal") > 5000)
+    return c.join(t.orders, c.c_custkey == t.orders.o_custkey, "full").select(
+        "c_custkey", "o_orderkey"
+    )
+
+
+@query(
+    "join_semi",
+    section="2.C",
+    oracle="""
+SELECT c_custkey, c_name FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o
+              WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 200000)
+""",
+)
+def join_semi(spark, sf_dir):
+    """Existence join: customers with a >200k order. Semi joins carry no
+    right-side columns, so the build side is just the key set."""
+    t = load_tables(spark, sf_dir)
+    big = t.orders.filter(F.col("o_totalprice") > 200000)
+    return t.customer.join(
+        big, t.customer.c_custkey == big.o_custkey, "left_semi"
+    ).select("c_custkey", "c_name")
+
+
+@query(
+    "join_anti",
+    section="2.C",
+    oracle="""
+SELECT c_custkey, c_name FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderpriority = '1-URGENT')
+""",
+)
+def join_anti(spark, sf_dir):
+    """Non-existence join: customers with no URGENT order."""
+    t = load_tables(spark, sf_dir)
+    urgent = t.orders.filter(F.col("o_orderpriority") == "1-URGENT")
+    return t.customer.join(
+        urgent, t.customer.c_custkey == urgent.o_custkey, "left_anti"
+    ).select("c_custkey", "c_name")
+
+
+@query(
+    "join_cross",
+    section="2.C",
+    oracle="""
+SELECT r_name, n_name FROM region CROSS JOIN nation
+""",
+)
+def join_cross(spark, sf_dir):
+    """Cartesian product — restricted to the two constant-size dims (a
+    cross join of fact tables is a 100 TB outage; the engine only ever
+    crosses broadcast-size inputs)."""
+    t = load_tables(spark, sf_dir)
+    return t.region.crossJoin(t.nation).select("r_name", "n_name")
+
+
+@query(
+    "join_broadcast_hint",
+    section="2.C",
+    oracle="""
+SELECT n_name, COUNT(*) AS n_customers
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name
+""",
+)
+def join_broadcast_hint(spark, sf_dir):
+    """Explicit broadcast of the 25-row dim: the fact side never
+    shuffles for the join (only the tiny post-agg exchange remains)."""
+    t = load_tables(spark, sf_dir)
+    return (
+        t.customer.join(
+            F.broadcast(t.nation), t.customer.c_nationkey == t.nation.n_nationkey
+        )
+        .groupBy("n_name")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
+
+
+@query(
+    "join_theta_range",
+    section="2.C",
+    oracle="""
+SELECT o_orderkey, COUNT(*) AS n_late_items
+FROM orders JOIN lineitem
+  ON l_orderkey = o_orderkey
+ AND l_shipdate > o_orderdate + INTERVAL 30 DAY
+GROUP BY o_orderkey
+""",
+)
+def join_theta_range(spark, sf_dir):
+    """Equi key + range residual: lineitems shipped >30 days after their
+    order date. The equi conjunct keeps this a hash/sort-merge join
+    (the range is a cheap post-filter) — never a nested loop."""
+    t = load_tables(spark, sf_dir)
+    cond = (t.lineitem.l_orderkey == t.orders.o_orderkey) & (
+        t.lineitem.l_shipdate > t.orders.o_orderdate + F.expr("INTERVAL 30 DAY")
+    )
+    return (
+        t.orders.join(t.lineitem, cond)
+        .groupBy("o_orderkey")
+        .agg(F.count(F.lit(1)).alias("n_late_items"))
+    )
+
+
+@query(
+    "join_multiway_5",
+    section="2.C",
+    oracle=f"""
+SELECT n_name,
+       {dsum_sql('l_extendedprice * (1 - l_discount)')} AS revenue
+FROM region
+JOIN nation   ON n_regionkey = r_regionkey
+JOIN customer ON c_nationkey = n_nationkey
+JOIN orders   ON o_custkey = c_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN supplier ON s_suppkey = l_suppkey AND s_nationkey = c_nationkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1997-01-01'
+GROUP BY n_name
+""",
+)
+def join_multiway_5(spark, sf_dir):
+    """Q5: local-supplier revenue by nation (6-table join). All four dim
+    tables are broadcast; only orders⋈lineitem shuffles. BASELINE's
+    q_regional_join5."""
+    t = load_tables(spark, sf_dir)
+    region = t.region.filter(F.col("r_name") == "ASIA")
+    orders = t.orders.filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp_ntz"))
+    )
+    df = (
+        t.lineitem.join(orders, t.lineitem.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(t.customer), orders.o_custkey == t.customer.c_custkey)
+        .join(
+            F.broadcast(t.supplier),
+            (t.lineitem.l_suppkey == t.supplier.s_suppkey)
+            & (t.supplier.s_nationkey == t.customer.c_nationkey),
+        )
+        .join(F.broadcast(t.nation), t.supplier.s_nationkey == t.nation.n_nationkey)
+        .join(F.broadcast(region), t.nation.n_regionkey == region.r_regionkey)
+    )
+    return df.groupBy("n_name").agg(
+        dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue")
+    )
+
+
+@query(
+    "join_self",
+    section="2.C",
+    oracle="""
+SELECT a.o_custkey AS custkey, COUNT(*) AS n_ordered_pairs
+FROM orders a JOIN orders b
+  ON a.o_custkey = b.o_custkey
+ AND a.o_orderkey < b.o_orderkey
+ AND a.o_orderdate <= b.o_orderdate
+GROUP BY a.o_custkey
+""",
+)
+def join_self(spark, sf_dir):
+    """Self-join: chronologically ordered order-pairs per customer
+    (equi on custkey + two residuals; ~(k choose 2) rows per customer,
+    bounded because per-customer order counts are bounded)."""
+    o = load_table(spark, sf_dir, "orders")
+    a, b = o.alias("a"), o.alias("b")
+    cond = (
+        (F.col("a.o_custkey") == F.col("b.o_custkey"))
+        & (F.col("a.o_orderkey") < F.col("b.o_orderkey"))
+        & (F.col("a.o_orderdate") <= F.col("b.o_orderdate"))
+    )
+    return (
+        a.join(b, cond)
+        .groupBy(F.col("a.o_custkey").alias("custkey"))
+        .agg(F.count(F.lit(1)).alias("n_ordered_pairs"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# join_asof — each purchase matched to the latest prior-or-equal click
+# of the same user. Implemented WITHOUT a join: union the two event
+# roles, carry the last click timestamp forward with a window, keep
+# purchases. One shuffle on user_id, linear state — at 100 TB this
+# beats the theta-join+argmax form (quadratic in per-user density) and
+# is the same trick DuckDB's native ASOF JOIN optimizes; the oracle is
+# written in the portable window form so both engines compute
+# identical semantics (ties broken by event_id order).
+# ---------------------------------------------------------------------------
+@query(
+    "join_asof",
+    section="2.C",
+    oracle="""
+SELECT event_id, user_id, ts, asof_click_ts
+FROM (
+  SELECT event_id, user_id, ts, event_type,
+         last_value(CASE WHEN event_type = 'click' THEN ts END IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS asof_click_ts
+  FROM events
+  WHERE event_type IN ('click', 'purchase')
+)
+WHERE event_type = 'purchase'
+""",
+)
+def join_asof(spark, sf_dir):
+    """As-of join via union + carry-forward window (see block comment)."""
+    e = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "purchase")
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    click_ts = F.when(F.col("event_type") == "click", F.col("ts"))
+    return (
+        e.withColumn("asof_click_ts", F.last(click_ts, ignorenulls=True).over(w))
+        .filter(F.col("event_type") == "purchase")
+        .select("event_id", "user_id", "ts", "asof_click_ts")
+    )
+
+
+@query(
+    "join_interval",
+    section="2.C",
+    oracle="""
+SELECT a.user_id AS user_id, COUNT(*) AS n_pairs
+FROM events a JOIN events b
+  ON a.user_id = b.user_id
+ AND b.ts > a.ts
+ AND b.ts <= a.ts + INTERVAL 1 HOUR
+GROUP BY a.user_id
+""",
+)
+def join_interval(spark, sf_dir):
+    """Band join: ordered event pairs within 1 hour per user (equi on
+    user + time-band residual). At 100 TB, pre-bucket both sides by
+    (user, time-bucket) so the band probe stays partition-local."""
+    e = load_table(spark, sf_dir, "events")
+    a = e.select(
+        F.col("user_id").alias("a_user"), F.col("ts").alias("a_ts")
+    )
+    b = e.select(F.col("user_id").alias("b_user"), F.col("ts").alias("b_ts"))
+    cond = (
+        (F.col("a_user") == F.col("b_user"))
+        & (F.col("b_ts") > F.col("a_ts"))
+        & (F.col("b_ts") <= F.col("a_ts") + F.expr("INTERVAL 1 HOUR"))
+    )
+    return (
+        a.join(b, cond)
+        .groupBy(F.col("a_user").alias("user_id"))
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )
+
+
+@query(
+    "join_multimodal",
+    section="2.C",
+    oracle="""
+SELECT doc_id, lang, n_chars, label, len(embedding) AS dim
+FROM documents JOIN embeddings ON doc_id = vec_id
+""",
+)
+def join_multimodal(spark, sf_dir):
+    """Text corpus ⋈ vector table on doc_id = vec_id — the multimodal
+    spine every similarity/dedup operator builds on."""
+    t = load_tables(spark, sf_dir)
+    return t.documents.join(
+        t.embeddings, t.documents.doc_id == t.embeddings.vec_id
+    ).select("doc_id", "lang", "n_chars", "label", F.size("embedding").alias("dim"))

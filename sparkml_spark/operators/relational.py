@@ -1,0 +1,412 @@
+"""§2.B row ops, §2.F sort/limit/top-k, §2.G set operations (SURVEY.md).
+
+Everything here is a narrow transformation or a Catalyst-planned
+shuffle op. Scale notes per operator in docstrings; the common thread:
+filters/projections compile into the parquet scan (pushdown + pruning),
+distinct/set-ops shuffle on the full row (fine — their inputs here are
+key projections), and top-k uses TakeOrderedAndProject (per-partition
+heap + driver merge of k, never a full sort).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from sparkml_spark.registry import query
+from sparkml_spark.sources.loader import load_table, load_tables
+
+# ---------------------------------------------------------------------------
+# §2.A scan — trivial but contractual: the columnar scan itself.
+# ---------------------------------------------------------------------------
+
+
+@query("scan_parquet", section="2.A", oracle="SELECT * FROM nation")
+def scan_parquet(spark, sf_dir):
+    """Full columnar scan of a fixture table."""
+    return load_table(spark, sf_dir, "nation")
+
+
+# ---------------------------------------------------------------------------
+# §2.B projection / selection
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "project_rename",
+    section="2.B",
+    oracle="""
+SELECT c_custkey AS custkey,
+       c_name AS name,
+       c_acctbal AS acctbal,
+       c_acctbal * 1.05 AS acctbal_adj,
+       upper(c_mktsegment) AS segment
+FROM customer
+""",
+)
+def project_rename(spark, sf_dir):
+    """Column subset + renames + computed column (per-row double math is
+    IEEE-identical across engines, so no rounding needed)."""
+    c = load_table(spark, sf_dir, "customer")
+    return c.select(
+        F.col("c_custkey").alias("custkey"),
+        F.col("c_name").alias("name"),
+        F.col("c_acctbal").alias("acctbal"),
+        (F.col("c_acctbal") * 1.05).alias("acctbal_adj"),
+        F.upper("c_mktsegment").alias("segment"),
+    )
+
+
+@query(
+    "filter_compare",
+    section="2.B",
+    oracle="""
+SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+FROM lineitem
+WHERE l_quantity > 45.0 AND l_extendedprice >= 1000.0
+""",
+)
+def filter_compare(spark, sf_dir):
+    """Numeric comparisons — both predicates reach the parquet scan as
+    PushedFilters (verified in plan)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.filter((F.col("l_quantity") > 45.0) & (F.col("l_extendedprice") >= 1000.0)).select(
+        "l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice"
+    )
+
+
+@query(
+    "filter_in",
+    section="2.B",
+    oracle="""
+SELECT c_custkey, c_mktsegment FROM customer
+WHERE c_mktsegment IN ('AUTOMOBILE', 'MACHINERY')
+""",
+)
+def filter_in(spark, sf_dir):
+    """IN-list membership (compiles to an In pushed filter)."""
+    c = load_table(spark, sf_dir, "customer")
+    return c.filter(F.col("c_mktsegment").isin("AUTOMOBILE", "MACHINERY")).select(
+        "c_custkey", "c_mktsegment"
+    )
+
+
+@query(
+    "filter_between",
+    section="2.B",
+    oracle="""
+SELECT o_orderkey, o_totalprice FROM orders
+WHERE o_totalprice BETWEEN 50000 AND 100000
+""",
+)
+def filter_between(spark, sf_dir):
+    """Range predicate."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.filter(F.col("o_totalprice").between(50000, 100000)).select(
+        "o_orderkey", "o_totalprice"
+    )
+
+
+@query(
+    "filter_like",
+    section="2.B",
+    oracle="""
+SELECT p_partkey, p_name, p_type FROM part
+WHERE p_name LIKE '%gold%' OR p_type LIKE 'SMALL%'
+""",
+)
+def filter_like(spark, sf_dir):
+    """LIKE patterns (leading-wildcard and prefix forms; the prefix form
+    pushes down as StringStartsWith)."""
+    p = load_table(spark, sf_dir, "part")
+    return p.filter(F.col("p_name").like("%gold%") | F.col("p_type").like("SMALL%")).select(
+        "p_partkey", "p_name", "p_type"
+    )
+
+
+@query(
+    "filter_null",
+    section="2.B",
+    oracle="""
+SELECT c_custkey,
+       c_acctbal IS NULL AS bal_is_null,
+       c_acctbal IS NOT NULL AS bal_is_not_null
+FROM customer
+WHERE c_acctbal IS NOT NULL
+""",
+)
+def filter_null(spark, sf_dir):
+    """NULL tests (fixtures have no NULL keys — the IS NOT NULL branch is
+    the total set, and the projected flags prove the semantics)."""
+    c = load_table(spark, sf_dir, "customer")
+    return c.filter(F.col("c_acctbal").isNotNull()).select(
+        "c_custkey",
+        F.col("c_acctbal").isNull().alias("bal_is_null"),
+        F.col("c_acctbal").isNotNull().alias("bal_is_not_null"),
+    )
+
+
+@query(
+    "filter_boolean",
+    section="2.B",
+    oracle="""
+SELECT o_orderkey, o_orderstatus, o_orderpriority, o_totalprice
+FROM orders
+WHERE (o_orderstatus = 'F' OR o_orderpriority = '1-URGENT')
+  AND NOT (o_totalprice < 10000)
+""",
+)
+def filter_boolean(spark, sf_dir):
+    """Compound AND / OR / NOT predicate."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.filter(
+        ((F.col("o_orderstatus") == "F") | (F.col("o_orderpriority") == "1-URGENT"))
+        & ~(F.col("o_totalprice") < 10000)
+    ).select("o_orderkey", "o_orderstatus", "o_orderpriority", "o_totalprice")
+
+
+@query(
+    "case_when",
+    section="2.B",
+    oracle="""
+SELECT o_orderkey,
+       CASE WHEN o_totalprice >= 150000 THEN 'large'
+            WHEN o_totalprice >= 50000 THEN 'medium'
+            ELSE 'small' END AS size_bucket
+FROM orders
+""",
+)
+def case_when(spark, sf_dir):
+    """Conditional projection."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.when(F.col("o_totalprice") >= 150000, "large")
+        .when(F.col("o_totalprice") >= 50000, "medium")
+        .otherwise("small")
+        .alias("size_bucket"),
+    )
+
+
+@query(
+    "cast_types",
+    section="2.B",
+    oracle="""
+SELECT l_orderkey,
+       CAST(l_linenumber AS BIGINT) AS line_big,
+       CAST(l_orderkey AS VARCHAR) AS okey_str,
+       CAST(FLOOR(l_quantity) AS BIGINT) AS qty_floor,
+       CAST(l_quantity AS DOUBLE) AS qty_dbl,
+       CAST(l_shipdate AS DATE) AS ship_date
+FROM lineitem
+""",
+)
+def cast_types(spark, sf_dir):
+    """Explicit casts. Note: double→int truncates in Spark but ROUNDS in
+    DuckDB, so portable integerization goes through an explicit FLOOR."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        F.col("l_linenumber").cast("bigint").alias("line_big"),
+        F.col("l_orderkey").cast("string").alias("okey_str"),
+        F.floor("l_quantity").alias("qty_floor"),
+        F.col("l_quantity").cast("double").alias("qty_dbl"),
+        F.col("l_shipdate").cast("date").alias("ship_date"),
+    )
+
+
+@query(
+    "distinct_rows",
+    section="2.B",
+    oracle="SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem",
+)
+def distinct_rows(spark, sf_dir):
+    """Duplicate elimination — planned as a hash aggregate on all
+    columns; at scale project FIRST so the shuffle carries only the
+    distinct key columns (done here)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.select("l_returnflag", "l_linestatus").distinct()
+
+
+@query("sample_deterministic", section="2.B")
+def sample_deterministic(spark, sf_dir):
+    """Seeded Bernoulli sample (ROWS tier — Spark's XORShift RNG stream
+    intentionally differs from DuckDB's; same seed ⇒ same Spark rows)."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.sample(fraction=0.1, seed=42).select("o_orderkey", "o_totalprice")
+
+
+# ---------------------------------------------------------------------------
+# §2.F sort / limit / top-k
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "sort_multi",
+    section="2.F",
+    oracle="""
+SELECT c_custkey, c_mktsegment, c_acctbal FROM customer
+ORDER BY c_mktsegment ASC NULLS FIRST, c_acctbal DESC, c_custkey ASC
+""",
+)
+def sort_multi(spark, sf_dir):
+    """Multi-column global sort (range-partitioned exchange + per-part
+    sort at scale). Hash check is order-insensitive, so parity here
+    verifies the row SET is stable under sort."""
+    c = load_table(spark, sf_dir, "customer")
+    return c.select("c_custkey", "c_mktsegment", "c_acctbal").orderBy(
+        F.col("c_mktsegment").asc_nulls_first(),
+        F.col("c_acctbal").desc(),
+        F.col("c_custkey").asc(),
+    )
+
+
+@query(
+    "limit_offset",
+    section="2.F",
+    oracle="""
+SELECT o_orderkey, o_totalprice FROM orders
+ORDER BY o_orderkey
+LIMIT 100 OFFSET 50
+""",
+)
+def limit_offset(spark, sf_dir):
+    """Deterministic pagination: total order on the unique PK, then
+    offset+limit."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.select("o_orderkey", "o_totalprice").orderBy("o_orderkey").offset(50).limit(100)
+    )
+
+
+@query(
+    "topk_global",
+    section="2.F",
+    oracle="""
+SELECT o_orderkey, o_totalprice FROM orders
+ORDER BY o_totalprice DESC, o_orderkey ASC
+LIMIT 10
+""",
+)
+def topk_global(spark, sf_dir):
+    """Global top-10 — Spark plans TakeOrderedAndProject (per-partition
+    heap of k, merged on the driver; no full sort, no wide shuffle —
+    exactly the 100 TB-safe shape). Tie-broken on the unique PK."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.select("o_orderkey", "o_totalprice")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .limit(10)
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.G set operations — inputs are single-column key projections, so
+# the dedup shuffles are as narrow as possible.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "union_all",
+    section="2.G",
+    oracle="""
+SELECT c_custkey AS custkey FROM customer
+UNION ALL
+SELECT o_custkey AS custkey FROM orders
+""",
+)
+def union_all(spark, sf_dir):
+    """Bag union (no dedup — pure concatenation of partitions, no
+    shuffle at all)."""
+    t = load_tables(spark, sf_dir)
+    return t.customer.select(F.col("c_custkey").alias("custkey")).unionByName(
+        t.orders.select(F.col("o_custkey").alias("custkey"))
+    )
+
+
+@query(
+    "union_distinct",
+    section="2.G",
+    oracle="""
+SELECT c_custkey AS custkey FROM customer
+UNION
+SELECT o_custkey AS custkey FROM orders
+""",
+)
+def union_distinct(spark, sf_dir):
+    """Set union (concat + hash-distinct)."""
+    t = load_tables(spark, sf_dir)
+    return (
+        t.customer.select(F.col("c_custkey").alias("custkey"))
+        .unionByName(t.orders.select(F.col("o_custkey").alias("custkey")))
+        .distinct()
+    )
+
+
+@query(
+    "intersect_distinct",
+    section="2.G",
+    oracle="""
+SELECT c_custkey AS custkey FROM customer
+INTERSECT
+SELECT o_custkey AS custkey FROM orders
+""",
+)
+def intersect_distinct(spark, sf_dir):
+    """Customers that placed at least one order (set intersect)."""
+    t = load_tables(spark, sf_dir)
+    return t.customer.select(F.col("c_custkey").alias("custkey")).intersect(
+        t.orders.select(F.col("o_custkey").alias("custkey"))
+    )
+
+
+@query(
+    "intersect_all",
+    section="2.G",
+    oracle="""
+SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'F'
+INTERSECT ALL
+SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'O'
+""",
+)
+def intersect_all(spark, sf_dir):
+    """Bag intersect (multiplicity = min of the two sides)."""
+    o = load_table(spark, sf_dir, "orders")
+    f = o.filter(F.col("o_orderstatus") == "F").select(F.col("o_custkey").alias("custkey"))
+    op = o.filter(F.col("o_orderstatus") == "O").select(F.col("o_custkey").alias("custkey"))
+    return f.intersectAll(op)
+
+
+@query(
+    "except_distinct",
+    section="2.G",
+    oracle="""
+SELECT c_custkey AS custkey FROM customer
+EXCEPT
+SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'P'
+""",
+)
+def except_distinct(spark, sf_dir):
+    """Customers with no in-progress ('P') order (set difference;
+    `subtract` is Spark's EXCEPT DISTINCT)."""
+    t = load_tables(spark, sf_dir)
+    in_progress = t.orders.filter(F.col("o_orderstatus") == "P")
+    return t.customer.select(F.col("c_custkey").alias("custkey")).subtract(
+        in_progress.select(F.col("o_custkey").alias("custkey"))
+    )
+
+
+@query(
+    "except_all",
+    section="2.G",
+    oracle="""
+SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'F'
+EXCEPT ALL
+SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'O'
+""",
+)
+def except_all(spark, sf_dir):
+    """Bag difference (multiplicity-aware)."""
+    o = load_table(spark, sf_dir, "orders")
+    f = o.filter(F.col("o_orderstatus") == "F").select(F.col("o_custkey").alias("custkey"))
+    op = o.filter(F.col("o_orderstatus") == "O").select(F.col("o_custkey").alias("custkey"))
+    return f.exceptAll(op)

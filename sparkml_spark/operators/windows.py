@@ -1,0 +1,306 @@
+"""§2.E Window functions (SURVEY.md).
+
+One physical shape for all of these: shuffle on partitionBy keys, sort
+within partitions, single streaming pass. Determinism rules (SURVEY
+§7.4 #4) applied throughout: every orderBy carries a unique tie-break
+key (PK / event_id), and windowed SUMs over doubles go through the
+exact decimal pattern (a windowed double sum is order-sensitive AND
+engines use different accumulation structures — DuckDB segment trees
+vs Spark's streaming frame — so raw double frames can drift).
+
+Scale: window partitions here are per-customer / per-user / per-segment
+— thousands of small partitions, embarrassingly parallel. The one to
+watch at 100 TB is a window with few giant partitions; for that case
+pre-aggregate or split frames (noted on win_sessionize_batch).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from sparkml_spark.registry import query
+from sparkml_spark.sources.loader import load_table
+
+_DEC = "decimal(14,2)"
+
+# Elapsed whole seconds between prev_ts and ts. Spark's timestampdiff
+# and DuckDB's date_diff disagree on sub-second boundaries (elapsed
+# floor vs boundary crossings), so both sides use the same explicit
+# epoch-microsecond floor-division formula.
+_GAP_S = "(unix_micros(cast(ts as timestamp)) - unix_micros(cast(prev_ts as timestamp))) div 1000000"
+
+
+@query(
+    "win_rank_family",
+    section="2.E",
+    oracle="""
+SELECT c_custkey, c_mktsegment, c_acctbal,
+       row_number()   OVER w AS rn,
+       rank()         OVER w AS rnk,
+       dense_rank()   OVER w AS drnk,
+       percent_rank() OVER w AS prnk,
+       ntile(4)       OVER w AS quartile,
+       cume_dist()    OVER w AS cdist
+FROM customer
+WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey ASC)
+""",
+)
+def win_rank_family(spark, sf_dir):
+    """All six ranking functions over one totally-ordered window (the
+    c_custkey tie-break makes every rank single-valued)."""
+    c = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("c_acctbal").desc(), F.col("c_custkey").asc()
+    )
+    return c.select(
+        "c_custkey",
+        "c_mktsegment",
+        "c_acctbal",
+        F.row_number().over(w).alias("rn"),
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+        F.percent_rank().over(w).alias("prnk"),
+        F.ntile(4).over(w).alias("quartile"),
+        F.cume_dist().over(w).alias("cdist"),
+    )
+
+
+@query(
+    "win_lag_lead",
+    section="2.E",
+    oracle="""
+SELECT event_id, user_id, ts,
+       lag(ts)  OVER w AS prev_ts,
+       lead(ts) OVER w AS next_ts,
+       (epoch_us(ts) - epoch_us(lag(ts) OVER w)) // 1000000 AS gap_s
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+""",
+)
+def win_lag_lead(spark, sf_dir):
+    """Previous/next event per user + inter-event gap in seconds."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        e.withColumn("prev_ts", F.lag("ts").over(w))
+        .withColumn("next_ts", F.lead("ts").over(w))
+        .select(
+            "event_id",
+            "user_id",
+            "ts",
+            "prev_ts",
+            "next_ts",
+            F.expr(_GAP_S).alias("gap_s"),
+        )
+    )
+
+
+@query(
+    "win_first_last_nth",
+    section="2.E",
+    oracle="""
+SELECT c_custkey, c_mktsegment, c_acctbal,
+       first_value(c_name)    OVER w AS richest,
+       last_value(c_name)     OVER w AS poorest,
+       nth_value(c_name, 2)   OVER w AS runner_up
+FROM customer
+WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey ASC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+""",
+)
+def win_first_last_nth(spark, sf_dir):
+    """Frame-aware positional values — the explicit unbounded frame is
+    the whole point (default frame would make last_value = current row)."""
+    c = load_table(spark, sf_dir, "customer")
+    w = (
+        Window.partitionBy("c_mktsegment")
+        .orderBy(F.col("c_acctbal").desc(), F.col("c_custkey").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return c.select(
+        "c_custkey",
+        "c_mktsegment",
+        "c_acctbal",
+        F.first("c_name").over(w).alias("richest"),
+        F.last("c_name").over(w).alias("poorest"),
+        F.nth_value("c_name", 2).over(w).alias("runner_up"),
+    )
+
+
+@query(
+    "win_running_total",
+    section="2.E",
+    oracle="""
+SELECT o_custkey, o_orderkey, o_orderdate,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2)))
+            OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS DOUBLE) AS running_spend
+FROM orders
+""",
+)
+def win_running_total(spark, sf_dir):
+    """Cumulative customer spend, exact-decimal so every prefix matches
+    bit-for-bit regardless of each engine's accumulation structure."""
+    o = load_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderdate",
+        F.sum(F.col("o_totalprice").cast(_DEC)).over(w).cast("double").alias("running_spend"),
+    )
+
+
+@query(
+    "win_moving_avg",
+    section="2.E",
+    oracle="""
+SELECT o_custkey, o_orderkey,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) OVER w AS DOUBLE)
+         / COUNT(*) OVER w AS moving_avg
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+""",
+)
+def win_moving_avg(spark, sf_dir):
+    """4-order sliding average (exact decimal sum / window count — the
+    division is then identical double math on both engines)."""
+    o = load_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(-3, Window.currentRow)
+    )
+    msum = F.sum(F.col("o_totalprice").cast(_DEC)).over(w).cast("double")
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        (msum / F.count(F.lit(1)).over(w)).alias("moving_avg"),
+    )
+
+
+@query(
+    "win_range_frame",
+    section="2.E",
+    oracle="""
+SELECT o_orderkey, o_orderpriority, o_totalprice,
+       COUNT(*) OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice
+                      RANGE BETWEEN 1000 PRECEDING AND CURRENT ROW) AS n_within_1k
+FROM orders
+""",
+)
+def win_range_frame(spark, sf_dir):
+    """Logical (value-based) frame: orders within $1000 below the
+    current price. Value frames are set-defined, so ties need no
+    tie-break — the frame is identical for equal keys."""
+    o = load_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_orderpriority")
+        .orderBy("o_totalprice")
+        .rangeBetween(-1000, Window.currentRow)
+    )
+    return o.select(
+        "o_orderkey",
+        "o_orderpriority",
+        "o_totalprice",
+        F.count(F.lit(1)).over(w).alias("n_within_1k"),
+    )
+
+
+@query(
+    "win_topk_per_group",
+    section="2.E",
+    oracle="""
+SELECT c_custkey, o_orderkey, o_totalprice
+FROM (
+  SELECT c_custkey, o_orderkey, o_totalprice,
+         row_number() OVER (PARTITION BY c_custkey
+                            ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+  FROM customer JOIN orders ON o_custkey = c_custkey
+)
+WHERE rn <= 3
+""",
+)
+def win_topk_per_group(spark, sf_dir):
+    """Top-3 orders per customer (QUALIFY pattern). BASELINE's
+    q_window_rank shape. At scale Spark pushes a per-partition rank
+    limit before the final sort when AQE sees the filter."""
+    t_c = load_table(spark, sf_dir, "customer")
+    t_o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("c_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return (
+        t_c.join(t_o, t_c.c_custkey == t_o.o_custkey)
+        .select("c_custkey", "o_orderkey", "o_totalprice")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .drop("rn")
+    )
+
+
+@query(
+    "win_dedup_latest",
+    section="2.E",
+    oracle="""
+SELECT user_id, event_id, ts, event_type
+FROM (
+  SELECT user_id, event_id, ts, event_type,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+)
+WHERE rn = 1
+""",
+)
+def win_dedup_latest(spark, sf_dir):
+    """Latest event per user — the classic CDC/log-compaction dedup."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    return (
+        e.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_id", "ts", "event_type")
+    )
+
+
+@query(
+    "win_sessionize_batch",
+    section="2.E",
+    oracle="""
+SELECT event_id, user_id, ts,
+       SUM(CASE WHEN prev_ts IS NULL
+                  OR (epoch_us(ts) - epoch_us(prev_ts)) // 1000000 > 1800 THEN 1 ELSE 0 END)
+         OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+FROM (
+  SELECT event_id, user_id, ts,
+         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+  FROM events
+)
+""",
+)
+def win_sessionize_batch(spark, sf_dir):
+    """Gap-based sessionization (30-min gap): lag → new-session flag →
+    cumulative sum. Batch twin of stream_session_window; the two are
+    cross-checked in tests. Giant single-user partitions at 100 TB:
+    split by (user, day) first, then stitch boundary sessions."""
+    e = load_table(spark, sf_dir, "events")
+    w_order = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w_cum = w_order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    gap_s = F.expr(_GAP_S)
+    new_sess = F.when(F.col("prev_ts").isNull() | (gap_s > 1800), 1).otherwise(0)
+    return (
+        e.withColumn("prev_ts", F.lag("ts").over(w_order))
+        .withColumn("session_id", F.sum(new_sess).over(w_cum))
+        .select("event_id", "user_id", "ts", "session_id")
+    )
