@@ -1,0 +1,74 @@
+"""Benchmark harness (driver contract): runs the headline queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line.
+
+Timing protocol mirrors BASELINE.md: one warm shared SparkSession,
+each query executed twice, the SECOND wall-clock reported (first run
+primes plan + codegen). Keep `spark.sql.shuffle.partitions` small at
+this scale (BASELINE used 8) — AQE coalesces anyway, but the initial
+number still costs task-launch overhead locally.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from sparkml_spark.session import get_spark
+
+#: bench name -> registry query id (shapes match BASELINE.md rows).
+HEADLINE = {
+    "q_pricing_summary": "agg_groupby_multi",
+    "q_top_orders_join": "join_inner_equi",
+    "q_regional_join5": "join_multiway_5",
+    "q_window_rank": "win_topk_per_group",
+    "q_distinct_agg": "agg_count_distinct",
+    "q_events_hourly": "events_hourly_batch",
+}
+
+
+def main() -> int:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    os.environ.setdefault("SPARK_GRAFT_SHUFFLE", "8")
+
+    spark = get_spark("sparkml_spark-bench", master=f"local[{cpus}]")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+
+    import sparkml_spark.operators  # noqa: F401
+    from sparkml_spark.registry import QUERIES
+
+    times: dict[str, float] = {}
+    total = 0.0
+    for bench_name, qid in HEADLINE.items():
+        fn = QUERIES[qid]
+        rows = 0
+        for _ in range(2):  # second run is the warm measurement
+            t0 = time.time()
+            rows = len(fn(spark, sf_dir).collect())
+            dt = time.time() - t0
+        times[bench_name] = round(dt, 3)
+        total += dt
+        print(f"# {bench_name} ({qid}): {dt:.3f}s, {rows} rows", file=sys.stderr)
+
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "headline_suite_wall",
+                "value": round(total, 3),
+                "unit": "sec",
+                "queries": times,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,416 @@
+"""§2.H Scalar function families (SURVEY.md).
+
+One demonstrating query per family, all built-in `pyspark.sql.functions`
+(JVM codegen — no Python in the data path anywhere in this module).
+Cross-engine parity notes that cost real debugging time are documented
+inline: regexp_replace global flag, double→int cast semantics,
+transcendental libm last-ulp drift (rounded at 6 dp), and float-array
+folds (cast to double, fold left-to-right on both sides).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from sparkml_spark.registry import dsum, dsum_sql, query
+from sparkml_spark.sources.loader import load_table
+
+
+@query(
+    "fn_string",
+    section="2.H",
+    oracle="""
+SELECT p_partkey,
+       upper(p_name) AS up_name,
+       lower(p_brand) AS lo_brand,
+       length(p_name) AS name_len,
+       substring(p_name, 1, 5) AS name5,
+       concat_ws('|', p_brand, p_type) AS brand_type,
+       replace(p_type, ' ', '_') AS type_us,
+       lpad(CAST(p_size AS VARCHAR), 4, '0') AS size_pad,
+       trim(p_name) AS name_trim,
+       instr(p_name, 'a') AS a_pos,
+       len(string_split(p_name, ' ')) AS n_words,
+       starts_with(p_type, 'SMALL') AS is_small,
+       contains(p_name, 'gold') AS has_gold
+FROM part
+""",
+)
+def fn_string(spark, sf_dir):
+    """String family: case, slice, concat, pad, search, split."""
+    p = load_table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.upper("p_name").alias("up_name"),
+        F.lower("p_brand").alias("lo_brand"),
+        F.length("p_name").alias("name_len"),
+        F.substring("p_name", 1, 5).alias("name5"),
+        F.concat_ws("|", "p_brand", "p_type").alias("brand_type"),
+        F.replace(F.col("p_type"), F.lit(" "), F.lit("_")).alias("type_us"),
+        F.lpad(F.col("p_size").cast("string"), 4, "0").alias("size_pad"),
+        F.trim("p_name").alias("name_trim"),
+        F.instr(F.col("p_name"), "a").alias("a_pos"),
+        F.size(F.split("p_name", " ")).alias("n_words"),
+        F.startswith(F.col("p_type"), F.lit("SMALL")).alias("is_small"),
+        F.contains(F.col("p_name"), F.lit("gold")).alias("has_gold"),
+    )
+
+
+@query(
+    "fn_regex",
+    section="2.H",
+    oracle="""
+SELECT o_orderkey,
+       regexp_extract(o_orderpriority, '^(\\d+)', 1) AS prio_str,
+       CAST(regexp_extract(o_orderpriority, '^(\\d+)', 1) AS INT) AS prio_num,
+       regexp_replace(o_orderpriority, '[^A-Z]', '', 'g') AS letters,
+       regexp_matches(o_orderpriority, '^[12]-') AS is_high
+FROM orders
+""",
+)
+def fn_regex(spark, sf_dir):
+    """Regex family. DuckDB's regexp_replace is first-match-only by
+    default — the 'g' flag is required to mirror Spark's replace-all."""
+    o = load_table(spark, sf_dir, "orders")
+    prio = F.regexp_extract("o_orderpriority", r"^(\d+)", 1)
+    return o.select(
+        "o_orderkey",
+        prio.alias("prio_str"),
+        prio.cast("int").alias("prio_num"),
+        F.regexp_replace("o_orderpriority", "[^A-Z]", "").alias("letters"),
+        F.col("o_orderpriority").rlike("^[12]-").alias("is_high"),
+    )
+
+
+@query(
+    "fn_datetime",
+    section="2.H",
+    oracle="""
+SELECT l_orderkey, l_linenumber,
+       year(l_shipdate) AS ship_year,
+       month(l_shipdate) AS ship_month,
+       day(l_shipdate) AS ship_day,
+       CAST(date_trunc('month', l_shipdate) AS TIMESTAMP) AS ship_month_start,
+       CAST(l_shipdate AS DATE) + 30 AS ship_plus30,
+       last_day(CAST(l_shipdate AS DATE)) AS ship_month_end,
+       date_diff('day', CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE)) AS ship_delay_days,
+       epoch_us(l_shipdate) AS ship_epoch_us
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+""",
+)
+def fn_datetime(spark, sf_dir):
+    """Datetime family: extraction, truncation, date arithmetic, epoch.
+    Day deltas use date-cast datediff (whole-day boundary semantics
+    agree once both sides are DATE)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    return li.join(o, li.l_orderkey == o.o_orderkey).select(
+        "l_orderkey",
+        "l_linenumber",
+        F.year("l_shipdate").alias("ship_year"),
+        F.month("l_shipdate").alias("ship_month"),
+        F.dayofmonth("l_shipdate").alias("ship_day"),
+        F.date_trunc("month", F.col("l_shipdate")).cast("timestamp_ntz").alias("ship_month_start"),
+        F.date_add(F.col("l_shipdate").cast("date"), 30).alias("ship_plus30"),
+        F.last_day(F.col("l_shipdate").cast("date")).alias("ship_month_end"),
+        F.datediff(F.col("l_shipdate").cast("date"), F.col("o_orderdate").cast("date")).alias(
+            "ship_delay_days"
+        ),
+        F.unix_micros(F.col("l_shipdate").cast("timestamp")).alias("ship_epoch_us"),
+    )
+
+
+@query(
+    "fn_math",
+    section="2.H",
+    oracle="""
+SELECT l_orderkey, l_linenumber,
+       round(l_extendedprice / 7, 3) AS price_div7,
+       CAST(floor(l_quantity) AS BIGINT) AS qty_floor,
+       CAST(ceil(l_quantity) AS BIGINT) AS qty_ceil,
+       abs(0 - l_discount) AS disc_abs,
+       l_quantity * l_quantity AS qty_sq,
+       sqrt(l_extendedprice) AS price_sqrt,
+       round(exp(l_discount), 6) AS disc_exp,
+       round(ln(l_extendedprice), 6) AS price_ln,
+       round(log10(l_extendedprice), 6) AS price_log10,
+       CAST(sign(l_discount - 0.05) AS DOUBLE) AS disc_sign,
+       greatest(l_tax, l_discount) AS max_rate,
+       least(l_tax, l_discount) AS min_rate
+FROM lineitem
+""",
+)
+def fn_math(spark, sf_dir):
+    """Math family. sqrt is IEEE-correctly-rounded (exact cross-engine);
+    exp/ln/log10 are libm-dependent in the last ulp, so they're rounded
+    at 6 dp; squares use x*x (pow may route through exp·ln)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(F.col("l_extendedprice") / 7, 3).alias("price_div7"),
+        F.floor("l_quantity").alias("qty_floor"),
+        F.ceil("l_quantity").alias("qty_ceil"),
+        F.abs(F.lit(0) - F.col("l_discount")).alias("disc_abs"),
+        (F.col("l_quantity") * F.col("l_quantity")).alias("qty_sq"),
+        F.sqrt("l_extendedprice").alias("price_sqrt"),
+        F.round(F.exp("l_discount"), 6).alias("disc_exp"),
+        F.round(F.log("l_extendedprice"), 6).alias("price_ln"),
+        F.round(F.log10("l_extendedprice"), 6).alias("price_log10"),
+        F.signum(F.col("l_discount") - 0.05).alias("disc_sign"),
+        F.greatest("l_tax", "l_discount").alias("max_rate"),
+        F.least("l_tax", "l_discount").alias("min_rate"),
+    )
+
+
+@query(
+    "fn_null",
+    section="2.H",
+    oracle="""
+SELECT c_custkey,
+       nullif(c_mktsegment, 'BUILDING') AS seg_or_null,
+       coalesce(nullif(c_mktsegment, 'BUILDING'), 'SUPPRESSED') AS seg_coalesced,
+       nullif(c_mktsegment, 'BUILDING') IS NULL AS was_building,
+       c_mktsegment IS NOT DISTINCT FROM 'BUILDING' AS null_safe_eq
+FROM customer
+""",
+)
+def fn_null(spark, sf_dir):
+    """Null family: nullif / coalesce / null-safe equality (Spark's <=>
+    == DuckDB's IS NOT DISTINCT FROM)."""
+    c = load_table(spark, sf_dir, "customer")
+    seg_null = F.nullif(F.col("c_mktsegment"), F.lit("BUILDING"))
+    return c.select(
+        "c_custkey",
+        seg_null.alias("seg_or_null"),
+        F.coalesce(seg_null, F.lit("SUPPRESSED")).alias("seg_coalesced"),
+        seg_null.isNull().alias("was_building"),
+        F.col("c_mktsegment").eqNullSafe(F.lit("BUILDING")).alias("null_safe_eq"),
+    )
+
+
+@query(
+    "fn_hash",
+    section="2.H",
+    oracle="""
+SELECT doc_id,
+       md5(text) AS text_md5,
+       sha256(text) AS text_sha256,
+       md5(lower(trim(text))) AS norm_md5
+FROM documents
+""",
+)
+def fn_hash(spark, sf_dir):
+    """Content hashing (the dedup primitive): md5 / sha256 agree
+    cross-engine; Spark-specific xxhash64/crc32 live in fn_hash_fast."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.md5("text").alias("text_md5"),
+        F.sha2("text", 256).alias("text_sha256"),
+        F.md5(F.lower(F.trim("text"))).alias("norm_md5"),
+    )
+
+
+@query("fn_hash_fast", section="2.H")
+def fn_hash_fast(spark, sf_dir):
+    """Spark-native 64-bit hashes (xxhash64 / crc32 / murmur3) — the
+    cheap dedup/bucketing keys at 100 TB (ROWS tier: engine-specific)."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.xxhash64("text").alias("text_xxh64"),
+        F.crc32("text").alias("text_crc32"),
+        F.hash("text").alias("text_murmur3"),
+    )
+
+
+@query(
+    "fn_array",
+    section="2.H",
+    oracle="""
+SELECT vec_id,
+       len(embedding) AS dim,
+       embedding[1] AS first_val,
+       embedding[1:3] AS head3,
+       list_max(embedding) AS vmax,
+       list_min(embedding) AS vmin,
+       len(list_distinct(embedding)) AS n_distinct,
+       list_contains(embedding, 0.0) AS has_zero
+FROM embeddings
+""",
+)
+def fn_array(spark, sf_dir):
+    """Array family over the embedding column (1-based slicing on both
+    engines; float cells compare exactly — no arithmetic happens)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return e.select(
+        "vec_id",
+        F.size("embedding").alias("dim"),
+        F.element_at("embedding", 1).alias("first_val"),
+        F.slice("embedding", 1, 3).alias("head3"),
+        F.array_max("embedding").alias("vmax"),
+        F.array_min("embedding").alias("vmin"),
+        F.size(F.array_distinct("embedding")).alias("n_distinct"),
+        F.array_contains("embedding", F.lit(0.0)).alias("has_zero"),
+    )
+
+
+@query(
+    "fn_higher_order",
+    section="2.H",
+    oracle="""
+SELECT vec_id,
+       round(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), 6)
+         AS norm_sq,
+       len(list_filter(embedding, x -> x > 0.1)) AS n_big,
+       len(list_filter(embedding, x -> x > 0.9)) > 0 AS any_huge,
+       len(list_filter(embedding, x -> x < 1.0)) = len(embedding) AS all_below_one
+FROM embeddings
+""",
+)
+def fn_higher_order(spark, sf_dir):
+    """Lambda functions: transform / aggregate(fold) / filter / exists /
+    forall. Floats are cast to double BEFORE arithmetic and fold sums
+    are rounded at 6 dp (fold order is engine-internal)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    dbl = F.transform("embedding", lambda x: x.cast("double") * x.cast("double"))
+    norm_sq = F.aggregate(dbl, F.lit(0.0), lambda acc, v: acc + v)
+    return e.select(
+        "vec_id",
+        F.round(norm_sq, 6).alias("norm_sq"),
+        F.size(F.filter("embedding", lambda x: x > 0.1)).alias("n_big"),
+        F.exists("embedding", lambda x: x > 0.9).alias("any_huge"),
+        F.forall("embedding", lambda x: x < 1.0).alias("all_below_one"),
+    )
+
+
+@query("fn_map", section="2.H")
+def fn_map(spark, sf_dir):
+    """Map family (ROWS tier — DuckDB map comparison semantics differ):
+    build a map in-query, read keys/values/elements back."""
+    d = load_table(spark, sf_dir, "documents")
+    m = F.create_map(
+        F.lit("lang"), F.col("lang"), F.lit("source"), F.col("source")
+    )
+    return d.select(
+        "doc_id",
+        F.map_keys(m).alias("meta_keys"),
+        F.map_values(m).alias("meta_vals"),
+        F.element_at(m, "lang").alias("lang_val"),
+    )
+
+
+@query(
+    "fn_json",
+    section="2.H",
+    oracle="""
+SELECT event_id,
+       json_extract_string(props, '$.k') AS k_str,
+       CAST(json_extract_string(props, '$.k') AS INT) AS k_int,
+       CAST(json_extract_string(props, '$.k') AS INT) % 10 AS k_mod10
+FROM events
+""",
+)
+def fn_json(spark, sf_dir):
+    """JSON family over events.props (shape {"k": <int>}):
+    path extraction + typed parse. from_json/to_json round-trips are
+    exercised in fn_json_struct (ROWS)."""
+    e = load_table(spark, sf_dir, "events")
+    k_str = F.get_json_object("props", "$.k")
+    return e.select(
+        "event_id",
+        k_str.alias("k_str"),
+        k_str.cast("int").alias("k_int"),
+        (k_str.cast("int") % 10).alias("k_mod10"),
+    )
+
+
+@query("fn_json_struct", section="2.H")
+def fn_json_struct(spark, sf_dir):
+    """Schema-full JSON: from_json into a typed struct and back with
+    to_json (ROWS tier — serialization formatting is engine-specific)."""
+    e = load_table(spark, sf_dir, "events")
+    parsed = F.from_json("props", "k INT")
+    return e.select(
+        "event_id",
+        parsed.getField("k").alias("k_typed"),
+        F.to_json(F.struct(F.col("event_type"), F.col("user_id"))).alias("evt_json"),
+    )
+
+
+@query(
+    "fn_vector",
+    section="2.H",
+    oracle="""
+SELECT a.vec_id AS vec_id,
+       round(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), 6)
+         AS norm_sq,
+       round(
+         list_sum(
+           list_transform(
+             list_zip(a.embedding, b.embedding),
+             p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))),
+         6) AS dot_next,
+       a.label AS label
+FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id + 1
+""",
+)
+def fn_vector(spark, sf_dir):
+    """Vector math as SQL expressions: squared L2 norm (≈1, unit
+    vectors) and dot product with the next vector. zip_with + fold stay
+    entirely in codegen — this is the scale path for similarity ops
+    (embeddings are unit-norm so dot ≡ cosine)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    a = e.select(
+        F.col("vec_id"), F.col("embedding").alias("emb_a"), F.col("label")
+    )
+    b = e.select((F.col("vec_id") - 1).alias("prev_id"), F.col("embedding").alias("emb_b"))
+    dot = F.aggregate(
+        F.zip_with("emb_a", "emb_b", lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    norm_sq = F.aggregate(
+        F.transform("emb_a", lambda x: x.cast("double") * x.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    return (
+        a.join(b, a.vec_id == b.prev_id)
+        .select(
+            "vec_id",
+            F.round(norm_sq, 6).alias("norm_sq"),
+            F.round(dot, 6).alias("dot_next"),
+            "label",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# events_hourly_batch — the batch twin of stream_tumbling_agg (§2.K) and
+# BASELINE's q_events_hourly. Kept here with the datetime family since
+# date_trunc IS the tumbling window in batch form.
+# ---------------------------------------------------------------------------
+@query(
+    "events_hourly_batch",
+    section="2.K",
+    oracle=f"""
+SELECT date_trunc('hour', ts) AS hour_start,
+       event_type,
+       COUNT(*) AS n_events,
+       {dsum_sql('value')} AS sum_value
+FROM events
+GROUP BY date_trunc('hour', ts), event_type
+""",
+)
+def events_hourly_batch(spark, sf_dir):
+    """Hourly tumbling aggregation over the event stream, batch form."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            F.date_trunc("hour", F.col("ts")).cast("timestamp_ntz").alias("hour_start"),
+            "event_type",
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"), dsum("value").alias("sum_value"))
+    )

@@ -2,3 +2,4 @@
 `sparkml_spark.registry` (each module's import has that side effect)."""
 
 from sparkml_spark.operators import aggregates, joins, relational, windows  # noqa: F401
+from sparkml_spark import functions as _functions  # noqa: F401
