@@ -1,0 +1,333 @@
+"""§2.I Deduplication operators (SURVEY.md) — exact, MinHash-LSH,
+SimHash, n-gram Jaccard, embedding-cosine.
+
+The fixture corpus has NO duplicates (FIXTURES.md), so every dedup
+query first manufactures a deterministic duplicate population inside
+the query (union of a keyed subset, optionally perturbed) — the oracle
+does the same — and then the operator finds exactly that population.
+
+Scale design notes:
+- exact dedup: hash-groupBy on a 16-byte digest — one narrow shuffle.
+- candidate generation for near-dup is ALWAYS blocked (LSH bands /
+  SimHash bands / shared-shingle inverted index), never all-pairs; the
+  brute-force forms here exist as oracle-checkable semantics pins and
+  carry the documented cutoff.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from sparkml_spark.registry import query
+from sparkml_spark.sources.loader import load_table
+
+#: Offset that turns a copied doc_id into a synthetic duplicate's id.
+_DUP_OFFSET = 1_000_000
+
+def _norm():
+    return F.md5(F.lower(F.trim(F.regexp_replace("text", r"\s+", " "))))
+_NORM_SQL = "md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))))"
+
+# Corpus-with-duplicates (every 10th doc copied under a new id).
+_CORPUS_SQL = f"""
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + {_DUP_OFFSET} AS doc_id, text
+  FROM documents WHERE doc_id % 10 = 0
+"""
+
+
+def _corpus_with_dups(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    dups = (
+        d.filter(F.col("doc_id") % 10 == 0)
+        .select((F.col("doc_id") + _DUP_OFFSET).alias("doc_id"), "text")
+    )
+    return d.unionByName(dups)
+
+
+@query(
+    "dedup_exact_hash",
+    section="2.I",
+    oracle=f"""
+WITH corpus AS ({_CORPUS_SQL}),
+hashed AS (
+  SELECT doc_id, {_NORM_SQL} AS content_hash,
+         row_number() OVER (PARTITION BY {_NORM_SQL} ORDER BY doc_id ASC) AS rn,
+         COUNT(*) OVER (PARTITION BY {_NORM_SQL}) AS n_copies
+  FROM corpus
+)
+SELECT doc_id, content_hash, n_copies FROM hashed WHERE rn = 1
+""",
+)
+def dedup_exact_hash(spark, sf_dir):
+    """Exact dedup by normalized content hash, keeping the smallest
+    doc_id of each duplicate group (canonical-representative rule) and
+    reporting the group size. One shuffle on the digest."""
+    corpus = _corpus_with_dups(spark, sf_dir).withColumn("content_hash", _norm())
+    w = Window.partitionBy("content_hash").orderBy(F.col("doc_id").asc())
+    wc = Window.partitionBy("content_hash")
+    return (
+        corpus.withColumn("rn", F.row_number().over(w))
+        .withColumn("n_copies", F.count(F.lit(1)).over(wc))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "content_hash", "n_copies")
+    )
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard near-dup, via a shared-shingle inverted index (the
+# SQL-exact semantics pin for MinHash). Near-dups are manufactured by
+# dropping the last 3 tokens of every 10th doc — high but <1 overlap.
+# ---------------------------------------------------------------------------
+_TOKS = "string_split_regex(lower(trim(text)), '\\s+')"
+_VARIANT_SQL = f"""
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + {_DUP_OFFSET} AS doc_id,
+         array_to_string({_TOKS}[1:len({_TOKS}) - 3], ' ') AS text
+  FROM documents WHERE doc_id % 10 = 0
+"""
+
+
+def _corpus_with_near_dups(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    variant = (
+        d.filter(F.col("doc_id") % 10 == 0)
+        .select(
+            (F.col("doc_id") + _DUP_OFFSET).alias("doc_id"),
+            F.array_join(F.slice(toks, 1, F.size(toks) - 3), " ").alias("text"),
+        )
+    )
+    return d.unionByName(variant)
+
+
+@query(
+    "dedup_ngram_jaccard",
+    section="2.I",
+    oracle=f"""
+WITH corpus AS ({_VARIANT_SQL}),
+shingled AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, len({_TOKS}) - 2),
+             i -> {_TOKS}[i] || ' ' || {_TOKS}[i+1] || ' ' || {_TOKS}[i+2])) AS shingles
+  FROM corpus
+), exploded AS (
+  SELECT doc_id, unnest(shingles) AS shingle FROM shingled
+), pair_inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
+  FROM exploded a JOIN exploded b
+    ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT id_a, id_b,
+       round(CAST(n_inter AS DOUBLE)
+             / (sa.n_sh + sb.n_sh - n_inter), 6) AS jaccard
+FROM pair_inter
+JOIN (SELECT doc_id, len(shingles) AS n_sh FROM shingled) sa ON sa.doc_id = id_a
+JOIN (SELECT doc_id, len(shingles) AS n_sh FROM shingled) sb ON sb.doc_id = id_b
+WHERE CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) > 0.6
+""",
+)
+def dedup_ngram_jaccard(spark, sf_dir):
+    """Near-dup pairs by 3-token-shingle Jaccard > 0.6.
+
+    Candidate pairs come from a shared-shingle inverted index join —
+    the same blocking that makes this linear-ish at scale (a pair is
+    only scored if it shares ≥1 shingle; the hot-shingle skew case is
+    handled by dropping ubiquitous shingles, cf. df-cut in tf-idf)."""
+    corpus = _corpus_with_near_dups(spark, sf_dir)
+    toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    shingles = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 3),
+            lambda i: F.concat_ws(
+                " ", F.element_at(toks, i), F.element_at(toks, i + 1), F.element_at(toks, i + 2)
+            ),
+        )
+    )
+    shingled = corpus.select("doc_id", shingles.alias("shingles"))
+    sizes = shingled.select("doc_id", F.size("shingles").alias("n_sh"))
+    exploded = shingled.select("doc_id", F.explode("shingles").alias("shingle"))
+    a = exploded.select(F.col("doc_id").alias("id_a"), "shingle")
+    b = exploded.select(F.col("doc_id").alias("id_b"), "shingle")
+    inter = (
+        a.join(b, ["shingle"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("id_a"), F.col("n_sh").alias("n_sh_a"))
+    sb = sizes.select(F.col("doc_id").alias("id_b"), F.col("n_sh").alias("n_sh_b"))
+    jac = F.col("n_inter").cast("double") / (
+        F.col("n_sh_a") + F.col("n_sh_b") - F.col("n_inter")
+    )
+    return (
+        inter.join(F.broadcast(sa), "id_a")
+        .join(F.broadcast(sb), "id_b")
+        .filter(jac > 0.6)
+        .select("id_a", "id_b", F.round(jac, 6).alias("jaccard"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH near-dup (MLlib) — the scale path for Jaccard dedup.
+# ---------------------------------------------------------------------------
+@query("dedup_near_minhash", section="2.I")
+def dedup_near_minhash(spark, sf_dir):
+    """MinHash-LSH near-dup pairs (ROWS tier — sketch is seed-specific,
+    deterministic under seed=42): shingle set → binary CountVectorizer
+    → MinHashLSH.approxSimilarityJoin at Jaccard distance ≤ 0.4.
+
+    At 100 TB this is the dedup workhorse: candidates = same minhash
+    band bucket only; the all-pairs space is never materialized."""
+    from pyspark.ml.feature import CountVectorizer, MinHashLSH
+
+    corpus = _corpus_with_near_dups(spark, sf_dir)
+    toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    shingles = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 3),
+            lambda i: F.concat_ws(
+                " ", F.element_at(toks, i), F.element_at(toks, i + 1), F.element_at(toks, i + 2)
+            ),
+        )
+    )
+    shingled = corpus.select("doc_id", shingles.alias("shingles"))
+    cv = CountVectorizer(
+        inputCol="shingles", outputCol="features", binary=True, minDF=1.0
+    ).fit(shingled)
+    vecs = cv.transform(shingled)
+    lsh = MinHashLSH(inputCol="features", outputCol="hashes", numHashTables=8, seed=42)
+    model = lsh.fit(vecs)
+    pairs = model.approxSimilarityJoin(vecs, vecs, 0.4, distCol="jaccard_dist")
+    return (
+        pairs.select(
+            F.col("datasetA.doc_id").alias("id_a"),
+            F.col("datasetB.doc_id").alias("id_b"),
+            F.round(1.0 - F.col("jaccard_dist"), 6).alias("jaccard_sim"),
+        )
+        .filter(F.col("id_a") < F.col("id_b"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash near-dup: 64-bit signatures + banded Hamming blocking.
+# ---------------------------------------------------------------------------
+@query("dedup_simhash", section="2.I")
+def dedup_simhash(spark, sf_dir):
+    """SimHash near-dup (ROWS tier — xxhash64 is Spark-native).
+
+    Signature: for each of 64 bits, sign of Σ(±1) over token hashes →
+    packed bigint. Blocking: 4 bands of 16 bits; candidate pairs share
+    ≥1 band (Hamming ≤ small ⟹ some band equal, pigeonhole); verify
+    with bit_count(xor) ≤ 8. All codegen expressions — no UDF."""
+    corpus = _corpus_with_near_dups(spark, sf_dir)
+    toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    tok = corpus.select("doc_id", F.explode(F.array_distinct(toks)).alias("token"))
+    tok = tok.withColumn("h", F.xxhash64("token"))
+    # Σ over tokens of (bit_i(h) ? +1 : -1), for each of 64 bits.
+    bit_sums = tok.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            ).alias(f"b{i}")
+            for i in range(64)
+        ]
+    )
+    # Pack sign bits into one bigint. Bit 63 via bitwise shift keeps the
+    # sign bit well-defined on two's-complement longs.
+    sig = None
+    for i in range(64):
+        bit = F.when(F.col(f"b{i}") > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
+        term = F.shiftleft(bit, i)
+        sig = term if sig is None else sig.bitwiseXOR(term)
+    signatures = bit_sums.select("doc_id", sig.alias("simhash"))
+    bands = signatures.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.shiftright(F.col("simhash"), 16 * i)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("key"),
+                    )
+                    for i in range(4)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc_id", "simhash", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    a = bands.select(
+        F.col("doc_id").alias("id_a"), F.col("simhash").alias("sig_a"), "band", "key"
+    )
+    b = bands.select(
+        F.col("doc_id").alias("id_b"), F.col("simhash").alias("sig_b"), "band", "key"
+    )
+    cand = (
+        a.join(b, ["band", "key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sig_a", "sig_b")
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+    return cand.select("id_a", "id_b", hamming.alias("hamming")).filter(
+        F.col("hamming") <= 8
+    )
+
+
+# ---------------------------------------------------------------------------
+# Embedding-cosine near-dup (exact; vectors are unit-norm ⇒ cosine≡dot).
+# ---------------------------------------------------------------------------
+_EMB_CORPUS_SQL = f"""
+  SELECT vec_id, embedding FROM embeddings
+  UNION ALL
+  SELECT vec_id + {_DUP_OFFSET} AS vec_id, embedding
+  FROM embeddings WHERE vec_id % 25 = 0
+"""
+
+
+@query(
+    "dedup_embedding_cosine",
+    section="2.I",
+    oracle=f"""
+WITH corpus AS ({_EMB_CORPUS_SQL})
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(list_sum(list_transform(list_zip(a.embedding, b.embedding),
+             p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))), 6) AS cosine
+FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id
+WHERE list_sum(list_transform(list_zip(a.embedding, b.embedding),
+      p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))) > 0.9
+""",
+)
+def dedup_embedding_cosine(spark, sf_dir):
+    """Embedding near-dup: all pairs with cosine > 0.9 (finds exactly
+    the injected copies plus any natural near-dups — none in fixtures,
+    vectors are distinct random unit vectors).
+
+    DOCUMENTED CUTOFF: exact all-pairs is O(n²·d); fine to ~10⁴
+    vectors. Above that use sim_lsh_ann / sim_ivf_ann (same semantics,
+    blocked candidates)."""
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    dups = (
+        e.filter(F.col("vec_id") % 25 == 0)
+        .select((F.col("vec_id") + _DUP_OFFSET).alias("vec_id"), "embedding")
+    )
+    corpus = e.unionByName(dups)
+    a = corpus.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("emb_a"))
+    b = corpus.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("emb_b"))
+    dot = F.aggregate(
+        F.zip_with("emb_a", "emb_b", lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .withColumn("cosine_raw", dot)
+        .filter(F.col("cosine_raw") > 0.9)
+        .select("id_a", "id_b", F.round("cosine_raw", 6).alias("cosine"))
+    )

@@ -1,0 +1,269 @@
+"""§2.I Similarity search over embeddings (SURVEY.md).
+
+Three tiers of the same semantics (top-k cosine neighbors; embeddings
+are unit-norm so cosine ≡ dot product, FIXTURES.md):
+
+- sim_topk_bruteforce — exact, ORACLE-checked; O(q·n·d). The semantics
+  pin and the small-query-set path.
+- sim_lsh_ann — BucketedRandomProjectionLSH blocked candidates (MLlib).
+- sim_ivf_ann — IVF: KMeans coarse quantizer, probe nearest nprobe
+  cells, exact rerank inside. The classic billion-scale ANN layout,
+  expressed relationally (assignments + centroid probe join).
+
+knn_label_vote builds classification on top of the exact top-k.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from sparkml_spark.registry import query
+from sparkml_spark.sources.loader import load_table
+
+_N_QUERIES = 10
+_K = 5
+
+
+def _dot(a: str, b: str):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+_DOT_SQL = (
+    "list_sum(list_transform(list_zip({a}, {b}), "
+    "p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))"
+)
+
+
+@query(
+    "sim_topk_bruteforce",
+    section="2.I",
+    oracle=f"""
+WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < {_N_QUERIES}),
+scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         {_DOT_SQL.format(a='q.embedding', b='c.embedding')} AS dot,
+         row_number() OVER (
+           PARTITION BY q.vec_id
+           ORDER BY {_DOT_SQL.format(a='q.embedding', b='c.embedding')} DESC,
+                    c.vec_id ASC) AS rank
+  FROM q JOIN embeddings c ON c.vec_id <> q.vec_id
+)
+SELECT query_id, neighbor_id, round(dot, 6) AS cosine, rank
+FROM scored WHERE rank <= {_K}
+""",
+)
+def sim_topk_bruteforce(spark, sf_dir):
+    """Exact top-5 cosine neighbors for 10 query vectors (brute force:
+    broadcast the query set against all candidates, window top-k,
+    tie-break on neighbor id).
+
+    DOCUMENTED CUTOFF: exact scan is O(q·n·d) — the right tool when q
+    is small (dedup audits, eval sets) even at huge n, since it's one
+    linear pass. For large q use the ANN twins below."""
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    c = e.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("c_emb"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("dot").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        F.broadcast(q)
+        .join(c, F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("dot", _dot("q_emb", "c_emb"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _K)
+        .select("query_id", "neighbor_id", F.round("dot", 6).alias("cosine"), "rank")
+    )
+
+
+@query(
+    "knn_label_vote",
+    section="2.I",
+    oracle=f"""
+WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 50),
+c AS (SELECT vec_id, embedding, label FROM embeddings WHERE vec_id >= 50),
+scored AS (
+  SELECT q.vec_id AS query_id, c.label AS label,
+         row_number() OVER (
+           PARTITION BY q.vec_id
+           ORDER BY {_DOT_SQL.format(a='q.embedding', b='c.embedding')} DESC,
+                    c.vec_id ASC) AS rank
+  FROM q JOIN c ON true
+), votes AS (
+  SELECT query_id, label, COUNT(*) AS n_votes
+  FROM scored WHERE rank <= 10
+  GROUP BY query_id, label
+)
+SELECT query_id, label AS predicted_label, n_votes
+FROM (
+  SELECT query_id, label, n_votes,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY n_votes DESC, label ASC) AS vr
+  FROM votes
+)
+WHERE vr = 1
+""",
+)
+def knn_label_vote(spark, sf_dir):
+    """10-NN majority-label classification of the first 50 vectors
+    against the rest (deterministic: rank ties → smaller vec_id, vote
+    ties → smaller label)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 50).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    c = e.filter(F.col("vec_id") >= 50).select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("c_emb"),
+        F.col("label"),
+    )
+    w_rank = Window.partitionBy("query_id").orderBy(
+        F.col("dot").desc(), F.col("neighbor_id").asc()
+    )
+    w_vote = Window.partitionBy("query_id").orderBy(
+        F.col("n_votes").desc(), F.col("label").asc()
+    )
+    return (
+        F.broadcast(q)
+        .crossJoin(c)
+        .withColumn("dot", _dot("q_emb", "c_emb"))
+        .withColumn("rank", F.row_number().over(w_rank))
+        .filter(F.col("rank") <= 10)
+        .groupBy("query_id", "label")
+        .agg(F.count(F.lit(1)).alias("n_votes"))
+        .withColumn("vr", F.row_number().over(w_vote))
+        .filter(F.col("vr") == 1)
+        .select("query_id", F.col("label").alias("predicted_label"), "n_votes")
+    )
+
+
+@query("sim_lsh_ann", section="2.I")
+def sim_lsh_ann(spark, sf_dir):
+    """ANN via random-hyperplane LSH (ROWS tier, seed=42): bucketed
+    random projections block the candidate space, then
+    approxSimilarityJoin reranks by true Euclidean distance (on unit
+    vectors, euclidean² = 2·(1−cosine), so the ordering is the same).
+
+    The 100 TB path: candidates only ever meet inside a hash bucket —
+    shuffle is (bucket, vector), never all-pairs."""
+    from pyspark.ml.feature import BucketedRandomProjectionLSH
+    from pyspark.ml.functions import array_to_vector
+
+    e = load_table(spark, sf_dir, "embeddings")
+    vecs = e.select("vec_id", array_to_vector("embedding").alias("features"))
+    q = vecs.filter(F.col("vec_id") < _N_QUERIES)
+    lsh = BucketedRandomProjectionLSH(
+        inputCol="features", outputCol="hashes", bucketLength=0.5, numHashTables=4, seed=42
+    )
+    model = lsh.fit(vecs)
+    pairs = model.approxSimilarityJoin(q, vecs, 1.2, distCol="euclid")
+    w = Window.partitionBy("query_id").orderBy(F.col("euclid").asc(), F.col("neighbor_id").asc())
+    return (
+        pairs.select(
+            F.col("datasetA.vec_id").alias("query_id"),
+            F.col("datasetB.vec_id").alias("neighbor_id"),
+            F.round(1.0 - F.col("euclid") * F.col("euclid") / 2.0, 6).alias("approx_cosine"),
+            F.col("euclid"),
+        )
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _K)
+        .drop("euclid")
+    )
+
+
+@query("sim_ivf_ann", section="2.I")
+def sim_ivf_ann(spark, sf_dir):
+    """IVF-style ANN (ROWS tier, seed=42): KMeans(k=16) coarse
+    quantizer; each query probes its nprobe=4 nearest centroids and
+    exact-reranks only vectors assigned to those cells.
+
+    Relational layout of a vector index: `assign` (cell → vectors) is
+    the inverted file, `probe` is a broadcast join on cell id — at
+    scale the posting lists are bucketed by cell so a probe touches
+    nprobe/k of the data."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector, vector_to_array
+
+    e = load_table(spark, sf_dir, "embeddings")
+    vecs = e.select("vec_id", "embedding", array_to_vector("embedding").alias("features"))
+    km = KMeans(k=16, seed=42, featuresCol="features", predictionCol="cell")
+    model = km.fit(vecs)
+    assign = model.transform(vecs).select("vec_id", "embedding", "cell")
+    centroids = spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],
+        "cell INT, centroid ARRAY<DOUBLE>",
+    )
+    q = assign.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    # probe: nprobe nearest centroids per query
+    cdot = F.aggregate(
+        F.zip_with("q_emb", "centroid", lambda x, y: x.cast("double") * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    w_probe = Window.partitionBy("query_id").orderBy(F.col("cdot").desc(), F.col("cell").asc())
+    probes = (
+        q.crossJoin(F.broadcast(centroids))
+        .withColumn("cdot", cdot)
+        .withColumn("pr", F.row_number().over(w_probe))
+        .filter(F.col("pr") <= 4)
+        .select("query_id", "q_emb", "cell")
+    )
+    cands = probes.join(
+        assign.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("c_emb"), "cell"),
+        "cell",
+    ).filter(F.col("neighbor_id") != F.col("query_id"))
+    w_rank = Window.partitionBy("query_id").orderBy(F.col("dot").desc(), F.col("neighbor_id").asc())
+    return (
+        cands.withColumn("dot", _dot("q_emb", "c_emb"))
+        .withColumn("rank", F.row_number().over(w_rank))
+        .filter(F.col("rank") <= _K)
+        .select("query_id", "neighbor_id", F.round("dot", 6).alias("cosine"), "rank")
+    )
+
+
+@query(
+    "multimodal_enrich",
+    section="2.I",
+    oracle="""
+SELECT lang, label, COUNT(*) AS n_docs,
+       CAST(SUM(CAST(n_chars AS DECIMAL(18,0))) AS DOUBLE) / COUNT(*) AS avg_chars,
+       CAST(SUM(CAST(round(
+           list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), 9)
+           AS DECIMAL(14,9))) AS DOUBLE) / COUNT(*) AS avg_norm_sq
+FROM documents JOIN embeddings ON doc_id = vec_id
+GROUP BY lang, label
+""",
+)
+def multimodal_enrich(spark, sf_dir):
+    """Text stats ⋈ vector stats per (lang, label): the multimodal
+    aggregation pattern (extend with binary media columns via
+    operators/multimodal.py). Per-row fold dots are quantized to a
+    1e-9 decimal grid before the cross-row average so the aggregation
+    is order-exact."""
+    d = load_table(spark, sf_dir, "documents")
+    e = load_table(spark, sf_dir, "embeddings")
+    norm_sq = F.aggregate(
+        F.transform("embedding", lambda x: x.cast("double") * x.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    joined = d.join(e, d.doc_id == e.vec_id).withColumn(
+        "norm_q", F.round(norm_sq, 9).cast("decimal(14,9)")
+    )
+    return joined.groupBy("lang", "label").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (F.sum(F.col("n_chars").cast("decimal(18,0)")).cast("double") / F.count(F.lit(1))).alias(
+            "avg_chars"
+        ),
+        (F.sum("norm_q").cast("double") / F.count(F.lit(1))).alias("avg_norm_sq"),
+    )

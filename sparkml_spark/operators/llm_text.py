@@ -1,0 +1,375 @@
+"""§2.I Text-analysis operators for training-data pipelines (SURVEY.md).
+
+All ORACLE-tier ops here are pure `pyspark.sql.functions` expression
+pipelines (tokenize/explode/agg) — fully codegen'd, no Python in the
+data path, linear in corpus size, shuffling only on (token) or
+(lang, token) keys. That is the shape that survives 100 TB: the only
+wide exchange carries (key, partial-count) pairs after map-side
+combine, never raw text.
+
+Fixture note (FIXTURES.md): documents.text is a ~31-token synthetic
+vocabulary, identical across the `lang` column — so text_langid
+validates the scoring MECHANISM (marker lists, argmax, ties) rather
+than real linguistic signal, and stopwords are drawn from the actual
+token pool ('the', 'a', 'data', 'value').
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from sparkml_spark.registry import query
+from sparkml_spark.sources.loader import load_table
+
+#: Stopwords drawn from the fixture's real token pool.
+STOPWORDS = ["the", "a", "data", "value"]
+
+#: Marker tokens per language for the heuristic scorer (deterministic
+#: fixed lists; see module docstring re: fixture signal).
+LANG_MARKERS = {
+    "en": ["the", "a", "table", "order"],
+    "de": ["hash", "row", "column"],
+    "es": ["slow", "agg", "merge"],
+    "fr": ["scan", "batch", "query"],
+    "zh": ["join", "small", "customer"],
+}
+
+def _tokens():
+    return F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+
+_TOKENS_SQL = "string_split_regex(lower(trim(text)), '\\s+')"
+
+
+@query(
+    "text_tokenize_count",
+    section="2.I",
+    oracle=f"""
+SELECT lang, token, cnt
+FROM (
+  SELECT lang, token, cnt,
+         row_number() OVER (PARTITION BY lang ORDER BY cnt DESC, token ASC) AS rn
+  FROM (
+    SELECT lang, token, COUNT(*) AS cnt
+    FROM (SELECT lang, unnest({_TOKENS_SQL}) AS token FROM documents)
+    GROUP BY lang, token
+  )
+)
+WHERE rn <= 10
+""",
+)
+def text_tokenize_count(spark, sf_dir):
+    """Top-10 tokens per language: lowercase regex tokenize → explode →
+    count → ranked window (tie-broken alphabetically)."""
+    d = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(F.col("cnt").desc(), F.col("token").asc())
+    return (
+        d.select("lang", F.explode(_tokens()).alias("token"))
+        .groupBy("lang", "token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 10)
+        .drop("rn")
+    )
+
+
+@query(
+    "text_stopword_filter",
+    section="2.I",
+    oracle=f"""
+SELECT doc_id,
+       len({_TOKENS_SQL}) AS n_tokens,
+       len(list_filter({_TOKENS_SQL},
+           t -> NOT list_contains({str(STOPWORDS).replace("'", chr(39))}, t))) AS n_content_tokens
+FROM documents
+""",
+)
+def text_stopword_filter(spark, sf_dir):
+    """Token counts before/after stopword removal (array_except-style
+    filter, kept as an expression — no UDF, no explode needed)."""
+    d = load_table(spark, sf_dir, "documents")
+    stop = F.array(*[F.lit(s) for s in STOPWORDS])
+    return d.select(
+        "doc_id",
+        F.size(_tokens()).alias("n_tokens"),
+        F.size(F.filter(_tokens(), lambda t: ~F.array_contains(stop, t))).alias(
+            "n_content_tokens"
+        ),
+    )
+
+
+@query(
+    "text_ngram_sql",
+    section="2.I",
+    oracle=f"""
+SELECT bigram, cnt
+FROM (
+  SELECT bigram, COUNT(*) AS cnt,
+         row_number() OVER (ORDER BY COUNT(*) DESC, bigram ASC) AS rn
+  FROM (
+    SELECT unnest(list_transform(range(1, len({_TOKENS_SQL})),
+                  i -> {_TOKENS_SQL}[i] || ' ' || {_TOKENS_SQL}[i + 1])) AS bigram
+    FROM documents
+  )
+  GROUP BY bigram
+)
+WHERE rn <= 25
+""",
+)
+def text_ngram_sql(spark, sf_dir):
+    """Top-25 word bigrams, built positionally with sequence+element_at
+    (the SQL twin; MLlib's NGram stage is the ROWS twin in ml.py)."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = _tokens()
+    bigrams = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - 1),
+        lambda i: F.concat_ws(" ", F.element_at(toks, i), F.element_at(toks, i + 1)),
+    )
+    return (
+        d.select(F.explode(bigrams).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn(
+            "rn", F.row_number().over(Window.orderBy(F.col("cnt").desc(), F.col("bigram").asc()))
+        )
+        .filter(F.col("rn") <= 25)
+        .drop("rn")
+    )
+
+
+@query(
+    "text_tfidf_sql",
+    section="2.I",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_TOKENS_SQL}) AS token FROM documents
+), tf AS (
+  SELECT doc_id, token, COUNT(*) AS tf FROM toks GROUP BY doc_id, token
+), df AS (
+  SELECT token, COUNT(DISTINCT doc_id) AS df FROM toks GROUP BY token
+), n AS (
+  SELECT COUNT(*) AS n_docs FROM documents
+)
+SELECT tf.doc_id, tf.token, tf.tf, df.df,
+       round(tf.tf * ln((n.n_docs + 1.0) / (df.df + 1.0)), 6) AS tfidf
+FROM tf JOIN df ON tf.token = df.token CROSS JOIN n
+""",
+)
+def text_tfidf_sql(spark, sf_dir):
+    """Exact relational TF-IDF per (doc, term): tf and df via aggs, idf
+    = ln((N+1)/(df+1)), joined back. The df table is tiny (vocabulary-
+    sized) → broadcast; ln rounded at 6 dp (libm)."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(_tokens()).alias("token"))
+    tf = toks.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    df = toks.groupBy("token").agg(F.countDistinct("doc_id").alias("df"))
+    n_docs = d.count()  # scalar dimension (a count, not data motion)
+    return tf.join(F.broadcast(df), "token").select(
+        "doc_id",
+        "token",
+        "tf",
+        "df",
+        F.round(
+            F.col("tf") * F.log((F.lit(n_docs) + 1.0) / (F.col("df") + 1.0)), 6
+        ).alias("tfidf"),
+    )
+
+
+@query(
+    "text_lang_profile",
+    section="2.I",
+    oracle="""
+SELECT lang, source, COUNT(*) AS n_docs,
+       CAST(SUM(CAST(n_chars AS DECIMAL(18,0))) AS DOUBLE) / COUNT(*) AS avg_chars,
+       MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars
+FROM documents
+GROUP BY lang, source
+""",
+)
+def text_lang_profile(spark, sf_dir):
+    """Corpus profile per (lang, source) — doc counts and length stats
+    (n_chars == length(text) exactly, per FIXTURES.md)."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (F.sum(F.col("n_chars").cast("decimal(18,0)")).cast("double") / F.count(F.lit(1))).alias(
+            "avg_chars"
+        ),
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"),
+    )
+
+
+def _marker_score_spark(toks, markers):
+    arr = F.array(*[F.lit(m) for m in markers])
+    return F.size(F.filter(toks, lambda t: F.array_contains(arr, t)))
+
+
+def _marker_score_sql(markers):
+    lst = "[" + ", ".join(f"'{m}'" for m in markers) + "]"
+    return f"len(list_filter({_TOKENS_SQL}, t -> list_contains({lst}, t)))"
+
+
+@query(
+    "text_langid_heuristic",
+    section="2.I",
+    oracle=f"""
+SELECT doc_id, lang,
+       {_marker_score_sql(LANG_MARKERS['en'])} AS score_en,
+       {_marker_score_sql(LANG_MARKERS['de'])} AS score_de,
+       CASE
+         WHEN {_marker_score_sql(LANG_MARKERS['zh'])} >= greatest(
+                {_marker_score_sql(LANG_MARKERS['en'])},
+                {_marker_score_sql(LANG_MARKERS['de'])},
+                {_marker_score_sql(LANG_MARKERS['es'])},
+                {_marker_score_sql(LANG_MARKERS['fr'])}) THEN 'zh'
+         WHEN {_marker_score_sql(LANG_MARKERS['fr'])} >= greatest(
+                {_marker_score_sql(LANG_MARKERS['en'])},
+                {_marker_score_sql(LANG_MARKERS['de'])},
+                {_marker_score_sql(LANG_MARKERS['es'])}) THEN 'fr'
+         WHEN {_marker_score_sql(LANG_MARKERS['es'])} >= greatest(
+                {_marker_score_sql(LANG_MARKERS['en'])},
+                {_marker_score_sql(LANG_MARKERS['de'])}) THEN 'es'
+         WHEN {_marker_score_sql(LANG_MARKERS['de'])} >= {_marker_score_sql(LANG_MARKERS['en'])}
+           THEN 'de'
+         ELSE 'en'
+       END AS lang_pred
+FROM documents
+""",
+)
+def text_langid_heuristic(spark, sf_dir):
+    """Marker-token language scorer with a fixed tie-break cascade
+    (zh > fr > es > de > en on equal scores). On real corpora the
+    marker lists are per-language n-gram tables; the fixture's shared
+    vocabulary exercises the mechanism only (module docstring)."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = _tokens()
+    scores = {k: _marker_score_spark(toks, v) for k, v in LANG_MARKERS.items()}
+    pred = (
+        F.when(
+            scores["zh"]
+            >= F.greatest(scores["en"], scores["de"], scores["es"], scores["fr"]),
+            "zh",
+        )
+        .when(scores["fr"] >= F.greatest(scores["en"], scores["de"], scores["es"]), "fr")
+        .when(scores["es"] >= F.greatest(scores["en"], scores["de"]), "es")
+        .when(scores["de"] >= scores["en"], "de")
+        .otherwise("en")
+    )
+    return d.select(
+        "doc_id",
+        "lang",
+        scores["en"].alias("score_en"),
+        scores["de"].alias("score_de"),
+        pred.alias("lang_pred"),
+    )
+
+
+@query(
+    "text_quality_score",
+    section="2.I",
+    oracle=f"""
+SELECT doc_id,
+       n_chars,
+       len({_TOKENS_SQL}) AS n_tokens,
+       round(CAST(n_chars AS DOUBLE) / len({_TOKENS_SQL}), 6) AS avg_token_len,
+       round(CAST(len(list_filter({_TOKENS_SQL},
+             t -> list_contains(['the', 'a', 'data', 'value'], t))) AS DOUBLE)
+             / len({_TOKENS_SQL}), 6) AS stopword_ratio,
+       len(regexp_extract_all(text, '[^a-z0-9 ]')) AS n_punct,
+       (CASE WHEN n_chars BETWEEN 100 AND 500 THEN 1 ELSE 0 END
+        + CASE WHEN len({_TOKENS_SQL}) >= 20 THEN 1 ELSE 0 END
+        + CASE WHEN len(regexp_extract_all(text, '[^a-z0-9 ]')) = 0 THEN 1 ELSE 0 END)
+         AS quality_score
+FROM documents
+""",
+)
+def text_quality_score(spark, sf_dir):
+    """Heuristic doc-quality features: length, token stats, stopword and
+    punctuation ratios, and a 0-3 rubric score — the standard pre-train
+    corpus filter, entirely as codegen expressions."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = _tokens()
+    stop = F.array(*[F.lit(s) for s in STOPWORDS])
+    n_tokens = F.size(toks)
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop, t)))
+    n_punct = F.size(F.regexp_extract_all(F.col("text"), F.lit("[^a-z0-9 ]"), 0))
+    return d.select(
+        "doc_id",
+        "n_chars",
+        n_tokens.alias("n_tokens"),
+        F.round(F.col("n_chars").cast("double") / n_tokens, 6).alias("avg_token_len"),
+        F.round(n_stop.cast("double") / n_tokens, 6).alias("stopword_ratio"),
+        n_punct.alias("n_punct"),
+        (
+            F.when(F.col("n_chars").between(100, 500), 1).otherwise(0)
+            + F.when(n_tokens >= 20, 1).otherwise(0)
+            + F.when(n_punct == 0, 1).otherwise(0)
+        ).alias("quality_score"),
+    )
+
+
+@query(
+    "text_token_count",
+    section="2.I",
+    oracle=f"""
+SELECT doc_id,
+       len({_TOKENS_SQL}) AS ws_tokens,
+       len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS bpe_ish_tokens,
+       CAST(ceil(n_chars / 4.0) AS BIGINT) AS approx_llm_tokens
+FROM documents
+""",
+)
+def text_token_count(spark, sf_dir):
+    """Token counting three ways: whitespace split, a BPE-ish lexer
+    regex (letter runs / digit runs / single symbols), and the chars/4
+    rule of thumb."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.size(_tokens()).alias("ws_tokens"),
+        F.size(
+            F.regexp_extract_all(F.col("text"), F.lit(r"[a-z]+|[0-9]+|[^a-z0-9\s]"), 0)
+        ).alias("bpe_ish_tokens"),
+        F.ceil(F.col("n_chars") / 4.0).alias("approx_llm_tokens"),
+    )
+
+
+@query(
+    "text_fingerprint",
+    section="2.I",
+    oracle=f"""
+SELECT doc_id,
+       md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS content_md5,
+       (SELECT MIN(md5(sh)) FROM unnest(list_transform(
+           range(1, greatest(len({_TOKENS_SQL}) - 3, 1) + 1),
+           i -> {_TOKENS_SQL}[i] || ' ' || {_TOKENS_SQL}[i+1] || ' '
+                || {_TOKENS_SQL}[i+2] || ' ' || {_TOKENS_SQL}[i+3])) AS t(sh))
+         AS min_shingle_hash,
+       md5(substring(text, 1, 64)) AS prefix64_md5
+FROM documents
+""",
+)
+def text_fingerprint(spark, sf_dir):
+    """Document fingerprints: normalized-content md5, a 1-permutation
+    MinHash over 4-token shingles (min of shingle hashes — the rolling-
+    hash fingerprint, order-independent and SQL-exact), and a prefix
+    hash. These are the join keys for dedup at scale."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = _tokens()
+    shingles = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(toks) - 3, F.lit(1))),
+        lambda i: F.concat_ws(
+            " ",
+            F.element_at(toks, i),
+            F.element_at(toks, i + 1),
+            F.element_at(toks, i + 2),
+            F.element_at(toks, i + 3),
+        ),
+    )
+    return d.select(
+        "doc_id",
+        F.md5(F.lower(F.trim(F.regexp_replace("text", r"\s+", " ")))).alias("content_md5"),
+        F.array_min(F.transform(shingles, F.md5)).alias("min_shingle_hash"),
+        F.md5(F.substring("text", 1, 64)).alias("prefix64_md5"),
+    )
