@@ -7,7 +7,12 @@ from sparkml_spark.operators import (  # noqa: F401
     llm_dedup,
     llm_similarity,
     llm_text,
+    ml,
+    multimodal,
     relational,
+    udfs,
     windows,
 )
 from sparkml_spark import functions as _functions  # noqa: F401
+from sparkml_spark import streaming as _streaming  # noqa: F401
+from sparkml_spark.sources import formats as _formats  # noqa: F401

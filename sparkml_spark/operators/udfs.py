@@ -1,0 +1,148 @@
+"""§2.L UDF / UDAF / UDTF surface (SURVEY.md) — the Python escape
+hatches, each with its cost documented.
+
+Hierarchy (fastest first):
+1. builtin expressions (everything else in this repo) — JVM codegen.
+2. pandas_udf / applyInPandas / mapInPandas — Arrow batch transfer,
+   vectorized Python; ~10-100× faster than row-at-a-time.
+3. F.udf row-at-a-time — serialize every row through Py4J pickling;
+   kept ONLY as the semantics demo (udf_python_scalar); never used in
+   the engine's hot paths.
+
+All ROWS-tier: the Python bodies are not SQL-expressible, but each
+has deterministic output.
+"""
+
+# NOTE: no `from __future__ import annotations` here — pandas_udf
+# resolves signature type hints at decoration time, and stringified
+# annotations ('pd.Series') break that inference.
+import pandas as pd  # noqa: F401  (needed for pandas_udf signatures)
+
+from pyspark.sql import functions as F
+from pyspark.sql.types import DoubleType, IntegerType
+
+from sparkml_spark.registry import query
+from sparkml_spark.sources.loader import load_table
+
+
+@query("udf_python_scalar", section="2.L")
+def udf_python_scalar(spark, sf_dir):
+    """Row-at-a-time Python UDF (THE SLOW PATH — every row crosses the
+    JVM↔Python boundary pickled; shown on the 5-row region table on
+    purpose). The same logic as a builtin twin sits beside it so the
+    plan difference is visible in explain()."""
+
+    @F.udf(returnType=IntegerType())
+    def vowel_count(s: str) -> int:
+        return sum(1 for ch in s.lower() if ch in "aeiou")
+
+    r = load_table(spark, sf_dir, "region")
+    builtin_twin = F.length(F.regexp_replace(F.lower("r_name"), "[^aeiou]", ""))
+    return r.select(
+        "r_regionkey",
+        "r_name",
+        vowel_count("r_name").alias("vowels_udf"),
+        builtin_twin.alias("vowels_builtin"),
+    )
+
+
+@query("udf_pandas_scalar", section="2.L")
+def udf_pandas_scalar(spark, sf_dir):
+    """Arrow-vectorized scalar pandas_udf: batch-wise z-score of the
+    account balance (pandas Series in/out, one Python call per Arrow
+    batch instead of per row)."""
+    @F.pandas_udf(DoubleType())
+    def zscore_vs(bal: pd.Series) -> pd.Series:
+        # Constants fixed so the result is deterministic (per-batch
+        # stats would depend on partitioning).
+        return ((bal - 4500.0) / 3000.0).round(6)
+
+    c = load_table(spark, sf_dir, "customer")
+    return c.select("c_custkey", "c_acctbal", zscore_vs("c_acctbal").alias("bal_z"))
+
+
+@query("udaf_pandas_grouped", section="2.L")
+def udaf_pandas_grouped(spark, sf_dir):
+    """Custom aggregation two ways: a GROUPED_AGG pandas_udf (interquartile
+    mean of totalprice per priority) and applyInPandas for the
+    full-group generality."""
+    @F.pandas_udf("double")
+    def iq_mean(v: pd.Series) -> float:
+        lo, hi = v.quantile(0.25), v.quantile(0.75)
+        mid = v[(v >= lo) & (v <= hi)]
+        return float(round(mid.mean(), 4)) if len(mid) else float("nan")
+
+    # NOTE: a GROUPED_AGG pandas UDF cannot be mixed with non-pandas
+    # aggregates in one agg() (INVALID_PANDAS_UDF_PLACEMENT).
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        iq_mean("o_totalprice").alias("iq_mean_price"),
+    )
+
+
+@query("udaf_apply_in_pandas", section="2.L")
+def udaf_apply_in_pandas(spark, sf_dir):
+    """applyInPandas: whole-group pandas transform (per-priority order
+    count + price span) — the arbitrary-group-logic escape hatch; each
+    group becomes one pandas DataFrame on one executor."""
+    import pandas as pd
+
+    def span(pdf: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "o_orderpriority": [pdf["o_orderpriority"].iloc[0]],
+                "n_orders": [len(pdf)],
+                "price_span": [round(float(pdf.o_totalprice.max() - pdf.o_totalprice.min()), 4)],
+            }
+        )
+
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").applyInPandas(
+        span, "o_orderpriority STRING, n_orders BIGINT, price_span DOUBLE"
+    )
+
+
+@query("udtf_python", section="2.L")
+def udtf_python(spark, sf_dir):
+    """Python UDTF (table function): one region row → one row per word
+    of the comment-ish name field, with position."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="word: string, pos: int")
+    class SplitWords:
+        def eval(self, name: str):
+            for i, w in enumerate(name.split(" ")):
+                yield w, i
+
+    spark.udtf.register("split_words", SplitWords)
+    r = load_table(spark, sf_dir, "region")
+    r.createOrReplaceTempView("region_udtf_src")
+    return spark.sql(
+        "SELECT r.r_regionkey, s.word, s.pos "
+        "FROM region_udtf_src r, LATERAL split_words(r.r_name) s"
+    )
+
+
+@query("map_in_pandas", section="2.L")
+def map_in_pandas(spark, sf_dir):
+    """mapInPandas: partition-wise Arrow batch transform — the bulk-
+    scoring shape (here: numpy cosine of every embedding against a
+    fixed probe vector; in production: model inference per batch)."""
+    import numpy as np
+    import pandas as pd
+
+    def score(batches):
+        probe = None
+        for pdf in batches:
+            mat = np.vstack(pdf["embedding"].to_numpy())
+            if probe is None:
+                probe = np.ones(mat.shape[1]) / np.sqrt(mat.shape[1])
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"],
+                    "probe_cosine": np.round(mat.astype("float64") @ probe, 6),
+                }
+            )
+
+    e = load_table(spark, sf_dir, "embeddings")
+    return e.mapInPandas(score, "vec_id BIGINT, probe_cosine DOUBLE")

@@ -1,0 +1,85 @@
+"""§2.A Generic sources & sinks beyond the fixture parquet (SURVEY.md).
+
+CSV/JSON ingestion and partitioned parquet writes, demonstrated
+round-trip: write a fixture-derived dataset to .artifacts/, read it
+back with an EXPLICIT schema (schema inference is a second full scan —
+never at 100 TB), and oracle-check the round-trip against the original
+table. Writes are partitioned by a low-cardinality key and never
+coalesce(1) (SURVEY §4.3 rule 6).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from sparkml_spark.registry import query
+from sparkml_spark.sources.loader import load_table
+
+_ARTIFACTS = "/root/repo/.artifacts"
+
+
+def _artifact(name: str) -> str:
+    os.makedirs(_ARTIFACTS, exist_ok=True)
+    return os.path.join(_ARTIFACTS, name)
+
+
+_NATION_SCHEMA = T.StructType(
+    [
+        T.StructField("n_nationkey", T.IntegerType()),
+        T.StructField("n_name", T.StringType()),
+        T.StructField("n_regionkey", T.IntegerType()),
+    ]
+)
+
+
+@query(
+    "scan_csv",
+    section="2.A",
+    oracle="SELECT n_nationkey, n_name, n_regionkey FROM nation",
+)
+def scan_csv(spark, sf_dir):
+    """CSV round-trip with explicit schema: nation → csv → read back ≡
+    the original table (header on, explicit types — no inference)."""
+    n = load_table(spark, sf_dir, "nation")
+    path = _artifact("nation_csv")
+    n.select("n_nationkey", "n_name", "n_regionkey").write.mode("overwrite").option(
+        "header", True
+    ).csv(path)
+    return spark.read.schema(_NATION_SCHEMA).option("header", True).csv(path)
+
+
+@query(
+    "scan_json",
+    section="2.A",
+    oracle="SELECT n_nationkey, n_name, n_regionkey FROM nation",
+)
+def scan_json(spark, sf_dir):
+    """JSON-lines round-trip with explicit schema."""
+    n = load_table(spark, sf_dir, "nation")
+    path = _artifact("nation_json")
+    n.select("n_nationkey", "n_name", "n_regionkey").write.mode("overwrite").json(path)
+    return spark.read.schema(_NATION_SCHEMA).json(path)
+
+
+@query(
+    "sink_parquet_partitioned",
+    section="2.A",
+    oracle="""
+SELECT lang, COUNT(*) AS n_docs
+FROM documents
+GROUP BY lang
+""",
+)
+def sink_parquet_partitioned(spark, sf_dir):
+    """Partitioned parquet sink: documents written partitionBy(lang)
+    (hive-style directory per language — at scale, partition pruning
+    on reads and independent per-partition writers), read back, and
+    per-partition counts checked against the source table."""
+    d = load_table(spark, sf_dir, "documents")
+    path = _artifact("documents_by_lang")
+    d.write.mode("overwrite").partitionBy("lang").parquet(path)
+    back = spark.read.parquet(path)
+    return back.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"))

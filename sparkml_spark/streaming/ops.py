@@ -1,0 +1,247 @@
+"""§2.K Structured Streaming operators over the events stream (SURVEY.md).
+
+Execution pattern for every query here: file-source `readStream` over
+the events parquet (bounded replay), transformations, memory sink,
+`Trigger.AvailableNow` — run to completion, return the sink table.
+Deterministic on the fixture; the SAME logical plan runs unbounded in
+production by swapping source/sink and trigger.
+
+Semantics pinning: each windowed aggregation has an ORACLE-checked
+batch twin (events_hourly_batch, win_sessionize_batch) and
+tests/test_streaming.py asserts stream == batch on the fixture.
+
+100 TB notes: every stateful op carries a watermark (unbounded state
+is an outage, SURVEY §4.3); at scale the state store moves to RocksDB
+(`spark.sql.streaming.stateStore.providerClass`) and the file source
+becomes Kafka — both config swaps, not code changes.
+"""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import functions as F
+
+from sparkml_spark.registry import query
+from sparkml_spark.sources.loader import load_table
+
+
+def _event_stream(spark, sf_dir):
+    """Bounded replay of events.parquet as a stream (nanos repair
+    applied exactly as in the batch loader)."""
+    batch = load_table(spark, sf_dir, "events")
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    # Keep LTZ here (session TZ pinned to UTC): watermarks/event-time
+    # require TIMESTAMP, not TIMESTAMP_NTZ. Window bounds are cast to
+    # NTZ at output so results line up with the batch twins.
+    return stream.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+
+
+def _run_to_memory(df, name_prefix: str, output_mode: str = "append"):
+    """Execute with AvailableNow into a memory sink; return the result
+    as a (batch) DataFrame."""
+    name = f"{name_prefix}_{uuid.uuid4().hex[:8]}"
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    spark = df.sparkSession
+    return spark.table(name)
+
+
+@query("stream_tumbling_agg", section="2.K")
+def stream_tumbling_agg(spark, sf_dir):
+    """Per-hour tumbling counts/sums by event_type (watermarked).
+    Batch twin: events_hourly_batch (ORACLE) — equality asserted in
+    tests/test_streaming.py. Output mode `complete` so windows still
+    open at end-of-replay are emitted too (append would hold back
+    anything newer than the final watermark)."""
+    s = _event_stream(spark, sf_dir)
+    agg = (
+        s.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(27,6)")).cast("double").alias("sum_value"),
+        )
+        .select(
+            F.col("win.start").cast("timestamp_ntz").alias("hour_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+    return _run_to_memory(agg, "tumbling", "complete")
+
+
+@query("stream_sliding_agg", section="2.K")
+def stream_sliding_agg(spark, sf_dir):
+    """1-hour window sliding every 15 minutes — each event lands in 4
+    overlapping windows."""
+    s = _event_stream(spark, sf_dir)
+    agg = (
+        s.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour", "15 minutes").alias("win"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("win.start").cast("timestamp_ntz").alias("win_start"),
+            "event_type",
+            "n_events",
+        )
+    )
+    return _run_to_memory(agg, "sliding", "complete")
+
+
+@query("stream_session_window", section="2.K")
+def stream_session_window(spark, sf_dir):
+    """Gap-based session windows (30 min) per user — the native
+    streaming form of win_sessionize_batch (cross-checked in tests:
+    same session count per user)."""
+    s = _event_stream(spark, sf_dir)
+    agg = (
+        s.withWatermark("ts", "1 hour")
+        .groupBy(F.session_window("ts", "30 minutes").alias("sess"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("sess.start").cast("timestamp_ntz").alias("sess_start"),
+            F.col("sess.end").cast("timestamp_ntz").alias("sess_end"),
+            "n_events",
+        )
+    )
+    return _run_to_memory(agg, "session", "complete")
+
+
+@query("stream_watermark_late", section="2.K")
+def stream_watermark_late(spark, sf_dir):
+    """Tight 10-minute watermark before a windowed agg — the
+    late-data-drop configuration (fixture events arrive in order, so
+    bounded replay drops nothing; the plan carries the state-eviction
+    contract that matters unbounded)."""
+    s = _event_stream(spark, sf_dir)
+    agg = (
+        s.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "15 minutes").alias("win"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.col("win.start").cast("timestamp_ntz").alias("win_start"), "n_events")
+    )
+    return _run_to_memory(agg, "late", "append")
+
+
+@query("stream_dedup", section="2.K")
+def stream_dedup(spark, sf_dir):
+    """Stateful dedup on event_id within the watermark
+    (dropDuplicatesWithinWatermark) — the stream twin of
+    win_dedup_latest; counts survivors per event_type."""
+    s = _event_stream(spark, sf_dir)
+    deduped = (
+        s.withWatermark("ts", "1 hour")
+        .dropDuplicatesWithinWatermark(["event_id"])
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_unique"))
+    )
+    return _run_to_memory(deduped, "dedup", "complete")
+
+
+@query("stream_stateful_custom", section="2.K")
+def stream_stateful_custom(spark, sf_dir):
+    """Arbitrary per-user state via applyInPandasWithState: running
+    total of `value` and event count per user (the custom-operator
+    escape hatch for streaming — Arrow-batched, watermark-bounded)."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    s = _event_stream(spark, sf_dir)
+
+    def update(key, pdfs, state: GroupState):
+        total, n = state.get if state.exists else (0.0, 0)
+        for pdf in pdfs:
+            total += float(pdf["value"].sum())
+            n += int(len(pdf))
+        state.update((total, n))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "total_value": [round(total, 4)], "n_events": [n]}
+        )
+
+    out = (
+        s.withWatermark("ts", "1 hour")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType="user_id BIGINT, total_value DOUBLE, n_events BIGINT",
+            stateStructType="total DOUBLE, n BIGINT",
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+    return _run_to_memory(out, "stateful", "update")
+
+
+@query("stream_static_join", section="2.K")
+def stream_static_join(spark, sf_dir):
+    """Stream ⋈ static dimension: enrich the event stream with a static
+    per-user profile (built from the batch table). Static side is
+    broadcast into every micro-batch."""
+    s = _event_stream(spark, sf_dir)
+    users = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_seen"))
+    )
+    joined = (
+        s.join(F.broadcast(users), "user_id")
+        .groupBy("user_id", "first_seen")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    return _run_to_memory(joined, "static_join", "complete")
+
+
+@query("stream_output_modes", section="2.K")
+def stream_output_modes(spark, sf_dir):
+    """Same aggregation under complete vs update output modes (memory
+    sink); returns the complete-mode result with the update-mode row
+    count attached — exercising the mode semantics side by side."""
+    s1 = _event_stream(spark, sf_dir)
+    agg1 = s1.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    complete = _run_to_memory(agg1, "mode_complete", "complete")
+    s2 = _event_stream(spark, sf_dir)
+    agg2 = s2.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    update = _run_to_memory(agg2, "mode_update", "update")
+    n_update = update.count()
+    return complete.select(
+        "event_type", "n", F.lit(n_update).alias("update_mode_rows")
+    )
+
+
+@query("stream_foreach_batch_sink", section="2.K")
+def stream_foreach_batch_sink(spark, sf_dir):
+    """foreachBatch sink: per-micro-batch handler appends aggregates to
+    an accumulator list (stand-in for an arbitrary batch-integration
+    sink — JDBC/parquet/upsert); returns the captured rows."""
+    s = _event_stream(spark, sf_dir)
+    agg = s.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    captured: list = []
+
+    def handle(batch_df, batch_id: int):
+        for r in batch_df.collect():
+            captured.append((int(batch_id), r["event_type"], int(r["n"])))
+
+    q = (
+        agg.writeStream.outputMode("complete")
+        .foreachBatch(handle)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.createDataFrame(
+        captured, "batch_id INT, event_type STRING, n BIGINT"
+    )

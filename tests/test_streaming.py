@@ -1,0 +1,49 @@
+"""Streaming semantics pinned against ORACLE-checked batch twins."""
+
+from __future__ import annotations
+
+import sparkml_spark.operators  # noqa: F401
+from sparkml_spark.registry import QUERIES
+
+from .conftest import SF_DIR
+
+
+def test_tumbling_equals_batch_twin(spark):
+    stream = QUERIES["stream_tumbling_agg"](spark, SF_DIR)
+    batch = QUERIES["events_hourly_batch"](spark, SF_DIR)
+    s = {
+        (r["hour_start"], r["event_type"]): (r["n_events"], r["sum_value"])
+        for r in stream.collect()
+    }
+    b = {
+        (r["hour_start"], r["event_type"]): (r["n_events"], r["sum_value"])
+        for r in batch.collect()
+    }
+    assert s == b
+
+
+def test_session_window_equals_sessionize_batch(spark):
+    stream = QUERIES["stream_session_window"](spark, SF_DIR)
+    batch = QUERIES["win_sessionize_batch"](spark, SF_DIR)
+    # sessions per user must agree between the native session_window
+    # and the lag+cumsum batch formulation
+    s_counts = {}
+    for r in stream.collect():
+        s_counts[r["user_id"]] = s_counts.get(r["user_id"], 0) + 1
+    b_counts = {}
+    for r in batch.collect():
+        b_counts[r["user_id"]] = max(b_counts.get(r["user_id"], 0), r["session_id"])
+    assert s_counts == b_counts
+    # and total event counts must match the table size
+    assert sum(r["n_events"] for r in stream.collect()) == sum(
+        1 for _ in batch.collect()
+    )
+
+
+def test_stream_dedup_counts(spark):
+    stream = QUERIES["stream_dedup"](spark, SF_DIR)
+    total = sum(r["n_unique"] for r in stream.collect())
+    batch = QUERIES["scan_parquet"](spark, SF_DIR)  # any loader access
+    from sparkml_spark.sources.loader import load_table
+
+    assert total == load_table(spark, SF_DIR, "events").count()  # ids unique
