@@ -373,3 +373,30 @@ def text_fingerprint(spark, sf_dir):
         F.array_min(F.transform(shingles, F.md5)).alias("min_shingle_hash"),
         F.md5(F.substring("text", 1, 64)).alias("prefix64_md5"),
     )
+
+
+@query("text_tfidf_mllib", section="2.I")
+def text_tfidf_mllib(spark, sf_dir):
+    """Hashed TF-IDF features via HashingTF+IDF (the MLlib twin of
+    text_tfidf_sql; ROWS tier — feature hashing is engine-specific).
+    At 100 TB hashing wins over exact vocab: no global dictionary, no
+    second pass, fixed-width vectors."""
+    from pyspark.ml import Pipeline
+    from pyspark.ml.feature import IDF, HashingTF, RegexTokenizer
+    from pyspark.ml.functions import vector_to_array
+
+    d = load_table(spark, sf_dir, "documents")
+    pipe = Pipeline(
+        stages=[
+            RegexTokenizer(inputCol="text", outputCol="tokens", pattern=r"\s+"),
+            HashingTF(inputCol="tokens", outputCol="tf", numFeatures=64),
+            IDF(inputCol="tf", outputCol="tfidf"),
+        ]
+    )
+    out = pipe.fit(d).transform(d)
+    arr = vector_to_array("tfidf")
+    return out.select(
+        "doc_id",
+        F.round(F.aggregate(arr, F.lit(0.0), lambda a, v: a + v), 4).alias("tfidf_mass"),
+        F.round(F.array_max(arr), 4).alias("tfidf_max"),
+    )

@@ -245,3 +245,15 @@ def stream_foreach_batch_sink(spark, sf_dir):
     return spark.createDataFrame(
         captured, "batch_id INT, event_type STRING, n BIGINT"
     )
+
+
+@query("stream_source_files", section="2.K")
+def stream_source_files(spark, sf_dir):
+    """The file-source replay itself (§2.A stream_source_files): raw
+    bounded stream of events → append sink, proving source semantics
+    (schema enforcement, nanos repair) independent of any aggregation."""
+    s = _event_stream(spark, sf_dir)
+    out = s.select(
+        "event_id", F.col("ts").cast("timestamp_ntz").alias("ts"), "user_id", "event_type"
+    )
+    return _run_to_memory(out, "source_files", "append")

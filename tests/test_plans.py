@@ -1,0 +1,68 @@
+"""Plan-shape assertions — the 100 TB contract, enforced in CI.
+
+Each test pins a physical property that decides scale behavior. If a
+refactor regresses one of these (filter stops pushing, a dim join
+stops broadcasting, top-k becomes a global sort), this fails before
+any benchmark does.
+"""
+
+from __future__ import annotations
+
+import sparkml_spark.operators  # noqa: F401
+from sparkml_spark.plans import (
+    has_broadcast_join,
+    has_partial_aggregate,
+    has_take_ordered,
+    pushed_filters,
+    read_schema_columns,
+    shuffle_count,
+)
+from sparkml_spark.registry import QUERIES
+
+from .conftest import SF_DIR
+
+
+def test_flagship_pushdown_and_pruning(spark):
+    df = QUERIES["agg_groupby_multi"](spark, SF_DIR)
+    filters = pushed_filters(df)
+    assert any("l_shipdate" in f for f in filters), filters
+    schemas = read_schema_columns(df)
+    assert schemas and len(schemas[0]) == 7, (
+        f"expected 7 of 11 lineitem columns read, got {schemas}"
+    )
+
+
+def test_flagship_partial_aggregation(spark):
+    assert has_partial_aggregate(QUERIES["agg_groupby_multi"](spark, SF_DIR))
+
+
+def test_filter_compare_pushdown(spark):
+    filters = pushed_filters(QUERIES["filter_compare"](spark, SF_DIR))
+    assert any("GreaterThan(l_quantity" in f for f in filters), filters
+
+
+def test_q5_broadcasts_dims(spark):
+    df = QUERIES["join_multiway_5"](spark, SF_DIR)
+    assert has_broadcast_join(df)
+    # the only hash-partitioned shuffles should be the fact join sides
+    # and the final agg — never one per dimension table
+    assert shuffle_count(df) <= 4, shuffle_count(df)
+
+
+def test_topk_no_global_sort(spark):
+    assert has_take_ordered(QUERIES["topk_global"](spark, SF_DIR))
+
+
+def test_union_all_no_shuffle(spark):
+    assert shuffle_count(QUERIES["union_all"](spark, SF_DIR)) == 0
+
+
+def test_broadcast_hint_respected(spark):
+    assert has_broadcast_join(QUERIES["join_broadcast_hint"](spark, SF_DIR))
+
+
+def test_scan_prunes_columns(spark):
+    # project_rename touches 4 of 5 customer columns; the scan must not
+    # read the full row
+    schemas = read_schema_columns(QUERIES["project_rename"](spark, SF_DIR))
+    assert schemas and len(schemas[0]) == 4, schemas
