@@ -1,0 +1,127 @@
+"""Scale-technique operators: bucketed co-located joins and manual
+skew salting (SURVEY.md §4.3; the 100 TB levers, demonstrated as
+oracle-checked queries so their SEMANTICS are pinned while their PLANS
+are pinned by tests/test_plans.py).
+
+These complement AQE (which handles moderate skew and partition sizing
+at runtime): bucketing removes the fact⋈fact shuffle entirely for
+repeated joins on the same key; salting handles pathological skew that
+AQE's split threshold misses.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from sparkml_spark.registry import dsum, dsum_sql, query
+from sparkml_spark.sources.loader import load_table
+
+_WAREHOUSE = "/root/repo/.artifacts/warehouse"
+_N_BUCKETS = 8
+_N_SALTS = 8
+
+
+@query(
+    "join_bucketed_colocated",
+    section="2.C",
+    oracle=f"""
+SELECT o_orderstatus,
+       {dsum_sql('l_extendedprice * (1 - l_discount)')} AS revenue,
+       COUNT(*) AS n_items
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderstatus
+""",
+)
+def join_bucketed_colocated(spark, sf_dir):
+    """Fact⋈fact join WITHOUT a join-time shuffle: both sides written
+    `bucketBy(8, orderkey)` + sorted, so the sort-merge join reads
+    bucket i against bucket i directly (plan shows no Exchange before
+    the join — asserted in test_plans).
+
+    At 100 TB this is THE lever for repeated joins on a canonical key:
+    pay one write-time shuffle, then every subsequent join is
+    shuffle-free. Result is oracle-checked against the plain join."""
+    os.makedirs(_WAREHOUSE, exist_ok=True)
+    sf_tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    li_tbl, o_tbl = f"li_bkt_{sf_tag}", f"o_bkt_{sf_tag}"
+    # EXTERNAL tables (explicit path) — warehouse.dir is a static conf
+    # and cannot be set on a driver-provided session; bucketing
+    # metadata lives in the session catalog either way.
+    catalog = spark.catalog
+    if not catalog.tableExists(li_tbl):
+        (
+            load_table(spark, sf_dir, "lineitem")
+            .select("l_orderkey", "l_extendedprice", "l_discount")
+            .write.bucketBy(_N_BUCKETS, "l_orderkey")
+            .sortBy("l_orderkey")
+            .option("path", os.path.join(_WAREHOUSE, li_tbl))
+            .mode("overwrite")
+            .saveAsTable(li_tbl)
+        )
+    if not catalog.tableExists(o_tbl):
+        (
+            load_table(spark, sf_dir, "orders")
+            .select("o_orderkey", "o_orderstatus")
+            .write.bucketBy(_N_BUCKETS, "o_orderkey")
+            .sortBy("o_orderkey")
+            .option("path", os.path.join(_WAREHOUSE, o_tbl))
+            .mode("overwrite")
+            .saveAsTable(o_tbl)
+        )
+    li, o = spark.table(li_tbl), spark.table(o_tbl)
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("o_orderstatus")
+        .agg(
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+@query(
+    "join_skew_salted",
+    section="2.C",
+    oracle="""
+SELECT event_type, type_group, COUNT(*) AS n_events
+FROM events
+JOIN (VALUES ('click', 'engagement'), ('view', 'engagement'),
+             ('purchase', 'revenue'), ('signup', 'growth'),
+             ('error', 'ops')) AS dim(event_type, type_group)
+USING (event_type)
+GROUP BY event_type, type_group
+""",
+)
+def join_skew_salted(spark, sf_dir):
+    """Manual salting for pathologically skewed join keys: events join
+    a 5-row dimension on event_type (each key ≈ 20% of the fact table —
+    the worst case for a shuffled hash join).
+
+    Technique: fact side gets salt = crc32(event_id) % 8; the dim side
+    is exploded ×8 with every salt value; the join key becomes
+    (event_type, salt), spreading each hot key over 8 reducers. Result
+    is oracle-identical to the unsalted join. (For a dim THIS small a
+    broadcast is the first choice; salting is the fallback when the
+    skewed side is too big to broadcast and AQE's skew split can't cut
+    a single giant key.)"""
+    e = load_table(spark, sf_dir, "events").withColumn(
+        "salt", (F.crc32(F.col("event_id").cast("string")) % _N_SALTS).cast("int")
+    )
+    dim_rows = [
+        ("click", "engagement"),
+        ("view", "engagement"),
+        ("purchase", "revenue"),
+        ("signup", "growth"),
+        ("error", "ops"),
+    ]
+    dim = spark.createDataFrame(dim_rows, "event_type STRING, type_group STRING")
+    salted_dim = dim.withColumn(
+        "salt", F.explode(F.array(*[F.lit(i) for i in range(_N_SALTS)]))
+    )
+    return (
+        e.join(salted_dim, ["event_type", "salt"])
+        .groupBy("event_type", "type_group")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )

@@ -66,3 +66,12 @@ def test_scan_prunes_columns(spark):
     # read the full row
     schemas = read_schema_columns(QUERIES["project_rename"](spark, SF_DIR))
     assert schemas and len(schemas[0]) == 4, schemas
+
+
+def test_bucketed_join_no_shuffle(spark):
+    df = QUERIES["join_bucketed_colocated"](spark, SF_DIR)
+    df.collect()  # materialize bucket tables first
+    df2 = QUERIES["join_bucketed_colocated"](spark, SF_DIR)
+    # one exchange for the final small agg is fine; the join itself
+    # must not shuffle either bucketed side
+    assert shuffle_count(df2) <= 1, shuffle_count(df2)

@@ -1,0 +1,98 @@
+"""Property-based algebraic identities (SURVEY §5.2), via hypothesis.
+
+Each property is a law the engine must satisfy for ANY data, checked
+on generated micro-tables: filter conjunction decomposition, union
+commutativity (as multisets), dedup idempotence, exact-decimal sum
+order-independence.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+try:
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+except ImportError:  # pragma: no cover
+    pytest.skip("hypothesis not installed", allow_module_level=True)
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from sparkml_spark.registry import dsum
+
+rows_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=5),
+        st.floats(
+            min_value=-1e6, max_value=1e6, allow_nan=False, allow_infinity=False
+        ),
+    ),
+    min_size=0,
+    max_size=25,
+)
+
+_SETTINGS = settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, "k INT, x DOUBLE") if rows else (
+        spark.createDataFrame([], "k INT, x DOUBLE")
+    )
+
+
+@given(rows=rows_strategy)
+@_SETTINGS
+def test_filter_conjunction_decomposes(spark, rows):
+    df = _df(spark, rows)
+    a = df.filter((F.col("k") > 1) & (F.col("x") < 0)).collect()
+    b = df.filter(F.col("k") > 1).filter(F.col("x") < 0).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+@given(rows=rows_strategy, rows2=rows_strategy)
+@_SETTINGS
+def test_union_all_commutes_as_multiset(spark, rows, rows2):
+    d1, d2 = _df(spark, rows), _df(spark, rows2)
+    ab = sorted(map(tuple, d1.unionByName(d2).collect()))
+    ba = sorted(map(tuple, d2.unionByName(d1).collect()))
+    assert ab == ba
+
+
+@given(rows=rows_strategy)
+@_SETTINGS
+def test_distinct_idempotent(spark, rows):
+    df = _df(spark, rows).select("k")
+    once = sorted(r["k"] for r in df.distinct().collect())
+    twice = sorted(r["k"] for r in df.distinct().distinct().collect())
+    assert once == twice
+
+
+@given(rows=rows_strategy)
+@_SETTINGS
+def test_dsum_order_independent(spark, rows):
+    """The float-parity cornerstone: dsum must not depend on row order
+    or partitioning."""
+    df = _df(spark, rows)
+    fwd = df.agg(dsum("x").alias("s")).collect()[0]["s"]
+    shuf = (
+        df.orderBy(F.col("x").desc())
+        .repartition(7)
+        .agg(dsum("x").alias("s"))
+        .collect()[0]["s"]
+    )
+    assert fwd == shuf  # exact equality, not isclose
+
+
+@given(rows=rows_strategy)
+@_SETTINGS
+def test_window_dedup_idempotent(spark, rows):
+    df = _df(spark, rows)
+    w = Window.partitionBy("k").orderBy(F.col("x").desc())
+    dedup = df.withColumn("rn", F.row_number().over(w)).filter("rn = 1").drop("rn")
+    dedup2 = dedup.withColumn("rn", F.row_number().over(w)).filter("rn = 1").drop("rn")
+    assert sorted(map(tuple, dedup.collect())) == sorted(map(tuple, dedup2.collect()))
