@@ -11,6 +11,7 @@ from sparkml_spark.operators import (  # noqa: F401
     multimodal,
     relational,
     scale,
+    subqueries,
     udfs,
     windows,
 )

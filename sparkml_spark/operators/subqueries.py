@@ -1,0 +1,147 @@
+"""Subquery operators — scalar, IN, correlated EXISTS, and the
+dialect-overlap SQL entry point (SURVEY §3 EP3, §4.1 "subquery
+decorrelation").
+
+Catalyst rewrites every form here into joins (RewriteCorrelatedScalarSubquery
+/ RewritePredicateSubquery), so the scale story is the join story: the
+scalar subquery becomes a broadcast of one row; IN becomes a left-semi
+join; correlated EXISTS becomes a semi join on the correlation key.
+
+`sql_text_overlap` runs the IDENTICAL SQL string through `spark.sql`
+and the DuckDB oracle — pinning the dialect-overlap subset of EP3.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from sparkml_spark.registry import dsum_sql, query
+from sparkml_spark.sources.loader import load_table, register_views
+
+
+@query(
+    "subquery_scalar",
+    section="2.C",
+    oracle="""
+SELECT o_orderkey, o_totalprice
+FROM orders
+WHERE o_totalprice > 1.5 * (SELECT AVG(o_totalprice) FROM orders)
+""",
+)
+def subquery_scalar(spark, sf_dir):
+    """Orders above 1.5x the global average price (scalar subquery →
+    Catalyst plans a one-row broadcast, not a driver round-trip —
+    expressed via spark.sql so the subquery rewrite itself is what
+    executes)."""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_totalprice
+        FROM orders
+        WHERE o_totalprice > 1.5 * (SELECT AVG(o_totalprice) FROM orders)
+        """
+    )
+
+
+@query(
+    "subquery_in",
+    section="2.C",
+    oracle="""
+SELECT c_custkey, c_name
+FROM customer
+WHERE c_nationkey IN (SELECT n_nationkey FROM nation WHERE n_regionkey = 2)
+""",
+)
+def subquery_in(spark, sf_dir):
+    """IN-subquery (rewritten to a left-semi join on the key set)."""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT c_custkey, c_name
+        FROM customer
+        WHERE c_nationkey IN (SELECT n_nationkey FROM nation WHERE n_regionkey = 2)
+        """
+    )
+
+
+@query(
+    "subquery_correlated_exists",
+    section="2.C",
+    oracle="""
+SELECT s_suppkey, s_name
+FROM supplier s
+WHERE EXISTS (
+  SELECT 1 FROM lineitem l
+  WHERE l.l_suppkey = s.s_suppkey AND l.l_quantity > 49
+)
+""",
+)
+def subquery_correlated_exists(spark, sf_dir):
+    """Correlated EXISTS (decorrelated into a semi join on s_suppkey)."""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT s_suppkey, s_name
+        FROM supplier s
+        WHERE EXISTS (
+          SELECT 1 FROM lineitem l
+          WHERE l.l_suppkey = s.s_suppkey AND l.l_quantity > 49
+        )
+        """
+    )
+
+
+@query(
+    "subquery_correlated_scalar",
+    section="2.C",
+    oracle="""
+SELECT p_partkey, p_retailprice, avg_type_price
+FROM (
+  SELECT p_partkey, p_retailprice,
+         (SELECT CAST(SUM(CAST(p2.p_retailprice AS DECIMAL(27,6))) AS DOUBLE)
+                 / COUNT(p2.p_retailprice)
+          FROM part p2 WHERE p2.p_type = p.p_type) AS avg_type_price
+  FROM part p
+)
+WHERE p_retailprice > avg_type_price
+""",
+)
+def subquery_correlated_scalar(spark, sf_dir):
+    """Parts priced above their type's average (correlated scalar
+    subquery, TPC-H Q17's shape — decorrelated into an agg + join on
+    p_type; the exact-decimal average keeps both engines bit-equal)."""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT p_partkey, p_retailprice, avg_type_price
+        FROM (
+          SELECT p_partkey, p_retailprice,
+                 (SELECT CAST(SUM(CAST(p2.p_retailprice AS DECIMAL(27,6))) AS DOUBLE)
+                         / COUNT(p2.p_retailprice)
+                  FROM part p2 WHERE p2.p_type = p.p_type) AS avg_type_price
+          FROM part p
+        )
+        WHERE p_retailprice > avg_type_price
+        """
+    )
+
+
+_OVERLAP_SQL = f"""
+SELECT l_returnflag,
+       COUNT(*) AS n_items,
+       {dsum_sql('l_extendedprice')} AS sum_price,
+       MIN(l_quantity) AS min_qty,
+       MAX(l_quantity) AS max_qty
+FROM lineitem
+WHERE l_quantity BETWEEN 10 AND 40
+GROUP BY l_returnflag
+"""
+
+
+@query("sql_text_overlap", section="3.EP3", oracle=_OVERLAP_SQL)
+def sql_text_overlap(spark, sf_dir):
+    """EP3 dialect overlap: the very same SQL string executes on Spark
+    (over registered temp views) AND as the DuckDB oracle — no
+    translation layer at all for the ANSI-overlap subset."""
+    register_views(spark, sf_dir)
+    return spark.sql(_OVERLAP_SQL)
