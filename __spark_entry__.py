@@ -10,12 +10,20 @@ order-insensitive value-hash → CORRECTNESS_r{N}.json).
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-import sparkml_spark.operators  # noqa: F401  (registers all queries)
-from sparkml_spark.registry import ORACLES, QUERIES
+# The driver may import this file by path; make the package importable
+# regardless of the caller's sys.path.
+_HERE = os.path.dirname(os.path.abspath(__file__))
+if _HERE not in sys.path:
+    sys.path.insert(0, _HERE)
+
+import sparkml_spark.operators  # noqa: F401,E402  (registers all queries)
+from sparkml_spark.registry import ORACLES, QUERIES  # noqa: E402
 
 
 def entry(spark: SparkSession) -> DataFrame:
