@@ -12,6 +12,7 @@ from sparkml_spark.operators import (  # noqa: F401
     relational,
     scale,
     subqueries,
+    tpch_shapes,
     udfs,
     windows,
 )

@@ -439,3 +439,20 @@ def agg_pivot(spark, sf_dir):
     )
     renames = {s: f"seg_{s.lower()}" for s in _SEGMENTS}
     return df.select("c_nationkey", *[F.col(s).alias(a) for s, a in renames.items()])
+
+
+# ---------------------------------------------------------------------------
+# agg_approx_percentile — the t-digest scale twin of agg_percentile
+# (SURVEY §4.3 rule 3): one pass, fixed memory per group, no per-group
+# sort. ROWS tier: sketch internals are engine-specific; accuracy is
+# pinned in tests against the exact quartiles.
+# ---------------------------------------------------------------------------
+@query("agg_approx_percentile", section="2.D")
+def agg_approx_percentile(spark, sf_dir):
+    """Approximate quartiles of extended price per return flag."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.approx_percentile("l_extendedprice", F.lit(0.25), F.lit(10000)), 4).alias("p25"),
+        F.round(F.approx_percentile("l_extendedprice", F.lit(0.50), F.lit(10000)), 4).alias("p50"),
+        F.round(F.approx_percentile("l_extendedprice", F.lit(0.75), F.lit(10000)), 4).alias("p75"),
+    )

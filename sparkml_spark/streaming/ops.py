@@ -257,3 +257,42 @@ def stream_source_files(spark, sf_dir):
         "event_id", F.col("ts").cast("timestamp_ntz").alias("ts"), "user_id", "event_type"
     )
     return _run_to_memory(out, "source_files", "append")
+
+
+@query("stream_stream_join", section="2.K")
+def stream_stream_join(spark, sf_dir):
+    """Stream⋈stream interval join: each purchase joined to clicks of
+    the same user within the preceding hour — BOTH sides are streams
+    with watermarks, so the join state is bounded on both sides (the
+    canonical funnel-attribution shape). Bounded replay makes the
+    result deterministic; counts matched pairs per user."""
+    purchases = (
+        _event_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+            F.col("event_id").alias("p_ev"),
+        )
+        .withWatermark("p_ts", "1 hour")
+    )
+    clicks = (
+        _event_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .select(F.col("user_id").alias("c_user"), F.col("ts").alias("c_ts"))
+        .withWatermark("c_ts", "2 hours")
+    )
+    joined = purchases.join(
+        clicks,
+        F.expr(
+            "p_user = c_user AND c_ts >= p_ts - INTERVAL 1 HOUR AND c_ts <= p_ts"
+        ),
+    ).select(
+        F.col("p_ev").alias("purchase_event_id"),
+        F.col("p_user").alias("user_id"),
+        F.col("p_ts").cast("timestamp_ntz").alias("purchase_ts"),
+        F.col("c_ts").cast("timestamp_ntz").alias("click_ts"),
+    )
+    # stream-stream joins emit in APPEND mode only (each matched pair
+    # exactly once, once both watermarks pass it).
+    return _run_to_memory(joined, "ss_join", "append")

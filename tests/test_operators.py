@@ -93,3 +93,21 @@ def test_asof_no_prior_match_is_null(spark):
     }
     assert out[100] is None
     assert out[102] == 20
+
+
+def test_approx_percentile_close_to_exact(spark):
+    import sparkml_spark.operators  # noqa: F401  (fills the registry)
+    from sparkml_spark.registry import QUERIES
+    from .conftest import SF_DIR
+
+    exact = {
+        r["l_returnflag"]: (r["p25"], r["p50"], r["p75"])
+        for r in QUERIES["agg_percentile"](spark, SF_DIR).collect()
+    }
+    approx = {
+        r["l_returnflag"]: (r["p25"], r["p50"], r["p75"])
+        for r in QUERIES["agg_approx_percentile"](spark, SF_DIR).collect()
+    }
+    for flag, ex in exact.items():
+        for e, a in zip(ex, approx[flag]):
+            assert abs(e - a) / max(abs(e), 1) < 0.02, (flag, e, a)
