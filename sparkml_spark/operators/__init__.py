@@ -10,6 +10,7 @@ from sparkml_spark.operators import (  # noqa: F401
     ml,
     multimodal,
     relational,
+    reshape,
     scale,
     subqueries,
     tpch_shapes,
