@@ -414,3 +414,33 @@ def events_hourly_batch(spark, sf_dir):
         )
         .agg(F.count(F.lit(1)).alias("n_events"), dsum("value").alias("sum_value"))
     )
+
+
+@query(
+    "fn_bitwise",
+    section="2.H",
+    oracle="""
+SELECT event_id,
+       event_id & 255 AS low_byte,
+       event_id | 15 AS with_low_bits,
+       xor(event_id, 255) AS xored,
+       event_id << 2 AS shifted_left,
+       event_id >> 3 AS shifted_right,
+       bit_count(event_id) AS pop_count
+FROM events
+""",
+)
+def fn_bitwise(spark, sf_dir):
+    """Bitwise family on event ids: and/or/xor, shifts, popcount —
+    the primitives under SimHash banding and hash bucketing."""
+    e = load_table(spark, sf_dir, "events")
+    ev = F.col("event_id")
+    return e.select(
+        "event_id",
+        ev.bitwiseAND(F.lit(255)).alias("low_byte"),
+        ev.bitwiseOR(F.lit(15)).alias("with_low_bits"),
+        ev.bitwiseXOR(F.lit(255)).alias("xored"),
+        F.shiftleft(ev, 2).alias("shifted_left"),
+        F.shiftright(ev, 3).alias("shifted_right"),
+        F.bit_count(ev).alias("pop_count"),
+    )
