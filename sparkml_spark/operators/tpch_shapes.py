@@ -113,3 +113,153 @@ def tpch_q22_shape(spark, sf_dir):
     return idle.groupBy("c_mktsegment").agg(
         F.count(F.lit(1)).alias("n_custs"), dsum("c_acctbal").alias("total_bal")
     )
+
+
+@query(
+    "tpch_q7_shape",
+    section="2.C",
+    oracle=f"""
+SELECT supp_nation, cust_nation, l_year,
+       {dsum_sql('volume')} AS revenue
+FROM (
+  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+         year(l_shipdate) AS l_year,
+         l_extendedprice * (1 - l_discount) AS volume
+  FROM supplier
+  JOIN lineitem ON s_suppkey = l_suppkey
+  JOIN orders ON o_orderkey = l_orderkey
+  JOIN customer ON c_custkey = o_custkey
+  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+  WHERE ((n1.n_name = 'NATION_9' AND n2.n_name = 'NATION_10')
+      OR (n1.n_name = 'NATION_10' AND n2.n_name = 'NATION_9'))
+)
+GROUP BY supp_nation, cust_nation, l_year
+""",
+)
+def tpch_q7_shape(spark, sf_dir):
+    """Volume shipping (Q7): bidirectional nation-pair revenue by ship
+    year. Both nation legs broadcast; the disjunctive pair predicate
+    prunes before the fact join finishes."""
+    t = load_tables(spark, sf_dir)
+    n1 = t.nation.select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = t.nation.select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    )
+    df = (
+        t.lineitem.join(F.broadcast(t.supplier), t.lineitem.l_suppkey == t.supplier.s_suppkey)
+        .join(t.orders, t.lineitem.l_orderkey == t.orders.o_orderkey)
+        .join(F.broadcast(t.customer), t.orders.o_custkey == t.customer.c_custkey)
+        .join(F.broadcast(n1), t.supplier.s_nationkey == F.col("n1_key"))
+        .join(F.broadcast(n2), t.customer.c_nationkey == F.col("n2_key"))
+        .filter(
+            ((F.col("supp_nation") == "NATION_9") & (F.col("cust_nation") == "NATION_10"))
+            | ((F.col("supp_nation") == "NATION_10") & (F.col("cust_nation") == "NATION_9"))
+        )
+    )
+    return df.groupBy(
+        "supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year")
+    ).agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+
+
+@query(
+    "tpch_q21_shape",
+    section="2.C",
+    oracle="""
+SELECT s_name, COUNT(*) AS numwait
+FROM supplier
+JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+JOIN orders ON o_orderkey = l1.l_orderkey
+WHERE o_orderstatus = 'F'
+  AND EXISTS (SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey
+                    AND l3.l_shipdate > l1.l_shipdate)
+GROUP BY s_name
+""",
+)
+def tpch_q21_shape(spark, sf_dir):
+    """Suppliers who kept orders waiting (Q21): EXISTS + NOT EXISTS
+    against the same fact table — the lineitem self-references become
+    one semi and one anti join on l_orderkey."""
+    t = load_tables(spark, sf_dir)
+    l1 = t.lineitem.select("l_orderkey", "l_suppkey", "l_shipdate")
+    others = t.lineitem.select(
+        F.col("l_orderkey").alias("o2_okey"),
+        F.col("l_suppkey").alias("o2_skey"),
+        F.col("l_shipdate").alias("o2_ship"),
+    )
+    has_other = l1.join(
+        others,
+        (F.col("l_orderkey") == F.col("o2_okey")) & (F.col("l_suppkey") != F.col("o2_skey")),
+        "left_semi",
+    )
+    not_latest_elsewhere = has_other.join(
+        others,
+        (F.col("l_orderkey") == F.col("o2_okey"))
+        & (F.col("l_suppkey") != F.col("o2_skey"))
+        & (F.col("o2_ship") > F.col("l_shipdate")),
+        "left_anti",
+    )
+    fixed_orders = t.orders.filter(F.col("o_orderstatus") == "F").select("o_orderkey")
+    return (
+        not_latest_elsewhere.join(
+            fixed_orders, F.col("l_orderkey") == F.col("o_orderkey"), "left_semi"
+        )
+        .join(F.broadcast(t.supplier), F.col("l_suppkey") == t.supplier.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+    )
+
+
+@query(
+    "op_merge_upsert",
+    section="2.B",
+    oracle="""
+WITH updates AS (
+  SELECT c_custkey, c_acctbal + 1000 AS new_bal
+  FROM customer WHERE c_custkey % 7 = 0
+), inserts AS (
+  SELECT 9000000 + r_regionkey AS c_custkey, CAST(r_regionkey * 100 AS DOUBLE) AS new_bal
+  FROM region
+), changes AS (
+  SELECT * FROM updates UNION ALL SELECT * FROM inserts
+)
+SELECT COALESCE(c.c_custkey, ch.c_custkey) AS c_custkey,
+       COALESCE(ch.new_bal, c.c_acctbal) AS acctbal,
+       CASE WHEN c.c_custkey IS NULL THEN 'inserted'
+            WHEN ch.c_custkey IS NULL THEN 'unchanged'
+            ELSE 'updated' END AS merge_action
+FROM customer c FULL OUTER JOIN changes ch ON c.c_custkey = ch.c_custkey
+""",
+)
+def op_merge_upsert(spark, sf_dir):
+    """MERGE/upsert emulation without a table format: full-outer join
+    of the base table with a change set, COALESCE picking the new
+    value, action column tagging insert/update/unchanged — the CDC
+    snapshot shape (with Delta/Iceberg this becomes MERGE INTO; the
+    plan — outer join on the key — is identical)."""
+    t = load_tables(spark, sf_dir)
+    updates = t.customer.filter(F.col("c_custkey") % 7 == 0).select(
+        F.col("c_custkey").alias("ch_key"), (F.col("c_acctbal") + 1000).alias("new_bal")
+    )
+    inserts = t.region.select(
+        (F.lit(9000000) + F.col("r_regionkey").cast("bigint")).alias("ch_key"),
+        (F.col("r_regionkey") * 100).cast("double").alias("new_bal"),
+    )
+    changes = updates.unionByName(inserts)
+    base = t.customer.select("c_custkey", "c_acctbal")
+    merged = base.join(changes, base.c_custkey == changes.ch_key, "full")
+    return merged.select(
+        F.coalesce(F.col("c_custkey"), F.col("ch_key")).alias("c_custkey"),
+        F.coalesce(F.col("new_bal"), F.col("c_acctbal")).alias("acctbal"),
+        F.when(F.col("c_custkey").isNull(), "inserted")
+        .when(F.col("ch_key").isNull(), "unchanged")
+        .otherwise("updated")
+        .alias("merge_action"),
+    )
