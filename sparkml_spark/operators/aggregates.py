@@ -23,10 +23,6 @@ from sparkml_spark.registry import davg_sql, dsum, dsum_sql, query
 from sparkml_spark.sources.loader import load_table, load_tables
 
 
-def _davg(col: str) -> F.Column:
-    return (dsum(col) / F.count(col)).alias("")  # caller re-aliases
-
-
 # ---------------------------------------------------------------------------
 # agg_global — whole-table aggregates, no grouping key.
 # Plan: partial agg per partition → single-row final agg. No wide shuffle.
@@ -206,12 +202,12 @@ WITH q AS (
 )
 SELECT l_returnflag,
        n,
-       (sxx - sx * sx / n) / (n - 1) AS var_qty,
-       SQRT((sxx - sx * sx / n) / (n - 1)) AS std_qty,
-       (syy - sy * sy / n) / (n - 1) AS var_price,
-       (sxy - sx * sy / n) / (n - 1) AS covar_qty_price,
-       ((sxy - sx * sy / n) / (n - 1))
-         / SQRT(((sxx - sx * sx / n) / (n - 1)) * ((syy - sy * sy / n) / (n - 1)))
+       ROUND((sxx - sx * sx / n) / (n - 1), 5) AS var_qty,
+       ROUND(SQRT((sxx - sx * sx / n) / (n - 1)), 6) AS std_qty,
+       ROUND((syy - sy * sy / n) / (n - 1), 0) AS var_price,
+       ROUND((sxy - sx * sy / n) / (n - 1), 3) AS covar_qty_price,
+       ROUND(((sxy - sx * sy / n) / (n - 1))
+         / SQRT(((sxx - sx * sx / n) / (n - 1)) * ((syy - sy * sy / n) / (n - 1))), 9)
          AS corr_qty_price
 FROM s
 """
@@ -235,14 +231,19 @@ def agg_stats(spark, sf_dir):
     var_qty = (sxx - sx * sx / n) / (n - 1)
     var_price = (syy - sy * sy / n) / (n - 1)
     covar = (sxy - sx * sy / n) / (n - 1)
+    # The recombination is plain double arithmetic on bit-identical
+    # sums, but engines may differ by ~1 ulp in the division/sqrt chain
+    # (FMA contraction — observed at sf0.001 on corr). Each statistic
+    # is therefore rounded at a per-column precision whose grid exceeds
+    # the value's ulp by ~1e6, making the last-ulp noise unobservable.
     return s.select(
         "l_returnflag",
         "n",
-        var_qty.alias("var_qty"),
-        F.sqrt(var_qty).alias("std_qty"),
-        var_price.alias("var_price"),
-        covar.alias("covar_qty_price"),
-        (covar / F.sqrt(var_qty * var_price)).alias("corr_qty_price"),
+        F.round(var_qty, 5).alias("var_qty"),
+        F.round(F.sqrt(var_qty), 6).alias("std_qty"),
+        F.round(var_price, 0).alias("var_price"),
+        F.round(covar, 3).alias("covar_qty_price"),
+        F.round(covar / F.sqrt(var_qty * var_price), 9).alias("corr_qty_price"),
     )
 
 

@@ -44,12 +44,20 @@ PERF_SQL_CONFS: dict[str, str] = {
 }
 
 
+_confs_applied: set[str] = set()
+
+
 def ensure_confs(spark: SparkSession) -> SparkSession:
     """Apply required (and best-effort perf) confs to a live session.
 
     All keys above are runtime-settable SQL confs, so this works on a
-    driver-provided session too. Idempotent and cheap.
+    driver-provided session too. Applied once per SparkContext — the
+    loader calls this on every table load, and each conf.set is a Py4J
+    round trip we don't want 1000s of.
     """
+    app_id = spark.sparkContext.applicationId
+    if app_id in _confs_applied:
+        return spark
     for k, v in REQUIRED_SQL_CONFS.items():
         spark.conf.set(k, v)
     for k, v in PERF_SQL_CONFS.items():
@@ -57,6 +65,7 @@ def ensure_confs(spark: SparkSession) -> SparkSession:
             spark.conf.set(k, v)
         except Exception:
             pass  # perf conf locked by the host — correctness unaffected
+    _confs_applied.add(app_id)
     return spark
 
 
