@@ -49,14 +49,16 @@ def ml_feature_text_pipeline(spark, sf_dir):
         IDF,
         HashingTF,
         NGram,
-        RegexTokenizer,
+        Tokenizer,
         StopWordsRemover,
     )
 
     d = load_table(spark, sf_dir, "documents")
+    # plain whitespace Tokenizer (fixture text is single-space separated;
+    # RegexTokenizer is exercised in text_tfidf_mllib)
     pipe = Pipeline(
         stages=[
-            RegexTokenizer(inputCol="text", outputCol="tokens", pattern=r"\s+"),
+            Tokenizer(inputCol="text", outputCol="tokens"),
             StopWordsRemover(
                 inputCol="tokens", outputCol="content", stopWords=["the", "a"]
             ),
@@ -274,6 +276,7 @@ def ml_regression(spark, sf_dir):
     GBTRegressor — RMSE per model via RegressionEvaluator."""
     from pyspark.ml.evaluation import RegressionEvaluator
     from pyspark.ml.regression import (
+        DecisionTreeRegressor,
         GBTRegressor,
         GeneralizedLinearRegression,
         LinearRegression,
@@ -290,6 +293,7 @@ def ml_regression(spark, sf_dir):
     models = [
         ("linear", LinearRegression(maxIter=25).fit(train)),
         ("glm_gaussian", GeneralizedLinearRegression(family="gaussian").fit(train)),
+        ("decision_tree", DecisionTreeRegressor(seed=SEED, maxDepth=8).fit(train)),
         ("random_forest", RandomForestRegressor(seed=SEED, numTrees=20).fit(train)),
         ("gbt", GBTRegressor(seed=SEED, maxIter=15).fit(train)),
     ]
@@ -425,8 +429,9 @@ def ml_fpgrowth(spark, sf_dir):
 
 @query("ml_tuning_cv", section="2.J")
 def ml_tuning_cv(spark, sf_dir):
-    """CrossValidator (2-fold, seed=42) over an LR regParam grid with
-    MulticlassClassificationEvaluator; best param + fold metrics."""
+    """CrossValidator (2-fold) AND TrainValidationSplit (80/20), both
+    seed=42, over an LR regParam grid — the two tuning strategies side
+    by side with their metrics."""
     from pyspark.ml.classification import LogisticRegression
     from pyspark.ml.evaluation import MulticlassClassificationEvaluator
     from pyspark.ml.tuning import CrossValidator, ParamGridBuilder
@@ -434,20 +439,33 @@ def ml_tuning_cv(spark, sf_dir):
     data = _features(spark, sf_dir)
     lr = LogisticRegression(maxIter=15)
     grid = ParamGridBuilder().addGrid(lr.regParam, [0.01, 0.5]).build()
+    from pyspark.ml.tuning import TrainValidationSplit
+
+    ev = MulticlassClassificationEvaluator(metricName="accuracy")
     cv = CrossValidator(
         estimator=lr,
         estimatorParamMaps=grid,
-        evaluator=MulticlassClassificationEvaluator(metricName="accuracy"),
+        evaluator=ev,
         numFolds=2,
         seed=SEED,
         parallelism=2,
     ).fit(data)
+    tvs = TrainValidationSplit(
+        estimator=lr, estimatorParamMaps=grid, evaluator=ev, trainRatio=0.8, seed=SEED
+    ).fit(data)
     best_reg = cv.bestModel.getRegParam()
     rows = [
-        (float(g[lr.regParam]), float(round(m, 4)), float(g[lr.regParam]) == best_reg)
-        for g, m in zip(grid, cv.avgMetrics)
+        (
+            float(g[lr.regParam]),
+            float(round(cm, 4)),
+            float(round(tm, 4)),
+            float(g[lr.regParam]) == best_reg,
+        )
+        for g, cm, tm in zip(grid, cv.avgMetrics, tvs.validationMetrics)
     ]
-    return spark.createDataFrame(rows, "reg_param DOUBLE, avg_accuracy DOUBLE, is_best BOOLEAN")
+    return spark.createDataFrame(
+        rows, "reg_param DOUBLE, cv_accuracy DOUBLE, tvs_accuracy DOUBLE, is_best BOOLEAN"
+    )
 
 
 @query("ml_pipeline_persist", section="2.J")
