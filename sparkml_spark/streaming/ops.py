@@ -296,3 +296,63 @@ def stream_stream_join(spark, sf_dir):
     # stream-stream joins emit in APPEND mode only (each matched pair
     # exactly once, once both watermarks pass it).
     return _run_to_memory(joined, "ss_join", "append")
+
+
+@query("stream_stateful_tws", section="2.K")
+def stream_stateful_tws(spark, sf_dir):
+    """Arbitrary stateful processing via the Spark 4.x
+    transformWithStateInPandas API (StatefulProcessor with explicit
+    ValueState): per-user running value total + event count — the
+    newer, state-schema-first twin of stream_stateful_custom.
+
+    ENV GATE: the TWS Python worker requires a working google.protobuf,
+    which this container lacks (and installs are not permitted). When
+    the dependency is unavailable the op falls back to the
+    applyInPandasWithState implementation — same semantics, older API —
+    so the query stays runnable everywhere."""
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+    except ImportError:
+        return stream_stateful_custom(spark, sf_dir)
+    import pandas as pd
+    from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    state_schema = StructType(
+        [StructField("total", DoubleType(), True), StructField("n", LongType(), True)]
+    )
+
+    class RunningTotals(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self.state = handle.getValueState("totals", state_schema)
+
+        def handleInputRows(self, key, rows, timerValues):
+            total, n = (self.state.get() or (0.0, 0)) if self.state.exists() else (0.0, 0)
+            for pdf in rows:
+                total += float(pdf["value"].sum())
+                n += int(len(pdf))
+            self.state.update((total, n))
+            yield pd.DataFrame(
+                {"user_id": [key[0]], "total_value": [round(total, 4)], "n_events": [n]}
+            )
+
+        def close(self) -> None:
+            pass
+
+    s = _event_stream(spark, sf_dir)
+    out = (
+        s.withWatermark("ts", "1 hour")
+        .groupBy("user_id")
+        .transformWithStateInPandas(
+            RunningTotals(),
+            outputStructType="user_id BIGINT, total_value DOUBLE, n_events BIGINT",
+            outputMode="Update",
+            timeMode="None",
+        )
+    )
+    return _run_to_memory(out, "tws", "update")
