@@ -3,6 +3,7 @@
 
 from sparkml_spark.operators import (  # noqa: F401
     aggregates,
+    funnels,
     joins,
     llm_dedup,
     llm_similarity,

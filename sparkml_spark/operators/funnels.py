@@ -1,0 +1,159 @@
+"""Event-sequence analytics over the stream table: ordered funnels and
+cohort retention — the product-analytics workloads that sit beside the
+LLM pipeline in a real deployment (§2.I/§2.K adjunct; all ORACLE).
+
+Scale shape: every op here is per-user aggregation (conditional mins /
+first-seen) followed by tiny-dimension joins — one shuffle on user_id,
+then broadcast-size results. No self-join over raw events is ever
+needed for ordered-sequence matching: conditional aggregation carries
+the ordering.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from sparkml_spark.registry import query
+from sparkml_spark.sources.loader import load_table
+
+
+@query(
+    "funnel_ordered_steps",
+    section="2.I",
+    oracle="""
+WITH s1 AS (
+  SELECT user_id, MIN(ts) AS t_view FROM events
+  WHERE event_type = 'view' GROUP BY user_id
+), s2 AS (
+  SELECT e.user_id, MIN(e.ts) AS t_click
+  FROM events e JOIN s1 ON e.user_id = s1.user_id
+  WHERE e.event_type = 'click' AND e.ts > s1.t_view
+  GROUP BY e.user_id
+), s3 AS (
+  SELECT e.user_id, MIN(e.ts) AS t_purchase
+  FROM events e JOIN s2 ON e.user_id = s2.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > s2.t_click
+  GROUP BY e.user_id
+)
+SELECT s1.user_id AS user_id, s1.t_view, s2.t_click, s3.t_purchase,
+       s2.user_id IS NOT NULL AS reached_click,
+       s3.user_id IS NOT NULL AS reached_purchase
+FROM s1 LEFT JOIN s2 ON s1.user_id = s2.user_id
+        LEFT JOIN s3 ON s1.user_id = s3.user_id
+""",
+)
+def funnel_ordered_steps(spark, sf_dir):
+    """Ordered 3-step funnel (view → click → purchase): each stage is
+    the earliest qualifying event strictly after the previous stage's
+    timestamp — conditional-min chaining, no event self-join."""
+    e = load_table(spark, sf_dir, "events")
+    s1 = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_view"))
+    )
+    s2 = (
+        e.join(s1, "user_id")
+        .filter((F.col("event_type") == "click") & (F.col("ts") > F.col("t_view")))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_click"))
+    )
+    s3 = (
+        e.join(s2, "user_id")
+        .filter((F.col("event_type") == "purchase") & (F.col("ts") > F.col("t_click")))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_purchase"))
+    )
+    return (
+        s1.join(s2, "user_id", "left")
+        .join(s3, "user_id", "left")
+        .select(
+            "user_id",
+            "t_view",
+            "t_click",
+            "t_purchase",
+            F.col("t_click").isNotNull().alias("reached_click"),
+            F.col("t_purchase").isNotNull().alias("reached_purchase"),
+        )
+    )
+
+
+@query(
+    "cohort_retention",
+    section="2.I",
+    oracle="""
+WITH firsts AS (
+  SELECT user_id, CAST(date_trunc('day', MIN(ts)) AS DATE) AS cohort_day
+  FROM events GROUP BY user_id
+), activity AS (
+  SELECT DISTINCT e.user_id, f.cohort_day,
+         date_diff('day', f.cohort_day, CAST(date_trunc('day', e.ts) AS DATE)) AS day_offset
+  FROM events e JOIN firsts f ON e.user_id = f.user_id
+)
+SELECT cohort_day, day_offset, COUNT(*) AS n_active_users
+FROM activity
+WHERE day_offset <= 7
+GROUP BY cohort_day, day_offset
+""",
+)
+def cohort_retention(spark, sf_dir):
+    """Daily cohort retention (first 7 offsets): users grouped by
+    first-seen day, counted per subsequent active day. The classic
+    retention triangle as two aggs and one join (the `firsts` side is
+    user-cardinality — at 100 TB it's the smaller side and can be
+    bucketed by user_id alongside the events table)."""
+    e = load_table(spark, sf_dir, "events")
+    firsts = e.groupBy("user_id").agg(
+        F.date_trunc("day", F.min("ts")).cast("date").alias("cohort_day")
+    )
+    activity = (
+        e.join(firsts, "user_id")
+        .select(
+            "user_id",
+            "cohort_day",
+            F.datediff(
+                F.date_trunc("day", F.col("ts")).cast("date"), F.col("cohort_day")
+            ).alias("day_offset"),
+        )
+        .distinct()
+    )
+    return (
+        activity.filter(F.col("day_offset") <= 7)
+        .groupBy("cohort_day", "day_offset")
+        .agg(F.count(F.lit(1)).alias("n_active_users"))
+    )
+
+
+@query(
+    "win_running_extremes",
+    section="2.E",
+    oracle="""
+SELECT o_custkey, o_orderkey,
+       MAX(o_totalprice) OVER w AS running_max,
+       MIN(o_totalprice) OVER w AS running_min,
+       o_totalprice >= MAX(o_totalprice) OVER w AS is_new_high
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+""",
+)
+def win_running_extremes(spark, sf_dir):
+    """Running max/min spend per customer + new-high flag (monotone
+    frame aggregates — order-insensitive within the frame, so exact
+    cross-engine without decimal tricks)."""
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    rmax = F.max("o_totalprice").over(w)
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        rmax.alias("running_max"),
+        F.min("o_totalprice").over(w).alias("running_min"),
+        (F.col("o_totalprice") >= rmax).alias("is_new_high"),
+    )
