@@ -12,7 +12,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from sparkml_spark.registry import dsum, dsum_sql, query
-from sparkml_spark.sources.loader import load_tables
+from sparkml_spark.sources.loader import load_table, load_tables
 
 
 @query(
@@ -262,4 +262,86 @@ def op_merge_upsert(spark, sf_dir):
         .when(F.col("ch_key").isNull(), "unchanged")
         .otherwise("updated")
         .alias("merge_action"),
+    )
+
+
+@query(
+    "supplier_dominant_share",
+    section="2.C",
+    oracle="""
+WITH per AS (
+  SELECT l_partkey, l_suppkey,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(27,6))) AS DOUBLE) AS sup_qty
+  FROM lineitem GROUP BY l_partkey, l_suppkey
+), tot AS (
+  SELECT l_partkey,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(27,6))) AS DOUBLE) AS part_qty
+  FROM lineitem GROUP BY l_partkey
+)
+SELECT per.l_partkey AS partkey, per.l_suppkey AS suppkey,
+       per.sup_qty, tot.part_qty,
+       per.sup_qty / tot.part_qty AS share
+FROM per JOIN tot ON per.l_partkey = tot.l_partkey
+WHERE per.sup_qty / tot.part_qty > 0.12
+""",
+)
+def supplier_dominant_share(spark, sf_dir):
+    """Suppliers shipping >12% of a part's total volume (the Q20
+    excess-share flavor adapted to the fixture, which has no partsupp
+    table; shares are diluted across ~100 suppliers so the 99th-pct
+    share is ~0.12 — threshold chosen to select the dominant tail). Two exact-decimal aggs on shared keys — the second agg
+    reuses the first's (partkey) partitioning, so only one wide
+    shuffle; the ratio is exact-double/exact-double (deterministic)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    per = li.groupBy("l_partkey", "l_suppkey").agg(dsum("l_quantity").alias("sup_qty"))
+    tot = li.groupBy("l_partkey").agg(dsum("l_quantity").alias("part_qty"))
+    share = F.col("sup_qty") / F.col("part_qty")
+    return (
+        per.join(tot, "l_partkey")
+        .filter(share > 0.12)
+        .select(
+            F.col("l_partkey").alias("partkey"),
+            F.col("l_suppkey").alias("suppkey"),
+            "sup_qty",
+            "part_qty",
+            share.alias("share"),
+        )
+    )
+
+
+@query(
+    "profile_table",
+    section="2.B",
+    oracle="""
+SELECT COUNT(*) AS n_rows,
+       COUNT(DISTINCT l_orderkey) AS d_orderkey,
+       COUNT(DISTINCT l_partkey) AS d_partkey,
+       COUNT(DISTINCT l_suppkey) AS d_suppkey,
+       COUNT(DISTINCT l_returnflag) AS d_returnflag,
+       COUNT(DISTINCT l_linestatus) AS d_linestatus,
+       COUNT(*) - COUNT(l_quantity) AS nulls_quantity,
+       COUNT(*) - COUNT(l_shipdate) AS nulls_shipdate,
+       MIN(l_quantity) AS min_quantity,
+       MAX(l_quantity) AS max_quantity
+FROM lineitem
+""",
+)
+def profile_table(spark, sf_dir):
+    """Column-profile of a table in one pass: row count, per-column
+    distinct counts, null counts, numeric ranges — the data-quality
+    gate every ingestion pipeline runs before training jobs. (At 100 TB
+    swap the exact distincts for approx_count_distinct — one scan,
+    fixed memory; exact form kept here for the oracle.)"""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("l_orderkey").alias("d_orderkey"),
+        F.countDistinct("l_partkey").alias("d_partkey"),
+        F.countDistinct("l_suppkey").alias("d_suppkey"),
+        F.countDistinct("l_returnflag").alias("d_returnflag"),
+        F.countDistinct("l_linestatus").alias("d_linestatus"),
+        (F.count(F.lit(1)) - F.count("l_quantity")).alias("nulls_quantity"),
+        (F.count(F.lit(1)) - F.count("l_shipdate")).alias("nulls_shipdate"),
+        F.min("l_quantity").alias("min_quantity"),
+        F.max("l_quantity").alias("max_quantity"),
     )
