@@ -75,3 +75,34 @@ def test_bucketed_join_no_shuffle(spark):
     # one exchange for the final small agg is fine; the join itself
     # must not shuffle either bucketed side
     assert shuffle_count(df2) <= 1, shuffle_count(df2)
+
+
+def test_q6_all_predicates_pushed(spark):
+    # Q6 is the pushdown showcase: date bounds, discount range, and
+    # quantity cap must all reach the lineitem scan, and the scan must
+    # read only the 4 referenced columns.
+    df = QUERIES["tpch_q6_shape"](spark, SF_DIR)
+    filters = " ".join(pushed_filters(df))
+    for col in ("l_shipdate", "l_discount", "l_quantity"):
+        assert col in filters, filters
+    schemas = read_schema_columns(df)
+    assert schemas and len(schemas[0]) == 4, schemas
+
+
+def test_q10_topk_no_global_sort(spark):
+    assert has_take_ordered(QUERIES["tpch_q10_shape"](spark, SF_DIR))
+
+
+def test_q9_dims_broadcast_single_fact_shuffle(spark):
+    # part/supplier/nation broadcast; only lineitem⋈orders and the
+    # final aggregate may shuffle.
+    df = QUERIES["tpch_q9_shape"](spark, SF_DIR)
+    assert has_broadcast_join(df)
+    assert shuffle_count(df) <= 3, shuffle_count(df)
+
+
+def test_q19_or_predicates_reach_both_scans(spark):
+    # Disjunctive pushdown: each scan gets the OR of its own columns.
+    df = QUERIES["tpch_q19_shape"](spark, SF_DIR)
+    filters = " ".join(pushed_filters(df))
+    assert "Or(" in filters and "p_brand" in filters and "l_quantity" in filters, filters
