@@ -457,3 +457,63 @@ def agg_approx_percentile(spark, sf_dir):
         F.round(F.approx_percentile("l_extendedprice", F.lit(0.50), F.lit(10000)), 4).alias("p50"),
         F.round(F.approx_percentile("l_extendedprice", F.lit(0.75), F.lit(10000)), 4).alias("p75"),
     )
+
+
+@query(
+    "agg_mode",
+    section="2.D",
+    oracle="""
+SELECT user_id, event_type AS mode_event_type, cnt
+FROM (
+  SELECT user_id, event_type, COUNT(*) AS cnt,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY COUNT(*) DESC, event_type ASC) AS rn
+  FROM events
+  GROUP BY user_id, event_type
+)
+WHERE rn = 1
+""",
+)
+def agg_mode(spark, sf_dir):
+    """Per-group mode (most frequent event type per user) with an
+    explicit deterministic tie-break (higher count, then lexicographic
+    type) — never the engine's native `mode()`, whose tie choice is
+    engine-private. Count + ranked window: both shuffles are on
+    user_id, the second input is one row per (user, type)."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events")
+    counts = e.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("cnt"))
+    w = Window.partitionBy("user_id").orderBy(F.col("cnt").desc(), F.col("event_type").asc())
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", F.col("event_type").alias("mode_event_type"), "cnt")
+    )
+
+
+@query(
+    "agg_percentile_disc",
+    section="2.D",
+    oracle="""
+SELECT l_returnflag,
+       quantile_disc(l_extendedprice, 0.25) AS p25,
+       quantile_disc(l_extendedprice, 0.50) AS p50,
+       quantile_disc(l_extendedprice, 0.75) AS p75
+FROM lineitem
+GROUP BY l_returnflag
+""",
+)
+def agg_percentile_disc(spark, sf_dir):
+    """Discrete percentiles — actual data values, no interpolation
+    (`agg_percentile` is the continuous twin). Exact doubles from the
+    column domain, so no float-parity rounding is needed. Spark plans
+    this as a sort-based aggregate per group; at scale prefer
+    approx_percentile (the sketch twin `agg_approx_percentile`) once
+    per-group row counts exceed memory."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.expr("percentile_disc(0.25) WITHIN GROUP (ORDER BY l_extendedprice)").alias("p25"),
+        F.expr("percentile_disc(0.50) WITHIN GROUP (ORDER BY l_extendedprice)").alias("p50"),
+        F.expr("percentile_disc(0.75) WITHIN GROUP (ORDER BY l_extendedprice)").alias("p75"),
+    )

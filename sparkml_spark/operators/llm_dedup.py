@@ -339,3 +339,213 @@ def dedup_embedding_cosine(spark, sf_dir):
         .filter(F.col("cosine_raw") > 0.9)
         .select("id_a", "id_b", F.round("cosine_raw", 6).alias("cosine"))
     )
+
+
+# ---------------------------------------------------------------------------
+# MinHash entirely in SQL (ORACLE twin of the MLlib `dedup_near_minhash`)
+# ---------------------------------------------------------------------------
+
+_K_HASHES = 8  # 4 bands × 2 rows
+_SHINGLES_SQL = f"""
+  SELECT doc_id,
+         unnest(list_distinct(list_transform(range(1, len({_TOKS}) - 2),
+             i -> {_TOKS}[i] || ' ' || {_TOKS}[i+1] || ' ' || {_TOKS}[i+2]))) AS shingle
+  FROM corpus
+"""
+
+
+@query(
+    "dedup_minhash_sql",
+    section="2.I",
+    oracle=f"""
+WITH corpus AS ({_VARIANT_SQL}),
+shingled AS ({_SHINGLES_SQL}),
+sig AS (
+  SELECT doc_id, h, MIN(md5(CAST(h AS VARCHAR) || '|' || shingle)) AS mh
+  FROM shingled CROSS JOIN range(0, {_K_HASHES}) t(h)
+  GROUP BY doc_id, h
+),
+bands AS (
+  SELECT doc_id, h // 2 AS band,
+         MIN(CASE WHEN h % 2 = 0 THEN mh END) || '#'
+           || MIN(CASE WHEN h % 2 = 1 THEN mh END) AS band_key
+  FROM sig GROUP BY doc_id, h // 2
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+)
+SELECT id_a, id_b,
+       SUM(CASE WHEN sa.mh = sb.mh THEN 1 ELSE 0 END) / {_K_HASHES}.0 AS est_jaccard
+FROM cand
+JOIN sig sa ON sa.doc_id = id_a
+JOIN sig sb ON sb.doc_id = id_b AND sb.h = sa.h
+GROUP BY id_a, id_b
+HAVING SUM(CASE WHEN sa.mh = sb.mh THEN 1 ELSE 0 END) >= {_K_HASHES} / 2
+""",
+)
+def dedup_minhash_sql(spark, sf_dir):
+    """MinHash + banded LSH expressed purely in relational builtins —
+    the hash-checkable twin of the MLlib `dedup_near_minhash` (which is
+    ROWS-tier because MinHashLSH's hash family is engine-private).
+
+    The permutation family is md5(i || '|' || shingle), i in 0..7:
+    deterministic, identical in Spark and DuckDB, and uniform enough
+    for 3-token shingles. Signature = per-(doc, i) MIN digest; 4 bands
+    of 2 rows generate candidates (band_key equality join — the
+    inverted-index pattern, NEVER all-pairs); estimated Jaccard =
+    matching signature fraction, kept at ≥ 0.5.
+
+    Scale: the shingle explode is the big intermediate (corpus ×
+    shingles/doc × 8) but it's a narrow map feeding one hash-partition
+    per (doc, i); the band join blocks candidates exactly like
+    `MinHashLSH.approxSimilarityJoin`. At 100 TB shingle CountVectorizer
+    vocabularies explode — hashing shingles (here: md5) instead of
+    dictionary-encoding them is the standard fix."""
+    corpus = _corpus_with_near_dups(spark, sf_dir)
+    toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    sh = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 3),
+            lambda i: F.concat_ws(
+                " ", F.element_at(toks, i), F.element_at(toks, i + 1), F.element_at(toks, i + 2)
+            ),
+        )
+    )
+    shingled = corpus.select("doc_id", F.explode(sh).alias("shingle"))
+    hs = F.explode(F.sequence(F.lit(0), F.lit(_K_HASHES - 1))).alias("h")
+    sig = (
+        shingled.select("doc_id", "shingle", hs)
+        .select(
+            "doc_id",
+            "h",
+            F.md5(F.concat(F.col("h").cast("string"), F.lit("|"), F.col("shingle"))).alias("d"),
+        )
+        .groupBy("doc_id", "h")
+        .agg(F.min("d").alias("mh"))
+    )
+    bands = sig.groupBy("doc_id", F.expr("h DIV 2").alias("band")).agg(
+        F.concat(
+            F.min(F.when(F.col("h") % 2 == 0, F.col("mh"))),
+            F.lit("#"),
+            F.min(F.when(F.col("h") % 2 == 1, F.col("mh"))),
+        ).alias("band_key")
+    )
+    a = bands.select(F.col("doc_id").alias("id_a"), "band", "band_key")
+    b = bands.select(F.col("doc_id").alias("id_b"), "band", "band_key")
+    cand = (
+        a.join(b, ["band", "band_key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    sa = sig.select(F.col("doc_id").alias("id_a"), "h", F.col("mh").alias("mh_a"))
+    sb = sig.select(F.col("doc_id").alias("id_b"), "h", F.col("mh").alias("mh_b"))
+    matches = F.sum(F.when(F.col("mh_a") == F.col("mh_b"), 1).otherwise(0))
+    return (
+        cand.join(sa, "id_a")
+        .join(sb, ["id_b", "h"])
+        .groupBy("id_a", "id_b")
+        .agg(
+            (matches / F.lit(float(_K_HASHES))).alias("est_jaccard"),
+            matches.alias("n_match"),
+        )
+        .filter(F.col("n_match") >= _K_HASHES // 2)
+        .drop("n_match")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Connected-component duplicate clustering
+# ---------------------------------------------------------------------------
+
+# A 3-node path per seeded doc: x — x+OFF — x+2·OFF. Transitive closure
+# is required to cluster the endpoints (they share no edge).
+_CHAIN_EDGES_SQL = f"""
+  SELECT doc_id AS src, doc_id + {_DUP_OFFSET} AS dst
+  FROM documents WHERE doc_id % 10 = 0
+  UNION ALL
+  SELECT doc_id + {_DUP_OFFSET} AS src, doc_id + {2 * _DUP_OFFSET} AS dst
+  FROM documents WHERE doc_id % 10 = 0
+"""
+
+
+@query(
+    "dedup_cc_clusters",
+    section="2.I",
+    oracle=f"""
+WITH RECURSIVE base_edges AS ({_CHAIN_EDGES_SQL}),
+edges AS (
+  SELECT src, dst FROM base_edges
+  UNION ALL
+  SELECT dst AS src, src AS dst FROM base_edges
+),
+nodes AS (
+  SELECT src AS node FROM edges UNION SELECT dst FROM edges
+),
+reach(node, r) AS (
+  SELECT node, node FROM nodes
+  UNION
+  SELECT reach.node, e.dst FROM reach JOIN edges e ON e.src = reach.r
+),
+labels AS (
+  SELECT node AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY node
+)
+SELECT doc_id, cluster_id,
+       COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size
+FROM labels
+""",
+)
+def dedup_cc_clusters(spark, sf_dir):
+    """Duplicate-cluster labeling: connected components over the
+    near-dup pair graph, each doc labeled with the minimum doc_id
+    reachable from it (the canonical representative a dedup pass
+    keeps). The fixture graph is a seeded 3-node chain per selected
+    doc, so correctness requires TRANSITIVE closure, not just pair
+    grouping.
+
+    Spark side: iterative min-label propagation — labels(v) =
+    min(labels(v), min over neighbors u of labels(u)) — as a fixed
+    4-round unrolled DataFrame plan (graph diameter here is 2; the
+    extra rounds are margin and cost only tiny shuffles). The oracle
+    is exact transitive closure via a recursive CTE.
+
+    Scale: fixed-round propagation converges in O(diameter) rounds;
+    for web-scale dup graphs (long chains) switch to the
+    large-star/small-star alternation [Kiveris et al., "Connected
+    Components in MapReduce and Beyond", SoCC'14], which converges in
+    O(log n) rounds with the same join+min building block, and check
+    convergence per round with a count of changed labels."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    seeds = d.filter(F.col("doc_id") % 10 == 0)
+    e1 = seeds.select(
+        F.col("doc_id").alias("src"), (F.col("doc_id") + _DUP_OFFSET).alias("dst")
+    )
+    e2 = seeds.select(
+        (F.col("doc_id") + _DUP_OFFSET).alias("src"),
+        (F.col("doc_id") + 2 * _DUP_OFFSET).alias("dst"),
+    )
+    base = e1.unionByName(e2)
+    edges = base.unionByName(base.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .unionByName(edges.select(F.col("dst").alias("node")))
+        .distinct()
+        .withColumn("lbl", F.col("node"))
+    )
+    for _ in range(4):
+        nbr = (
+            edges.join(labels, edges.dst == labels.node)
+            .groupBy(F.col("src").alias("node"))
+            .agg(F.min("lbl").alias("nbr_min"))
+        )
+        labels = (
+            labels.join(nbr, "node", "left")
+            .select("node", F.least(F.col("lbl"), F.coalesce("nbr_min", "lbl")).alias("lbl"))
+        )
+    w = Window.partitionBy("cluster_id")
+    return (
+        labels.select(F.col("node").alias("doc_id"), F.col("lbl").alias("cluster_id"))
+        .withColumn("cluster_size", F.count(F.lit(1)).over(w))
+    )

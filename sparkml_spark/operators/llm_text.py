@@ -400,3 +400,153 @@ def text_tfidf_mllib(spark, sf_dir):
         F.round(F.aggregate(arr, F.lit(0.0), lambda a, v: a + v), 4).alias("tfidf_mass"),
         F.round(F.array_max(arr), 4).alias("tfidf_max"),
     )
+
+
+@query(
+    "text_repetition_score",
+    section="2.I",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_TOKENS_SQL}) AS tok FROM documents
+),
+uni AS (
+  SELECT doc_id, SUM(cnt) AS n_tokens, COUNT(*) AS n_distinct,
+         MAX(cnt) AS top_cnt
+  FROM (SELECT doc_id, tok, COUNT(*) AS cnt FROM toks GROUP BY doc_id, tok)
+  GROUP BY doc_id
+),
+big AS (
+  SELECT doc_id, MAX(cnt) AS top_bigram_cnt
+  FROM (
+    SELECT doc_id, bigram, COUNT(*) AS cnt
+    FROM (
+      SELECT doc_id,
+             unnest(list_transform(range(1, len({_TOKENS_SQL})),
+                 i -> {_TOKENS_SQL}[i] || ' ' || {_TOKENS_SQL}[i+1])) AS bigram
+      FROM documents
+    )
+    GROUP BY doc_id, bigram
+  )
+  GROUP BY doc_id
+)
+SELECT uni.doc_id, n_tokens,
+       round(CAST(n_distinct AS DOUBLE) / n_tokens, 6) AS distinct_ratio,
+       round(CAST(top_cnt AS DOUBLE) / n_tokens, 6) AS top_token_share,
+       round(CAST(top_bigram_cnt AS DOUBLE) / (n_tokens - 1), 6) AS top_bigram_share
+FROM uni JOIN big ON big.doc_id = uni.doc_id
+""",
+)
+def text_repetition_score(spark, sf_dir):
+    """Gopher-style repetition features per document: distinct-token
+    ratio, most-frequent-unigram share, most-frequent-bigram share —
+    the standard filters for boilerplate/spam in LLM training corpora
+    [Rae et al., "Scaling Language Models" (Gopher), 2021, §A1.1].
+
+    Two explodes (unigram, bigram) each aggregate per (doc, term) with
+    map-side combine, then per doc — shuffle keys are document-local
+    so skew is bounded by document length, not corpus size. Ratios are
+    int/int divisions rounded at 6 dp — engine-exact."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = _tokens()
+    uni_counts = (
+        d.select("doc_id", F.explode(toks).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("cnt").alias("n_tokens"),
+            F.count(F.lit(1)).alias("n_distinct"),
+            F.max("cnt").alias("top_cnt"),
+        )
+    )
+    bigrams = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - 1),
+        lambda i: F.concat_ws(" ", F.element_at(toks, i), F.element_at(toks, i + 1)),
+    )
+    big_counts = (
+        d.select("doc_id", F.explode(bigrams).alias("bigram"))
+        .groupBy("doc_id", "bigram")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .groupBy("doc_id")
+        .agg(F.max("cnt").alias("top_bigram_cnt"))
+    )
+    return uni_counts.join(big_counts, "doc_id").select(
+        "doc_id",
+        "n_tokens",
+        F.round(F.col("n_distinct").cast("double") / F.col("n_tokens"), 6).alias(
+            "distinct_ratio"
+        ),
+        F.round(F.col("top_cnt").cast("double") / F.col("n_tokens"), 6).alias(
+            "top_token_share"
+        ),
+        F.round(
+            F.col("top_bigram_cnt").cast("double") / (F.col("n_tokens") - 1), 6
+        ).alias("top_bigram_share"),
+    )
+
+
+# PII patterns kept to the regex subset where Java (Spark) and RE2
+# (DuckDB) agree exactly: literal classes, +, {n}, no lookaround.
+_EMAIL_RE = "[a-z0-9]+@[a-z]+\\.[a-z]+"
+_PHONE_RE = "555-[0-9]{4}"
+
+# The fixture corpus contains no PII, so inject a deterministic
+# population (doc_id % 7 == 0) inside the query — oracle does the same.
+_PII_CORPUS_SQL = f"""
+  SELECT doc_id,
+         CASE WHEN doc_id % 7 = 0
+              THEN text || ' contact user' || CAST(doc_id AS VARCHAR)
+                   || '@example.com or 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+              ELSE text END AS text
+  FROM documents
+"""
+
+
+@query(
+    "text_pii_scrub",
+    section="2.I",
+    oracle=f"""
+WITH corpus AS ({_PII_CORPUS_SQL})
+SELECT doc_id,
+       len(regexp_extract_all(text, '{_EMAIL_RE}')) AS n_emails,
+       len(regexp_extract_all(text, '{_PHONE_RE}')) AS n_phones,
+       md5(regexp_replace(regexp_replace(text, '{_EMAIL_RE}', '<EMAIL>', 'g'),
+           '{_PHONE_RE}', '<PHONE>', 'g')) AS scrubbed_md5
+FROM corpus
+WHERE len(regexp_extract_all(text, '{_EMAIL_RE}'))
+      + len(regexp_extract_all(text, '{_PHONE_RE}')) > 0
+""",
+)
+def text_pii_scrub(spark, sf_dir):
+    """PII detection + redaction: count email/phone matches per doc and
+    emit the md5 of the scrubbed text (digest instead of full text
+    keeps the checked output narrow). Pure regexp expressions —
+    codegen'd, no Python, one scan, no shuffle at all (per-row map);
+    at 100 TB this runs at parquet-read speed. Patterns restricted to
+    the Java∩RE2 regex subset so both engines match identically."""
+    d = load_table(spark, sf_dir, "documents")
+    text = F.when(
+        F.col("doc_id") % 7 == 0,
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com or 555-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        ),
+    ).otherwise(F.col("text"))
+    corpus = d.select("doc_id", text.alias("text"))
+    n_emails = F.size(F.regexp_extract_all("text", F.lit(_EMAIL_RE), 0))
+    n_phones = F.size(F.regexp_extract_all("text", F.lit(_PHONE_RE), 0))
+    scrubbed = F.regexp_replace(
+        F.regexp_replace("text", _EMAIL_RE, "<EMAIL>"), _PHONE_RE, "<PHONE>"
+    )
+    return (
+        corpus.select(
+            "doc_id",
+            n_emails.alias("n_emails"),
+            n_phones.alias("n_phones"),
+            F.md5(scrubbed).alias("scrubbed_md5"),
+        )
+        .filter(F.col("n_emails") + F.col("n_phones") > 0)
+    )

@@ -304,3 +304,64 @@ def win_sessionize_batch(spark, sf_dir):
         .withColumn("session_id", F.sum(new_sess).over(w_cum))
         .select("event_id", "user_id", "ts", "session_id")
     )
+
+
+@query(
+    "win_zscore_anomaly",
+    section="2.E",
+    oracle="""
+WITH stats AS (
+  SELECT event_id, user_id, value,
+         CAST(SUM(CAST(value AS DECIMAL(12,2)))
+              OVER w AS DOUBLE) AS sx,
+         CAST(SUM(CAST(value AS DECIMAL(12,2)) * CAST(value AS DECIMAL(12,2)))
+              OVER w AS DOUBLE) AS sxx,
+         COUNT(*) OVER w AS n
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
+)
+SELECT event_id, user_id, value, z
+FROM (
+  SELECT event_id, user_id, value, n,
+         round((value - sx / n)
+               / sqrt(((sxx - sx * sx / n) / (n - 1))), 6) AS z
+  FROM stats WHERE n >= 10
+)
+WHERE abs(z) > 2.5
+""",
+)
+def win_zscore_anomaly(spark, sf_dir):
+    """Streaming-style anomaly flag on the bounded events table: each
+    value scored against the trailing-20-row mean/stddev per user;
+    |z| > 2.5 flags. The frame sums go through the cents-grid decimal
+    pattern (exact, order-independent — registry docstring) so the
+    sliding-window recombination is engine-identical; the one
+    double/sqrt chain rounds at 6 dp and the flag filter compares the
+    ROUNDED score, pinning the boundary on both engines.
+
+    Scale: single hash-partition by user_id, linear frame maintenance
+    — the batch twin of a `transformWithState` rolling detector."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events")
+    vd = F.col("value").cast("decimal(12,2)")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-19, Window.currentRow)
+    )
+    sx = F.sum(vd).over(w).cast("double")
+    sxx = F.sum(vd * vd).over(w).cast("double")
+    n = F.count(F.lit(1)).over(w)
+    stats = e.select("event_id", "user_id", "value", sx.alias("sx"), sxx.alias("sxx"), n.alias("n"))
+    z = F.round(
+        (F.col("value") - F.col("sx") / F.col("n"))
+        / F.sqrt((F.col("sxx") - F.col("sx") * F.col("sx") / F.col("n")) / (F.col("n") - 1)),
+        6,
+    )
+    return (
+        stats.filter(F.col("n") >= 10)
+        .select("event_id", "user_id", "value", z.alias("z"))
+        .filter(F.abs(F.col("z")) > 2.5)
+    )

@@ -83,3 +83,26 @@ def sink_parquet_partitioned(spark, sf_dir):
     d.write.mode("overwrite").partitionBy("lang").parquet(path)
     back = spark.read.parquet(path)
     return back.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"))
+
+
+@query(
+    "scan_orc",
+    section="2.A",
+    oracle="""
+SELECT l_returnflag, COUNT(*) AS n_rows
+FROM lineitem
+GROUP BY l_returnflag
+""",
+)
+def scan_orc(spark, sf_dir):
+    """ORC round-trip: lineitem written as ORC, read back, counted per
+    return flag against the parquet source — pins that the second
+    columnar format the engine supports preserves row content. ORC
+    gets the same vectorized reader / pushdown treatment as parquet in
+    Spark; the oracle runs on the original parquet (DuckDB reads no
+    ORC), so the check still hash-compares real values."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_returnflag")
+    path = _artifact("lineitem_orc")
+    li.write.mode("overwrite").orc(path)
+    back = spark.read.orc(path)
+    return back.groupBy("l_returnflag").agg(F.count(F.lit(1)).alias("n_rows"))
