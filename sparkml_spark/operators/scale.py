@@ -125,3 +125,108 @@ def join_skew_salted(spark, sf_dir):
         .groupBy("event_type", "type_group")
         .agg(F.count(F.lit(1)).alias("n_events"))
     )
+
+
+@query(
+    "sink_sorted_data_skipping",
+    section="2.A",
+    oracle="""
+SELECT event_type, COUNT(*) AS n_events
+FROM events
+WHERE ts >= TIMESTAMP '2024-01-10' AND ts < TIMESTAMP '2024-01-11'
+GROUP BY event_type
+""",
+)
+def sink_sorted_data_skipping(spark, sf_dir):
+    """Sort-clustered layout for data skipping: events written
+    `repartitionByRange(ts)` + `sortWithinPartitions(ts)`, so each
+    output file covers a narrow, non-overlapping ts range and its
+    parquet footer min/max stats let a time-window read skip every
+    file outside the window (the poor man's Z-order, exact for a
+    single sort key).
+
+    At 100 TB this is the difference between scanning the whole fact
+    table and scanning one day of it: partition pruning handles the
+    directory level (`sink_parquet_partitioned`), range-clustering
+    handles the file/rowgroup level inside each partition. The window
+    read-back is hash-checked against the unsorted source."""
+    e = load_table(spark, sf_dir, "events")
+    path = os.path.join(_WAREHOUSE, "..", "events_ts_sorted")
+    (
+        e.repartitionByRange(8, "ts")
+        .sortWithinPartitions("ts")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+    back = spark.read.parquet(path)
+    return (
+        back.filter(
+            (F.col("ts") >= F.lit("2024-01-10").cast("timestamp_ntz"))
+            & (F.col("ts") < F.lit("2024-01-11").cast("timestamp_ntz"))
+        )
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+
+
+@query(
+    "join_bloom_pruned",
+    section="2.C",
+    oracle=f"""
+SELECT o_orderpriority,
+       {dsum_sql('l_extendedprice')} AS revenue,
+       COUNT(*) AS n_items
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE o_orderpriority = '1-URGENT'
+GROUP BY o_orderpriority
+""",
+)
+def join_bloom_pruned(spark, sf_dir):
+    """Runtime bloom-filter semi-join reduction: the selective filter
+    on orders is turned into a bloom filter that prunes lineitem rows
+    BEFORE the join shuffle (`spark.sql.optimizer.runtime.bloomFilter
+    .enabled` — injected as a might_contain() predicate on the probe
+    side). At 100 TB this cuts the shuffled fact volume by the dim
+    filter's selectivity (~20% here) without any manual semi-join.
+
+    Semantics are identical with or without the filter (it's
+    conservative) — which is exactly what the oracle check pins.
+
+    Injection guards tuned for fixture scale: the probe side must
+    normally scan ≥10 GB and the creation side must NOT be
+    broadcastable — both true on a cluster, never locally. The
+    operator compiles the physical plan under temporarily-adjusted
+    thresholds (QueryExecution pins the compiled plan to the returned
+    DataFrame) and restores every conf before returning, so no other
+    query sees the changes."""
+    tuned = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    prev = {k: spark.conf.get(k, None) for k in tuned}
+    for k, v in tuned.items():
+        spark.conf.set(k, v)
+    try:
+        o = load_table(spark, sf_dir, "orders").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        li = load_table(spark, sf_dir, "lineitem")
+        df = (
+            li.join(o, li.l_orderkey == o.o_orderkey)
+            .groupBy("o_orderpriority")
+            .agg(
+                dsum("l_extendedprice").alias("revenue"),
+                F.count(F.lit(1)).alias("n_items"),
+            )
+        )
+        # Force physical planning now, while the tuned confs are live.
+        df._jdf.queryExecution().executedPlan()
+    finally:
+        for k, v in prev.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+    return df

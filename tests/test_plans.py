@@ -106,3 +106,16 @@ def test_q19_or_predicates_reach_both_scans(spark):
     df = QUERIES["tpch_q19_shape"](spark, SF_DIR)
     filters = " ".join(pushed_filters(df))
     assert "Or(" in filters and "p_brand" in filters and "l_quantity" in filters, filters
+
+
+def test_bloom_filter_injected(spark):
+    # The runtime bloom filter must appear in the compiled plan (the
+    # operator freezes it under tuned thresholds) — and the session
+    # confs must be restored afterwards.
+    from sparkml_spark.plans.explain import executed_plan
+
+    before = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    df = QUERIES["join_bloom_pruned"](spark, SF_DIR)
+    plan = executed_plan(df).lower()
+    assert "bloomfilter" in plan or "might_contain" in plan, plan[:2000]
+    assert spark.conf.get("spark.sql.autoBroadcastJoinThreshold") == before
