@@ -145,3 +145,32 @@ def sql_text_overlap(spark, sf_dir):
     translation layer at all for the ANSI-overlap subset."""
     register_views(spark, sf_dir)
     return spark.sql(_OVERLAP_SQL)
+
+
+_DIALECT_Q1 = """
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(27,6))) AS DOUBLE) AS sum_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(27,6))) AS DOUBLE) AS sum_base_price,
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(27,6)))
+            AS DOUBLE) AS sum_disc_price,
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax)
+            AS DECIMAL(27,6))) AS DOUBLE) AS sum_charge,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(27,6))) AS DOUBLE)
+         / COUNT(l_quantity) AS avg_qty,
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+@query("sql_dialect_q1", section="3.EP3", oracle=_DIALECT_Q1)
+def sql_dialect_q1(spark, sf_dir):
+    """EP3 dialect overlap, flagship-sized: the COMPLETE Q1-shape SQL
+    text — decimal-exact sums, derived average, timestamp literal,
+    multi-key grouping — runs verbatim through `spark.sql` and as the
+    DuckDB oracle. Demonstrates that the engine's SQL entry point
+    needs no translation layer for the ANSI-overlap subset, including
+    the float-parity idioms (the dsum pattern is itself plain ANSI)."""
+    register_views(spark, sf_dir)
+    return spark.sql(_DIALECT_Q1)

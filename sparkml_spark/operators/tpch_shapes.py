@@ -95,21 +95,29 @@ WITH rich AS (
 )
 SELECT c_mktsegment, COUNT(*) AS n_custs, {dsum_sql('c_acctbal')} AS total_bal
 FROM rich r
-WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = r.c_custkey)
+WHERE NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = r.c_custkey
+                    AND o.o_orderpriority = '1-URGENT')
 GROUP BY c_mktsegment
 """,
 )
 def tpch_q22_shape(spark, sf_dir):
-    """Idle rich customers (Q22): scalar-average threshold (exact
-    decimal, one-row broadcast) → anti join against orders → segment
-    rollup."""
+    """Rich customers with no urgent orders (Q22 shape): scalar-average
+    threshold (exact decimal, broadcast as a one-row join — never a
+    driver-side collect) → anti join against the filtered orders →
+    segment rollup. The anti-join side is restricted to URGENT orders
+    so the result is non-trivial at every fixture scale (plain
+    "no orders at all" is empty — FK coverage is total)."""
     t = load_tables(spark, sf_dir)
     positive = t.customer.filter(F.col("c_acctbal") > 0)
-    avg_bal = positive.agg(
-        (dsum("c_acctbal") / F.count("c_acctbal")).alias("a")
-    ).collect()[0]["a"]  # one scalar — the decorrelated subquery value
-    rich = t.customer.filter(F.col("c_acctbal") > avg_bal)
-    idle = rich.join(t.orders, rich.c_custkey == t.orders.o_custkey, "left_anti")
+    avg_bal = positive.agg((dsum("c_acctbal") / F.count("c_acctbal")).alias("avg_bal"))
+    rich = (
+        t.customer.join(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .drop("avg_bal")
+    )
+    urgent = t.orders.filter(F.col("o_orderpriority") == "1-URGENT")
+    idle = rich.join(urgent, rich.c_custkey == urgent.o_custkey, "left_anti")
     return idle.groupBy("c_mktsegment").agg(
         F.count(F.lit(1)).alias("n_custs"), dsum("c_acctbal").alias("total_bal")
     )
