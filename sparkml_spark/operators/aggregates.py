@@ -517,3 +517,57 @@ def agg_percentile_disc(spark, sf_dir):
         F.expr("percentile_disc(0.50) WITHIN GROUP (ORDER BY l_extendedprice)").alias("p50"),
         F.expr("percentile_disc(0.75) WITHIN GROUP (ORDER BY l_extendedprice)").alias("p75"),
     )
+
+
+@query("agg_hll_sketch", section="2.D")
+def agg_hll_sketch(spark, sf_dir):
+    """Mergeable HLL sketches (Datasketches HllSketch, Spark 3.5+):
+    per-event-type user sketches, each estimated AND union-merged into
+    a corpus-wide estimate — the re-aggregatable form `agg_approx_
+    distinct` can't give you (approx_count_distinct yields a number;
+    sketches compose across partitions/days, which is what a 100 TB
+    rollup pipeline stores). ROWS tier: the sketch binary and its
+    estimator are engine-specific (DuckDB's HLL differs), but the
+    output is deterministic — fixed lgConfigK, order-insensitive
+    merges. Exact countDistinct rides along as the in-row error bound
+    witness."""
+    e = load_table(spark, sf_dir, "events")
+    per_type = e.groupBy("event_type").agg(
+        F.hll_sketch_agg("user_id", F.lit(12)).alias("sk"),
+        F.countDistinct("user_id").alias("exact_users"),
+    )
+    return (
+        per_type.groupBy()
+        .agg(
+            F.sum("exact_users").alias("sum_exact_per_type"),
+            F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est_total_users"),
+            F.count(F.lit(1)).alias("n_types"),
+        )
+    )
+
+
+@query("agg_count_min", section="2.D")
+def agg_count_min(spark, sf_dir):
+    """Count-min sketch built natively from DataFrame ops: d=4 seeded
+    xxhash64 rows x w=256 buckets; per-(row,bucket) counts are one
+    narrow aggregation, and each key's frequency estimate is the MIN
+    over its d buckets -- overestimates only, by < corpus/w w.h.p.
+    Exact counts ride along as the error witness. ROWS tier (xxhash64
+    is Spark-specific); fully deterministic, no driver round-trip --
+    unlike the JVM-private `DataFrameStatFunctions.countMinSketch`,
+    this sketch IS a table, so it merges across days/partitions by
+    summing buckets (the property a 100 TB rollup pipeline needs)."""
+    d, w = 4, 256
+    e = load_table(spark, sf_dir, "events")
+    seeds = F.explode(F.array(*[F.lit(i) for i in range(d)])).alias("seed")
+    bucket = F.pmod(F.xxhash64(F.concat(F.col("seed").cast("string"), F.col("event_type"))), F.lit(w))
+    hashed = e.select("event_type").select("event_type", seeds).withColumn("bucket", bucket)
+    cms = hashed.groupBy("seed", "bucket").agg(F.count(F.lit(1)).alias("cnt"))
+    keys = e.groupBy("event_type").agg(F.count(F.lit(1)).alias("exact_cnt"))
+    key_buckets = keys.select("event_type", "exact_cnt", seeds).withColumn("bucket", bucket)
+    return (
+        key_buckets.join(F.broadcast(cms), ["seed", "bucket"])
+        .groupBy("event_type", "exact_cnt")
+        .agg(F.min("cnt").alias("est_cnt"))
+        .orderBy("event_type")
+    )

@@ -9,7 +9,9 @@ from __future__ import annotations
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
-from sparkml_spark.registry import dsum
+from sparkml_spark.registry import QUERIES, dsum
+
+from .conftest import SF_DIR
 
 
 def test_outer_join_null_extension(spark):
@@ -111,3 +113,25 @@ def test_approx_percentile_close_to_exact(spark):
     for flag, ex in exact.items():
         for e, a in zip(ex, approx[flag]):
             assert abs(e - a) / max(abs(e), 1) < 0.02, (flag, e, a)
+
+
+def test_count_min_overestimates_only(spark):
+    # CMS guarantee: est >= exact for every key, and the overestimate
+    # is bounded (w=256 buckets over a 5-type corpus: tiny collisions).
+    rows = QUERIES["agg_count_min"](spark, SF_DIR).collect()
+    assert rows, "no keys"
+    for r in rows:
+        assert r["est_cnt"] >= r["exact_cnt"], r
+        assert r["est_cnt"] <= r["exact_cnt"] * 1.5 + 100, r
+
+
+def test_hll_union_estimate_close(spark):
+    # Union of per-type sketches must estimate the GLOBAL distinct
+    # user count (types share users, so it's far below the sum).
+    row = QUERIES["agg_hll_sketch"](spark, SF_DIR).collect()[0]
+    import duckdb
+
+    exact = duckdb.sql(
+        f"SELECT COUNT(DISTINCT user_id) FROM read_parquet('{SF_DIR}/events.parquet')"
+    ).fetchone()[0]
+    assert abs(row["est_total_users"] - exact) / exact < 0.05, (row, exact)
