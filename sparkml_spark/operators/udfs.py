@@ -146,3 +146,37 @@ def map_in_pandas(spark, sf_dir):
 
     e = load_table(spark, sf_dir, "embeddings")
     return e.mapInPandas(score, "vec_id BIGINT, probe_cosine DOUBLE")
+
+
+@query("udaf_ewma_apply_in_pandas", section="2.L")
+def udaf_ewma_apply_in_pandas(spark, sf_dir):
+    """Exponentially-weighted moving average per user — the canonical
+    ORDER-DEPENDENT recurrence (s_t = a*v_t + (1-a)*s_{t-1}) that no
+    built-in window frame expresses; applyInPandas is the right escape
+    hatch: one Arrow batch per user, sorted inside the group, vectorized
+    pandas ewm. ROWS tier (recurrence over floats is engine-specific),
+    deterministic: groups are hash-partitioned by user_id, rows sorted
+    by (ts, event_id) inside the group, fixed alpha.
+
+    Scale: state per group is O(1); groups are independent — this is
+    exactly the batch twin of `stream_stateful_custom`'s running
+    state, and at 100 TB it shards by user across executors with one
+    shuffle."""
+    import pandas as pd
+
+    def ewma(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["ts", "event_id"])
+        s = pdf["value"].ewm(alpha=0.3, adjust=False).mean()
+        return pd.DataFrame(
+            {
+                "event_id": pdf["event_id"],
+                "user_id": pdf["user_id"],
+                "value": pdf["value"],
+                "ewma": s.round(6),
+            }
+        )
+
+    e = load_table(spark, sf_dir, "events").select("event_id", "user_id", "ts", "value")
+    return e.groupBy("user_id").applyInPandas(
+        ewma, "event_id BIGINT, user_id BIGINT, value DOUBLE, ewma DOUBLE"
+    )

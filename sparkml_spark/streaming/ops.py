@@ -356,3 +356,23 @@ def stream_stateful_tws(spark, sf_dir):
         )
     )
     return _run_to_memory(out, "tws", "update")
+
+
+@query("stream_sketch_rollup", section="2.K")
+def stream_sketch_rollup(spark, sf_dir):
+    """Streaming distinct-user sketch rollup: hourly tumbling windows
+    aggregate `approx_count_distinct(user_id)` under a watermark,
+    bounded-replayed with AvailableNow into a memory sink. The
+    pattern at 100 TB: the stream maintains per-window HLL state
+    (fixed memory per window, mergeable across micro-batches) instead
+    of exact distinct state that grows with cardinality. ROWS tier
+    (sketch runtime); the exact batch twin is one groupBy away and the
+    test suite compares them within HLL error."""
+    e = _event_stream(spark, sf_dir)
+    agg = (
+        e.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
+        .agg(F.approx_count_distinct("user_id", 0.02).alias("approx_users"))
+        .select(F.col("win.start").alias("hour_start"), "event_type", "approx_users")
+    )
+    return _run_to_memory(agg, "stream_sketch_rollup", output_mode="complete")

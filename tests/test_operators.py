@@ -135,3 +135,35 @@ def test_hll_union_estimate_close(spark):
         f"SELECT COUNT(DISTINCT user_id) FROM read_parquet('{SF_DIR}/events.parquet')"
     ).fetchone()[0]
     assert abs(row["est_total_users"] - exact) / exact < 0.05, (row, exact)
+
+
+def test_ewma_recurrence(spark):
+    # adjust=False pins s_0 = v_0 and s_t = a*v_t + (1-a)*s_{t-1};
+    # recompute one user's series in plain Python and compare.
+    rows = QUERIES["udaf_ewma_apply_in_pandas"](spark, SF_DIR).collect()
+    by_user = {}
+    for r in rows:
+        by_user.setdefault(r["user_id"], []).append(r)
+    uid, series = sorted(by_user.items())[0]
+    series.sort(key=lambda r: r["event_id"])  # event_id monotonic with ts
+    s = None
+    for r in series:
+        s = r["value"] if s is None else 0.3 * r["value"] + 0.7 * s
+        assert abs(r["ewma"] - round(s, 6)) < 1e-9, (uid, r, s)
+
+
+def test_stream_sketch_rollup_close_to_exact(spark):
+    import duckdb
+
+    approx = {
+        (r["hour_start"], r["event_type"]): r["approx_users"]
+        for r in QUERIES["stream_sketch_rollup"](spark, SF_DIR).collect()
+    }
+    exact = duckdb.sql(
+        f"""SELECT date_trunc('hour', ts) h, event_type, COUNT(DISTINCT user_id) n
+            FROM read_parquet('{SF_DIR}/events.parquet') GROUP BY 1, 2"""
+    ).fetchall()
+    assert len(approx) == len(exact)
+    for h, et, n in exact:
+        a = approx[(h, et)]
+        assert abs(a - n) <= max(2, 0.1 * n), (h, et, a, n)
