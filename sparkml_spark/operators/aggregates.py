@@ -571,3 +571,28 @@ def agg_count_min(spark, sf_dir):
         .agg(F.min("cnt").alias("est_cnt"))
         .orderBy("event_type")
     )
+
+
+@query("agg_bitmap_distinct", section="2.D")
+def agg_bitmap_distinct(spark, sf_dir):
+    """EXACT distinct counts via bitmap aggregation (Spark 3.5+
+    bitmap_* family): user ids bucketed with bitmap_bucket_number,
+    per-bucket bitmaps built with bitmap_construct_agg, merged with
+    bitmap_or_agg, counted with bitmap_count. Unlike countDistinct
+    (re-shuffles raw ids per query) the bitmaps are EXACT and
+    MERGEABLE — store per-(day, type) bitmaps once, answer any
+    rollup's distinct count by OR-ing them. That's the 100 TB pattern
+    for repeated exact-distinct questions. ROWS tier (bitmap binary is
+    Spark-private); the test asserts equality with countDistinct."""
+    e = load_table(spark, sf_dir, "events")
+    per_bucket = (
+        e.select("event_type", "user_id")
+        .withColumn("bucket", F.expr("bitmap_bucket_number(user_id)"))
+        .groupBy("event_type", "bucket")
+        .agg(F.expr("bitmap_construct_agg(bitmap_bit_position(user_id))").alias("bm"))
+    )
+    return (
+        per_bucket.groupBy("event_type")
+        .agg(F.expr("sum(bitmap_count(bm))").alias("n_distinct_users"))
+        .orderBy("event_type")
+    )

@@ -19,7 +19,7 @@ from __future__ import annotations
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
-from sparkml_spark.registry import query
+from sparkml_spark.registry import dsum, dsum_sql, query
 from sparkml_spark.sources.loader import load_table
 
 #: Stopwords drawn from the fixture's real token pool.
@@ -549,4 +549,99 @@ def text_pii_scrub(spark, sf_dir):
             F.md5(scrubbed).alias("scrubbed_md5"),
         )
         .filter(F.col("n_emails") + F.col("n_phones") > 0)
+    )
+
+
+_PIPE_CORPUS_SQL = """
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 10 = 0
+"""
+
+
+@query(
+    "pipeline_training_corpus",
+    section="2.I",
+    oracle=f"""
+WITH corpus AS ({_PIPE_CORPUS_SQL}),
+hashed AS (
+  SELECT doc_id, text,
+         md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS h
+  FROM corpus
+),
+deduped AS (
+  SELECT doc_id, text FROM (
+    SELECT doc_id, text,
+           ROW_NUMBER() OVER (PARTITION BY h ORDER BY doc_id) AS rn
+    FROM hashed
+  ) WHERE rn = 1
+),
+scored AS (
+  SELECT d.doc_id,
+         len({_TOKENS_SQL}) AS n_tokens,
+         CAST(len(list_distinct({_TOKENS_SQL})) AS DOUBLE)
+           / len({_TOKENS_SQL}) AS distinct_ratio
+  FROM deduped d
+),
+kept AS (
+  SELECT doc_id, n_tokens, distinct_ratio
+  FROM scored
+  WHERE n_tokens BETWEEN 5 AND 1000 AND distinct_ratio > 0.3
+)
+SELECT lang,
+       COUNT(*) AS n_kept,
+       SUM(n_tokens) AS total_tokens,
+       {dsum_sql('round(distinct_ratio, 6)')} / COUNT(*) AS avg_distinct_ratio
+FROM kept k JOIN documents doc ON doc.doc_id = k.doc_id % 1000000
+GROUP BY lang
+""",
+)
+def pipeline_training_corpus(spark, sf_dir):
+    """The end-to-end training-data pipeline as ONE declarative plan:
+    normalize → exact-dedup (content-hash, keep lowest doc_id) →
+    quality gate (token count bounds + distinct-token ratio) → per-
+    language corpus accounting. This is the composition a reference
+    user actually runs nightly; every stage is an inventory operator
+    (dedup_exact_hash, text_repetition_score, text_lang_profile) and
+    the whole chain stays in Catalyst — one shuffle per stage
+    boundary, no Python.
+
+    The synthetic 10% duplicate injection is deduped exactly; lang is
+    recovered for the kept docs via doc_id % offset (dup ids map back
+    to their source). avg ratio goes through round-then-exact-decimal
+    so the per-lang mean is engine-identical."""
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    corpus = d.select("doc_id", "text").unionByName(
+        d.filter(F.col("doc_id") % 10 == 0).select(
+            (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+        )
+    )
+    h = F.md5(F.lower(F.trim(F.regexp_replace("text", r"\s+", " "))))
+    hashed = corpus.select("doc_id", "text", h.alias("h"))
+    w = Window.partitionBy("h").orderBy("doc_id")
+    deduped = (
+        hashed.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1).drop("rn", "h")
+    )
+    toks = _tokens()
+    scored = deduped.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        (F.size(F.array_distinct(toks)).cast("double") / F.size(toks)).alias("distinct_ratio"),
+    )
+    kept = scored.filter(
+        F.col("n_tokens").between(5, 1000) & (F.col("distinct_ratio") > 0.3)
+    )
+    meta = d.select(F.col("doc_id").alias("src_id"), "lang")
+    return (
+        kept.join(F.broadcast(meta), kept.doc_id % 1000000 == F.col("src_id"))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.sum("n_tokens").alias("total_tokens"),
+            (dsum(F.round("distinct_ratio", 6)) / F.count(F.lit(1))).alias(
+                "avg_distinct_ratio"
+            ),
+        )
     )

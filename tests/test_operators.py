@@ -9,6 +9,7 @@ from __future__ import annotations
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
+import sparkml_spark.operators  # noqa: F401  (fills the registry)
 from sparkml_spark.registry import QUERIES, dsum
 
 from .conftest import SF_DIR
@@ -167,3 +168,19 @@ def test_stream_sketch_rollup_close_to_exact(spark):
     for h, et, n in exact:
         a = approx[(h, et)]
         assert abs(a - n) <= max(2, 0.1 * n), (h, et, a, n)
+
+
+def test_bitmap_distinct_is_exact(spark):
+    import duckdb
+
+    got = {
+        r["event_type"]: r["n_distinct_users"]
+        for r in QUERIES["agg_bitmap_distinct"](spark, SF_DIR).collect()
+    }
+    exact = dict(
+        duckdb.sql(
+            f"""SELECT event_type, COUNT(DISTINCT user_id)
+                FROM read_parquet('{SF_DIR}/events.parquet') GROUP BY 1"""
+        ).fetchall()
+    )
+    assert got == exact
