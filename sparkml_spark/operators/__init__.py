@@ -14,6 +14,7 @@ from sparkml_spark.operators import (  # noqa: F401
     reshape,
     scale,
     subqueries,
+    timeseries,
     tpch_corpus,
     tpch_shapes,
     udfs,

@@ -596,3 +596,63 @@ def agg_bitmap_distinct(spark, sf_dir):
         .agg(F.expr("sum(bitmap_count(bm))").alias("n_distinct_users"))
         .orderBy("event_type")
     )
+
+
+@query(
+    "agg_median_mad",
+    section="2.D",
+    oracle="""
+WITH med AS (
+  SELECT event_type, median(value) AS med_value FROM events GROUP BY event_type
+), mad AS (
+  SELECT e.event_type, median(abs(e.value - m.med_value)) AS mad_value
+  FROM events e JOIN med m ON e.event_type = m.event_type
+  GROUP BY e.event_type
+)
+SELECT e.event_type AS event_type,
+       COUNT(*) AS n_events,
+       MIN(m.med_value) AS med_value,
+       MIN(d.mad_value) AS mad_value,
+       COUNT(*) FILTER (WHERE abs(e.value - m.med_value) > 3 * d.mad_value)
+         AS n_outliers
+FROM events e
+JOIN med m ON e.event_type = m.event_type
+JOIN mad d ON e.event_type = d.event_type
+GROUP BY e.event_type
+""",
+)
+def agg_median_mad(spark, sf_dir):
+    """Robust outlier profile per event_type: exact median, median
+    absolute deviation (median of |v - med|), and the count of events
+    beyond 3*MAD — the robust-statistics twin of agg_stats' z-scores.
+
+    Determinism: median/MAD are exact order statistics (Spark `median`
+    == DuckDB `median`, verified on fixtures incl. the two-middle
+    average), and |v-med| > 3*mad is single-op IEEE arithmetic, so the
+    comparison is bit-identical cross-engine — no rounding needed.
+
+    Scale: three grouped passes over events, each one shuffle on the
+    ~5-row event_type key; med/mad tables broadcast back. Exact median
+    at 100 TB implies a sort-based aggregate per key — acceptable here
+    because the key cardinality is tiny and Spark's `median` spills;
+    for high-cardinality keys the approx_percentile twin
+    (`agg_approx_percentile`) is the scale path."""
+    e = load_table(spark, sf_dir, "events")
+    med = e.groupBy("event_type").agg(F.median("value").alias("med_value"))
+    mad = (
+        e.join(F.broadcast(med), "event_type")
+        .groupBy("event_type")
+        .agg(F.median(F.abs(F.col("value") - F.col("med_value"))).alias("mad_value"))
+    )
+    dev = F.abs(F.col("value") - F.col("med_value"))
+    return (
+        e.join(F.broadcast(med), "event_type")
+        .join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("med_value").alias("med_value"),
+            F.min("mad_value").alias("mad_value"),
+            F.count_if(dev > 3 * F.col("mad_value")).alias("n_outliers"),
+        )
+    )

@@ -410,3 +410,64 @@ def except_all(spark, sf_dir):
     f = o.filter(F.col("o_orderstatus") == "F").select(F.col("o_custkey").alias("custkey"))
     op = o.filter(F.col("o_orderstatus") == "O").select(F.col("o_custkey").alias("custkey"))
     return f.exceptAll(op)
+
+
+@query(
+    "sample_hash_deterministic",
+    section="2.B",
+    oracle="""
+SELECT o_orderkey, o_custkey, o_totalprice,
+       substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 2) AS h2
+FROM orders
+WHERE substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 2) < '1a'
+""",
+)
+def sample_hash_deterministic(spark, sf_dir):
+    """Reproducible ~10% sample via a content hash instead of an RNG:
+    keep rows whose md5(key) 2-hex prefix < '1a' (26/256 ~ 10.2%).
+    Unlike `sample_deterministic` (seeded RNG, engine-specific stream)
+    this is engine-independent and STABLE under repartitioning, retry,
+    and incremental reprocessing — the property a 100 TB pipeline
+    actually needs from a sample (the same rows are sampled tomorrow).
+    Embarrassingly parallel: a per-row filter, fully pushed past the
+    scan, no shuffle. md5 parity Spark<->DuckDB verified on fixtures."""
+    o = load_table(spark, sf_dir, "orders")
+    h2 = F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 2)
+    return (
+        o.withColumn("h2", h2)
+        .filter(F.col("h2") < "1a")
+        .select("o_orderkey", "o_custkey", "o_totalprice", "h2")
+    )
+
+
+@query(
+    "sample_stratified_hash",
+    section="2.B",
+    oracle="""
+SELECT event_id, event_type, user_id, value
+FROM events
+WHERE substr(md5(CAST(event_id AS VARCHAR)), 1, 2) <
+      CASE event_type
+        WHEN 'view' THEN '0d'
+        WHEN 'click' THEN '1a'
+        WHEN 'purchase' THEN '80'
+        ELSE 'g'
+      END
+""",
+)
+def sample_stratified_hash(spark, sf_dir):
+    """Deterministic stratified sampling (`sampleBy` twin): per-stratum
+    keep-rates via hash thresholds — views ~5% ('0d'=13/256), clicks
+    ~10% ('1a'), purchases 50% ('80'), everything else kept ('g' sorts
+    above any hex prefix). The downsample-the-majority-class shape of
+    training-set construction, reproducible across engines and runs.
+    Single scan, no shuffle, no RNG state."""
+    e = load_table(spark, sf_dir, "events")
+    thr = (
+        F.when(F.col("event_type") == "view", "0d")
+        .when(F.col("event_type") == "click", "1a")
+        .when(F.col("event_type") == "purchase", "80")
+        .otherwise("g")
+    )
+    h2 = F.substring(F.md5(F.col("event_id").cast("string")), 1, 2)
+    return e.filter(h2 < thr).select("event_id", "event_type", "user_id", "value")

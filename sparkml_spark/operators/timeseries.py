@@ -1,0 +1,155 @@
+"""Financial/time-series downsampling and nearest-event alignment
+(§2.K adjuncts, batch side): OHLC bar rollup and nearest-asof join.
+
+These complete the time-series family next to `ts_gap_fill` /
+`ts_interpolate_linear` (reshape.py) and `join_asof` (joins.py,
+backward-looking). Both ops here are ORACLE-tier.
+
+Cross-engine determinism: ties inside an hour bar (or equidistant
+candidates in the nearest join) are broken by a single *sortable
+string* key — zero-padded microsecond timestamp + zero-padded
+event_id — because DuckDB's `arg_min/arg_max` accept only scalar keys
+(no struct ordering). `date_format(ts,'yyyyMMddHHmmssSSSSSS')` on the
+Spark side and `strftime(ts,'%Y%m%d%H%M%S%f')` on the DuckDB side were
+verified byte-identical on the fixtures, as was
+`unix_micros(ts)` == `epoch_us(ts)` (UTC session, timestamp_ntz).
+
+Scale notes:
+- `ts_downsample_ohlc` is one hash aggregation keyed on
+  (event_type, hour): map-side partial min/max/argmin/argmax then one
+  shuffle of already-tiny partials. At 100 TB the bar table is ~5
+  types x hours — kilobytes — regardless of input size.
+- `ts_asof_nearest` joins on the *equi* key user_id first (hash join,
+  one shuffle each side) and applies the +/-1h band as a post-join
+  filter, then takes top-1 per probe row with a window over
+  (purchase event). The candidate set per user is bounded by the time
+  band, so the window state stays small; no cross product over raw
+  events ever materializes. Skewed users would be handled by AQE skew
+  split (enabled in session.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from sparkml_spark.registry import dsum, dsum_sql, query
+from sparkml_spark.sources.loader import load_table
+
+# Single sortable tie-break key: chronological then event_id. (Built
+# lazily — Column exprs need an active SparkContext at import time.)
+def _key_spark():
+    return F.concat(
+        F.date_format("ts", "yyyyMMddHHmmssSSSSSS"),
+        F.lpad(F.col("event_id").cast("string"), 12, "0"),
+    )
+
+
+_KEY_SQL = (
+    "strftime(ts,'%Y%m%d%H%M%S%f') || lpad(CAST(event_id AS VARCHAR),12,'0')"
+)
+
+
+@query(
+    "ts_downsample_ohlc",
+    section="2.K",
+    oracle=f"""
+SELECT event_type,
+       date_trunc('hour', ts) AS hour_start,
+       arg_min(value, {_KEY_SQL}) AS bar_open,
+       MAX(value) AS bar_high,
+       MIN(value) AS bar_low,
+       arg_max(value, {_KEY_SQL}) AS bar_close,
+       COUNT(*) AS n_events,
+       {dsum_sql('value')} AS sum_value
+FROM events
+GROUP BY event_type, date_trunc('hour', ts)
+""",
+)
+def ts_downsample_ohlc(spark, sf_dir):
+    """Hourly OHLC bars per event_type: open/close are the first/last
+    value in the bar (chronological, event_id tie-break), high/low the
+    extremes — the canonical market-data / metrics downsample. One
+    aggregation pass; min_by/max_by keep it a single shuffle with
+    map-side partials (no window sort over raw events)."""
+    e = load_table(spark, sf_dir, "events")
+    return e.groupBy(
+        "event_type",
+        F.date_trunc("hour", F.col("ts")).cast("timestamp_ntz").alias("hour_start"),
+    ).agg(
+        F.min_by("value", _key_spark()).alias("bar_open"),
+        F.max("value").alias("bar_high"),
+        F.min("value").alias("bar_low"),
+        F.max_by("value", _key_spark()).alias("bar_close"),
+        F.count(F.lit(1)).alias("n_events"),
+        dsum("value").alias("sum_value"),
+    )
+
+
+@query(
+    "ts_asof_nearest",
+    section="2.K",
+    oracle="""
+WITH p AS (
+  SELECT event_id AS p_id, user_id, ts AS p_ts, value AS p_value
+  FROM events WHERE event_type = 'purchase'
+), v AS (
+  SELECT event_id AS v_id, user_id, ts AS v_ts, value AS v_value
+  FROM events WHERE event_type = 'view'
+), cand AS (
+  SELECT p.p_id, p.user_id, p.p_ts, p.p_value, v.v_id, v.v_value,
+         abs(epoch_us(p.p_ts) - epoch_us(v.v_ts)) AS gap_us,
+         ROW_NUMBER() OVER (
+           PARTITION BY p.p_id
+           ORDER BY abs(epoch_us(p.p_ts) - epoch_us(v.v_ts)), v.v_id
+         ) AS rn
+  FROM p JOIN v ON p.user_id = v.user_id
+  WHERE abs(epoch_us(p.p_ts) - epoch_us(v.v_ts)) <= 3600000000
+)
+SELECT p_id, user_id, p_ts, p_value, v_id AS nearest_view_id,
+       v_value AS nearest_view_value, gap_us
+FROM cand WHERE rn = 1
+""",
+)
+def ts_asof_nearest(spark, sf_dir):
+    """Nearest-asof join (both directions): each purchase matched to
+    the closest-in-time view by the same user within +/-1 hour —
+    `join_asof` is backward-only; this is the symmetric variant used
+    for sensor / impression alignment. Equi hash join on user_id, band
+    filter, then top-1 per purchase via a window (ties: earlier view
+    event_id)."""
+    e = load_table(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    p = e.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("p_id"),
+        "user_id",
+        F.col("ts").alias("p_ts"),
+        us.alias("p_us"),
+        F.col("value").alias("p_value"),
+    )
+    v = e.filter(F.col("event_type") == "view").select(
+        F.col("event_id").alias("v_id"),
+        "user_id",
+        us.alias("v_us"),
+        F.col("value").alias("v_value"),
+    )
+    gap = F.abs(F.col("p_us") - F.col("v_us"))
+    cand = (
+        p.join(v, "user_id")
+        .filter(gap <= 3_600_000_000)
+        .withColumn("gap_us", gap)
+    )
+    w = Window.partitionBy("p_id").orderBy("gap_us", "v_id")
+    return (
+        cand.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "p_id",
+            "user_id",
+            "p_ts",
+            "p_value",
+            F.col("v_id").alias("nearest_view_id"),
+            F.col("v_value").alias("nearest_view_value"),
+            "gap_us",
+        )
+    )
