@@ -444,3 +444,44 @@ def fn_bitwise(spark, sf_dir):
         F.shiftright(ev, 3).alias("shifted_right"),
         F.bit_count(ev).alias("pop_count"),
     )
+
+
+@query(
+    "fn_url",
+    section="2.H",
+    oracle="""
+SELECT doc_id,
+       'https://' || source || '.example.com/docs/' || CAST(doc_id AS VARCHAR)
+         || '?lang=' || lang AS url,
+       source || '.example.com' AS url_host,
+       '/docs/' || CAST(doc_id AS VARCHAR) AS url_path,
+       'lang=' || lang AS url_query,
+       lang AS url_lang_param
+FROM documents
+""",
+)
+def fn_url(spark, sf_dir):
+    """URL family — the web-corpus staple: build a canonical URL from
+    document attributes, then take it apart again with Spark's
+    parse_url (HOST / PATH / QUERY / QUERY:lang). The oracle composes
+    the expected parts directly from the attributes, so the check
+    verifies parse_url's decomposition against ground truth rather
+    than against another parser. Pure per-row scalar work — pipelined
+    in the scan stage, no shuffle."""
+    d = load_table(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("https://"),
+        F.col("source"),
+        F.lit(".example.com/docs/"),
+        F.col("doc_id").cast("string"),
+        F.lit("?lang="),
+        F.col("lang"),
+    )
+    return d.select(
+        "doc_id",
+        url.alias("url"),
+        F.parse_url(url, F.lit("HOST")).alias("url_host"),
+        F.parse_url(url, F.lit("PATH")).alias("url_path"),
+        F.parse_url(url, F.lit("QUERY")).alias("url_query"),
+        F.parse_url(url, F.lit("QUERY"), F.lit("lang")).alias("url_lang_param"),
+    )

@@ -656,3 +656,39 @@ def agg_median_mad(spark, sf_dir):
             F.count_if(dev > 3 * F.col("mad_value")).alias("n_outliers"),
         )
     )
+
+
+@query(
+    "agg_histogram",
+    section="2.D",
+    oracle=f"""
+SELECT CAST(floor(value / 20.0) AS BIGINT) AS bin,
+       CAST(floor(value / 20.0) AS BIGINT) * CAST(20.0 AS DOUBLE) AS bin_lo,
+       COUNT(*) AS n_events,
+       {dsum_sql('value')} AS sum_value
+FROM events
+GROUP BY 1, 2
+""",
+)
+def agg_histogram(spark, sf_dir):
+    """Fixed-width histogram of events.value (bin width 20): the
+    one-pass distribution profile behind data-quality dashboards.
+    Bin assignment is a per-row floor (exact IEEE: 2-dp inputs /
+    integer width), then a single hash aggregation on ~17 bins —
+    map-side partials shrink 100 TB of rows to bytes per task."""
+    e = load_table(spark, sf_dir, "events")
+    bin_ = F.floor(F.col("value") / 20.0).cast("bigint")
+    return (
+        e.withColumn("bin", bin_)
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum("value").alias("sum_value"),
+        )
+        .select(
+            "bin",
+            (F.col("bin") * 20.0).alias("bin_lo"),
+            "n_events",
+            "sum_value",
+        )
+    )

@@ -645,3 +645,56 @@ def pipeline_training_corpus(spark, sf_dir):
             ),
         )
     )
+
+
+@query(
+    "text_token_entropy",
+    section="2.I",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_TOKENS_SQL}) AS token FROM documents
+), tf AS (
+  SELECT doc_id, token, COUNT(*) AS c FROM toks GROUP BY doc_id, token
+), agg AS (
+  SELECT doc_id,
+         CAST(SUM(c) AS DOUBLE) AS n,
+         CAST(SUM(CAST(round(c * ln(c), 9) AS DECIMAL(30,9))) AS DOUBLE)
+           AS sum_clnc,
+         COUNT(*) AS n_unique
+  FROM tf GROUP BY doc_id
+)
+SELECT doc_id, CAST(n AS BIGINT) AS n_tokens, n_unique,
+       round(ln(n) - sum_clnc / n, 6) AS token_entropy
+FROM agg
+""",
+)
+def text_token_entropy(spark, sf_dir):
+    """Shannon entropy of the per-doc token distribution — the
+    gibberish/boilerplate detector that complements
+    text_repetition_score (low entropy = repeated tokens, high =
+    diverse vocabulary). Identity used: H = ln(n) - (1/n)*sum(c*ln c).
+
+    Float parity: c*ln(c) is a libm chain, so each term is rounded at
+    9 dp and summed as exact DECIMAL (order-independent), final H
+    rounded at 6 dp — same quantize-early discipline as agg_stats.
+
+    Scale: explode -> two grouped aggs keyed by doc_id; no vocabulary-
+    wide state (unlike tf-idf's df table), so it shards perfectly."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(_tokens()).alias("token"))
+    tf = toks.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("c"))
+    agg = tf.groupBy("doc_id").agg(
+        F.sum("c").cast("double").alias("n"),
+        F.sum(F.round(F.col("c") * F.log("c"), 9).cast("decimal(30,9)"))
+        .cast("double")
+        .alias("sum_clnc"),
+        F.count(F.lit(1)).alias("n_unique"),
+    )
+    return agg.select(
+        "doc_id",
+        F.col("n").cast("bigint").alias("n_tokens"),
+        "n_unique",
+        F.round(F.log("n") - F.col("sum_clnc") / F.col("n"), 6).alias(
+            "token_entropy"
+        ),
+    )

@@ -106,3 +106,35 @@ def scan_orc(spark, sf_dir):
     li.write.mode("overwrite").orc(path)
     back = spark.read.orc(path)
     return back.groupBy("l_returnflag").agg(F.count(F.lit(1)).alias("n_rows"))
+
+
+@query("scan_binaryfile", section="2.A")
+def scan_binaryfile(spark, sf_dir):
+    """`binaryFile` source — the multimodal ingestion path (§2.I
+    plumbing): opaque blobs land as (path, length, content) rows that
+    downstream decode UDFs consume (multimodal.py). Fixture blobs are
+    generated deterministically from the first 40 documents (stable
+    across SFs), then read back with the real binaryFile reader;
+    output is basename + length + content md5. ROWS tier: DuckDB has
+    no directory-of-files source to mirror.
+
+    Scale: binaryFile is a standard FileFormat — distributed listing,
+    one row per file, `pathGlobFilter`/`recursiveFileLookup` options;
+    content bytes stay in executors (only hashes leave here)."""
+    d = load_table(spark, sf_dir, "documents")
+    rows = (
+        d.filter(F.col("doc_id") < 40)
+        .select("doc_id", "text")
+        .collect()  # fixture GENERATION only (40 tiny files), not the operator
+    )
+    path = _artifact("doc_blobs")
+    os.makedirs(path, exist_ok=True)
+    for r in rows:
+        with open(os.path.join(path, f"doc_{r.doc_id:05d}.bin"), "wb") as fh:
+            fh.write(r.text.encode("utf-8"))
+    blobs = spark.read.format("binaryFile").load(path)
+    return blobs.select(
+        F.element_at(F.split(F.col("path"), "/"), -1).alias("file_name"),
+        F.col("length"),
+        F.md5(F.col("content")).alias("content_md5"),
+    )
