@@ -138,3 +138,94 @@ def scan_binaryfile(spark, sf_dir):
         F.col("length"),
         F.md5(F.col("content")).alias("content_md5"),
     )
+
+
+@query(
+    "scan_partition_pruned",
+    section="2.A",
+    oracle="""
+SELECT doc_id, lang, n_chars FROM documents WHERE lang = 'en'
+""",
+)
+def scan_partition_pruned(spark, sf_dir):
+    """Partition-pruned scan: documents laid out hive-style
+    (partitionBy lang), then read with an equality filter on the
+    partition column. At 100 TB this is THE dominant cost lever — the
+    filter is resolved against directory metadata, so non-matching
+    partitions are never listed into tasks (plan shows
+    `PartitionFilters: [isnotnull(lang), (lang = en)]` and a pruned
+    partition count, verified in tests/test_plans.py). The oracle
+    reads the unpartitioned source — value parity proves the layout
+    round-trips content exactly."""
+    d = load_table(spark, sf_dir, "documents")
+    path = _artifact("documents_pruned_scan")
+    d.select("doc_id", "n_chars", "lang").write.mode("overwrite").partitionBy(
+        "lang"
+    ).parquet(path)
+    back = spark.read.parquet(path).filter(F.col("lang") == "en")
+    return back.select("doc_id", F.col("lang").cast("string").alias("lang"), "n_chars")
+
+
+@query(
+    "sink_json_lines",
+    section="2.A",
+    oracle="""
+SELECT event_id, event_type, user_id, value
+FROM events WHERE event_type = 'signup'
+""",
+)
+def sink_json_lines(spark, sf_dir):
+    """JSON-lines sink + scan round-trip (the interchange format every
+    ingest pipeline meets): signup events written as newline-delimited
+    JSON, read back with an EXPLICIT schema (no sampling-based
+    inference pass — at 100 TB schema inference is a full extra scan),
+    values checked against the parquet source. Doubles survive because
+    Spark serializes them with round-trippable shortest-repr."""
+    e = load_table(spark, sf_dir, "events")
+    path = _artifact("events_signup_json")
+    sel = e.filter(F.col("event_type") == "signup").select(
+        "event_id", "event_type", "user_id", "value"
+    )
+    sel.write.mode("overwrite").json(path)
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+    return spark.read.schema(schema).json(path)
+
+
+@query("compact_small_files", section="2.A")
+def compact_small_files(spark, sf_dir):
+    """Small-files compaction — the table-maintenance op every long-
+    lived 100 TB dataset needs: a deliberately over-fragmented write
+    (64 shuffle-partitioned files for a tiny table) rewritten via
+    `repartition(4)` into right-sized files. Returns per-file row
+    counts of the compacted layout (input_file_name groups), proving
+    both the consolidation factor and row preservation (total rows
+    asserted in tests). ROWS tier: file layout is engine-internal.
+
+    At scale the same two-liner is the nightly compactor; the
+    repartition target comes from bytes/128MB, and with AQE coalesce
+    a `.coalesce(n)` variant avoids the extra shuffle entirely."""
+    n = load_table(spark, sf_dir, "nation")
+    frag = _artifact("nation_fragmented")
+    n.repartition(64).write.mode("overwrite").parquet(frag)
+    compacted = _artifact("nation_compacted")
+    spark.read.parquet(frag).repartition(4).write.mode("overwrite").parquet(compacted)
+    back = spark.read.parquet(compacted)
+    return (
+        back.groupBy(
+            F.element_at(F.split(F.input_file_name(), "/"), -1).alias("file_name")
+        )
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+        .agg(
+            F.count(F.lit(1)).alias("n_files"),
+            F.sum("n_rows").alias("total_rows"),
+            F.min("n_rows").alias("min_file_rows"),
+            F.max("n_rows").alias("max_file_rows"),
+        )
+    )

@@ -184,3 +184,11 @@ def test_bitmap_distinct_is_exact(spark):
         ).fetchall()
     )
     assert got == exact
+
+
+def test_compact_small_files_preserves_rows(spark):
+    """Compaction must consolidate 64 fragments into 4 files without
+    losing a row (nation has 25 rows at every SF)."""
+    row = QUERIES["compact_small_files"](spark, SF_DIR).collect()[0]
+    assert row.n_files == 4, row
+    assert row.total_rows == 25, row

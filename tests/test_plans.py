@@ -119,3 +119,11 @@ def test_bloom_filter_injected(spark):
     plan = executed_plan(df).lower()
     assert "bloomfilter" in plan or "might_contain" in plan, plan[:2000]
     assert spark.conf.get("spark.sql.autoBroadcastJoinThreshold") == before
+
+
+def test_partition_pruned_scan(spark):
+    """The hive-partitioned read must prune to the single lang=en
+    partition (directory-level, before any task runs)."""
+    df = QUERIES["scan_partition_pruned"](spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "lang" in plan, plan[:2000]
