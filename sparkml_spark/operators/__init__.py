@@ -4,6 +4,7 @@
 from sparkml_spark.operators import (  # noqa: F401
     aggregates,
     funnels,
+    graph,
     joins,
     llm_dedup,
     llm_similarity,

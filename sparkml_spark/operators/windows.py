@@ -365,3 +365,52 @@ def win_zscore_anomaly(spark, sf_dir):
         .select("event_id", "user_id", "value", z.alias("z"))
         .filter(F.abs(F.col("z")) > 2.5)
     )
+
+
+@query(
+    "win_gaps_islands",
+    section="2.E",
+    oracle="""
+WITH days AS (
+  SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS d FROM events
+), r AS (
+  SELECT user_id, d,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY d) AS rn
+  FROM days
+), isl AS (
+  SELECT user_id, d - CAST(rn AS INT) AS grp,
+         COUNT(*) AS run_len, MIN(d) AS run_start
+  FROM r GROUP BY user_id, d - CAST(rn AS INT)
+)
+SELECT user_id,
+       COUNT(*) AS n_islands,
+       MAX(run_len) AS longest_run,
+       CAST(SUM(run_len) AS BIGINT) AS n_active_days,
+       MIN(run_start) AS first_run_start
+FROM isl GROUP BY user_id
+""",
+)
+def win_gaps_islands(spark, sf_dir):
+    """Gaps-and-islands: consecutive-day activity runs per user via
+    the classic date-minus-row_number grouping trick (consecutive days
+    share `d - rn`), then per-user streak stats — retention/engagement
+    analysis without any self-join. Two shuffles total (distinct days,
+    then the user window); the window state is one row per active day,
+    bounded per user."""
+    e = load_table(spark, sf_dir, "events")
+    days = e.select(
+        "user_id", F.date_trunc("day", F.col("ts")).cast("date").alias("d")
+    ).distinct()
+    w = Window.partitionBy("user_id").orderBy("d")
+    r = days.withColumn("rn", F.row_number().over(w))
+    isl = (
+        r.withColumn("grp", F.date_sub(F.col("d"), F.col("rn")))
+        .groupBy("user_id", "grp")
+        .agg(F.count(F.lit(1)).alias("run_len"), F.min("d").alias("run_start"))
+    )
+    return isl.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_islands"),
+        F.max("run_len").alias("longest_run"),
+        F.sum("run_len").alias("n_active_days"),
+        F.min("run_start").alias("first_run_start"),
+    )

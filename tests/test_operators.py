@@ -192,3 +192,27 @@ def test_compact_small_files_preserves_rows(spark):
     row = QUERIES["compact_small_files"](spark, SF_DIR).collect()[0]
     assert row.n_files == 4, row
     assert row.total_rows == 25, row
+
+
+def test_pagerank_is_probability_vector(spark):
+    """Ranks must sum to 1 (stochastic fixpoint) and be all-positive;
+    rerunning must give identical values (quantized-term summation)."""
+    rows = QUERIES["graph_pagerank"](spark, SF_DIR).collect()
+    total = sum(r.pagerank for r in rows)
+    assert abs(total - 1.0) < 1e-4, total
+    assert all(r.pagerank > 0 for r in rows)
+    again = {r.node: r.pagerank for r in QUERIES["graph_pagerank"](spark, SF_DIR).collect()}
+    assert {r.node: r.pagerank for r in rows} == again
+
+
+def test_hierarchy_closure_depth_is_log2(spark):
+    """Every node's max depth must equal floor(log2(node)) — the
+    ancestor chain of the binary-tree hierarchy reaches root 1."""
+    rows = QUERIES["hierarchy_closure"](spark, SF_DIR).collect()
+    import math
+    by_node = {}
+    for r in rows:
+        by_node.setdefault(r.node, []).append(r)
+    for node, ancs in by_node.items():
+        assert max(a.depth for a in ancs) == int(math.log2(node)), node
+        assert {a.ancestor for a in ancs if a.depth == int(math.log2(node))} == {1}
