@@ -383,3 +383,38 @@ def join_multimodal(spark, sf_dir):
     return t.documents.join(
         t.embeddings, t.documents.doc_id == t.embeddings.vec_id
     ).select("doc_id", "lang", "n_chars", "label", F.size("embedding").alias("dim"))
+
+
+@query(
+    "join_null_safe",
+    section="2.C",
+    oracle="""
+WITH fact AS (
+  SELECT doc_id, nullif(lang, 'zh') AS lang_key, n_chars FROM documents
+), dim AS (
+  SELECT nullif(lang, 'zh') AS lang_key, COUNT(*) AS lang_docs
+  FROM documents GROUP BY nullif(lang, 'zh')
+)
+SELECT f.doc_id, f.lang_key, f.n_chars, d.lang_docs
+FROM fact f JOIN dim d ON f.lang_key IS NOT DISTINCT FROM d.lang_key
+""",
+)
+def join_null_safe(spark, sf_dir):
+    """Null-safe equi join (`<=>` / IS NOT DISTINCT FROM): NULL keys
+    MATCH each other instead of vanishing — the semantics late-arriving
+    dimension pipelines rely on ('unknown' bucket joins 'unknown').
+    Fixtures have no NULL keys, so one is derived (nullif lang='zh');
+    a plain equi join would drop every zh row — parity proves they
+    survive. Spark plans eqNullSafe as a hash join on coalesced key
+    structs, still broadcast-able (dim side here is 5 rows)."""
+    d = load_table(spark, sf_dir, "documents")
+    key = F.nullif(F.col("lang"), F.lit("zh"))
+    fact = d.select("doc_id", key.alias("lang_key"), "n_chars")
+    dim = (
+        d.select(key.alias("lang_key"))
+        .groupBy("lang_key")
+        .agg(F.count(F.lit(1)).alias("lang_docs"))
+    )
+    return fact.join(
+        F.broadcast(dim), fact.lang_key.eqNullSafe(dim.lang_key)
+    ).select(fact.doc_id, fact.lang_key, fact.n_chars, dim.lang_docs)

@@ -549,3 +549,72 @@ def dedup_cc_clusters(spark, sf_dir):
         labels.select(F.col("node").alias("doc_id"), F.col("lbl").alias("cluster_id"))
         .withColumn("cluster_size", F.count(F.lit(1)).over(w))
     )
+
+
+@query(
+    "dedup_edit_distance",
+    section="2.I",
+    oracle="""
+WITH pre AS (
+  SELECT doc_id, lang, n_chars // 10 AS blk,
+         substr(lower(trim(text)), 1, 40) AS head
+  FROM documents
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       levenshtein(a.head, b.head) AS lev,
+       round(1.0 - CAST(levenshtein(a.head, b.head) AS DOUBLE)
+             / CAST(greatest(len(a.head), len(b.head)) AS DOUBLE), 6) AS head_sim
+FROM pre a JOIN pre b
+  ON a.lang = b.lang AND a.blk = b.blk AND a.doc_id < b.doc_id
+WHERE levenshtein(a.head, b.head) <= 8
+""",
+)
+def dedup_edit_distance(spark, sf_dir):
+    """Edit-distance near-dup candidates: block on (lang, length//10),
+    compare 40-char normalized heads with Levenshtein <= 8. Blocking
+    bounds the quadratic term (DOCUMENTED CUTOFF, same contract as
+    dedup_embedding_cosine: boundary-straddling pairs belong to the
+    MinHash path); the distance itself is JVM-side `levenshtein` —
+    no Python in the loop. At 100 TB block sizes stay O(docs per
+    lang-length cell), so the self-join shuffles once on the block key
+    and never materializes a corpus-wide cross product."""
+    d = load_table(spark, sf_dir, "documents")
+    pre = d.select(
+        "doc_id",
+        "lang",
+        F.expr("n_chars DIV 10").alias("blk"),
+        F.substring(F.lower(F.trim(F.col("text"))), 1, 40).alias("head"),
+    )
+    a = pre.select(
+        F.col("doc_id").alias("id_a"),
+        "lang",
+        "blk",
+        F.col("head").alias("head_a"),
+    )
+    b = pre.select(
+        F.col("doc_id").alias("id_b"),
+        F.col("lang").alias("lang_b"),
+        F.col("blk").alias("blk_b"),
+        F.col("head").alias("head_b"),
+    )
+    lev = F.levenshtein(F.col("head_a"), F.col("head_b"))
+    return (
+        a.join(
+            b,
+            (F.col("lang") == F.col("lang_b"))
+            & (F.col("blk") == F.col("blk_b"))
+            & (F.col("id_a") < F.col("id_b")),
+        )
+        .filter(lev <= 8)
+        .select(
+            "id_a",
+            "id_b",
+            lev.alias("lev"),
+            F.round(
+                1.0
+                - lev.cast("double")
+                / F.greatest(F.length("head_a"), F.length("head_b")).cast("double"),
+                6,
+            ).alias("head_sim"),
+        )
+    )

@@ -698,3 +698,46 @@ def text_token_entropy(spark, sf_dir):
             "token_entropy"
         ),
     )
+
+
+@query(
+    "text_boilerplate_ngrams",
+    section="2.I",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, {_TOKENS_SQL} AS t FROM documents WHERE len({_TOKENS_SQL}) >= 8
+), sh AS (
+  SELECT doc_id, unnest(list_transform(range(1, len(t) - 7 + 1),
+         i -> array_to_string(t[i:i+7], ' '))) AS shingle
+  FROM toks
+)
+SELECT shingle,
+       COUNT(DISTINCT doc_id) AS doc_freq,
+       MIN(doc_id) AS example_doc
+FROM sh GROUP BY shingle HAVING COUNT(DISTINCT doc_id) >= 3
+""",
+)
+def text_boilerplate_ngrams(spark, sf_dir):
+    """Boilerplate inventory (C4-style cleaning input): 8-gram word
+    shingles that appear in >= 3 distinct documents — headers, cookie
+    banners, license blurbs. Explode -> (shingle, doc) distinct ->
+    count; the HAVING threshold keeps the result vocabulary-sized. At
+    100 TB the shingle key is skewed (true boilerplate is everywhere)
+    — partial aggregation absorbs the skew map-side before the
+    shuffle; a distinct-before-count keeps per-key state bounded."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", _tokens().alias("t")).filter(F.size("t") >= 8)
+    sh = toks.select(
+        "doc_id",
+        F.explode(
+            F.expr("transform(sequence(1, size(t) - 7), i -> array_join(slice(t, i, 8), ' '))")
+        ).alias("shingle"),
+    )
+    return (
+        sh.groupBy("shingle")
+        .agg(
+            F.countDistinct("doc_id").alias("doc_freq"),
+            F.min("doc_id").alias("example_doc"),
+        )
+        .filter(F.col("doc_freq") >= 3)
+    )

@@ -180,3 +180,24 @@ def udaf_ewma_apply_in_pandas(spark, sf_dir):
     return e.groupBy("user_id").applyInPandas(
         ewma, "event_id BIGINT, user_id BIGINT, value DOUBLE, ewma DOUBLE"
     )
+
+
+@query("udf_arrow_optimized", section="2.L")
+def udf_arrow_optimized(spark, sf_dir):
+    """Arrow-optimized Python UDF (`useArrow=True`, Spark 3.5+): same
+    row-wise signature as udf_python_scalar but the JVM<->Python
+    transfer is Arrow batches instead of pickled rows — the drop-in
+    middle ground before rewriting as pandas_udf. Deterministic
+    token-class output over document lang/source, checked by a builtin
+    twin column so the semantics are pinned row-by-row."""
+
+    @F.udf(returnType=IntegerType(), useArrow=True)
+    def key_len(lang: str, source: str) -> int:
+        return len(lang) + len(source)
+
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        key_len("lang", "source").alias("keylen_arrow_udf"),
+        (F.length("lang") + F.length("source")).alias("keylen_builtin"),
+    )
