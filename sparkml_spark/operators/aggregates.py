@@ -692,3 +692,46 @@ def agg_histogram(spark, sf_dir):
             "sum_value",
         )
     )
+
+
+@query(
+    "agg_pivot_multi",
+    section="2.D",
+    oracle="""
+SELECT c_nationkey,
+       COUNT(*) FILTER (WHERE c_mktsegment = 'AUTOMOBILE') AS automobile_n,
+       CAST(SUM(CAST(c_acctbal AS DECIMAL(27,6)))
+            FILTER (WHERE c_mktsegment = 'AUTOMOBILE') AS DOUBLE)
+         AS automobile_bal,
+       COUNT(*) FILTER (WHERE c_mktsegment = 'BUILDING') AS building_n,
+       CAST(SUM(CAST(c_acctbal AS DECIMAL(27,6)))
+            FILTER (WHERE c_mktsegment = 'BUILDING') AS DOUBLE)
+         AS building_bal
+FROM customer
+WHERE c_mktsegment IN ('AUTOMOBILE', 'BUILDING')
+GROUP BY c_nationkey
+""",
+)
+def agg_pivot_multi(spark, sf_dir):
+    """Pivot with MULTIPLE aggregates per cell (count + exact balance
+    sum per segment column) — Spark names multi-agg pivot columns
+    `{{value}}_{{alias}}`, realigned here to the oracle's explicit
+    names. Same scale contract as agg_pivot: values enumerated up
+    front (no discovery scan), single hash aggregation."""
+    c = load_table(spark, sf_dir, "customer")
+    df = (
+        c.filter(F.col("c_mktsegment").isin("AUTOMOBILE", "BUILDING"))
+        .groupBy("c_nationkey")
+        .pivot("c_mktsegment", ["AUTOMOBILE", "BUILDING"])
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            dsum("c_acctbal").alias("bal"),
+        )
+    )
+    return df.select(
+        "c_nationkey",
+        F.col("AUTOMOBILE_n").alias("automobile_n"),
+        F.col("AUTOMOBILE_bal").alias("automobile_bal"),
+        F.col("BUILDING_n").alias("building_n"),
+        F.col("BUILDING_bal").alias("building_bal"),
+    )

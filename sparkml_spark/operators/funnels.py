@@ -11,6 +11,7 @@ the ordering.
 
 from __future__ import annotations
 
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from sparkml_spark.registry import query
@@ -156,4 +157,50 @@ def win_running_extremes(spark, sf_dir):
         rmax.alias("running_max"),
         F.min("o_totalprice").over(w).alias("running_min"),
         (F.col("o_totalprice") >= rmax).alias("is_new_high"),
+    )
+
+
+@query(
+    "events_markov_transitions",
+    section="2.I",
+    oracle="""
+WITH seq AS (
+  SELECT user_id, event_type AS cur,
+         LEAD(event_type) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+         ) AS nxt
+  FROM events
+), pairs AS (
+  SELECT cur, nxt, COUNT(*) AS n FROM seq WHERE nxt IS NOT NULL
+  GROUP BY cur, nxt
+), tot AS (
+  SELECT cur, SUM(n) AS n_out FROM pairs GROUP BY cur
+)
+SELECT p.cur, p.nxt, p.n,
+       round(CAST(p.n AS DOUBLE) / CAST(t.n_out AS DOUBLE), 6) AS p_next
+FROM pairs p JOIN tot t ON p.cur = t.cur
+""",
+)
+def events_markov_transitions(spark, sf_dir):
+    """First-order Markov transition matrix of user event sequences:
+    P(next event type | current) from per-user chronological lead
+    pairs (ties broken by event_id). The behavioral-model input next
+    to funnels/retention. One window shuffle on user_id (state = one
+    row lookahead), then counts over a 25-cell key space — partials
+    collapse everything map-side; the totals join is broadcast-sized."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        F.col("event_type").alias("cur"),
+        F.lead("event_type").over(w).alias("nxt"),
+    ).filter(F.col("nxt").isNotNull())
+    pairs = seq.groupBy("cur", "nxt").agg(F.count(F.lit(1)).alias("n"))
+    tot = pairs.groupBy("cur").agg(F.sum("n").alias("n_out"))
+    return pairs.join(F.broadcast(tot), "cur").select(
+        "cur",
+        "nxt",
+        "n",
+        F.round(F.col("n").cast("double") / F.col("n_out").cast("double"), 6).alias(
+            "p_next"
+        ),
     )
