@@ -418,3 +418,51 @@ def join_null_safe(spark, sf_dir):
     return fact.join(
         F.broadcast(dim), fact.lang_key.eqNullSafe(dim.lang_key)
     ).select(fact.doc_id, fact.lang_key, fact.n_chars, dim.lang_docs)
+
+
+@query(
+    "join_dynamic_partition_pruning",
+    section="2.C",
+    oracle="""
+WITH dim AS (
+  SELECT lang, COUNT(*) AS lang_total FROM documents GROUP BY lang
+)
+SELECT d.doc_id, d.lang, d.n_chars, dim.lang_total
+FROM documents d JOIN dim ON d.lang = dim.lang
+WHERE dim.lang_total < 80
+""",
+)
+def join_dynamic_partition_pruning(spark, sf_dir):
+    """Dynamic partition pruning: the fact side is a hive-partitioned
+    layout (partitionBy lang) joined to a dim filtered by a predicate
+    the planner can't resolve statically (lang_total < 80, only known
+    after the dim aggregates). Spark injects a
+    `dynamicpruningexpression` subquery into the fact scan so only the
+    matching lang partitions are listed/read — at 100 TB this is the
+    difference between scanning 2 partitions and all of them
+    (plan pinned in tests/test_plans.py). Oracle joins the flat table:
+    parity proves the pruned read loses no rows."""
+    d = load_table(spark, sf_dir, "documents")
+    path = _dpp_artifact(spark, sf_dir)
+    fact = spark.read.parquet(path)
+    dim = (
+        d.groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("lang_total"))
+        .filter(F.col("lang_total") < 80)
+    )
+    return fact.join(dim, "lang").select(
+        "doc_id", F.col("lang").cast("string").alias("lang"), "n_chars", "lang_total"
+    )
+
+
+def _dpp_artifact(spark, sf_dir):
+    """Write (once per sf_dir) the partitioned fact layout DPP needs."""
+    import os
+
+    path = os.path.join("/root/repo/.artifacts", f"documents_dpp_{os.path.basename(sf_dir.rstrip('/'))}")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        d = load_table(spark, sf_dir, "documents")
+        d.select("doc_id", "n_chars", "lang").write.mode("overwrite").partitionBy(
+            "lang"
+        ).parquet(path)
+    return path

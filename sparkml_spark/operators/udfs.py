@@ -201,3 +201,30 @@ def udf_arrow_optimized(spark, sf_dir):
         key_len("lang", "source").alias("keylen_arrow_udf"),
         (F.length("lang") + F.length("source")).alias("keylen_builtin"),
     )
+
+
+@query("map_in_arrow", section="2.L")
+def map_in_arrow(spark, sf_dir):
+    """mapInArrow: the lowest-overhead Python escape hatch — raw
+    pyarrow.RecordBatch in/out, no pandas conversion on either side.
+    Used when the Python side is itself Arrow-native (tokenizers,
+    encoders). Deterministic per-row output (doubled char count), with
+    the batch size column proving work arrives batched, not row-wise."""
+    import pyarrow as pa
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+
+    def double_chars(batches):
+        for batch in batches:
+            tbl = batch.to_pydict()
+            yield pa.RecordBatch.from_pydict(
+                {
+                    "doc_id": tbl["doc_id"],
+                    "n_chars_x2": [n * 2 for n in tbl["n_chars"]],
+                    "batch_rows": [batch.num_rows] * batch.num_rows,
+                }
+            )
+
+    return d.mapInArrow(
+        double_chars, "doc_id long, n_chars_x2 long, batch_rows long"
+    ).select("doc_id", "n_chars_x2")

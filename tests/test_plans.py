@@ -127,3 +127,11 @@ def test_partition_pruned_scan(spark):
     df = QUERIES["scan_partition_pruned"](spark, SF_DIR)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan and "lang" in plan, plan[:2000]
+
+
+def test_dynamic_partition_pruning_injected(spark):
+    """The partitioned fact scan must carry a dynamicpruning subquery
+    keyed on the join's dim side."""
+    df = QUERIES["join_dynamic_partition_pruning"](spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower(), plan[:3000]
