@@ -14,7 +14,7 @@ from __future__ import annotations
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
-from sparkml_spark.registry import query
+from sparkml_spark.registry import dsum, query
 from sparkml_spark.sources.loader import load_table
 
 
@@ -203,4 +203,68 @@ def events_markov_transitions(spark, sf_dir):
         F.round(F.col("n").cast("double") / F.col("n_out").cast("double"), 6).alias(
             "p_next"
         ),
+    )
+
+
+@query(
+    "events_rfm_segmentation",
+    section="2.I",
+    oracle="""
+WITH rfm AS (
+  SELECT user_id,
+         MAX(ts) AS last_purchase,
+         COUNT(*) AS frequency,
+         CAST(SUM(CAST(value AS DECIMAL(27,6))) AS DOUBLE) AS monetary
+  FROM events WHERE event_type = 'purchase' GROUP BY user_id
+), scored AS (
+  SELECT user_id, last_purchase, frequency, monetary,
+         NTILE(4) OVER (ORDER BY last_purchase, user_id) AS r_q,
+         NTILE(4) OVER (ORDER BY frequency, user_id) AS f_q,
+         NTILE(4) OVER (ORDER BY monetary, user_id) AS m_q
+  FROM rfm
+)
+SELECT user_id, last_purchase, frequency, monetary,
+       r_q, f_q, m_q,
+       CAST(r_q AS VARCHAR) || CAST(f_q AS VARCHAR) || CAST(m_q AS VARCHAR)
+         AS rfm_segment
+FROM scored
+""",
+)
+def events_rfm_segmentation(spark, sf_dir):
+    """RFM segmentation: per-user recency/frequency/monetary over
+    purchases, each quartiled with NTILE (ties broken by user_id so
+    the bucketing is deterministic cross-engine), concatenated into
+    the classic '444'-style segment label. One shuffle to aggregate
+    per user; the three global NTILEs sort the small per-user rollup
+    (users << events), not the fact table — at 100 TB user-cardinality
+    windows are range-partitioned sorts of the aggregate only."""
+    e = load_table(spark, sf_dir, "events")
+    rfm = (
+        e.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(
+            F.max("ts").alias("last_purchase"),
+            F.count(F.lit(1)).alias("frequency"),
+            dsum("value").alias("monetary"),
+        )
+    )
+    scored = rfm.select(
+        "*",
+        F.ntile(4).over(Window.orderBy("last_purchase", "user_id")).alias("r_q"),
+        F.ntile(4).over(Window.orderBy("frequency", "user_id")).alias("f_q"),
+        F.ntile(4).over(Window.orderBy("monetary", "user_id")).alias("m_q"),
+    )
+    return scored.select(
+        "user_id",
+        "last_purchase",
+        "frequency",
+        "monetary",
+        "r_q",
+        "f_q",
+        "m_q",
+        F.concat(
+            F.col("r_q").cast("string"),
+            F.col("f_q").cast("string"),
+            F.col("m_q").cast("string"),
+        ).alias("rfm_segment"),
     )

@@ -741,3 +741,70 @@ def text_boilerplate_ngrams(spark, sf_dir):
         )
         .filter(F.col("doc_freq") >= 3)
     )
+
+
+@query(
+    "text_perplexity_proxy",
+    section="2.I",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_TOKENS_SQL}) AS token FROM documents
+), gf AS (
+  SELECT token, COUNT(*) AS gc FROM toks GROUP BY token
+), total AS (
+  SELECT CAST(SUM(gc) AS DOUBLE) AS n_total FROM gf
+), tf AS (
+  SELECT doc_id, token, COUNT(*) AS c FROM toks GROUP BY doc_id, token
+), scored AS (
+  SELECT tf.doc_id,
+         CAST(SUM(tf.c) AS DOUBLE) AS n_doc,
+         CAST(SUM(CAST(round(tf.c * ln(gf.gc / total.n_total), 9)
+                       AS DECIMAL(30,9))) AS DOUBLE) AS sum_lnp
+  FROM tf JOIN gf ON tf.token = gf.token CROSS JOIN total
+  GROUP BY tf.doc_id
+)
+SELECT doc_id,
+       CAST(n_doc AS BIGINT) AS n_tokens,
+       round(-sum_lnp / n_doc, 6) AS cross_entropy
+FROM scored
+""",
+)
+def text_perplexity_proxy(spark, sf_dir):
+    """Unigram cross-entropy per document against the corpus token
+    distribution — the KenLM-style perplexity proxy quality filters
+    use (high = rare-token gibberish, low = common-token boilerplate;
+    both tails get dropped). H(doc) = -(1/n) * sum_tokens c*ln(p_corpus).
+
+    Parity: each c*ln(p) term quantized at 9 dp then decimal-summed
+    (order-independent), final H rounded at 6 dp.
+
+    Scale: the corpus distribution is a vocabulary-sized table —
+    broadcast to the per-doc term counts; two grouped passes over the
+    exploded tokens, both keyed on doc_id/token (no corpus-wide
+    window). The `total` scalar rides along as a broadcast join, not
+    a driver collect."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(_tokens()).alias("token"))
+    gf = toks.groupBy("token").agg(F.count(F.lit(1)).alias("gc"))
+    total = gf.agg(F.sum("gc").cast("double").alias("n_total"))
+    tf = toks.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("c"))
+    scored = (
+        tf.join(F.broadcast(gf), "token")
+        .crossJoin(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").cast("double").alias("n_doc"),
+            F.sum(
+                F.round(
+                    F.col("c") * F.log(F.col("gc") / F.col("n_total")), 9
+                ).cast("decimal(30,9)")
+            )
+            .cast("double")
+            .alias("sum_lnp"),
+        )
+    )
+    return scored.select(
+        "doc_id",
+        F.col("n_doc").cast("bigint").alias("n_tokens"),
+        F.round(-F.col("sum_lnp") / F.col("n_doc"), 6).alias("cross_entropy"),
+    )
