@@ -230,3 +230,47 @@ def join_bloom_pruned(spark, sf_dir):
             else:
                 spark.conf.set(k, v)
     return df
+
+
+@query(
+    "cache_hot_dim_reuse",
+    section="2.C",
+    oracle="""
+WITH hot AS (
+  SELECT o_custkey, COUNT(*) AS n_orders,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(27,6))) AS DOUBLE) AS spent
+  FROM orders GROUP BY o_custkey
+)
+SELECT a.o_custkey, a.n_orders, a.spent,
+       round(a.spent / b.grand_total, 9) AS share
+FROM hot a CROSS JOIN (
+  SELECT CAST(SUM(CAST(spent AS DECIMAL(27,6))) AS DOUBLE) AS grand_total
+  FROM hot
+) b
+""",
+)
+def cache_hot_dim_reuse(spark, sf_dir):
+    """Explicit `.cache()` of a derived rollup consumed TWICE in one
+    plan (per-customer spend + its grand total): without caching the
+    orders aggregation runs twice; with it the second branch reads the
+    InMemoryRelation (pinned in tests/test_plans.py). At 100 TB the
+    rule: cache REUSED derived aggregates (small, hit many times),
+    never raw fact scans — memory pressure evicts them and the
+    recompute is a full table pass. The grand total rides back as a
+    broadcast nested-loop of a 1-row relation, not a collect."""
+    o = load_table(spark, sf_dir, "orders")
+    hot = (
+        o.groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum("o_totalprice").alias("spent"),
+        )
+        .cache()
+    )
+    total = hot.agg(dsum("spent").alias("grand_total"))
+    return hot.crossJoin(F.broadcast(total)).select(
+        "o_custkey",
+        "n_orders",
+        "spent",
+        F.round(F.col("spent") / F.col("grand_total"), 9).alias("share"),
+    )

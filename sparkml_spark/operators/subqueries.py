@@ -174,3 +174,29 @@ def sql_dialect_q1(spark, sf_dir):
     the float-parity idioms (the dsum pattern is itself plain ANSI)."""
     register_views(spark, sf_dir)
     return spark.sql(_DIALECT_Q1)
+
+
+_DIALECT_WINDOW = """
+SELECT user_id, event_id, value,
+       ROW_NUMBER() OVER w AS seq,
+       CAST(SUM(CAST(value AS DECIMAL(27,6))) OVER (
+         PARTITION BY user_id ORDER BY ts, event_id
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+       ) AS DOUBLE) AS running_value,
+       LAG(event_type) OVER w AS prev_type
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+"""
+
+
+@query("sql_dialect_window", section="3.EP3", oracle=_DIALECT_WINDOW)
+def sql_dialect_window(spark, sf_dir):
+    """EP3 dialect overlap, window edition: named WINDOW clause,
+    ROW_NUMBER / framed decimal-exact running SUM / LAG — one SQL
+    string, executed verbatim by both engines (no translation layer).
+    The running sum is decimal-cast inside the frame: window
+    accumulation order differs between engines (segment tree vs
+    streaming), so frame sums need the same exactness discipline as
+    grouped dsum."""
+    register_views(spark, sf_dir)
+    return spark.sql(_DIALECT_WINDOW)

@@ -414,3 +414,59 @@ def win_gaps_islands(spark, sf_dir):
         F.sum("run_len").alias("n_active_days"),
         F.min("run_start").alias("first_run_start"),
     )
+
+
+@query(
+    "win_interval_overlap",
+    section="2.E",
+    oracle="""
+WITH pts AS (
+  SELECT event_type, ts AS t, 1 AS delta, event_id FROM events
+  UNION ALL
+  SELECT event_type, ts + INTERVAL 10 MINUTE AS t, -1 AS delta, event_id
+  FROM events
+), sweep AS (
+  SELECT event_type,
+         SUM(delta) OVER (
+           PARTITION BY event_type
+           ORDER BY t, delta DESC, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS concurrent
+  FROM pts
+)
+SELECT event_type,
+       CAST(MAX(concurrent) AS BIGINT) AS max_concurrent,
+       COUNT(*) FILTER (WHERE TRUE) / 2 AS n_intervals
+FROM sweep GROUP BY event_type
+""",
+)
+def win_interval_overlap(spark, sf_dir):
+    """Max-concurrency via sweep line: each event is a 10-minute
+    interval; +1/-1 boundary points, running sum per event_type, max =
+    peak simultaneous intervals. THE scalable interval-overlap shape —
+    O(n log n) sort instead of the O(n^2) interval self-join
+    (join_interval exists for the pairwise form). Tie order (t, +1
+    before -1, event_id) makes touching intervals count as overlapping
+    and the sweep deterministic cross-engine."""
+    e = load_table(spark, sf_dir, "events")
+    starts = e.select(
+        "event_type", F.col("ts").alias("t"), F.lit(1).alias("delta"), "event_id"
+    )
+    ends = e.select(
+        "event_type",
+        (F.col("ts") + F.expr("INTERVAL 10 MINUTES")).alias("t"),
+        F.lit(-1).alias("delta"),
+        "event_id",
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy(F.col("t"), F.col("delta").desc(), F.col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    sweep = starts.unionByName(ends).select(
+        "event_type", F.sum("delta").over(w).alias("concurrent")
+    )
+    return sweep.groupBy("event_type").agg(
+        F.max("concurrent").cast("bigint").alias("max_concurrent"),
+        (F.count(F.lit(1)) / 2).alias("n_intervals"),
+    )

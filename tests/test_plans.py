@@ -135,3 +135,11 @@ def test_dynamic_partition_pruning_injected(spark):
     df = QUERIES["join_dynamic_partition_pruning"](spark, SF_DIR)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "dynamicpruning" in plan.lower(), plan[:3000]
+
+
+def test_cache_hot_dim_reused_in_memory(spark):
+    """Both consumers of the cached rollup must read the
+    InMemoryRelation instead of re-aggregating orders."""
+    df = QUERIES["cache_hot_dim_reuse"](spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "InMemoryTableScan" in plan, plan[:3000]
