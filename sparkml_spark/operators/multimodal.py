@@ -15,6 +15,7 @@ signatures — is real and tested.
 
 from __future__ import annotations
 
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from sparkml_spark.registry import query
@@ -144,3 +145,54 @@ def multimodal_audio_features_stub(spark, sf_dir):
             yield pd.DataFrame(rows, columns=["doc_id", "duration_s", "rms"])
 
     return blobs.mapInPandas(feats, "doc_id BIGINT, duration_s DOUBLE, rms DOUBLE")
+
+
+@query(
+    "multimodal_shard_manifest",
+    section="2.I",
+    oracle="""
+WITH ordered AS (
+  SELECT doc_id, n_chars,
+         SUM(n_chars) OVER (ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_bytes
+  FROM documents
+), assigned AS (
+  SELECT doc_id, n_chars, (cum_bytes - 1) // 20000 AS shard_id
+  FROM ordered
+)
+SELECT shard_id,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS shard_bytes,
+       MIN(doc_id) AS first_doc,
+       MAX(doc_id) AS last_doc
+FROM assigned GROUP BY shard_id
+""",
+)
+def multimodal_shard_manifest(spark, sf_dir):
+    """WebDataset-style shard packing manifest: documents packed in
+    doc_id order into ~20 KB shards by cumulative payload size
+    (`(cum_bytes-1) DIV shard_size`), manifest = one row per shard
+    with doc span and byte count — what a training-data loader needs
+    to address tar shards. The cumulative sum is a running frame over
+    a GLOBAL order: Spark executes it as a range-partitioned sort (no
+    single-node funnel), and n_chars is integral so the sum is exact.
+    At 100 TB, shard within partitions first (prefix the order key
+    with the partition date) so the global sort never exceeds one
+    partition's manifest."""
+    d = load_table(spark, sf_dir, "documents")
+    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    assigned = d.select(
+        "doc_id",
+        "n_chars",
+        F.sum("n_chars").over(w).alias("cum_bytes"),
+    ).select(
+        "doc_id",
+        "n_chars",
+        F.expr("(cum_bytes - 1) DIV 20000").alias("shard_id"),
+    )
+    return assigned.groupBy("shard_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("shard_bytes"),
+        F.min("doc_id").alias("first_doc"),
+        F.max("doc_id").alias("last_doc"),
+    )

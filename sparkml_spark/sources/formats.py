@@ -229,3 +229,46 @@ def compact_small_files(spark, sf_dir):
             F.max("n_rows").alias("max_file_rows"),
         )
     )
+
+
+@query("scan_csv_malformed", section="2.A")
+def scan_csv_malformed(spark, sf_dir):
+    """Malformed-input handling — the ingest reality at 100 TB where
+    some fraction of rows is always broken: a CSV with deliberately
+    corrupt rows read in PERMISSIVE mode with a `_corrupt_record`
+    column; output = per-category counts (clean vs quarantined) plus
+    the recoverable aggregate over clean rows. The quarantine column
+    is the pattern that keeps one bad row from failing a 10^6-task
+    job (FAILFAST is the validation-run twin). ROWS tier: corrupt-
+    record capture is reader-specific; counts asserted in tests."""
+    path = _artifact("malformed_csv")
+    os.makedirs(path, exist_ok=True)
+    with open(os.path.join(path, "part-0.csv"), "w") as fh:
+        fh.write("id,kind,amount\n")
+        for i in range(100):
+            fh.write(f"{i},good,{i * 10}\n")
+            if i % 10 == 0:
+                fh.write(f"{i},bad,not_a_number\n")  # type mismatch
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("kind", T.StringType()),
+            T.StructField("amount", T.LongType()),
+            T.StructField("_corrupt_record", T.StringType()),
+        ]
+    )
+    df = (
+        spark.read.schema(schema)
+        .option("header", True)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .csv(path)
+    ).cache()  # corrupt-record column cannot be queried alone without materializing
+    return df.select(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count_if(F.col("_corrupt_record").isNull()).alias("n_clean"),
+        F.count_if(F.col("_corrupt_record").isNotNull()).alias("n_quarantined"),
+        F.sum(F.when(F.col("_corrupt_record").isNull(), F.col("amount"))).alias(
+            "clean_amount_total"
+        ),
+    )

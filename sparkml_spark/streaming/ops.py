@@ -376,3 +376,40 @@ def stream_sketch_rollup(spark, sf_dir):
         .select(F.col("win.start").alias("hour_start"), "event_type", "approx_users")
     )
     return _run_to_memory(agg, "stream_sketch_rollup", output_mode="complete")
+
+
+@query("stream_ohlc", section="2.K")
+def stream_ohlc(spark, sf_dir):
+    """Streaming OHLC bars: per (event_type, 1h tumbling window) open/
+    high/low/close with min_by/max_by over the event-time+id key —
+    the stream twin of ts_downsample_ohlc (timeseries.py; identical
+    key recipe, so bar values line up with the batch op). Watermarked
+    1h; in production the same query runs unbounded from Kafka with
+    RocksDB state — the window state per bar is four scalars, not the
+    events."""
+    s = _event_stream(spark, sf_dir)
+    key = F.concat(
+        F.date_format("ts", "yyyyMMddHHmmssSSSSSS"),
+        F.lpad(F.col("event_id").cast("string"), 12, "0"),
+    )
+    bars = (
+        s.withWatermark("ts", "1 hour")
+        .groupBy("event_type", F.window("ts", "1 hour").alias("win"))
+        .agg(
+            F.min_by("value", key).alias("bar_open"),
+            F.max("value").alias("bar_high"),
+            F.min("value").alias("bar_low"),
+            F.max_by("value", key).alias("bar_close"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .select(
+            "event_type",
+            F.col("win.start").cast("timestamp_ntz").alias("hour_start"),
+            "bar_open",
+            "bar_high",
+            "bar_low",
+            "bar_close",
+            "n_events",
+        )
+    )
+    return _run_to_memory(bars, "ohlc", "append")

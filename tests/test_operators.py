@@ -216,3 +216,11 @@ def test_hierarchy_closure_depth_is_log2(spark):
     for node, ancs in by_node.items():
         assert max(a.depth for a in ancs) == int(math.log2(node)), node
         assert {a.ancestor for a in ancs if a.depth == int(math.log2(node))} == {1}
+
+
+def test_malformed_csv_quarantine_counts(spark):
+    """PERMISSIVE read must keep all 110 rows, quarantining exactly
+    the 10 corrupt ones and aggregating only the clean 100."""
+    row = QUERIES["scan_csv_malformed"](spark, SF_DIR).collect()[0]
+    assert (row.n_rows, row.n_clean, row.n_quarantined) == (110, 100, 10), row
+    assert row.clean_amount_total == sum(i * 10 for i in range(100))

@@ -47,3 +47,29 @@ def test_stream_dedup_counts(spark):
     from sparkml_spark.sources.loader import load_table
 
     assert total == load_table(spark, SF_DIR, "events").count()  # ids unique
+
+
+def test_stream_ohlc_equals_batch_twin(spark):
+    """Every emitted streaming OHLC bar must match ts_downsample_ohlc
+    cell-for-cell (same tie-break key recipe on both sides). Append
+    mode withholds windows the 1h watermark hasn't closed, so the
+    stream may lack only the TRAILING bars near max event time."""
+    stream = QUERIES["stream_ohlc"](spark, SF_DIR)
+    batch = QUERIES["ts_downsample_ohlc"](spark, SF_DIR)
+    s = {
+        (r["event_type"], r["hour_start"]): (
+            r["bar_open"], r["bar_high"], r["bar_low"], r["bar_close"], r["n_events"]
+        )
+        for r in stream.collect()
+    }
+    b = {
+        (r["event_type"], r["hour_start"]): (
+            r["bar_open"], r["bar_high"], r["bar_low"], r["bar_close"], r["n_events"]
+        )
+        for r in batch.collect()
+    }
+    assert s.items() <= b.items()  # emitted bars are exactly the batch bars
+    withheld = set(b) - set(s)
+    horizon = max(h for _, h in b.keys())
+    from datetime import timedelta
+    assert all(horizon - h <= timedelta(hours=2) for _, h in withheld), withheld
