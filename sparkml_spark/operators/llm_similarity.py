@@ -267,3 +267,78 @@ def multimodal_enrich(spark, sf_dir):
         ),
         (F.sum("norm_q").cast("double") / F.count(F.lit(1))).alias("avg_norm_sq"),
     )
+
+
+@query(
+    "sim_centroid_assign",
+    section="2.I",
+    oracle="""
+WITH x AS (
+  SELECT vec_id, label, i - 1 AS pos, CAST(embedding[CAST(i AS INT)] AS DOUBLE) AS val
+  FROM embeddings, unnest(range(1, 65)) AS t(i)
+), cent AS (
+  SELECT label AS clabel, pos,
+         CAST(SUM(CAST(val AS DECIMAL(27,9))) AS DOUBLE) / COUNT(*) AS c
+  FROM x GROUP BY label, pos
+), d AS (
+  SELECT x.vec_id, x.label, cent.clabel,
+         CAST(SUM(CAST(round((x.val - cent.c) * (x.val - cent.c), 12)
+                       AS DECIMAL(30,12))) AS DOUBLE) AS dist2
+  FROM x JOIN cent ON x.pos = cent.pos
+  GROUP BY x.vec_id, x.label, cent.clabel
+), r AS (
+  SELECT vec_id, label, clabel, dist2,
+         ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY round(dist2, 9), clabel) AS rn
+  FROM d
+)
+SELECT vec_id, label, clabel AS assigned_label,
+       round(dist2, 6) AS dist2,
+       label = clabel AS is_match
+FROM r WHERE rn = 1
+""",
+)
+def sim_centroid_assign(spark, sf_dir):
+    """Relational k-means E-step: per-label centroids (exact decimal
+    mean per dimension), every vector assigned to its nearest centroid
+    by squared L2 — the cluster-dedup / IVF-routing primitive written
+    as pure DataFrame ops (the MLlib twin is ml_clustering). Fixtures
+    are 64-d (pinned in the oracle's range).
+
+    Parity: centroid = exact decimal mean; per-dimension squared
+    residuals quantized at 12 dp and decimal-summed; argmin on the
+    9 dp-rounded distance with label tie-break.
+
+    Scale: explode to (vec, dim, val) — narrow; centroids are
+    k x dims rows (broadcast); the assignment join is per-dimension
+    with map-side partial sums, so nothing ever shuffles at
+    vectors x k granularity except the final k-row-per-vector argmin.
+    For billion-vector corpora this is exactly sim_ivf_ann's routing
+    stage."""
+    e = load_table(spark, sf_dir, "embeddings")
+    x = e.select(
+        "vec_id", "label", F.posexplode("embedding").alias("pos", "fval")
+    ).select("vec_id", "label", "pos", F.col("fval").cast("double").alias("val"))
+    cent = x.groupBy(F.col("label").alias("clabel"), "pos").agg(
+        (
+            F.sum(F.col("val").cast("decimal(27,9)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("c")
+    )
+    resid = F.round((F.col("val") - F.col("c")) * (F.col("val") - F.col("c")), 12)
+    d = (
+        x.join(F.broadcast(cent), "pos")
+        .groupBy("vec_id", "label", "clabel")
+        .agg(F.sum(resid.cast("decimal(30,12)")).cast("double").alias("dist2"))
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.round("dist2", 9), "clabel")
+    return (
+        d.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "vec_id",
+            "label",
+            F.col("clabel").alias("assigned_label"),
+            F.round("dist2", 6).alias("dist2"),
+            (F.col("label") == F.col("clabel")).alias("is_match"),
+        )
+    )
