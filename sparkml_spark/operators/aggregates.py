@@ -735,3 +735,66 @@ def agg_pivot_multi(spark, sf_dir):
         F.col("BUILDING_n").alias("building_n"),
         F.col("BUILDING_bal").alias("building_bal"),
     )
+
+
+@query(
+    "agg_higher_moments",
+    section="2.D",
+    oracle="""
+WITH q AS (
+  SELECT l_returnflag, CAST(l_quantity AS DECIMAL(12,2)) AS qd FROM lineitem
+), s AS (
+  SELECT l_returnflag,
+         COUNT(*) AS n,
+         CAST(SUM(qd) AS DOUBLE) AS s1,
+         CAST(SUM(qd * qd) AS DOUBLE) AS s2,
+         CAST(SUM(qd * qd * qd) AS DOUBLE) AS s3,
+         CAST(SUM(qd * qd * qd * qd) AS DOUBLE) AS s4
+  FROM q GROUP BY l_returnflag
+)
+SELECT l_returnflag, n,
+       round(s1 / n, 6) AS mean_qty,
+       round((s2 - s1 * s1 / n) / n, 6) AS var_pop,
+       round((s3 - 3 * s1 * s2 / n + 2 * s1 * s1 * s1 / (n * n)) / n
+             / POW((s2 - s1 * s1 / n) / n, 1.5), 6) AS skewness,
+       round((s4 - 4 * s1 * s3 / n + 6 * s1 * s1 * s2 / (n * n)
+              - 3 * s1 * s1 * s1 * s1 / (n * n * n)) / n
+             / POW((s2 - s1 * s1 / n) / n, 2) - 3, 6) AS excess_kurtosis
+FROM s
+""",
+)
+def agg_higher_moments(spark, sf_dir):
+    """Skewness / excess kurtosis per return flag from EXACT raw
+    moments: inputs quantized to the cents grid (decimal(12,2) — the
+    agg_stats discipline), powers and sums entirely in exact decimal,
+    then both engines recombine identical doubles (same formula text)
+    and round at 6 dp (POW is the one libm call). Spark's built-in
+    `skewness`/`kurtosis` stay engine-internal (streaming M2/M3/M4
+    updates — order-dependent); raw-moment decomposition is the
+    reproducible-at-1000-executors form, one partial->final hash agg
+    regardless of input size."""
+    li = load_table(spark, sf_dir, "lineitem")
+    qd = F.col("l_quantity").cast("decimal(12,2)")
+    s = li.select(F.col("l_returnflag"), qd.alias("qd")).groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("qd").cast("double").alias("s1"),
+        F.sum(F.col("qd") * F.col("qd")).cast("double").alias("s2"),
+        F.sum(F.col("qd") * F.col("qd") * F.col("qd")).cast("double").alias("s3"),
+        F.sum(F.col("qd") * F.col("qd") * F.col("qd") * F.col("qd"))
+        .cast("double")
+        .alias("s4"),
+    )
+    n, s1, s2, s3, s4 = (F.col(c) for c in ["n", "s1", "s2", "s3", "s4"])
+    var_pop = (s2 - s1 * s1 / n) / n
+    skew = (s3 - 3 * s1 * s2 / n + 2 * s1 * s1 * s1 / (n * n)) / n / F.pow(var_pop, 1.5)
+    kurt = (
+        s4 - 4 * s1 * s3 / n + 6 * s1 * s1 * s2 / (n * n) - 3 * s1 * s1 * s1 * s1 / (n * n * n)
+    ) / n / F.pow(var_pop, 2) - 3
+    return s.select(
+        "l_returnflag",
+        "n",
+        F.round(s1 / n, 6).alias("mean_qty"),
+        F.round(var_pop, 6).alias("var_pop"),
+        F.round(skew, 6).alias("skewness"),
+        F.round(kurt, 6).alias("excess_kurtosis"),
+    )
