@@ -272,3 +272,35 @@ def scan_csv_malformed(spark, sf_dir):
             "clean_amount_total"
         ),
     )
+
+
+@query(
+    "scan_schema_evolution",
+    section="2.A",
+    oracle="""
+SELECT doc_id, lang, NULL AS n_chars, 'v1' AS batch FROM documents
+WHERE doc_id < 100
+UNION ALL
+SELECT doc_id, lang, n_chars, 'v2' AS batch FROM documents
+WHERE doc_id >= 100
+""",
+)
+def scan_schema_evolution(spark, sf_dir):
+    """Schema evolution on a long-lived table: an early batch written
+    WITHOUT a column that later batches have, read back with
+    `mergeSchema` — rows from the old layout surface NULL for the new
+    column instead of failing the scan. This is how a 100 TB dataset
+    accretes columns without rewriting history (footer merge is a
+    driver-side metadata operation; at scale prefer a fixed read
+    schema over per-query footer merging). Oracle reconstructs the
+    same union from the flat table."""
+    d = load_table(spark, sf_dir, "documents")
+    path = _artifact("documents_evolving")
+    v1 = d.filter(F.col("doc_id") < 100).select("doc_id", "lang")
+    v2 = d.filter(F.col("doc_id") >= 100).select("doc_id", "lang", "n_chars")
+    v1.write.mode("overwrite").parquet(os.path.join(path, "batch=v1"))
+    v2.write.mode("overwrite").parquet(os.path.join(path, "batch=v2"))
+    back = spark.read.option("mergeSchema", True).parquet(path)
+    return back.select(
+        "doc_id", "lang", "n_chars", F.col("batch").cast("string").alias("batch")
+    )
