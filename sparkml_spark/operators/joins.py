@@ -429,14 +429,15 @@ WITH dim AS (
 )
 SELECT d.doc_id, d.lang, d.n_chars, dim.lang_total
 FROM documents d JOIN dim ON d.lang = dim.lang
-WHERE dim.lang_total < 80
+WHERE dim.lang_total * 5 < (SELECT COUNT(*) FROM documents)
 """,
 )
 def join_dynamic_partition_pruning(spark, sf_dir):
     """Dynamic partition pruning: the fact side is a hive-partitioned
     layout (partitionBy lang) joined to a dim filtered by a predicate
-    the planner can't resolve statically (lang_total < 80, only known
-    after the dim aggregates). Spark injects a
+    the planner can't resolve statically (langs below 1/5 of the
+    corpus — only known after the dim aggregates; relative so the
+    predicate selects the same langs at every SF). Spark injects a
     `dynamicpruningexpression` subquery into the fact scan so only the
     matching lang partitions are listed/read — at 100 TB this is the
     difference between scanning 2 partitions and all of them
@@ -445,10 +446,16 @@ def join_dynamic_partition_pruning(spark, sf_dir):
     d = load_table(spark, sf_dir, "documents")
     path = _dpp_artifact(spark, sf_dir)
     fact = spark.read.parquet(path)
+    # Relative threshold via an all-rows window over the 5-row dim (a
+    # crossjoin-with-total formulation defeats Spark's DPP rule; the
+    # window form keeps a plain Filter on the build side, which DPP
+    # requires — probed empirically).
     dim = (
         d.groupBy("lang")
         .agg(F.count(F.lit(1)).alias("lang_total"))
-        .filter(F.col("lang_total") < 80)
+        .withColumn("n_total", F.sum("lang_total").over(Window.partitionBy()))
+        .filter(F.col("lang_total") * 5 < F.col("n_total"))
+        .drop("n_total")
     )
     return fact.join(dim, "lang").select(
         "doc_id", F.col("lang").cast("string").alias("lang"), "n_chars", "lang_total"
