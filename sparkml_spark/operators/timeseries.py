@@ -153,3 +153,77 @@ def ts_asof_nearest(spark, sf_dir):
             "gap_us",
         )
     )
+
+
+@query(
+    "op_scd2_intervals",
+    section="2.K",
+    oracle="""
+WITH seq AS (
+  SELECT user_id, event_type, ts, event_id,
+         LAG(event_type) OVER w AS prev_type
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), marked AS (
+  SELECT user_id, event_type, ts, event_id,
+         SUM(CASE WHEN prev_type IS NULL OR prev_type <> event_type
+                  THEN 1 ELSE 0 END)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_id
+  FROM seq
+), runs AS (
+  SELECT user_id, event_type, run_id,
+         MIN(ts) AS valid_from, COUNT(*) AS n_events
+  FROM marked GROUP BY user_id, event_type, run_id
+)
+SELECT user_id, event_type, run_id, valid_from, n_events,
+       LEAD(valid_from) OVER (
+         PARTITION BY user_id ORDER BY run_id
+       ) AS valid_to,
+       LEAD(valid_from) OVER (
+         PARTITION BY user_id ORDER BY run_id
+       ) IS NULL AS is_current
+FROM runs
+""",
+)
+def op_scd2_intervals(spark, sf_dir):
+    """SCD type-2 history build: collapse each user's consecutive
+    same-event_type runs into validity intervals [valid_from,
+    valid_to) with an is_current flag — the warehouse pattern for
+    attribute history, derived with lag-change-marker + running-sum
+    run ids (no self-join). Two windows over the same (user, time)
+    ordering -> ONE shuffle+sort reused by both (Catalyst collapses
+    equal-partitioning windows); the runs rollup and the lead over
+    runs are user-cardinality, not event-cardinality."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wrun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    marked = e.select(
+        "user_id",
+        "event_type",
+        "ts",
+        "event_id",
+        F.sum(
+            F.when(
+                F.lag("event_type").over(w).isNull()
+                | (F.lag("event_type").over(w) != F.col("event_type")),
+                1,
+            ).otherwise(0)
+        )
+        .over(wrun)
+        .alias("run_id"),
+    )
+    runs = marked.groupBy("user_id", "event_type", "run_id").agg(
+        F.min("ts").alias("valid_from"), F.count(F.lit(1)).alias("n_events")
+    )
+    wl = Window.partitionBy("user_id").orderBy("run_id")
+    nxt = F.lead("valid_from").over(wl)
+    return runs.select(
+        "user_id",
+        "event_type",
+        "run_id",
+        "valid_from",
+        "n_events",
+        nxt.alias("valid_to"),
+        nxt.isNull().alias("is_current"),
+    )
