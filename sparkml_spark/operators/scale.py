@@ -274,3 +274,34 @@ def cache_hot_dim_reuse(spark, sf_dir):
         "spent",
         F.round(F.col("spent") / F.col("grand_total"), 9).alias("share"),
     )
+
+
+@query(
+    "observe_metrics",
+    section="2.L",
+    oracle="""
+SELECT o_orderpriority, COUNT(*) AS n_orders
+FROM orders WHERE o_totalprice > 100000.0
+GROUP BY o_orderpriority
+""",
+)
+def observe_metrics(spark, sf_dir):
+    """`df.observe()` — zero-cost pipeline telemetry: named aggregate
+    metrics (row count, exact decimal value sum) accumulated DURING
+    the normal action, no second scan (vs a separate .count() which
+    re-reads 100 TB). The observed metrics ride the same physical
+    plan; tests/test_operators.py asserts the Observation values match
+    an independent aggregation. Output itself stays ORACLE-checked —
+    observe() must not perturb results."""
+    from pyspark.sql import Observation
+
+    o = load_table(spark, sf_dir, "orders")
+    obs = Observation("filter_stats")
+    filtered = o.filter(F.col("o_totalprice") > 100000.0).observe(
+        obs,
+        F.count(F.lit(1)).alias("rows_kept"),
+        F.sum(F.col("o_totalprice").cast("decimal(27,6)")).alias("kept_value"),
+    )
+    out = filtered.groupBy("o_orderpriority").agg(F.count(F.lit(1)).alias("n_orders"))
+    out._sparkml_observation = obs  # exposed for the unit test
+    return out

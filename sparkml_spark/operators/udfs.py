@@ -228,3 +228,39 @@ def map_in_arrow(spark, sf_dir):
     return d.mapInArrow(
         double_chars, "doc_id long, n_chars_x2 long, batch_rows long"
     ).select("doc_id", "n_chars_x2")
+
+
+@query("udaf_cogroup_pandas", section="2.L")
+def udaf_cogroup_pandas(spark, sf_dir):
+    """Cogrouped applyInPandas — the two-table Arrow escape hatch:
+    purchases and views cogrouped per user, merged in one pandas
+    call (the asof/custom-merge seam when DataFrame joins can't
+    express the pairing). Deterministic per-user counts + value sums
+    (rounded) out; grouped Arrow batches in. One shuffle per side on
+    the cogroup key, same as a join."""
+    import pandas as pd
+
+    e = load_table(spark, sf_dir, "events")
+    p = e.filter(F.col("event_type") == "purchase").select("user_id", "value")
+    v = e.filter(F.col("event_type") == "view").select("user_id", "value")
+
+    def merge(key, left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_purchases": [len(left)],
+                "n_views": [len(right)],
+                "purchase_value": [round(float(left["value"].sum()), 2)],
+                "view_value": [round(float(right["value"].sum()), 2)],
+            }
+        )
+
+    return (
+        p.groupBy("user_id")
+        .cogroup(v.groupBy("user_id"))
+        .applyInPandas(
+            merge,
+            "user_id long, n_purchases long, n_views long, "
+            "purchase_value double, view_value double",
+        )
+    )

@@ -224,3 +224,17 @@ def test_malformed_csv_quarantine_counts(spark):
     row = QUERIES["scan_csv_malformed"](spark, SF_DIR).collect()[0]
     assert (row.n_rows, row.n_clean, row.n_quarantined) == (110, 100, 10), row
     assert row.clean_amount_total == sum(i * 10 for i in range(100))
+
+
+def test_observe_metrics_match_independent_agg(spark):
+    """Observation metrics must equal a separately computed aggregate
+    (and the observed plan's output is oracle-checked elsewhere)."""
+    df = QUERIES["observe_metrics"](spark, SF_DIR)
+    rows = df.collect()  # triggers the observation
+    obs = df._sparkml_observation.get
+    o = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+    from pyspark.sql import functions as F
+    kept = o.filter(F.col("o_totalprice") > 100000.0)
+    expect_rows = kept.count()
+    assert obs["rows_kept"] == expect_rows
+    assert sum(r.n_orders for r in rows) == expect_rows
