@@ -238,3 +238,49 @@ def test_observe_metrics_match_independent_agg(spark):
     expect_rows = kept.count()
     assert obs["rows_kept"] == expect_rows
     assert sum(r.n_orders for r in rows) == expect_rows
+
+
+def test_ohlc_bar_invariants(spark):
+    """low <= open/close <= high, and bar event counts must total the
+    table size."""
+    rows = QUERIES["ts_downsample_ohlc"](spark, SF_DIR).collect()
+    for r in rows:
+        assert r.bar_low <= r.bar_open <= r.bar_high, r
+        assert r.bar_low <= r.bar_close <= r.bar_high, r
+    total = spark.read.parquet(f"{SF_DIR}/events.parquet").count()
+    assert sum(r.n_events for r in rows) == total
+
+
+def test_hash_sample_stable_under_repartition(spark):
+    """The md5-threshold sample must select the SAME rows regardless
+    of physical partitioning (the property RNG samples lack)."""
+    base = {r.o_orderkey for r in QUERIES["sample_hash_deterministic"](spark, SF_DIR).collect()}
+    o = spark.read.parquet(f"{SF_DIR}/orders.parquet").repartition(13)
+    from pyspark.sql import functions as F
+    h2 = F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 2)
+    again = {r.o_orderkey for r in o.filter(h2 < "1a").select("o_orderkey").collect()}
+    assert base == again
+
+
+def test_shard_manifest_partitions_all_bytes(spark):
+    """Shards must cover every document exactly once and sum to the
+    exact corpus byte count; doc spans must not overlap."""
+    rows = sorted(
+        QUERIES["multimodal_shard_manifest"](spark, SF_DIR).collect(),
+        key=lambda r: r.shard_id,
+    )
+    d = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    from pyspark.sql import functions as F
+    agg = d.agg(F.count(F.lit(1)), F.sum("n_chars")).collect()[0]
+    assert sum(r.n_docs for r in rows) == agg[0]
+    assert sum(r.shard_bytes for r in rows) == agg[1]
+    for a, b in zip(rows, rows[1:]):
+        assert a.last_doc < b.first_doc  # contiguous, non-overlapping spans
+
+
+def test_gaps_islands_consistency(spark):
+    """Per user: islands * 1 <= active days; longest run <= active
+    days; island count can't exceed active days."""
+    for r in QUERIES["win_gaps_islands"](spark, SF_DIR).collect():
+        assert 1 <= r.n_islands <= r.n_active_days
+        assert 1 <= r.longest_run <= r.n_active_days

@@ -96,3 +96,4 @@ def test_window_dedup_idempotent(spark, rows):
     dedup = df.withColumn("rn", F.row_number().over(w)).filter("rn = 1").drop("rn")
     dedup2 = dedup.withColumn("rn", F.row_number().over(w)).filter("rn = 1").drop("rn")
     assert sorted(map(tuple, dedup.collect())) == sorted(map(tuple, dedup2.collect()))
+
