@@ -471,3 +471,46 @@ def sample_stratified_hash(spark, sf_dir):
     )
     h2 = F.substring(F.md5(F.col("event_id").cast("string")), 1, 2)
     return e.filter(h2 < thr).select("event_id", "event_type", "user_id", "value")
+
+
+@query(
+    "stat_crosstab",
+    section="2.D",
+    oracle="""
+SELECT o_orderpriority AS o_orderpriority_o_orderstatus,
+       COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS "F",
+       COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS "O",
+       COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS "P"
+FROM orders
+GROUP BY o_orderpriority
+""",
+)
+def stat_crosstab(spark, sf_dir):
+    """`df.stat.crosstab` — the contingency-table one-liner (pairwise
+    frequency of two categoricals). Exact counts, so ORACLE-tier: the
+    oracle reproduces Spark's column naming contract (first column
+    `{col1}_{col2}`, one column per distinct col2 value). Same
+    physical shape as a pivot: single hash agg over the pair key."""
+    o = load_table(spark, sf_dir, "orders")
+    ct = o.stat.crosstab("o_orderpriority", "o_orderstatus")
+    return ct.select(
+        "o_orderpriority_o_orderstatus",
+        F.col("F").cast("bigint").alias("F"),
+        F.col("O").cast("bigint").alias("O"),
+        F.col("P").cast("bigint").alias("P"),
+    )
+
+
+@query("stat_sampleby_seeded", section="2.B")
+def stat_sampleby_seeded(spark, sf_dir):
+    """`df.stat.sampleBy` — per-stratum seeded Bernoulli sampling (the
+    RNG twin of sample_stratified_hash; same fractions). ROWS tier:
+    Spark's stratified RNG stream is engine-specific but seed-stable.
+    Prefer the hash variant for anything that must be reproducible
+    across engines or incremental runs."""
+    e = load_table(spark, sf_dir, "events")
+    return e.stat.sampleBy(
+        "event_type",
+        {"view": 0.05, "click": 0.10, "purchase": 0.5, "signup": 1.0, "error": 1.0},
+        seed=42,
+    ).select("event_id", "event_type", "user_id", "value")

@@ -305,3 +305,22 @@ def observe_metrics(spark, sf_dir):
     out = filtered.groupBy("o_orderpriority").agg(F.count(F.lit(1)).alias("n_orders"))
     out._sparkml_observation = obs  # exposed for the unit test
     return out
+
+
+@query(
+    "hint_rebalance",
+    section="2.B",
+    oracle="""
+SELECT lang, doc_id, n_chars FROM documents
+""",
+)
+def hint_rebalance(spark, sf_dir):
+    """AQE rebalance hint — the skew-proof write preparation: unlike
+    `repartition(n)` (fixed width) or `coalesce` (no shuffle, can
+    keep skew), `hint("rebalance", col)` lets AQE split oversized and
+    merge undersized partitions at runtime. This is what you put in
+    front of a partitioned 100 TB sink so no writer task gets the hot
+    partition. Values are pass-through (oracle pins that); the plan
+    carries a RebalancePartitions node."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.hint("rebalance", "lang").select("lang", "doc_id", "n_chars")
