@@ -485,3 +485,39 @@ def fn_url(spark, sf_dir):
         F.parse_url(url, F.lit("QUERY")).alias("url_query"),
         F.parse_url(url, F.lit("QUERY"), F.lit("lang")).alias("url_lang_param"),
     )
+
+
+@query(
+    "fn_json_array",
+    section="2.H",
+    oracle="""
+WITH built AS (
+  SELECT event_id,
+         to_json([user_id % 10, CAST(json_extract_string(props, '$.k') AS BIGINT)])
+           AS arr_json
+  FROM events
+)
+SELECT event_id, arr_json,
+       CAST(json_extract(arr_json, '$[0]') AS BIGINT)
+         + CAST(json_extract(arr_json, '$[1]') AS BIGINT) AS parsed_sum,
+       len(CAST(arr_json AS JSON)::BIGINT[]) AS n_elems
+FROM built
+""",
+)
+def fn_json_array(spark, sf_dir):
+    """JSON array round-trip: build a JSON array string from typed
+    columns (to_json), parse it back (from_json to array<bigint>),
+    aggregate the parsed elements — the schema-carrying path for
+    array payloads in event streams. Compact rendering ('[a,b]', no
+    spaces) is byte-identical across engines, so the STRING is
+    oracle-checked too, not just the parsed values."""
+    e = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("bigint")
+    arr_json = F.to_json(F.array(F.col("user_id") % 10, k))
+    parsed = F.from_json(arr_json, "array<bigint>")
+    return e.select(
+        "event_id",
+        arr_json.alias("arr_json"),
+        (F.element_at(parsed, 1) + F.element_at(parsed, 2)).alias("parsed_sum"),
+        F.size(parsed).alias("n_elems"),
+    )

@@ -268,3 +268,43 @@ def events_rfm_segmentation(spark, sf_dir):
             F.col("m_q").cast("string"),
         ).alias("rfm_segment"),
     )
+
+
+@query(
+    "events_top_paths",
+    section="2.I",
+    oracle="""
+WITH seq AS (
+  SELECT event_type AS e1,
+         LEAD(event_type, 1) OVER w AS e2,
+         LEAD(event_type, 2) OVER w AS e3
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), paths AS (
+  SELECT e1 || '>' || e2 || '>' || e3 AS path, COUNT(*) AS n
+  FROM seq WHERE e3 IS NOT NULL
+  GROUP BY e1 || '>' || e2 || '>' || e3
+)
+SELECT path, n FROM paths ORDER BY n DESC, path LIMIT 10
+""",
+)
+def events_top_paths(spark, sf_dir):
+    """Top-10 three-step user journeys ('view>click>purchase'-style
+    path strings): double-lead over each user's timeline, path counts,
+    deterministic top-k (count desc, path asc). The path-analysis
+    staple next to the Markov matrix (bigram -> trigram). One window
+    shuffle; the 125-cell path space collapses map-side; top-k is
+    TakeOrderedAndProject, never a global sort."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        F.col("event_type").alias("e1"),
+        F.lead("event_type", 1).over(w).alias("e2"),
+        F.lead("event_type", 2).over(w).alias("e3"),
+    ).filter(F.col("e3").isNotNull())
+    paths = (
+        seq.select(F.concat_ws(">", "e1", "e2", "e3").alias("path"))
+        .groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return paths.orderBy(F.col("n").desc(), F.col("path").asc()).limit(10)

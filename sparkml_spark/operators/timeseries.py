@@ -227,3 +227,49 @@ def op_scd2_intervals(spark, sf_dir):
         nxt.alias("valid_to"),
         nxt.isNull().alias("is_current"),
     )
+
+
+@query(
+    "ts_median_order_gap",
+    section="2.K",
+    oracle="""
+WITH gaps AS (
+  SELECT o_custkey,
+         date_diff('day',
+           LAG(CAST(o_orderdate AS DATE)) OVER (
+             PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+           CAST(o_orderdate AS DATE)) AS gap_days
+  FROM orders
+)
+SELECT o_custkey,
+       COUNT(gap_days) AS n_gaps,
+       median(gap_days) AS median_gap_days,
+       MIN(gap_days) AS min_gap_days,
+       MAX(gap_days) AS max_gap_days
+FROM gaps WHERE gap_days IS NOT NULL
+GROUP BY o_custkey
+""",
+)
+def ts_median_order_gap(spark, sf_dir):
+    """Inter-arrival statistics: per-customer median/min/max days
+    between consecutive orders (lag + datediff + exact median) — the
+    repurchase-cadence signal behind churn models. One shuffle for the
+    customer window, then a per-customer aggregate; exact median is
+    safe here because each customer's gap list is small (the
+    high-cardinality-median caveat from agg_median_mad doesn't bite —
+    state is per-customer, not per-group-of-millions)."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    gaps = o.select(
+        "o_custkey",
+        F.datediff(
+            F.col("o_orderdate").cast("date"),
+            F.lag(F.col("o_orderdate").cast("date")).over(w),
+        ).alias("gap_days"),
+    ).filter(F.col("gap_days").isNotNull())
+    return gaps.groupBy("o_custkey").agg(
+        F.count("gap_days").alias("n_gaps"),
+        F.median("gap_days").alias("median_gap_days"),
+        F.min("gap_days").alias("min_gap_days"),
+        F.max("gap_days").alias("max_gap_days"),
+    )
