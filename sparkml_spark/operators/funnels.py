@@ -308,3 +308,106 @@ def events_top_paths(spark, sf_dir):
         .agg(F.count(F.lit(1)).alias("n"))
     )
     return paths.orderBy(F.col("n").desc(), F.col("path").asc()).limit(10)
+
+
+@query(
+    "orders_pareto_share",
+    section="2.I",
+    oracle="""
+WITH spend AS (
+  SELECT o_custkey,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(27,6))) AS DOUBLE) AS spent
+  FROM orders GROUP BY o_custkey
+), ranked AS (
+  SELECT o_custkey, spent,
+         ROW_NUMBER() OVER (ORDER BY spent DESC, o_custkey) AS rnk,
+         CAST(SUM(CAST(spent AS DECIMAL(27,6))) OVER (
+           ORDER BY spent DESC, o_custkey
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS DOUBLE) AS cum_spent,
+         CAST(SUM(CAST(spent AS DECIMAL(27,6))) OVER () AS DOUBLE) AS total_spent
+  FROM spend
+)
+SELECT rnk, o_custkey, spent,
+       round(cum_spent / total_spent, 9) AS cum_share,
+       cum_spent / total_spent <= 0.8 AS in_top80
+FROM ranked
+""",
+)
+def orders_pareto_share(spark, sf_dir):
+    """Pareto / ABC analysis: customers ranked by total spend, exact
+    decimal cumulative share, and the 80%-revenue frontier flag. The
+    revenue-concentration question every commercial dashboard asks.
+    Window sums are decimal-exact (frame accumulation order differs
+    between engines); the ranked window sorts the CUSTOMER rollup
+    (not the fact table) — range-partitioned sort of the small side."""
+    o = load_table(spark, sf_dir, "orders")
+    spend = o.groupBy("o_custkey").agg(dsum("o_totalprice").alias("spent"))
+    wr = Window.orderBy(F.col("spent").desc(), F.col("o_custkey"))
+    wcum = wr.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    wall = Window.partitionBy()
+    ranked = spend.select(
+        F.row_number().over(wr).alias("rnk"),
+        "o_custkey",
+        "spent",
+        F.sum(F.col("spent").cast("decimal(27,6)"))
+        .over(wcum)
+        .cast("double")
+        .alias("cum_spent"),
+        F.sum(F.col("spent").cast("decimal(27,6)"))
+        .over(wall)
+        .cast("double")
+        .alias("total_spent"),
+    )
+    share = F.col("cum_spent") / F.col("total_spent")
+    return ranked.select(
+        "rnk",
+        "o_custkey",
+        "spent",
+        F.round(share, 9).alias("cum_share"),
+        (share <= 0.8).alias("in_top80"),
+    )
+
+
+@query(
+    "events_dau_rolling_wau",
+    section="2.I",
+    oracle="""
+WITH days AS (
+  SELECT DISTINCT CAST(date_trunc('day', ts) AS DATE) AS d, user_id FROM events
+), spine AS (
+  SELECT DISTINCT d FROM days
+)
+SELECT s.d AS day,
+       (SELECT COUNT(DISTINCT a.user_id) FROM days a WHERE a.d = s.d) AS dau,
+       (SELECT COUNT(DISTINCT a.user_id) FROM days a
+        WHERE a.d BETWEEN s.d - 6 AND s.d) AS wau
+FROM spine s
+""",
+)
+def events_dau_rolling_wau(spark, sf_dir):
+    """DAU + trailing-7-day WAU per day. Sliding DISTINCT is the
+    operator windows can't express (no count-distinct range frames):
+    the scalable form is a day-spine x active-days range join on the
+    (day, user) DISTINCT table — user-day cardinality, re-counted per
+    window position only for the 7 days that overlap. At extreme
+    scale the approximate path is per-day HLL sketches unioned over
+    the trailing window (hll_union_agg — constant work per day);
+    this op is the exact twin."""
+    e = load_table(spark, sf_dir, "events")
+    days = e.select(
+        F.date_trunc("day", F.col("ts")).cast("date").alias("d"), "user_id"
+    ).distinct()
+    spine = days.select("d").distinct().select(F.col("d").alias("day"))
+    dau = days.groupBy(F.col("d").alias("day")).agg(
+        F.countDistinct("user_id").alias("dau")
+    )
+    wau = (
+        spine.join(
+            days,
+            (F.col("d") >= F.date_sub(F.col("day"), 6)) & (F.col("d") <= F.col("day")),
+        )
+        .groupBy("day")
+        .agg(F.countDistinct("user_id").alias("wau"))
+    )
+    return spine.join(dau, "day").join(wau, "day")
