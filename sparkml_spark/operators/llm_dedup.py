@@ -618,3 +618,51 @@ def dedup_edit_distance(spark, sf_dir):
             ).alias("head_sim"),
         )
     )
+
+
+@query(
+    "dedup_keeper_selection",
+    section="2.I",
+    oracle=f"""
+WITH corpus AS ({_CORPUS_SQL}),
+hashed AS (
+  SELECT doc_id, len(text) AS n_chars,
+         md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS h
+  FROM corpus
+), ranked AS (
+  SELECT doc_id, n_chars, h,
+         ROW_NUMBER() OVER (PARTITION BY h ORDER BY n_chars DESC, doc_id) AS rn,
+         COUNT(*) OVER (PARTITION BY h) AS cluster_size
+  FROM hashed
+)
+SELECT h AS content_hash, cluster_size,
+       doc_id AS keeper_doc, n_chars AS keeper_chars
+FROM ranked WHERE rn = 1 AND cluster_size > 1
+""",
+)
+def dedup_keeper_selection(spark, sf_dir):
+    """Canonical-document selection for dup clusters: group by
+    normalized content hash (corpus with injected copies — fixtures
+    have no natural exact dups), keep the LONGEST doc (doc_id
+    tie-break) from each multi-doc cluster — the policy step between
+    candidate clustering (dedup_exact_hash / dedup_cc_clusters) and
+    corpus emission. One window over the hash key; keeper policy is a
+    sort spec, swappable for quality score (text_quality_score)
+    without changing the plan shape."""
+    corpus = _corpus_with_dups(spark, sf_dir)
+    h = F.md5(F.lower(F.trim(F.regexp_replace("text", r"\s+", " "))))
+    hashed = corpus.select(
+        "doc_id", F.length("text").alias("n_chars"), h.alias("h")
+    )
+    w = Window.partitionBy("h").orderBy(F.col("n_chars").desc(), F.col("doc_id"))
+    ranked = hashed.select(
+        "*",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("h")).alias("cluster_size"),
+    )
+    return ranked.filter((F.col("rn") == 1) & (F.col("cluster_size") > 1)).select(
+        F.col("h").alias("content_hash"),
+        "cluster_size",
+        F.col("doc_id").alias("keeper_doc"),
+        F.col("n_chars").alias("keeper_chars"),
+    )

@@ -514,3 +514,28 @@ def stat_sampleby_seeded(spark, sf_dir):
         {"view": 0.05, "click": 0.10, "purchase": 0.5, "signup": 1.0, "error": 1.0},
         seed=42,
     ).select("event_id", "event_type", "user_id", "value")
+
+
+@query(
+    "union_by_name_missing",
+    section="2.G",
+    oracle="""
+SELECT doc_id, lang, n_chars, 'full' AS src FROM documents WHERE lang = 'en'
+UNION ALL
+SELECT doc_id, lang, NULL AS n_chars, 'slim' AS src
+FROM documents WHERE lang = 'fr'
+""",
+)
+def union_by_name_missing(spark, sf_dir):
+    """unionByName(allowMissingColumns=True): schema-drifted branches
+    united by COLUMN NAME (positional union silently mis-aligns after
+    drift — the classic multi-source ingestion bug), missing columns
+    null-filled. The scan-level twin of scan_schema_evolution."""
+    d = load_table(spark, sf_dir, "documents")
+    full = d.filter(F.col("lang") == "en").select(
+        "doc_id", "lang", "n_chars", F.lit("full").alias("src")
+    )
+    slim = d.filter(F.col("lang") == "fr").select(
+        "doc_id", F.lit("slim").alias("src"), "lang"  # different order + missing col
+    )
+    return full.unionByName(slim, allowMissingColumns=True)
