@@ -521,3 +521,31 @@ def fn_json_array(spark, sf_dir):
         (F.element_at(parsed, 1) + F.element_at(parsed, 2)).alias("parsed_sum"),
         F.size(parsed).alias("n_elems"),
     )
+
+
+@query(
+    "fn_variant",
+    section="2.H",
+    oracle="""
+SELECT event_id,
+       CAST(json_extract_string(props, '$.k') AS INT) AS k_typed,
+       CAST(json_extract_string(props, '$.k') AS BIGINT) % 7 AS k_mod7
+FROM events
+""",
+)
+def fn_variant(spark, sf_dir):
+    """VARIANT (Spark 4's open semi-structured type): parse_json into
+    a variant column, typed extraction with variant_get — unlike
+    string JSON-path probing (fn_json), variant stores a parsed
+    binary form, so repeated extraction skips re-parsing (the
+    semi-structured scan pattern at 100 TB; columnar shredding lands
+    on top of it). Oracle extracts the same typed values from the
+    raw JSON text."""
+    e = load_table(spark, sf_dir, "events")
+    v = F.parse_json("props")
+    k = F.variant_get(v, "$.k", "int")
+    return e.select(
+        "event_id",
+        k.alias("k_typed"),
+        (F.variant_get(v, "$.k", "bigint") % 7).alias("k_mod7"),
+    )

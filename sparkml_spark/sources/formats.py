@@ -304,3 +304,56 @@ def scan_schema_evolution(spark, sf_dir):
     return back.select(
         "doc_id", "lang", "n_chars", F.col("batch").cast("string").alias("batch")
     )
+
+
+@query(
+    "scan_python_datasource",
+    section="2.A",
+    oracle="""
+SELECT i, i * i AS i_squared FROM range(200) t(i)
+""",
+)
+def scan_python_datasource(spark, sf_dir):
+    """Custom PYTHON data source (Spark 4 DataSource API) — the
+    connector escape hatch when no JVM source exists (SaaS APIs,
+    bespoke formats): a deterministic generator source with REAL
+    partition planning (4 partitions, disjoint ranges, each read
+    independently — the same parallelism contract as a file source).
+    Oracle is DuckDB's range table function. Registration is
+    per-session; the reader yields tuples batched per partition."""
+    from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+
+    class _RangeSquaresReader(DataSourceReader):
+        def __init__(self, n: int, parts: int):
+            self.n, self.parts = n, parts
+
+        def partitions(self):
+            step = self.n // self.parts
+            return [
+                InputPartition((p * step, self.n if p == self.parts - 1 else (p + 1) * step))
+                for p in range(self.parts)
+            ]
+
+        def read(self, partition):
+            lo, hi = partition.value
+            for i in range(lo, hi):
+                yield (i, i * i)
+
+    class _RangeSquaresSource(DataSource):
+        @classmethod
+        def name(cls):
+            return "range_squares"
+
+        def schema(self):
+            return "i bigint, i_squared bigint"
+
+        def reader(self, schema):
+            return _RangeSquaresReader(
+                int(self.options.get("n", 200)), int(self.options.get("parts", 4))
+            )
+
+    try:
+        spark.dataSource.register(_RangeSquaresSource)
+    except Exception:
+        pass  # already registered in this session
+    return spark.read.format("range_squares").option("n", 200).load()

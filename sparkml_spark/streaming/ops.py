@@ -413,3 +413,30 @@ def stream_ohlc(spark, sf_dir):
         )
     )
     return _run_to_memory(bars, "ohlc", "append")
+
+
+@query("stream_chained_windows", section="2.K")
+def stream_chained_windows(spark, sf_dir):
+    """Chained time-window aggregations in ONE streaming query
+    (Spark 3.4+): hourly event counts re-aggregated into 6-hour
+    blocks — window-over-window without an intermediate sink. Two
+    stateful stages share the pipeline; the second groups on the
+    FIRST's window struct. Batch equivalence asserted in
+    tests/test_streaming.py. At scale this halves the storage round
+    trip of the classic bronze->hourly->daily chain."""
+    s = _event_stream(spark, sf_dir)
+    hourly = (
+        s.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour").alias("w1"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    six_hourly = (
+        hourly.groupBy(
+            F.window(F.col("w1"), "6 hours").alias("w6"), "event_type"
+        ).agg(F.sum("n").alias("n_events"))
+    ).select(
+        F.col("w6.start").cast("timestamp_ntz").alias("block_start"),
+        "event_type",
+        "n_events",
+    )
+    return _run_to_memory(six_hourly, "chained", "append")

@@ -73,3 +73,28 @@ def test_stream_ohlc_equals_batch_twin(spark):
     horizon = max(h for _, h in b.keys())
     from datetime import timedelta
     assert all(horizon - h <= timedelta(hours=2) for _, h in withheld), withheld
+
+
+def test_chained_windows_equal_batch_rollup(spark):
+    """The streamed hourly->6h rollup must match a direct batch 6h
+    aggregation on every emitted block."""
+    stream = QUERIES["stream_chained_windows"](spark, SF_DIR)
+    from pyspark.sql import functions as F
+    e = spark.read.parquet(f"{SF_DIR}/events.parquet").withColumn(
+        "ts", F.timestamp_micros(F.expr("ts DIV 1000"))
+    )
+    batch = (
+        e.groupBy(F.window("ts", "6 hours").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("w.start").cast("timestamp_ntz").alias("block_start"),
+            "event_type",
+            "n_events",
+        )
+    )
+    s = {(r.block_start, r.event_type): r.n_events for r in stream.collect()}
+    b = {(r.block_start, r.event_type): r.n_events for r in batch.collect()}
+    assert s.items() <= b.items(), "emitted blocks must match batch"
+    horizon = max(t for t, _ in b)
+    from datetime import timedelta
+    assert all(horizon - t <= timedelta(hours=12) for t, _ in set(b) - set(s))
