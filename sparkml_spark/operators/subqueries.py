@@ -200,3 +200,24 @@ def sql_dialect_window(spark, sf_dir):
     grouped dsum."""
     register_views(spark, sf_dir)
     return spark.sql(_DIALECT_WINDOW)
+
+
+_LATERAL_TOPN = """
+SELECT c.c_custkey, c.c_mktsegment, o.o_orderkey, o.o_totalprice
+FROM customer c,
+LATERAL (SELECT o_orderkey, o_totalprice FROM orders
+         WHERE o_custkey = c.c_custkey
+         ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) o
+"""
+
+
+@query("sql_lateral_topn", section="3.EP3", oracle=_LATERAL_TOPN)
+def sql_lateral_topn(spark, sf_dir):
+    """Correlated LATERAL subquery with per-row LIMIT — top-2 orders
+    per customer straight from the FROM clause, identical SQL text on
+    both engines (EP3 dialect overlap). Spark plans the lateral as a
+    rank-filtered join (same physical shape as win_topk_per_group),
+    NOT per-customer re-execution — the win_topk window form remains
+    the explicit-DataFrame twin."""
+    register_views(spark, sf_dir)
+    return spark.sql(_LATERAL_TOPN)
