@@ -798,3 +798,42 @@ def agg_higher_moments(spark, sf_dir):
         F.round(skew, 6).alias("skewness"),
         F.round(kurt, 6).alias("excess_kurtosis"),
     )
+
+
+@query(
+    "agg_grouping_id",
+    section="2.D",
+    oracle="""
+SELECT COALESCE(c_mktsegment, '(all)') AS segment,
+       COALESCE(CAST(c_nationkey AS VARCHAR), '(all)') AS nation,
+       GROUPING(c_mktsegment) AS g_segment,
+       GROUPING(c_nationkey) AS g_nation,
+       COUNT(*) AS n_customers
+FROM customer
+GROUP BY ROLLUP (c_mktsegment, c_nationkey)
+""",
+)
+def agg_grouping_id(spark, sf_dir):
+    """ROLLUP with GROUPING() markers: distinguishes 'value is NULL in
+    the data' from 'column rolled away at this level' — without the
+    marker, subtotal rows are ambiguous (the agg_rollup caveat made
+    explicit). Identical GROUPING semantics both engines; labels
+    coalesced so every tier is a visible string."""
+    c = load_table(spark, sf_dir, "customer")
+    return (
+        c.rollup("c_mktsegment", "c_nationkey")
+        .agg(
+            F.grouping("c_mktsegment").cast("bigint").alias("g_segment"),
+            F.grouping("c_nationkey").cast("bigint").alias("g_nation"),
+            F.count(F.lit(1)).alias("n_customers"),
+        )
+        .select(
+            F.coalesce(F.col("c_mktsegment"), F.lit("(all)")).alias("segment"),
+            F.coalesce(F.col("c_nationkey").cast("string"), F.lit("(all)")).alias(
+                "nation"
+            ),
+            "g_segment",
+            "g_nation",
+            "n_customers",
+        )
+    )

@@ -440,3 +440,47 @@ def stream_chained_windows(spark, sf_dir):
         "n_events",
     )
     return _run_to_memory(six_hourly, "chained", "append")
+
+
+@query("stream_checkpoint_recovery", section="2.K")
+def stream_checkpoint_recovery(spark, sf_dir):
+    """Checkpointed restart — the exactly-once operational story: the
+    same file-stream aggregation is started TWICE against one
+    checkpoint directory (fresh per invocation). Run 1 processes the
+    fixture; run 2 recovers from the checkpoint, finds every input
+    file already committed in the source log, and processes ZERO new
+    rows (asserted in-op) — a crashed-and-restarted job neither
+    drops nor double-counts. Returns run 1's counts. In production
+    the memory sink becomes an idempotent/transactional sink and the
+    checkpoint lives on DFS; the recovery contract is identical."""
+    import shutil
+    import tempfile
+
+    ckpt = tempfile.mkdtemp(prefix="sparkml_ckpt_")
+    try:
+        s = _event_stream(spark, sf_dir)
+        agg = s.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_events"))
+
+        def run(name):
+            q = (
+                agg.writeStream.format("memory")
+                .queryName(name)
+                .outputMode("complete")
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+            return q
+
+        name1 = f"ckpt_run1_{uuid.uuid4().hex[:8]}"
+        run(name1)
+        result = spark.table(name1).collect()  # pin run-1 output
+        q2 = run(f"ckpt_run2_{uuid.uuid4().hex[:8]}")
+        reprocessed = sum(
+            int(p["numInputRows"]) for p in (q2.recentProgress or [])
+        )
+        assert reprocessed == 0, f"restart reprocessed {reprocessed} rows"
+        return spark.createDataFrame(result, schema="event_type string, n_events long")
+    finally:
+        shutil.rmtree(ckpt, ignore_errors=True)
