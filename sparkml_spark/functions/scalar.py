@@ -549,3 +549,67 @@ def fn_variant(spark, sf_dir):
         k.alias("k_typed"),
         (F.variant_get(v, "$.k", "bigint") % 7).alias("k_mod7"),
     )
+
+
+@query(
+    "fn_try_family",
+    section="2.H",
+    oracle="""
+SELECT event_id,
+       CASE WHEN (event_id % 5) = 0 THEN NULL
+            ELSE value / (event_id % 5) END AS safe_div,
+       TRY_CAST(event_type AS BIGINT) AS bad_cast,
+       TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS good_cast
+FROM events
+""",
+)
+def fn_try_family(spark, sf_dir):
+    """Error-safe arithmetic/casts (try_divide / try_cast): malformed
+    input yields NULL instead of killing the job — at 10^6 tasks,
+    fail-on-one-row is an outage, so hot paths use try_* and count
+    the NULLs (the quarantine discipline of scan_csv_malformed at
+    expression level). Oracle mirrors with guarded CASE / TRY_CAST."""
+    e = load_table(spark, sf_dir, "events")
+    return e.select(
+        "event_id",
+        F.try_divide(F.col("value"), F.col("event_id") % 5).alias("safe_div"),
+        F.try_to_number(F.col("event_type"), F.lit("999")).cast("bigint").alias("bad_cast"),
+        F.get_json_object("props", "$.k").try_cast("bigint").alias("good_cast"),
+    )
+
+
+@query(
+    "fn_struct",
+    section="2.H",
+    oracle="""
+SELECT doc_id,
+       lang AS meta_lang,
+       n_chars AS meta_chars,
+       n_chars > 500 AS meta_is_long,
+       lang || ':' || CAST(n_chars AS VARCHAR) AS meta_key
+FROM documents
+""",
+)
+def fn_struct(spark, sf_dir):
+    """Struct build + nested access + star expansion: columns packed
+    into a struct (the nested-record shape parquet stores natively),
+    fields read back by path and expanded with `.*`. Catalyst prunes
+    UNREAD struct fields down to the scan the same way it prunes
+    columns — nesting costs nothing it doesn't have to. Output is the
+    flattened projection, so the oracle is flat SQL."""
+    d = load_table(spark, sf_dir, "documents")
+    meta = F.struct(
+        F.col("lang").alias("lang"),
+        F.col("n_chars").alias("chars"),
+        (F.col("n_chars") > 500).alias("is_long"),
+    )
+    nested = d.select("doc_id", meta.alias("meta"))
+    return nested.select(
+        "doc_id",
+        F.col("meta.lang").alias("meta_lang"),
+        F.col("meta.chars").alias("meta_chars"),
+        F.col("meta.is_long").alias("meta_is_long"),
+        F.concat_ws(":", F.col("meta.lang"), F.col("meta.chars").cast("string")).alias(
+            "meta_key"
+        ),
+    )
