@@ -173,22 +173,44 @@ def multimodal_shard_manifest(spark, sf_dir):
     doc_id order into ~20 KB shards by cumulative payload size
     (`(cum_bytes-1) DIV shard_size`), manifest = one row per shard
     with doc span and byte count — what a training-data loader needs
-    to address tar shards. The cumulative sum is a running frame over
-    a GLOBAL order: Spark executes it as a range-partitioned sort (no
-    single-node funnel), and n_chars is integral so the sum is exact.
-    At 100 TB, shard within partitions first (prefix the order key
-    with the partition date) so the global sort never exceeds one
-    partition's manifest."""
+    to address tar shards.
+
+    The global prefix sum is TWO-PHASE (the scalable form): coarse
+    doc_id buckets get per-bucket byte totals (one small aggregate),
+    bucket offsets come from a window over the BUCKET table (1000x
+    smaller — the only single-partition step), and the within-bucket
+    running sum is a window PARTITIONED by bucket. A naive
+    Window.orderBy with no partition key funnels the whole table
+    through Exchange SinglePartition (verified in the plan) — that
+    form is the anti-pattern this op replaces. Exact integer
+    arithmetic throughout, so the two-phase result is bit-identical
+    to the oracle's one-shot cumsum."""
     d = load_table(spark, sf_dir, "documents")
-    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    assigned = d.select(
-        "doc_id",
-        "n_chars",
-        F.sum("n_chars").over(w).alias("cum_bytes"),
-    ).select(
-        "doc_id",
-        "n_chars",
-        F.expr("(cum_bytes - 1) DIV 20000").alias("shard_id"),
+    bucketed = d.select(
+        "doc_id", "n_chars", F.expr("doc_id DIV 1000").alias("bucket")
+    )
+    w_off = Window.orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    offsets = (
+        bucketed.groupBy("bucket")
+        .agg(F.sum("n_chars").alias("b_bytes"))
+        .select(
+            "bucket",
+            (F.sum("b_bytes").over(w_off) - F.col("b_bytes")).alias("offset"),
+        )
+    )
+    w_in = Window.partitionBy("bucket").orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    assigned = (
+        bucketed.withColumn("run_in", F.sum("n_chars").over(w_in))
+        .join(F.broadcast(offsets), "bucket")
+        .select(
+            "doc_id",
+            "n_chars",
+            F.expr("(offset + run_in - 1) DIV 20000").alias("shard_id"),
+        )
     )
     return assigned.groupBy("shard_id").agg(
         F.count(F.lit(1)).alias("n_docs"),
