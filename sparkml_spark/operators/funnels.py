@@ -339,8 +339,10 @@ def orders_pareto_share(spark, sf_dir):
     decimal cumulative share, and the 80%-revenue frontier flag. The
     revenue-concentration question every commercial dashboard asks.
     Window sums are decimal-exact (frame accumulation order differs
-    between engines); the ranked window sorts the CUSTOMER rollup
-    (not the fact table) — range-partitioned sort of the small side."""
+    between engines); the ranked window runs over the CUSTOMER rollup
+    (not the fact table) — a single-partition window, fine to ~10^8
+    keys; beyond that use the two-phase prefix-sum pattern
+    (multimodal_shard_manifest)."""
     o = load_table(spark, sf_dir, "orders")
     spend = o.groupBy("o_custkey").agg(dsum("o_totalprice").alias("spent"))
     wr = Window.orderBy(F.col("spent").desc(), F.col("o_custkey"))
