@@ -245,13 +245,18 @@ def udaf_cogroup_pandas(spark, sf_dir):
     v = e.filter(F.col("event_type") == "view").select("user_id", "value")
 
     def merge(key, left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        # A key present on only one side arrives with an EMPTY frame —
+        # which may carry no columns at all, so guard the lookups.
+        def vsum(df):
+            return round(float(df["value"].sum()), 2) if "value" in df else 0.0
+
         return pd.DataFrame(
             {
                 "user_id": [key[0]],
                 "n_purchases": [len(left)],
                 "n_views": [len(right)],
-                "purchase_value": [round(float(left["value"].sum()), 2)],
-                "view_value": [round(float(right["value"].sum()), 2)],
+                "purchase_value": [vsum(left)],
+                "view_value": [vsum(right)],
             }
         )
 
