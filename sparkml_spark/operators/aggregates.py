@@ -728,11 +728,13 @@ def agg_pivot_multi(spark, sf_dir):
             dsum("c_acctbal").alias("bal"),
         )
     )
+    # Pivot leaves NULL in empty cells; the oracle's COUNT(*) FILTER
+    # yields 0 there — align the count columns (sum stays NULL both sides).
     return df.select(
         "c_nationkey",
-        F.col("AUTOMOBILE_n").alias("automobile_n"),
+        F.coalesce(F.col("AUTOMOBILE_n"), F.lit(0)).alias("automobile_n"),
         F.col("AUTOMOBILE_bal").alias("automobile_bal"),
-        F.col("BUILDING_n").alias("building_n"),
+        F.coalesce(F.col("BUILDING_n"), F.lit(0)).alias("building_n"),
         F.col("BUILDING_bal").alias("building_bal"),
     )
 

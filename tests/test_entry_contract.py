@@ -24,7 +24,12 @@ def test_oracle_sql_mentions_known_views():
         "region", "nation", "customer", "supplier", "part",
         "orders", "lineitem", "events", "documents", "embeddings",
     }
+    # Queries whose data is generated in-query (custom connectors) rather
+    # than read from a fixture table; their oracle uses table functions.
+    generator_backed = {"scan_python_datasource"}
     for name, sql in entrymod.oracle_sql().items():
+        if name in generator_backed:
+            continue
         tokens = sql.lower()
         assert any(v in tokens for v in views), f"{name}: oracle references no fixture view"
 
