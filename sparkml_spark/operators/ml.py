@@ -587,3 +587,90 @@ def ml_feature_select_impute(spark, sf_dir):
         F.lit(None).cast("boolean").alias("was_imputed"),
     ).limit(0)  # schema-compatible marker; selector output verified by fit succeeding
     return numeric.unionByName(sel_stats)
+
+
+@query("ml_isotonic_aft_fm", section="2.J")
+def ml_isotonic_aft_fm(spark, sf_dir):
+    """The remaining MLlib regressor families in one operator:
+    IsotonicRegression (monotone fit of order count vs price decile),
+    AFTSurvivalRegression (censored inter-order gaps as durations),
+    and FMRegressor + FMClassifier (factorization machines over the
+    embedding features, seeded). Returns one summary row per model so
+    the rows-only check pins all four fits.
+
+    Scale: isotonic regression in MLlib is pool-adjacent-violators run
+    per-partition then merged on the driver over the pooled boundary
+    set — safe because the input here is pre-aggregated (one row per
+    decile); AFT and FM are gradient-descent estimators whose per-step
+    cost is a map-reduce over partitions, same story as LR. The
+    decile assignment uses a global ntile window (single-partition
+    sort) — fine for the pre-aggregation here; at 100 TB swap it for
+    percentile_approx thresholds + width_bucket (SCALE.md
+    global-order pattern)."""
+    from pyspark.ml.classification import FMClassifier
+    from pyspark.ml.functions import vector_to_array
+    from pyspark.ml.regression import (
+        AFTSurvivalRegression,
+        FMRegressor,
+        IsotonicRegression,
+    )
+    from pyspark.ml.feature import VectorAssembler
+    from pyspark.sql.window import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    # Isotonic: order count per totalprice decile (monotone-ish signal)
+    deciles = (
+        o.withColumn("decile", F.ntile(10).over(
+            Window.orderBy("o_totalprice", "o_orderkey")))
+        .groupBy("decile")
+        .agg(F.avg("o_totalprice").alias("avg_price"), F.count("*").cast("double").alias("n"))
+    )
+    iso_in = VectorAssembler(inputCols=["avg_price"], outputCol="features").transform(
+        deciles.withColumn("label", F.col("n"))
+    )
+    iso = IsotonicRegression(isotonic=True).fit(iso_in)
+    iso_rows = iso.transform(iso_in).count()
+
+    # AFT: inter-order gap per customer as a duration; last gap censored
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    gaps = (
+        o.withColumn("next_dt", F.lead("o_orderdate").over(w))
+        .withColumn(
+            "duration",
+            F.coalesce(
+                F.datediff(F.col("next_dt"), F.col("o_orderdate")).cast("double"),
+                F.lit(30.0),
+            ) + F.lit(1.0),
+        )
+        .withColumn("censor", F.when(F.col("next_dt").isNull(), 0.0).otherwise(1.0))
+        .select("duration", "censor", (F.col("o_totalprice") / 1e5).alias("price_scaled"))
+    )
+    aft_in = VectorAssembler(inputCols=["price_scaled"], outputCol="features").transform(
+        gaps.withColumnRenamed("duration", "label")
+    )
+    aft = AFTSurvivalRegression(censorCol="censor", maxIter=25).fit(aft_in)
+    aft_pred = aft.transform(aft_in)
+    aft_mean = aft_pred.agg(F.avg("prediction")).first()[0]
+
+    # FM over embeddings (seeded)
+    train, test = _train_test(_features(spark, sf_dir))
+    bin_train = train.withColumn("label", (F.col("label") < 5).cast("double"))
+    bin_test = test.withColumn("label", (F.col("label") < 5).cast("double"))
+    fmc = FMClassifier(factorSize=4, stepSize=0.1, maxIter=30, seed=SEED).fit(bin_train)
+    fmc_acc = (
+        fmc.transform(bin_test)
+        .withColumn("hit", (F.col("prediction") == F.col("label")).cast("double"))
+        .agg(F.avg("hit")).first()[0]
+    )
+    fmr = FMRegressor(factorSize=4, stepSize=0.1, maxIter=30, seed=SEED).fit(
+        train.withColumn("label", F.col("label").cast("double"))
+    )
+    fmr_rows = fmr.transform(test).count()
+
+    rows = [
+        ("isotonic_rows", float(iso_rows)),
+        ("aft_mean_pred_days", float(round(aft_mean, 2))),
+        ("fm_classifier_acc", float(round(fmc_acc, 4))),
+        ("fm_regressor_rows", float(fmr_rows)),
+    ]
+    return spark.createDataFrame(rows, "metric STRING, value DOUBLE")

