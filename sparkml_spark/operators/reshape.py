@@ -201,3 +201,34 @@ def ts_interpolate_linear(spark, sf_dir):
             F.col("v").isNull().alias("was_gap"),
         )
     )
+
+
+@query(
+    "op_transpose",
+    section="2.B",
+    oracle="""
+SELECT 'n_orders' AS key,
+       COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS F,
+       COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS O,
+       COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS P
+FROM orders
+""",
+)
+def op_transpose(spark, sf_dir):
+    """DataFrame.transpose (new in Spark 4.0) — rows become columns:
+    order counts per status flipped into one wide row keyed by the
+    original measure name. Transpose COLLECTS the first column to the
+    driver to derive the output schema, so it is only safe when the
+    input is already a small aggregate (here: 3 rows); at 100 TB the
+    input must be the result of an aggregation, never a fact table —
+    the wide twin for large category sets is agg_pivot (explicit
+    value list, no driver round-trip). Deterministic: statuses are
+    enumerated and sorted."""
+    o = load_table(spark, sf_dir, "orders")
+    counts = (
+        o.filter(F.col("o_orderstatus").isin("F", "O", "P"))
+        .groupBy("o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .orderBy("o_orderstatus")
+    )
+    return counts.transpose()

@@ -357,3 +357,29 @@ def scan_python_datasource(spark, sf_dir):
     except Exception:
         pass  # already registered in this session
     return spark.read.format("range_squares").option("n", 200).load()
+
+
+@query(
+    "scan_xml",
+    section="2.A",
+    oracle="SELECT n_nationkey, n_name, n_regionkey FROM nation",
+)
+def scan_xml(spark, sf_dir):
+    """XML round-trip (native `xml` source, new in Spark 4 — absorbed
+    from spark-xml): nation → one <nation> element per row → read back
+    with an explicit schema and rowTag. XML is the slowest of the
+    text formats (tag parsing, no column projection into the parse),
+    so at 100 TB it is an INGEST-ONLY format: land it once, convert
+    to parquet, never query XML in place. Oracle reads the flat
+    fixture the artifact was derived from."""
+    n = load_table(spark, sf_dir, "nation")
+    path = _artifact("nation_xml")
+    n.select("n_nationkey", "n_name", "n_regionkey").write.mode("overwrite").option(
+        "rowTag", "nation"
+    ).format("xml").save(path)
+    return (
+        spark.read.schema(_NATION_SCHEMA)
+        .option("rowTag", "nation")
+        .format("xml")
+        .load(path)
+    )
