@@ -284,3 +284,19 @@ def test_gaps_islands_consistency(spark):
     for r in QUERIES["win_gaps_islands"](spark, SF_DIR).collect():
         assert 1 <= r.n_islands <= r.n_active_days
         assert 1 <= r.longest_run <= r.n_active_days
+
+
+def test_quantized_topk_approximates_exact(spark):
+    """int8 quantization must preserve most of the exact top-k: for each
+    query vector, ≥3 of the exact top-5 neighbors appear in the
+    quantized top-5 (64-dim unit vectors lose little at 1/127 grid)."""
+    exact = {}
+    for r in QUERIES["sim_topk_bruteforce"](spark, SF_DIR).collect():
+        exact.setdefault(r.query_id, set()).add(r.neighbor_id)
+    quant = {}
+    for r in QUERIES["sim_quantized_int8"](spark, SF_DIR).collect():
+        quant.setdefault(r.query_id, set()).add(r.neighbor_id)
+    assert set(exact) == set(quant)
+    for qid, ex in exact.items():
+        overlap = len(ex & quant[qid])
+        assert overlap >= 3, f"query {qid}: quantized recall too low ({overlap}/5)"
