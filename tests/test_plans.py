@@ -143,3 +143,18 @@ def test_cache_hot_dim_reused_in_memory(spark):
     df = QUERIES["cache_hot_dim_reuse"](spark, SF_DIR)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "InMemoryTableScan" in plan, plan[:3000]
+
+
+def test_quantized_sim_plan_shape(spark):
+    """int8 similarity: query-side filter reaches the scan, only
+    (vec_id, embedding) are read, the query set broadcasts, and the
+    per-group top-k is a WindowGroupLimit (partial top-k before the
+    exchange), not a full per-partition sort of all pairs."""
+    df = QUERIES["sim_quantized_int8"](spark, SF_DIR)
+    filters = pushed_filters(df)
+    assert any("vec_id" in f for f in filters), filters
+    schemas = read_schema_columns(df)
+    assert all(set(s) == {"vec_id", "embedding"} for s in schemas), schemas
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan
+    assert "BroadcastExchange" in plan
