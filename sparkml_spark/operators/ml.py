@@ -40,6 +40,26 @@ def _train_test(df):
     return df.filter(F.col("vec_id") % 5 != 0), df.filter(F.col("vec_id") % 5 == 0)
 
 
+def _strip_summary(model):
+    """Drop a fitted model's training summary via a save/load round-trip
+    (loaded models carry none). Binary-classification summaries hold a
+    SparkSession reference; shipping such a model inside the transform
+    UDF closure hits `Task not serializable: ObservationManager` once
+    the session has served an `observe()` query (observed on PySpark
+    4.1.2 — any long-lived session that mixes telemetry and ML scoring,
+    exactly what a 1000-executor job server does). Cost: one local
+    metadata write, ~1 s."""
+    import shutil
+    import tempfile
+
+    path = tempfile.mkdtemp(prefix="sparkml_model_", dir="/tmp")
+    try:
+        model.write().overwrite().save(path)
+        return type(model).load(path)
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+
+
 @query("ml_feature_text_pipeline", section="2.J")
 def ml_feature_text_pipeline(spark, sf_dir):
     """Text featurization Pipeline: RegexTokenizer → StopWordsRemover →
@@ -512,13 +532,13 @@ def ml_evaluation_metrics(spark, sf_dir):
     )
 
     train, test = _train_test(_features(spark, sf_dir))
-    m = LogisticRegression(maxIter=20, regParam=0.01).fit(train)
+    m = _strip_summary(LogisticRegression(maxIter=20, regParam=0.01).fit(train))
     pred = m.transform(test)
     acc = MulticlassClassificationEvaluator(metricName="accuracy").evaluate(pred)
     f1 = MulticlassClassificationEvaluator(metricName="f1").evaluate(pred)
     bin_train = train.withColumn("label", (F.col("label") < 5).cast("double"))
     bin_test = test.withColumn("label", (F.col("label") < 5).cast("double"))
-    bm = LogisticRegression(maxIter=20).fit(bin_train)
+    bm = _strip_summary(LogisticRegression(maxIter=20).fit(bin_train))
     auc = BinaryClassificationEvaluator(metricName="areaUnderROC").evaluate(
         bm.transform(bin_test)
     )
@@ -656,7 +676,9 @@ def ml_isotonic_aft_fm(spark, sf_dir):
     train, test = _train_test(_features(spark, sf_dir))
     bin_train = train.withColumn("label", (F.col("label") < 5).cast("double"))
     bin_test = test.withColumn("label", (F.col("label") < 5).cast("double"))
-    fmc = FMClassifier(factorSize=4, stepSize=0.1, maxIter=30, seed=SEED).fit(bin_train)
+    fmc = _strip_summary(
+        FMClassifier(factorSize=4, stepSize=0.1, maxIter=30, seed=SEED).fit(bin_train)
+    )
     fmc_acc = (
         fmc.transform(bin_test)
         .withColumn("hit", (F.col("prediction") == F.col("label")).cast("double"))
