@@ -304,19 +304,42 @@ def agg_minmax_by(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
-# agg_collect_sorted — per-group array, sorted for determinism.
+# agg_collect_sorted — per-group collect, sorted for determinism.
+#
+# The ORACLE variant serializes the sorted list to a CSV string: the
+# driver's canonicalizer hashes via pandas sort_values, which cannot
+# factorize ndarray-valued cells (round-1 red row, CORRECTNESS_r01
+# `TypeError: unhashable type: 'numpy.ndarray'`). The raw array shape
+# is kept as a ROWS-tier twin below.
 # ---------------------------------------------------------------------------
 @query(
     "agg_collect_sorted",
     section="2.D",
     oracle="""
-SELECT r_name, list_sort(list(n_name)) AS nations
+SELECT r_name,
+       array_to_string(list_sort(list(n_name)), ',') AS nations_csv
 FROM nation JOIN region ON n_regionkey = r_regionkey
 GROUP BY r_name
 """,
 )
 def agg_collect_sorted(spark, sf_dir):
-    """Sorted list of nation names per region."""
+    """Sorted list of nation names per region, emitted as a CSV scalar."""
+    t = load_tables(spark, sf_dir)
+    return (
+        t.nation.join(t.region, t.nation.n_regionkey == t.region.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.array_join(F.sort_array(F.collect_list("n_name")), ",").alias(
+                "nations_csv"
+            )
+        )
+    )
+
+
+@query("agg_collect_sorted_array", section="2.D")
+def agg_collect_sorted_array(spark, sf_dir):
+    """ROWS twin of agg_collect_sorted keeping the native array<string>
+    result type (per-group sorted collect_list)."""
     t = load_tables(spark, sf_dir)
     return (
         t.nation.join(t.region, t.nation.n_regionkey == t.region.r_regionkey)
@@ -573,7 +596,14 @@ def agg_count_min(spark, sf_dir):
     )
 
 
-@query("agg_bitmap_distinct", section="2.D")
+@query(
+    "agg_bitmap_distinct",
+    section="2.D",
+    oracle="""
+SELECT event_type, COUNT(DISTINCT user_id) AS n_distinct_users
+FROM events GROUP BY event_type
+""",
+)
 def agg_bitmap_distinct(spark, sf_dir):
     """EXACT distinct counts via bitmap aggregation (Spark 3.5+
     bitmap_* family): user ids bucketed with bitmap_bucket_number,
@@ -582,8 +612,9 @@ def agg_bitmap_distinct(spark, sf_dir):
     (re-shuffles raw ids per query) the bitmaps are EXACT and
     MERGEABLE — store per-(day, type) bitmaps once, answer any
     rollup's distinct count by OR-ing them. That's the 100 TB pattern
-    for repeated exact-distinct questions. ROWS tier (bitmap binary is
-    Spark-private); the test asserts equality with countDistinct."""
+    for repeated exact-distinct questions. ORACLE tier since round 2:
+    the intermediate bitmap binary is Spark-private, but the OUTPUT is
+    an exact distinct count — identical to COUNT(DISTINCT)."""
     e = load_table(spark, sf_dir, "events")
     per_bucket = (
         e.select("event_type", "user_id")
@@ -596,6 +627,107 @@ def agg_bitmap_distinct(spark, sf_dir):
         .agg(F.expr("sum(bitmap_count(bm))").alias("n_distinct_users"))
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# Sketch error-bound pins (round 2). The sketch estimates themselves are
+# engine-specific (ROWS tier above), but their ACCURACY CONTRACT is not:
+# each *_bound query computes |estimate - exact| Spark-side and returns
+# the number of groups violating the published bound — the DuckDB oracle
+# pins that count to zero. This turns every sketch op into hash-checkable
+# external evidence without pretending DuckDB can reproduce the sketch.
+# Margins are ~5x the advertised error so the pins are stable across SFs
+# (rsd=2% HLL -> 10%; lgK=12 HLL -> 10%; CMS overestimates bounded by
+# n_rows/w at d=4 w.h.p. -> exact one-sided check with the full slack).
+# ---------------------------------------------------------------------------
+_ZERO_VIOLATIONS = "SELECT CAST(0 AS BIGINT) AS n_violations"
+
+
+@query("agg_approx_distinct_bound", section="2.D", oracle=_ZERO_VIOLATIONS)
+def agg_approx_distinct_bound(spark, sf_dir):
+    """Error-bound pin for agg_approx_distinct: HLL++ (rsd=2%) per-
+    priority distinct-customer estimates must sit within 10% of the
+    exact countDistinct. Returns the violation count (oracle: 0)."""
+    o = load_table(spark, sf_dir, "orders")
+    per = o.groupBy("o_orderpriority").agg(
+        F.approx_count_distinct("o_custkey", 0.02).alias("est"),
+        F.countDistinct("o_custkey").alias("exact"),
+    )
+    viol = F.abs(F.col("est") - F.col("exact")) > 0.10 * F.col("exact")
+    return per.agg(F.count_if(viol).alias("n_violations"))
+
+
+@query("agg_approx_percentile_bound", section="2.D", oracle=_ZERO_VIOLATIONS)
+def agg_approx_percentile_bound(spark, sf_dir):
+    """Error-bound pin for agg_approx_percentile: the t-digest quartile
+    (accuracy=10000 => rank error <= n/10000) must lie between the
+    exact quantiles at p +/- 0.02 — a ~200x slack on the rank bound.
+    All quantities computed Spark-side; oracle pins violations to 0."""
+    li = load_table(spark, sf_dir, "lineitem")
+    aggs = []
+    for p in (0.25, 0.50, 0.75):
+        tag = str(int(p * 100))
+        aggs += [
+            F.approx_percentile("l_extendedprice", F.lit(p), F.lit(10000)).alias(f"est{tag}"),
+            F.percentile("l_extendedprice", F.lit(p - 0.02)).alias(f"lo{tag}"),
+            F.percentile("l_extendedprice", F.lit(p + 0.02)).alias(f"hi{tag}"),
+        ]
+    per = li.groupBy("l_returnflag").agg(*aggs)
+    viol = None
+    for p in (0.25, 0.50, 0.75):
+        tag = str(int(p * 100))
+        bad = (F.col(f"est{tag}") < F.col(f"lo{tag}")) | (
+            F.col(f"est{tag}") > F.col(f"hi{tag}")
+        )
+        viol = bad if viol is None else (viol | bad)
+    return per.agg(F.count_if(viol).alias("n_violations"))
+
+
+@query("agg_hll_sketch_bound", section="2.D", oracle=_ZERO_VIOLATIONS)
+def agg_hll_sketch_bound(spark, sf_dir):
+    """Error-bound pin for agg_hll_sketch: the union-merged Datasketches
+    HLL estimate (lgK=12, rsd~1.6%) of total distinct users must sit
+    within 10% of the exact corpus-wide countDistinct (oracle: 0)."""
+    e = load_table(spark, sf_dir, "events")
+    merged = (
+        e.groupBy("event_type")
+        .agg(F.hll_sketch_agg("user_id", F.lit(12)).alias("sk"))
+        .groupBy()
+        .agg(F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est"))
+    )
+    exact = e.agg(F.countDistinct("user_id").alias("exact"))
+    viol = F.abs(F.col("est") - F.col("exact")) > 0.10 * F.col("exact")
+    return merged.crossJoin(exact).agg(F.count_if(viol).alias("n_violations"))
+
+
+@query("agg_count_min_bound", section="2.D", oracle=_ZERO_VIOLATIONS)
+def agg_count_min_bound(spark, sf_dir):
+    """Error-bound pin for agg_count_min: CMS estimates NEVER
+    underestimate, and with d=4 rows x w=256 buckets each estimate's
+    overshoot is at most the total row count / w x (small constant);
+    we pin the deterministic one-sided invariant est >= exact and
+    overshoot <= n_rows/256 * 4 (oracle: 0 violations)."""
+    d, w = 4, 256
+    e = load_table(spark, sf_dir, "events")
+    n_rows = e.count()  # scalar bound input, one driver action
+    seeds = F.explode(F.array(*[F.lit(i) for i in range(d)])).alias("seed")
+    bucket = F.pmod(
+        F.xxhash64(F.concat(F.col("seed").cast("string"), F.col("event_type"))),
+        F.lit(w),
+    )
+    hashed = e.select("event_type").select("event_type", seeds).withColumn("bucket", bucket)
+    cms = hashed.groupBy("seed", "bucket").agg(F.count(F.lit(1)).alias("cnt"))
+    keys = e.groupBy("event_type").agg(F.count(F.lit(1)).alias("exact_cnt"))
+    key_buckets = keys.select("event_type", "exact_cnt", seeds).withColumn("bucket", bucket)
+    est = (
+        key_buckets.join(F.broadcast(cms), ["seed", "bucket"])
+        .groupBy("event_type", "exact_cnt")
+        .agg(F.min("cnt").alias("est_cnt"))
+    )
+    viol = (F.col("est_cnt") < F.col("exact_cnt")) | (
+        F.col("est_cnt") - F.col("exact_cnt") > F.lit(4.0 * n_rows / w)
+    )
+    return est.agg(F.count_if(viol).alias("n_violations"))
 
 
 @query(

@@ -69,15 +69,73 @@ def hierarchy_closure(spark, sf_dir):
     return out
 
 
-@query("graph_pagerank", section="2.I")
+def _pagerank_oracle(iters: int = 20) -> str:
+    """Unrolled fixed-iteration PageRank as DuckDB SQL: 20 chained
+    CTEs pr0..pr20, each mirroring the Spark iteration exactly —
+    per-term ROUND(rank*p, 12) quantized onto DECIMAL(27,12) before
+    the (order-independent, exact) decimal sum, then
+    0.15/n + 0.85*double(sum). All float literals are CAST to DOUBLE
+    so DuckDB doesn't run them through its DECIMAL literal type
+    (decimal 0.15/25 and IEEE 0.15/25 can differ in the last ulp).
+    Every CTE is MATERIALIZED: DuckDB otherwise inlines the chain, so
+    each pr_i re-expands norm/nodes (each a 6-table join) and the
+    20-deep plan explodes combinatorially (observed: >120 s vs ~1 s
+    materialized)."""
+    head = """
+WITH edges AS MATERIALIZED (
+  SELECT cn.n_name AS src, sn.n_name AS dst, COUNT(*) AS w
+  FROM lineitem
+  JOIN orders   ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation cn ON c_nationkey = cn.n_nationkey
+  JOIN nation sn ON s_nationkey = sn.n_nationkey
+  GROUP BY cn.n_name, sn.n_name
+),
+out_w AS MATERIALIZED (SELECT src, SUM(w) AS ow FROM edges GROUP BY src),
+norm AS MATERIALIZED (
+  SELECT e.src, e.dst, CAST(e.w AS DOUBLE) / CAST(o.ow AS DOUBLE) AS p
+  FROM edges e JOIN out_w o ON e.src = o.src
+),
+nodes AS MATERIALIZED (
+  SELECT src AS node FROM norm UNION SELECT dst AS node FROM norm
+),
+nn AS MATERIALIZED (SELECT COUNT(*) AS n FROM nodes),
+pr0 AS MATERIALIZED (
+  SELECT node, CAST(1.0 AS DOUBLE) / (SELECT n FROM nn) AS rank FROM nodes
+)"""
+    steps = []
+    for i in range(1, iters + 1):
+        steps.append(
+            f""",
+pr{i} AS MATERIALIZED (
+  SELECT nd.node,
+         CAST(0.15 AS DOUBLE) / (SELECT n FROM nn)
+           + CAST(0.85 AS DOUBLE) * CAST(COALESCE(c.s, 0) AS DOUBLE) AS rank
+  FROM nodes nd LEFT JOIN (
+    SELECT e.dst AS node,
+           SUM(CAST(ROUND(p.rank * e.p, 12) AS DECIMAL(27,12))) AS s
+    FROM norm e JOIN pr{i - 1} p ON e.src = p.node
+    GROUP BY e.dst
+  ) c ON nd.node = c.node
+)"""
+        )
+    tail = f"\nSELECT node, ROUND(rank, 6) AS pagerank FROM pr{iters}"
+    return head + "".join(steps) + tail
+
+
+@query("graph_pagerank", section="2.I", oracle=_pagerank_oracle())
 def graph_pagerank(spark, sf_dir):
     """Weighted PageRank over the nation-to-nation trade graph: edge
     (customer nation -> supplier nation) weighted by lineitem count,
     extracted with the Q5-style join pipeline (dims broadcast, one
     fact shuffle), then 20 power iterations with damping 0.85 on the
-    25-node aggregate. ROWS tier (iterative; no SQL oracle) — the
-    test asserts ranks sum to 1 and the iteration is deterministic
-    (per-term quantization before summation fixes add order).
+    25-node aggregate. ORACLE tier since round 2: the fixed iteration
+    is unrolled into 20 chained DuckDB CTEs (`_pagerank_oracle`) —
+    per-term quantization onto a decimal grid before summation makes
+    every iteration's sum exact and order-independent in BOTH engines,
+    so the hashes match bit-for-bit. The test additionally asserts
+    ranks sum to 1 and the iteration is deterministic.
 
     At scale: iterate on the AGGREGATED graph (nodes x nodes max),
     never the fact table; each iteration is a broadcast join of the

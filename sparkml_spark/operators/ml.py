@@ -52,10 +52,15 @@ def _strip_summary(model):
     import shutil
     import tempfile
 
-    path = tempfile.mkdtemp(prefix="sparkml_model_", dir="/tmp")
+    # Explicit file: URI so save/load and the local rmtree always agree
+    # on the filesystem — a scheme-less absolute path resolves against
+    # fs.defaultFS, which is NOT the local disk on a real cluster
+    # (ADVICE r01: the artifact would leak to the cluster FS while
+    # cleanup scrubbed local /tmp).
+    path = tempfile.mkdtemp(prefix="sparkml_model_")
     try:
-        model.write().overwrite().save(path)
-        return type(model).load(path)
+        model.write().overwrite().save("file://" + path)
+        return type(model).load("file://" + path)
     finally:
         shutil.rmtree(path, ignore_errors=True)
 

@@ -222,13 +222,26 @@ def op_transpose(spark, sf_dir):
     input is already a small aggregate (here: 3 rows); at 100 TB the
     input must be the result of an aggregation, never a fact table —
     the wide twin for large category sets is agg_pivot (explicit
-    value list, no driver round-trip). Deterministic: statuses are
-    enumerated and sorted."""
+    value list, no driver round-trip). Deterministic: the column set
+    is pinned by left-joining the counts onto a literal 3-row status
+    spine with coalesce(n,0) (ADVICE r01: without the spine, a fixture
+    missing one status would drop that column while the oracle's
+    FILTER form still emits it as 0 — schema mismatch)."""
     o = load_table(spark, sf_dir, "orders")
+    spine = o.sparkSession.createDataFrame(
+        [("F",), ("O",), ("P",)], "o_orderstatus string"
+    )
     counts = (
         o.filter(F.col("o_orderstatus").isin("F", "O", "P"))
         .groupBy("o_orderstatus")
-        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    pinned = (
+        spine.join(counts, "o_orderstatus", "left")
+        .select(
+            "o_orderstatus",
+            F.coalesce(F.col("n"), F.lit(0)).alias("n_orders"),
+        )
         .orderBy("o_orderstatus")
     )
-    return counts.transpose()
+    return pinned.transpose()

@@ -256,6 +256,15 @@ def sql_recursive_cte(spark, sf_dir):
     `hierarchy_closure` (loop + checkpoint); this form is preferred
     whenever the recursion depth is bounded and the per-step result is
     small, because Catalyst plans each step as a UnionLoop without
-    Python round-trips."""
+    Python round-trips.
+
+    Depth bound (ADVICE r01): the spine depth equals the fixture's
+    month span (~80 here) and Spark caps recursion at
+    spark.sql.cteRecursionLevelLimit (default 100) — a wider-span
+    fixture would die at the cap, not silently truncate. We raise the
+    cap to 2400 levels (200 years of months) explicitly so the bound
+    is a deliberate constant rather than a data-dependent accident;
+    beyond that the right tool is a sequence() spine, not recursion."""
     register_views(spark, sf_dir)
+    spark.conf.set("spark.sql.cteRecursionLevelLimit", "2400")
     return spark.sql(_RECURSIVE_MONTH_SPINE)
