@@ -153,6 +153,33 @@ def agg_count_distinct(spark, sf_dir):
     )
 
 
+@query(
+    "agg_count_distinct_1000",
+    section="2.D",
+    oracle="""
+SELECT o_custkey % 1000 AS cust_bucket,
+       COUNT(DISTINCT o_orderpriority) AS n_priorities,
+       COUNT(DISTINCT o_custkey) AS n_customers,
+       COUNT(*) AS n_orders
+FROM orders
+GROUP BY o_custkey % 1000
+""",
+)
+def agg_count_distinct_1000(spark, sf_dir):
+    """BASELINE.md's q_distinct_agg SHAPE (1000 output groups): count
+    distinct over 1000 customer buckets. The 5-group
+    `agg_count_distinct` is strictly cheaper than the published
+    1000-row baseline row, so BENCH_r{N} measures this variant for an
+    apples-to-apples comparison (same distinct-expansion shuffle
+    width)."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy((F.col("o_custkey") % 1000).alias("cust_bucket")).agg(
+        F.countDistinct("o_orderpriority").alias("n_priorities"),
+        F.countDistinct("o_custkey").alias("n_customers"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # agg_approx_distinct — HyperLogLog++ sketch. ROWS tier: the sketch (and
 # so the estimate) is engine-specific by design. At 100 TB this is the
@@ -640,7 +667,9 @@ def agg_bitmap_distinct(spark, sf_dir):
 # (rsd=2% HLL -> 10%; lgK=12 HLL -> 10%; CMS overestimates bounded by
 # n_rows/w at d=4 w.h.p. -> exact one-sided check with the full slack).
 # ---------------------------------------------------------------------------
-_ZERO_VIOLATIONS = "SELECT CAST(0 AS BIGINT) AS n_violations"
+#: anchored on region (always 5 rows) so the oracle references a
+#: fixture view like every other (entry-contract test requirement).
+_ZERO_VIOLATIONS = "SELECT CAST(0 AS BIGINT) AS n_violations FROM region LIMIT 1"
 
 
 @query("agg_approx_distinct_bound", section="2.D", oracle=_ZERO_VIOLATIONS)

@@ -369,6 +369,57 @@ def join_interval(spark, sf_dir):
 
 
 @query(
+    "join_range_bucketed",
+    section="2.C",
+    oracle="""
+SELECT o_orderkey, COUNT(*) AS n_shipped_week
+FROM orders JOIN lineitem
+  ON l_shipdate > o_orderdate
+ AND l_shipdate <= o_orderdate + INTERVAL 7 DAY
+GROUP BY o_orderkey
+""",
+)
+def join_range_bucketed(spark, sf_dir):
+    """PURE range join (no natural equi key: every lineitem shipped
+    within 7 days after any order's date) executed as an EQUI join —
+    the 100 TB scale path for what `join_theta_range` demonstrates
+    naively. Naive theta → BroadcastNestedLoop, O(|O|·|L|) comparisons:
+    a scale-killer. Here both sides are bucketed onto a 7-day time
+    grid; because the probe window (7 days) never spans more than two
+    grid cells, the order side explodes into exactly 2 candidate
+    buckets, the join is hash/sort-merge ON THE BUCKET (narrow int
+    key), and the exact interval predicate filters residually inside
+    matched buckets. Cost drops to O(pairs-in-adjacent-buckets);
+    shuffle key is the bucket id. At extreme scale, add a salt to the
+    bucket for hot weeks — same plan shape. Bucket width must be >=
+    the window length for the 2-cell bound to hold."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    l_bucket = F.expr(
+        "datediff(CAST(l_shipdate AS DATE), DATE '1992-01-01') DIV 7"
+    )
+    o_bucket = F.expr(
+        "datediff(CAST(o_orderdate AS DATE), DATE '1992-01-01') DIV 7"
+    )
+    lhs = li.select("l_shipdate", l_bucket.alias("bucket"))
+    rhs = o.select("o_orderkey", "o_orderdate", o_bucket.alias("ob")).select(
+        "o_orderkey",
+        "o_orderdate",
+        F.explode(F.array(F.col("ob"), F.col("ob") + 1)).alias("bucket"),
+    )
+    pairs = rhs.join(lhs, "bucket").filter(
+        (F.col("l_shipdate") > F.col("o_orderdate"))
+        & (
+            F.col("l_shipdate")
+            <= F.col("o_orderdate") + F.expr("INTERVAL 7 DAY")
+        )
+    )
+    return pairs.groupBy("o_orderkey").agg(
+        F.count(F.lit(1)).alias("n_shipped_week")
+    )
+
+
+@query(
     "join_multimodal",
     section="2.C",
     oracle="""

@@ -148,6 +148,55 @@ def map_in_pandas(spark, sf_dir):
     return e.mapInPandas(score, "vec_id BIGINT, probe_cosine DOUBLE")
 
 
+@query(
+    "map_in_arrow_vectorized",
+    section="2.L",
+    oracle="""
+SELECT vec_id, CAST(len(embedding) AS INTEGER) AS dim,
+       CAST(round(list_aggregate(embedding, 'sum'), 4) AS DOUBLE) AS emb_sum
+FROM embeddings
+""",
+)
+def map_in_arrow_vectorized(spark, sf_dir):
+    """mapInArrow over LIST columns, zero-copy (ORACLE twin of the
+    ROWS-tier `map_in_arrow` demo): batches arrive as
+    pyarrow.RecordBatch, so the embedding column stays one contiguous
+    float values buffer + offsets — NO pandas object-boxing (the
+    pandas detour materializes one ndarray per cell). Per-vector sums
+    via np.add.reduceat on the flat buffer: vectorized across rows,
+    engine-exact (sequential float64 accumulation both sides), so the
+    output hash-matches DuckDB's list_aggregate.
+
+    Scale: the fastest Python escape hatch Spark has — use it when
+    the UDF body can consume Arrow directly (numpy via
+    combine_chunks().values, tensor libs via dlpack)."""
+    import pyarrow as pa
+
+    def stats(batches):
+        for batch in batches:
+            # flat float32 values + offsets: vectorized per-row sums
+            # without materializing per-row python lists
+            flat = batch.column("embedding")
+            import numpy as np
+
+            values = flat.values.to_numpy(zero_copy_only=False).astype("float64")
+            offsets = flat.offsets.to_numpy(zero_copy_only=False)
+            sums = np.add.reduceat(values, offsets[:-1])
+            sums[offsets[:-1] == offsets[1:]] = 0.0  # empty lists
+            dims = (offsets[1:] - offsets[:-1]).astype("int32")
+            yield pa.RecordBatch.from_arrays(
+                [
+                    batch.column("vec_id"),
+                    pa.array(dims, type=pa.int32()),
+                    pa.array(np.round(sums, 4), type=pa.float64()),
+                ],
+                names=["vec_id", "dim", "emb_sum"],
+            )
+
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    return e.mapInArrow(stats, "vec_id BIGINT, dim INT, emb_sum DOUBLE")
+
+
 @query("udaf_ewma_apply_in_pandas", section="2.L")
 def udaf_ewma_apply_in_pandas(spark, sf_dir):
     """Exponentially-weighted moving average per user — the canonical

@@ -53,6 +53,19 @@ def test_topk_no_global_sort(spark):
     assert has_take_ordered(QUERIES["topk_global"](spark, SF_DIR))
 
 
+def test_range_bucketed_join_is_equi_not_nested_loop(spark):
+    """join_range_bucketed exists to replace the O(n*m) nested-loop
+    theta join with a bucket equi join — the plan must contain a
+    hash/sort-merge join and NO BroadcastNestedLoop."""
+    from sparkml_spark.plans import formatted_plan
+
+    plan = formatted_plan(QUERIES["join_range_bucketed"](spark, SF_DIR))
+    assert "BroadcastNestedLoop" not in plan, plan
+    assert ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan) or (
+        "BroadcastHashJoin" in plan
+    ), plan
+
+
 def test_union_all_no_shuffle(spark):
     assert shuffle_count(QUERIES["union_all"](spark, SF_DIR)) == 0
 

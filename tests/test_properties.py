@@ -97,3 +97,66 @@ def test_window_dedup_idempotent(spark, rows):
     dedup2 = dedup.withColumn("rn", F.row_number().over(w)).filter("rn = 1").drop("rn")
     assert sorted(map(tuple, dedup.collect())) == sorted(map(tuple, dedup2.collect()))
 
+
+# ---------------------------------------------------------------------------
+# Connected-components convergence bound (VERDICT r01 item 7): pointer
+# doubling must label an ADVERSARIAL CHAIN — the worst case for plain
+# min-label propagation, which needs O(L) rounds — in O(log2 L) rounds,
+# mirroring hierarchy_closure's log2 bound.
+# ---------------------------------------------------------------------------
+def test_cc_chain_converges_in_log_rounds(spark):
+    import math
+
+    from sparkml_spark.operators.llm_dedup import cc_min_label
+
+    n = 64  # path graph 0-1-2-...-63, diameter 63
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "src BIGINT, dst BIGINT"
+    )
+    cap = math.ceil(math.log2(n)) + 3  # doubling bound + detection margin
+    labels, rounds_used = cc_min_label(edges, max_rounds=cap)
+    got = {r["node"]: r["lbl"] for r in labels.collect()}
+    assert got == {i: 0 for i in range(n)}  # one component, min-id label
+    assert rounds_used <= cap
+
+
+def test_cc_two_components_and_cap_raises(spark):
+    from sparkml_spark.operators.llm_dedup import cc_min_label
+
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (10, 11), (11, 12), (12, 13)], "src BIGINT, dst BIGINT"
+    )
+    labels, _ = cc_min_label(edges, max_rounds=10)
+    got = {r["node"]: r["lbl"] for r in labels.collect()}
+    assert got == {0: 0, 1: 0, 2: 0, 10: 10, 11: 10, 12: 10, 13: 10}
+
+    # the cap must fail LOUDLY, not return partial clusters
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(99)], "src BIGINT, dst BIGINT"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        cc_min_label(chain, max_rounds=2)
+
+
+def test_multimodal_decode_seam_either_way(spark):
+    """The decode seam (VERDICT r01 item 6) must work with or without
+    PIL: auto mode decodes deterministically, forcing the real path
+    without a codec raises, and forcing the fake path always works."""
+    from sparkml_spark.operators import multimodal as mm
+
+    payload = b"hello-multimodal-payload"
+    w, h, c = mm._decode_image(payload)  # auto mode: never raises
+    assert 64 <= w < 256 and 64 <= h < 256 and 1 <= c <= 3
+    assert mm._decode_image(payload, fake=True) == (
+        64 + payload[0] % 192,
+        64 + payload[1] % 192,
+        1 + payload[2] % 3,
+    )
+    if mm._PILImage is None:
+        with pytest.raises(NotImplementedError):
+            mm._decode_image(payload, fake=False)
+    else:  # real codec present: undecodable bytes fall back deterministically
+        assert mm._decode_image(payload, fake=False) == mm._decode_image(
+            payload, fake=True
+        )
+

@@ -22,6 +22,24 @@ def test_tumbling_equals_batch_twin(spark):
     assert s == b
 
 
+def test_kafka_wire_roundtrip_equals_batch_twin(spark):
+    """stream_source_kafka's wire serialize->parse pipeline must lose
+    nothing: hourly counts equal the ORACLE batch twin's, and in this
+    sandbox (no connector) the fallback transport must be the one that
+    ran."""
+    piped = QUERIES["stream_source_kafka"](spark, SF_DIR)
+    batch = QUERIES["events_hourly_batch"](spark, SF_DIR)
+    p = {
+        (r["hour_start"], r["event_type"]): r["n_events"] for r in piped.collect()
+    }
+    b = {
+        (r["hour_start"], r["event_type"]): r["n_events"] for r in batch.collect()
+    }
+    assert p == b
+    transports = {r["transport"] for r in piped.select("transport").collect()}
+    assert transports == {"simulated_wire"}
+
+
 def test_session_window_equals_sessionize_batch(spark):
     stream = QUERIES["stream_session_window"](spark, SF_DIR)
     batch = QUERIES["win_sessionize_batch"](spark, SF_DIR)
