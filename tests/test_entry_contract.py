@@ -37,3 +37,22 @@ def test_oracle_sql_mentions_known_views():
 def test_entry_returns_dataframe(spark):
     df = entrymod.entry(spark)
     assert df.columns and len(df.collect()) > 0
+
+
+def test_slot_rotation_prioritizes_unverified_oracle():
+    """The driver hash-checks the FIRST ~50 entries of queries() each
+    round; those slots must be spent on ORACLE-tier queries without a
+    green CORRECTNESS row yet (while any unverified remain), with
+    ROWS-tier ids at the back."""
+    names = list(entrymod.queries())
+    oracles = entrymod.oracle_sql()
+    verified, _seen = entrymod._prior_evidence()
+    unverified_oracle = [n for n in names if n in oracles and n not in verified]
+    k = min(50, len(unverified_oracle))
+    head = names[:k]
+    assert all(n in oracles for n in head), "ROWS-tier id in priority slots"
+    assert all(n not in verified for n in head), "verified id wasting a slot"
+    n_oracle = len([n for n in names if n in oracles])
+    assert all(n not in oracles for n in names[n_oracle:]), (
+        "ROWS-tier ids must come after every ORACLE-tier id"
+    )
