@@ -7,6 +7,16 @@ DataFrame AND oracle_sql()[name] in DuckDB and compare row count,
 column names, and an order-insensitive value hash (exact — no float
 tolerance). ROWS-tier queries (no oracle) get a rows>=0 check.
 
+Both sides are materialized THROUGH PANDAS (Spark `toPandas()`,
+DuckDB `.df()`) because the real driver hashes pandas frames: DuckDB
+widens SUM(BIGINT) to HUGEINT, which pandas can only hold as float64,
+so an uncast integer sum hash-mismatches Spark's int64 even when the
+values are equal (exactly the CORRECTNESS_r02 failures —
+text_repetition_score / pipeline_training_corpus /
+multimodal_shard_manifest all passed a fetchall()-based compare while
+the driver's pandas-based hash diverged). fetchall() returns Python
+ints for HUGEINT and hides the drift; toPandas/.df() reproduce it.
+
 Usage: python scripts/driver_sim.py [--sf-dir /root/testdata/sf0.01] [names...]
 """
 
@@ -24,8 +34,24 @@ import duckdb
 from pyspark.sql import SparkSession
 
 
+def pandas_rows(df):
+    """pandas frame -> list of tuples of Python scalars, preserving the
+    int-vs-float dtype distinction that the driver's hash is sensitive
+    to (np.float64.item() -> float, np.int64.item() -> int)."""
+    out = []
+    for row in df.itertuples(index=False, name=None):
+        out.append(tuple(
+            v.item() if hasattr(v, "item") and not isinstance(v, (bytes, str))
+            else (list(v) if type(v).__name__ == "ndarray" else v)
+            for v in row
+        ))
+    return out
+
+
 def norm_cell(v):
     if v is None:
+        return "∅"
+    if v != v and isinstance(v, float):  # pandas NaN (may encode SQL NULL)
         return "∅"
     if isinstance(v, bool):
         return f"b:{v}"
