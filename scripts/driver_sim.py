@@ -7,8 +7,9 @@ DataFrame AND oracle_sql()[name] in DuckDB and compare row count,
 column names, and an order-insensitive value hash (exact — no float
 tolerance). ROWS-tier queries (no oracle) get a rows>=0 check.
 
-Both sides are materialized THROUGH PANDAS (Spark `toPandas()`,
-DuckDB `.df()`) because the real driver hashes pandas frames: DuckDB
+Both sides are materialized THROUGH PANDAS (Spark `toPandas()` ->
+pandas_rows(), DuckDB `.df()` -> pandas_rows()) because the real
+driver hashes pandas frames: DuckDB
 widens SUM(BIGINT) to HUGEINT, which pandas can only hold as float64,
 so an uncast integer sum hash-mismatches Spark's int64 even when the
 values are equal (exactly the CORRECTNESS_r02 failures —
@@ -26,7 +27,6 @@ import argparse
 import datetime
 import hashlib
 import json
-import math
 import sys
 import time
 
@@ -51,13 +51,13 @@ def pandas_rows(df):
 def norm_cell(v):
     if v is None:
         return "∅"
-    if v != v and isinstance(v, float):  # pandas NaN (may encode SQL NULL)
+    if v != v and isinstance(v, float):
+        # pandas NaN encodes SQL NULL after toPandas()/.df() — the same
+        # conflation the real driver's pandas hashing makes.
         return "∅"
     if isinstance(v, bool):
         return f"b:{v}"
     if isinstance(v, float):
-        if math.isnan(v):
-            return "f:nan"
         if v == 0.0:
             v = 0.0  # -0.0 == 0.0
         return f"f:{v!r}"
@@ -125,8 +125,9 @@ def main() -> int:
         t0 = time.time()
         try:
             sdf = fn(spark, args.sf_dir)
-            s_rows = sdf.collect()
-            s_cols = sdf.columns
+            spdf = sdf.toPandas()
+            s_rows = pandas_rows(spdf)
+            s_cols = list(spdf.columns)
         except Exception as e:
             print(f"  {name}: SPARK ERROR {type(e).__name__}: {e}")
             n_fail += 1
@@ -137,9 +138,9 @@ def main() -> int:
             n_rows_tier += 1
             continue
         try:
-            rel = con.execute(oracles[name])
-            d_cols = [d[0] for d in rel.description]
-            d_rows = rel.fetchall()
+            dddf = con.execute(oracles[name]).df()
+            d_cols = list(dddf.columns)
+            d_rows = pandas_rows(dddf)
         except Exception as e:
             print(f"  {name}: ORACLE ERROR {type(e).__name__}: {e}")
             n_fail += 1

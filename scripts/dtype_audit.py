@@ -60,6 +60,9 @@ def main() -> int:
             n_bad += 1
             continue
         mism = []
+        for col in dddf.columns:
+            if col not in spdf.columns:
+                mism.append(f"{col}: oracle-only (missing in spark)")
         for col in spdf.columns:
             if col not in dddf.columns:
                 mism.append(f"{col}: missing in oracle")

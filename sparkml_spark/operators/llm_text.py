@@ -429,7 +429,7 @@ big AS (
   )
   GROUP BY doc_id
 )
-SELECT uni.doc_id, n_tokens,
+SELECT uni.doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
        round(CAST(n_distinct AS DOUBLE) / n_tokens, 6) AS distinct_ratio,
        round(CAST(top_cnt AS DOUBLE) / n_tokens, 6) AS top_token_share,
        round(CAST(top_bigram_cnt AS DOUBLE) / (n_tokens - 1), 6) AS top_bigram_share
@@ -590,7 +590,7 @@ kept AS (
 )
 SELECT lang,
        COUNT(*) AS n_kept,
-       SUM(n_tokens) AS total_tokens,
+       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
        {dsum_sql('round(distinct_ratio, 6)')} / COUNT(*) AS avg_distinct_ratio
 FROM kept k JOIN documents doc ON doc.doc_id = k.doc_id % 1000000
 GROUP BY lang

@@ -178,7 +178,7 @@ WITH ordered AS (
            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_bytes
   FROM documents
 ), assigned AS (
-  SELECT doc_id, n_chars, (cum_bytes - 1) // 20000 AS shard_id
+  SELECT doc_id, n_chars, CAST((cum_bytes - 1) // 20000 AS BIGINT) AS shard_id
   FROM ordered
 )
 SELECT shard_id,

@@ -7,19 +7,21 @@ partitioned directory tree and partition pruning kicks in for free; the
 loader deliberately adds no materialization, caching of data, or
 driver-side row handling.
 
-The one repair: `events.ts` is Parquet TIMESTAMP(NANOS), which the
-vectorized reader rejects by default. Under
+The one repair: when `events.ts` arrives as Parquet TIMESTAMP(NANOS),
+the vectorized reader rejects it by default. Under
 `spark.sql.legacy.parquet.nanosAsLong=true` it loads as bigint
 nanoseconds; we repair with *integer* division (`DIV 1000` — exact, no
 double round-trip) to microseconds and cast to `timestamp_ntz`, which
-is what DuckDB reads natively for the same file. Verified equal against
-the oracle (FIXTURES.md "Loader recipe").
+is what DuckDB reads natively for the same file. The repair is gated on
+the *loaded* dtype: fixtures regenerated as TIMESTAMP_MICROS load as
+`timestamp_ntz` directly and must be left alone (round-3 regression:
+the unconditional repair died with DATATYPE_MISMATCH on every query).
+Verified equal against the oracle (FIXTURES.md "Loader recipe").
 """
 
 from __future__ import annotations
 
 import os
-from types import SimpleNamespace
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -54,8 +56,10 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     df = _cache.get(key)
     if df is None:
         df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-        if name == "events":
+        if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+            # NANOS fixtures only (nanosAsLong=true loads ts as bigint):
             # bigint nanos -> exact integer µs -> NTZ timestamp (UTC session).
+            # MICROS fixtures already load as timestamp_ntz — leave untouched.
             df = df.withColumn(
                 "ts", F.timestamp_micros(F.expr("ts DIV 1000")).cast("timestamp_ntz")
             )
@@ -63,9 +67,30 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
-def load_tables(spark: SparkSession, sf_dir: str) -> SimpleNamespace:
-    """All fixture tables as attributes: `t.lineitem`, `t.orders`, ..."""
-    return SimpleNamespace(**{n: load_table(spark, sf_dir, n) for n in TABLES})
+class LazyTables:
+    """Fixture tables as lazily-loaded attributes: `t.lineitem`, `t.orders`...
+
+    Each table's parquet footer is read (and schema repair applied) only
+    on first attribute access, so a corrupt or missing table can never
+    poison a query that doesn't touch it (round-3 lesson: the eager
+    SimpleNamespace made one bad `events.parquet` kill all 10 tables).
+    """
+
+    __slots__ = ("_spark", "_sf_dir")
+
+    def __init__(self, spark: SparkSession, sf_dir: str):
+        self._spark = spark
+        self._sf_dir = sf_dir
+
+    def __getattr__(self, name: str) -> DataFrame:
+        if name not in TABLES:
+            raise AttributeError(f"unknown fixture table: {name!r}")
+        return load_table(self._spark, self._sf_dir, name)
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> LazyTables:
+    """All fixture tables as lazily-loaded attributes."""
+    return LazyTables(spark, sf_dir)
 
 
 def register_views(spark: SparkSession, sf_dir: str) -> None:

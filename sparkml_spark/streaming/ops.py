@@ -27,9 +27,9 @@ from sparkml_spark.sources.loader import load_table
 
 
 def _event_stream(spark, sf_dir):
-    """Bounded replay of events.parquet as a stream (nanos repair
-    applied exactly as in the batch loader)."""
-    batch = load_table(spark, sf_dir, "events")
+    """Bounded replay of events.parquet as a stream (same dtype-gated
+    ts repair as the batch loader: NANOS fixtures arrive as bigint and
+    need DIV 1000; MICROS fixtures arrive as timestamp_ntz)."""
     raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
     stream = (
         spark.readStream.schema(raw_schema)
@@ -39,7 +39,9 @@ def _event_stream(spark, sf_dir):
     # Keep LTZ here (session TZ pinned to UTC): watermarks/event-time
     # require TIMESTAMP, not TIMESTAMP_NTZ. Window bounds are cast to
     # NTZ at output so results line up with the batch twins.
-    return stream.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    if dict(stream.dtypes).get("ts") == "bigint":
+        return stream.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    return stream.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 def _run_to_memory(df, name_prefix: str, output_mode: str = "append"):

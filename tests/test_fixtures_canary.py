@@ -1,0 +1,121 @@
+"""Fixture-drift canary (VERDICT r3 #7) + lazy-loader isolation (#2).
+
+Round 3 lost 30 driver rows because /root/testdata was silently
+regenerated (events.ts: Parquet NANOS -> MICROS) and the loader's
+unconditional repair died on every query. These tests make the NEXT
+silent regeneration fail one named test instead of 30 anonymous
+driver rows:
+
+- test_loaded_dtypes_pinned: every fixture column's *loaded* Spark
+  dtype is pinned. The loader normalizes events.ts to timestamp_ntz
+  whether the file carries NANOS (bigint repair path) or MICROS
+  (native), so the pins hold across both fixture generations.
+- test_lazy_tables_isolate_bad_table: a corrupt events.parquet must
+  not poison a lineitem-only query (LazyTables loads per attribute
+  access, not eagerly).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+import pytest
+
+from sparkml_spark.sources.loader import LazyTables, load_table, load_tables
+
+from .conftest import SF_DIR
+
+#: column -> Spark dtype, as loaded through sources/loader.py.
+EXPECTED_DTYPES = {
+    "region": {"r_regionkey": "int", "r_name": "string"},
+    "nation": {"n_nationkey": "int", "n_name": "string", "n_regionkey": "int"},
+    "customer": {
+        "c_custkey": "bigint",
+        "c_name": "string",
+        "c_nationkey": "int",
+        "c_acctbal": "double",
+        "c_mktsegment": "string",
+    },
+    "supplier": {
+        "s_suppkey": "bigint",
+        "s_name": "string",
+        "s_nationkey": "int",
+        "s_acctbal": "double",
+    },
+    "part": {
+        "p_partkey": "bigint",
+        "p_name": "string",
+        "p_brand": "string",
+        "p_type": "string",
+        "p_size": "int",
+        "p_retailprice": "double",
+    },
+    "orders": {
+        "o_orderkey": "bigint",
+        "o_custkey": "bigint",
+        "o_orderstatus": "string",
+        "o_totalprice": "double",
+        "o_orderdate": "timestamp_ntz",
+        "o_orderpriority": "string",
+    },
+    "lineitem": {
+        "l_orderkey": "bigint",
+        "l_partkey": "bigint",
+        "l_suppkey": "bigint",
+        "l_linenumber": "int",
+        "l_quantity": "double",
+        "l_extendedprice": "double",
+        "l_discount": "double",
+        "l_tax": "double",
+        "l_returnflag": "string",
+        "l_linestatus": "string",
+        "l_shipdate": "timestamp_ntz",
+    },
+    "events": {
+        "event_id": "bigint",
+        "ts": "timestamp_ntz",
+        "user_id": "bigint",
+        "event_type": "string",
+        "value": "double",
+        "props": "string",
+    },
+    "documents": {
+        "doc_id": "bigint",
+        "text": "string",
+        "lang": "string",
+        "source": "string",
+        "n_chars": "bigint",
+    },
+    "embeddings": {
+        "vec_id": "bigint",
+        "embedding": "array<float>",
+        "label": "int",
+    },
+}
+
+
+@pytest.mark.parametrize("table", sorted(EXPECTED_DTYPES))
+def test_loaded_dtypes_pinned(spark, table):
+    got = dict(load_table(spark, SF_DIR, table).dtypes)
+    assert got == EXPECTED_DTYPES[table], (
+        f"FIXTURE DRIFT in {table!r}: loaded dtypes {got} != pinned "
+        f"{EXPECTED_DTYPES[table]} — /root/testdata was likely regenerated; "
+        "update sources/loader.py + FIXTURES.md together."
+    )
+
+
+def test_lazy_tables_isolate_bad_table(spark, tmp_path):
+    # Valid lineitem, corrupt events: a lineitem-only query must work.
+    shutil.copy(os.path.join(SF_DIR, "lineitem.parquet"), tmp_path / "lineitem.parquet")
+    (tmp_path / "events.parquet").write_bytes(b"this is not parquet")
+
+    t = load_tables(spark, str(tmp_path))
+    assert isinstance(t, LazyTables)
+    assert t.lineitem.count() > 0  # untouched by the corrupt events file
+
+    with pytest.raises(Exception):
+        t.events.count()  # the bad table still fails loudly when asked for
+
+    with pytest.raises(AttributeError):
+        _ = t.not_a_table

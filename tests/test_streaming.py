@@ -98,9 +98,9 @@ def test_chained_windows_equal_batch_rollup(spark):
     aggregation on every emitted block."""
     stream = QUERIES["stream_chained_windows"](spark, SF_DIR)
     from pyspark.sql import functions as F
-    e = spark.read.parquet(f"{SF_DIR}/events.parquet").withColumn(
-        "ts", F.timestamp_micros(F.expr("ts DIV 1000"))
-    )
+    from sparkml_spark.sources.loader import load_table
+
+    e = load_table(spark, SF_DIR, "events").withColumn("ts", F.col("ts").cast("timestamp"))
     batch = (
         e.groupBy(F.window("ts", "6 hours").alias("w"), "event_type")
         .agg(F.count(F.lit(1)).alias("n_events"))
