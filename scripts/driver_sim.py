@@ -66,7 +66,10 @@ def norm_cell(v):
     if isinstance(v, datetime.datetime):
         return f"t:{v.replace(tzinfo=None).isoformat()}"
     if isinstance(v, datetime.date):
-        return f"d:{v.isoformat()}"
+        # The real driver hashed Spark DATE equal to a DuckDB midnight
+        # TIMESTAMP (cohort_retention/cast_types were hash-green r1/r2
+        # with exactly that skew) — promote date to midnight datetime.
+        return f"t:{datetime.datetime(v.year, v.month, v.day).isoformat()}"
     if isinstance(v, (list, tuple)):
         return "l:[" + ",".join(norm_cell(x) for x in v) + "]"
     if isinstance(v, bytes):

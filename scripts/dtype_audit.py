@@ -22,6 +22,22 @@ KIND_GROUP = {"i": "int", "u": "int", "f": "float", "b": "bool",
               "O": "obj", "M": "ts", "m": "td"}
 
 
+def _date_vs_midnight_ts(s_col, d_col, sk, dk) -> bool:
+    """True when spark holds datetime.date objects and duck holds
+    timestamps that are all exactly midnight (the driver hashes these
+    equal — observed hash-green in rounds 1-2)."""
+    import datetime
+
+    if {sk, dk} != {"obj", "ts"}:
+        return False
+    obj_col, ts_col = (s_col, d_col) if sk == "obj" else (d_col, s_col)
+    vals = obj_col.dropna()
+    if not all(type(v) is datetime.date for v in vals):
+        return False
+    tvals = ts_col.dropna()
+    return bool((tvals == tvals.dt.normalize()).all())
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.001")
@@ -70,6 +86,10 @@ def main() -> int:
             sk = KIND_GROUP.get(spdf[col].dtype.kind, spdf[col].dtype.kind)
             dk = KIND_GROUP.get(dddf[col].dtype.kind, dddf[col].dtype.kind)
             if sk != dk:
+                if _date_vs_midnight_ts(spdf[col], dddf[col], sk, dk):
+                    # Spark DATE vs DuckDB midnight TIMESTAMP: verified
+                    # hash-green by the real driver in r1/r2 — benign.
+                    continue
                 mism.append(f"{col}: spark={spdf[col].dtype}({sk}) duck={dddf[col].dtype}({dk})")
         if mism:
             print(f"  {name}: DTYPE MISMATCH {mism}")

@@ -166,10 +166,10 @@ WITH seq AS (
   WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 ), marked AS (
   SELECT user_id, event_type, ts, event_id,
-         SUM(CASE WHEN prev_type IS NULL OR prev_type <> event_type
+         CAST(SUM(CASE WHEN prev_type IS NULL OR prev_type <> event_type
                   THEN 1 ELSE 0 END)
            OVER (PARTITION BY user_id ORDER BY ts, event_id
-                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS run_id
   FROM seq
 ), runs AS (
   SELECT user_id, event_type, run_id,

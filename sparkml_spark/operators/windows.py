@@ -317,10 +317,10 @@ def win_dedup_latest(spark, sf_dir):
     section="2.E",
     oracle="""
 SELECT event_id, user_id, ts,
-       SUM(CASE WHEN prev_ts IS NULL
+       CAST(SUM(CASE WHEN prev_ts IS NULL
                   OR (epoch_us(ts) - epoch_us(prev_ts)) // 1000000 > 1800 THEN 1 ELSE 0 END)
          OVER (PARTITION BY user_id ORDER BY ts, event_id
-               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
 FROM (
   SELECT event_id, user_id, ts,
          lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
