@@ -33,11 +33,12 @@ def entry(spark: SparkSession) -> DataFrame:
     return QUERIES["agg_groupby_multi"](spark, "/root/testdata/sf0.001")
 
 
-def _prior_evidence() -> tuple[set, set]:
-    """(hash-verified ids, ids with any prior driver row) from every
-    CORRECTNESS_r*.json committed at the repo root. Drives the slot
-    rotation below; self-updating as rounds accumulate."""
+def _prior_evidence() -> tuple[set, set, set]:
+    """(hash-verified ids, rows-verified ids, ids with any prior driver
+    row) from every CORRECTNESS_r*.json committed at the repo root.
+    Drives the slot rotation below; self-updating as rounds accumulate."""
     verified: set = set()
+    rows_ok: set = set()
     seen: set = set()
     for path in sorted(glob.glob(os.path.join(_HERE, "CORRECTNESS_r*.json"))):
         try:
@@ -51,22 +52,26 @@ def _prior_evidence() -> tuple[set, set]:
             seen.add(qid)
             if row.get("hash_match") is True:
                 verified.add(qid)
-    return verified, seen
+            if row.get("rows_match") is True:
+                rows_ok.add(qid)
+    return verified, rows_ok, seen
 
 
 def _priority_order() -> list:
     """Driver verification checks the FIRST N registered queries per
     round (round 1: N=50, registration order — CORRECTNESS_r01.json).
-    Spend those slots on queries with no green row yet: ORACLE-tier
-    never-hash-matched first, then already-verified ORACLE (regression
-    guard), then ROWS-tier (rows-only check; never-run before run)."""
-    verified, seen = _prior_evidence()
+    Spend those slots on queries with no green row yet: ROWS-tier ids
+    whose only prior rows are ERR/no_oracle (a cheap ledger-clear, ≤4
+    ids), then ORACLE-tier never-hash-matched, then already-verified
+    ORACLE (regression guard), then never-run ROWS, then the rest."""
+    verified, rows_ok, seen = _prior_evidence()
     order = list(QUERIES)
+    rows_retry = [q for q in order if q not in ORACLES and q in seen and q not in rows_ok]
     oracle_new = [q for q in order if q in ORACLES and q not in verified]
     oracle_done = [q for q in order if q in ORACLES and q in verified]
     rows_new = [q for q in order if q not in ORACLES and q not in seen]
-    rows_seen = [q for q in order if q not in ORACLES and q in seen]
-    return oracle_new + oracle_done + rows_new + rows_seen
+    rows_seen = [q for q in order if q not in ORACLES and q in rows_ok]
+    return rows_retry + oracle_new + oracle_done + rows_new + rows_seen
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -34,18 +34,22 @@ import duckdb
 from pyspark.sql import SparkSession
 
 
+def _scalar(v):
+    if type(v).__name__ == "ndarray":
+        return v.tolist()  # ndarray.tolist() yields nested Python scalars
+    if isinstance(v, (list, tuple)):
+        return [_scalar(x) for x in v]
+    if hasattr(v, "item") and not isinstance(v, (bytes, str)):
+        return v.item()  # np.int64 -> int, np.float64 -> float, ...
+    return v
+
+
 def pandas_rows(df):
     """pandas frame -> list of tuples of Python scalars, preserving the
     int-vs-float dtype distinction that the driver's hash is sensitive
     to (np.float64.item() -> float, np.int64.item() -> int)."""
-    out = []
-    for row in df.itertuples(index=False, name=None):
-        out.append(tuple(
-            v.item() if hasattr(v, "item") and not isinstance(v, (bytes, str))
-            else (list(v) if type(v).__name__ == "ndarray" else v)
-            for v in row
-        ))
-    return out
+    return [tuple(_scalar(v) for v in row)
+            for row in df.itertuples(index=False, name=None)]
 
 
 def norm_cell(v):
