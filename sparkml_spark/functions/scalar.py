@@ -285,10 +285,22 @@ def fn_higher_order(spark, sf_dir):
     )
 
 
-@query("fn_map", section="2.H")
+@query(
+    "fn_map",
+    section="2.H",
+    oracle="""
+SELECT doc_id,
+       ['lang', 'source'] AS meta_keys,
+       [lang, source] AS meta_vals,
+       lang AS lang_val
+FROM documents
+""",
+)
 def fn_map(spark, sf_dir):
-    """Map family (ROWS tier — DuckDB map comparison semantics differ):
-    build a map in-query, read keys/values/elements back."""
+    """Map family: build a map in-query, read keys/values/elements
+    back. Oracle-able because the outputs are arrays/scalars (Spark
+    create_map preserves insertion order for map_keys/map_values);
+    raw MAP columns would not hash cross-engine."""
     d = load_table(spark, sf_dir, "documents")
     m = F.create_map(
         F.lit("lang"), F.col("lang"), F.lit("source"), F.col("source")
@@ -326,10 +338,21 @@ def fn_json(spark, sf_dir):
     )
 
 
-@query("fn_json_struct", section="2.H")
+@query(
+    "fn_json_struct",
+    section="2.H",
+    oracle="""
+SELECT event_id,
+       CAST(json_extract_string(props, '$.k') AS INT) AS k_typed,
+       to_json(struct_pack(event_type := event_type, user_id := user_id))
+         AS evt_json
+FROM events
+""",
+)
 def fn_json_struct(spark, sf_dir):
     """Schema-full JSON: from_json into a typed struct and back with
-    to_json (ROWS tier — serialization formatting is engine-specific)."""
+    to_json. Both engines emit the same compact serialization
+    ({"k":v,...}, no spaces), so the round-trip hashes cross-engine."""
     e = load_table(spark, sf_dir, "events")
     parsed = F.from_json("props", "k INT")
     return e.select(

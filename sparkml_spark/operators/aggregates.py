@@ -363,10 +363,19 @@ def agg_collect_sorted(spark, sf_dir):
     )
 
 
-@query("agg_collect_sorted_array", section="2.D")
+@query(
+    "agg_collect_sorted_array",
+    section="2.D",
+    oracle="""
+SELECT r_name, list_sort(list(n_name)) AS nations
+FROM nation JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name
+""",
+)
 def agg_collect_sorted_array(spark, sf_dir):
-    """ROWS twin of agg_collect_sorted keeping the native array<string>
-    result type (per-group sorted collect_list)."""
+    """Array twin of agg_collect_sorted keeping the native
+    array<string> result type (per-group sorted collect_list); both
+    engines hash the sorted list element-wise."""
     t = load_tables(spark, sf_dir)
     return (
         t.nation.join(t.region, t.nation.n_regionkey == t.region.r_regionkey)

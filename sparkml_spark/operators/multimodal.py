@@ -112,11 +112,25 @@ def multimodal_decode_stub(spark, sf_dir):
     )
 
 
-@query("multimodal_frame_sample", section="2.I")
+@query(
+    "multimodal_frame_sample",
+    section="2.I",
+    oracle="""
+SELECT doc_id,
+       CAST(idx AS INT) AS frame_idx,
+       md5(substring(text, idx * 32 + 1, 32)) AS frame_md5
+FROM documents,
+     LATERAL unnest(range(0, greatest(len(text) // 32, 1), 4)) AS t(idx)
+""",
+)
 def multimodal_frame_sample(spark, sf_dir):
     """Frame sampling for video-like payloads: payload → every-k-th
     frame index + per-frame byte slice digest, exploded to one row per
-    sampled frame (mapInPandas; frame decode is the same stub seam)."""
+    sampled frame (mapInPandas; frame decode is the same stub seam).
+
+    Oracle-able because the fixture text is ASCII (byte slice == char
+    substring) and md5 is engine-identical — the twin proves the
+    Arrow-batched mapInPandas plumbing by VALUE, not just row count."""
     import hashlib
 
     import pandas as pd
