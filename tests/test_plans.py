@@ -171,3 +171,28 @@ def test_quantized_sim_plan_shape(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "WindowGroupLimit" in plan
     assert "BroadcastExchange" in plan
+
+def test_win_topk_uses_window_group_limit(spark):
+    """rank()<=k must compile to WindowGroupLimit — a per-partition
+    partial top-k BEFORE the exchange — not a full sort of every group
+    (the difference between shuffling k rows/group and all rows)."""
+    for qid in ("win_topk_per_group", "win_dedup_latest"):
+        plan = QUERIES[qid](spark, SF_DIR)._jdf.queryExecution().executedPlan().toString()
+        assert "WindowGroupLimit" in plan, f"{qid}: {plan[:1500]}"
+
+
+def test_minhash_band_join_no_cartesian(spark):
+    """The banded MinHash self-join must meet candidates only inside a
+    band bucket (equi join) — an all-pairs plan would be quadratic in
+    corpus size."""
+    plan = QUERIES["dedup_minhash_sql"](spark, SF_DIR)._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan, plan[:1500]
+    assert "BroadcastNestedLoop" not in plan, plan[:1500]
+
+
+def test_asof_join_no_nested_loop(spark):
+    """join_asof must be the partitioned union+window form, never a
+    range-predicate nested loop over the full event table."""
+    plan = QUERIES["join_asof"](spark, SF_DIR)._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan, plan[:1500]
+    assert "BroadcastNestedLoop" not in plan, plan[:1500]
