@@ -7,6 +7,7 @@ from sparkml_spark.operators import (  # noqa: F401
     graph,
     joins,
     llm_dedup,
+    llm_pipeline,
     llm_similarity,
     llm_text,
     ml,

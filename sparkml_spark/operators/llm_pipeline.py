@@ -1,0 +1,188 @@
+"""Training-corpus assembly operators beyond scoring/dedup: the last
+mile between a filtered document set and what a trainer actually
+consumes — a deterministic global shuffle, fixed-budget sequence
+packing, and domain-mix rebalancing.
+
+Scale design notes are on each operator; the common thread is that
+every step is a declarative plan with engine-independent determinism
+(content hashes, exact integer prefix sums) so a 100 TB re-run — or a
+partial retry — reproduces byte-identical corpus ordering.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from sparkml_spark.registry import query
+from sparkml_spark.sources.loader import load_table
+
+_SEQ_TOKENS = 512  # sequence-pack token budget
+_BUCKET = 1000  # coarse doc_id bucket width for two-phase prefix sums
+
+
+@query(
+    "pipeline_global_shuffle",
+    section="2.I",
+    oracle="""
+SELECT doc_id,
+       md5(CAST(doc_id AS VARCHAR)) AS shuffle_key,
+       lang
+FROM documents
+""",
+)
+def pipeline_global_shuffle(spark, sf_dir):
+    """Deterministic global shuffle for training order: the sort key is
+    a content hash (md5 of the doc id), so the permutation is
+    reproducible across runs, engines, and retries — unlike an RNG
+    shuffle, which is seed+partitioning dependent.
+
+    Scale: `repartitionByRange(shuffle_key)` + `sortWithinPartitions`
+    is the distributed total order — a range exchange (sampled
+    boundaries) instead of the single-partition global sort, so 1000
+    executors each sort their key range independently and shard N of
+    the output is globally ordered after shard N-1. The driver's
+    value-hash is order-insensitive; the ordering contract is pinned by
+    the RangePartitioning assertion in tests/test_plans.py."""
+    d = load_table(spark, sf_dir, "documents")
+    keyed = d.select(
+        "doc_id",
+        F.md5(F.col("doc_id").cast("string")).alias("shuffle_key"),
+        "lang",
+    )
+    return keyed.repartitionByRange("shuffle_key").sortWithinPartitions("shuffle_key")
+
+
+@query(
+    "pipeline_sequence_pack",
+    section="2.I",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id,
+         len(string_split_regex(lower(trim(text)), '\\s+')) AS n_tokens
+  FROM documents
+), ordered AS (
+  SELECT doc_id, n_tokens,
+         SUM(n_tokens) OVER (ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens
+  FROM toks
+), assigned AS (
+  SELECT doc_id, n_tokens,
+         CAST((cum_tokens - 1) // {_SEQ_TOKENS} AS BIGINT) AS seq_id
+  FROM ordered
+)
+SELECT seq_id,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS seq_tokens,
+       MIN(doc_id) AS first_doc,
+       MAX(doc_id) AS last_doc
+FROM assigned GROUP BY seq_id
+""",
+)
+def pipeline_sequence_pack(spark, sf_dir):
+    """Fixed-budget sequence packing (concat-and-chunk): documents in
+    doc_id order are packed into {_SEQ_TOKENS}-token training
+    sequences by cumulative token count — the manifest a dataloader
+    needs to slice a tokenized corpus into equal-length samples.
+
+    Scale: the global token prefix sum is the same TWO-PHASE form as
+    multimodal_shard_manifest — per-bucket totals (small aggregate),
+    bucket offsets via a window over the 1000x-smaller bucket table
+    (the only single-partition step), within-bucket running sums
+    partitioned by bucket. Exact integer arithmetic end to end, so the
+    two-phase assignment is bit-identical to the oracle's one-shot
+    cumsum. A doc whose tokens straddle a boundary belongs to the
+    sequence holding its last token (cum-1 DIV budget) — deterministic
+    and declared, matching the oracle."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    bucketed = d.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.expr(f"doc_id DIV {_BUCKET}").alias("bucket"),
+    )
+    w_off = Window.orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    offsets = (
+        bucketed.groupBy("bucket")
+        .agg(F.sum("n_tokens").alias("b_tokens"))
+        .select(
+            "bucket",
+            (F.sum("b_tokens").over(w_off) - F.col("b_tokens")).alias("offset"),
+        )
+    )
+    w_in = Window.partitionBy("bucket").orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    assigned = (
+        bucketed.withColumn("run_in", F.sum("n_tokens").over(w_in))
+        .join(F.broadcast(offsets), "bucket")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.expr(f"(offset + run_in - 1) DIV {_SEQ_TOKENS}").alias("seq_id"),
+        )
+    )
+    return assigned.groupBy("seq_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("seq_tokens"),
+        F.min("doc_id").alias("first_doc"),
+        F.max("doc_id").alias("last_doc"),
+    )
+
+
+@query(
+    "pipeline_domain_mix",
+    section="2.I",
+    oracle="""
+WITH counts AS (
+  SELECT lang, COUNT(*) AS cnt,
+         SUM(COUNT(*)) OVER () AS total
+  FROM documents GROUP BY lang
+), thresholds AS (
+  SELECT lang,
+         CAST(floor(least(1.0, 0.2 * total / cnt) * 65536) AS INTEGER)
+           AS thr
+  FROM counts
+)
+SELECT doc_id, d.lang, source
+FROM documents d JOIN thresholds t ON d.lang = t.lang
+WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::INTEGER < t.thr
+""",
+)
+def pipeline_domain_mix(spark, sf_dir):
+    """Domain-mix rebalancing: downsample each language toward a
+    uniform 20% target share with a deterministic content-hash filter
+    (keep a doc when its 16-bit md5 prefix falls under the per-lang
+    threshold floor(min(1, share*total/cnt)*2^16)) — the standard way
+    training mixes are rebalanced without an RNG, so the same docs
+    are kept on every re-run and on incremental additions.
+
+    Scale: per-lang counts are one small aggregate (5 rows) whose
+    window-total never touches the corpus; thresholds broadcast back;
+    the keep-filter is a per-row hash comparison — embarrassingly
+    parallel, no data shuffle of the corpus itself."""
+    d = load_table(spark, sf_dir, "documents")
+    w_tot = Window.partitionBy()
+    thresholds = (
+        d.groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(
+            "lang",
+            F.floor(
+                F.least(F.lit(1.0), 0.2 * F.sum("cnt").over(w_tot) / F.col("cnt"))
+                * 65536
+            )
+            .cast("int")
+            .alias("thr"),
+        )
+    )
+    h16 = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10).cast(
+        "int"
+    )
+    return (
+        d.join(F.broadcast(thresholds), "lang")
+        .filter(h16 < F.col("thr"))
+        .select("doc_id", "lang", "source")
+    )

@@ -196,3 +196,11 @@ def test_asof_join_no_nested_loop(spark):
     plan = QUERIES["join_asof"](spark, SF_DIR)._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan, plan[:1500]
     assert "BroadcastNestedLoop" not in plan, plan[:1500]
+
+def test_global_shuffle_is_range_partitioned(spark):
+    """The deterministic training-order shuffle must be a RANGE
+    exchange (sampled boundaries, each executor sorts its own key
+    range) — never a single-partition global sort."""
+    plan = QUERIES["pipeline_global_shuffle"](spark, SF_DIR)._jdf.queryExecution().executedPlan().toString()
+    assert "rangepartitioning" in plan.lower(), plan[:1500]
+    assert "SinglePartition" not in plan, plan[:1500]
