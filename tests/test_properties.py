@@ -160,3 +160,54 @@ def test_multimodal_decode_seam_either_way(spark):
             payload, fake=True
         )
 
+
+
+def test_sequence_pack_conserves_tokens(spark):
+    """Packing must conserve tokens exactly: sum(seq_tokens) over the
+    manifest == total token count of the corpus, and doc spans must
+    tile the corpus without gaps or overlap."""
+    from pyspark.sql import functions as F
+
+    from sparkml_spark.operators.llm_pipeline import pipeline_sequence_pack
+    from sparkml_spark.sources.loader import load_table
+
+    from .conftest import SF_DIR
+
+    manifest = pipeline_sequence_pack(spark, SF_DIR).collect()
+    d = load_table(spark, SF_DIR, "documents")
+    toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    total = d.select(F.sum(F.size(toks))).collect()[0][0]
+    assert sum(r.seq_tokens for r in manifest) == total
+    assert sum(r.n_docs for r in manifest) == d.count()
+    spans = sorted((r.first_doc, r.last_doc) for r in manifest)
+    for (a1, b1), (a2, _b2) in zip(spans, spans[1:]):
+        assert a1 <= b1 and b1 + 1 == a2, "doc spans must tile contiguously"
+
+
+def test_domain_mix_is_deterministic_subset(spark):
+    """The mix filter must be a subset of documents, keep identical
+    rows when re-run, and never keep more of a language than its
+    threshold implies possible."""
+    from sparkml_spark.operators.llm_pipeline import pipeline_domain_mix
+    from sparkml_spark.sources.loader import load_table
+
+    from .conftest import SF_DIR
+
+    kept1 = {r.doc_id for r in pipeline_domain_mix(spark, SF_DIR).collect()}
+    kept2 = {r.doc_id for r in pipeline_domain_mix(spark, SF_DIR).collect()}
+    assert kept1 == kept2, "hash filter must be rerun-stable"
+    all_ids = {r.doc_id for r in load_table(spark, SF_DIR, "documents").collect()}
+    assert kept1 <= all_ids and 0 < len(kept1) < len(all_ids)
+
+
+def test_global_shuffle_is_permutation(spark):
+    """The shuffle must be a permutation: same ids, distinct keys."""
+    from sparkml_spark.operators.llm_pipeline import pipeline_global_shuffle
+    from sparkml_spark.sources.loader import load_table
+
+    from .conftest import SF_DIR
+
+    out = pipeline_global_shuffle(spark, SF_DIR).collect()
+    d_ids = {r.doc_id for r in load_table(spark, SF_DIR, "documents").collect()}
+    assert {r.doc_id for r in out} == d_ids
+    assert len({r.shuffle_key for r in out}) == len(d_ids)
