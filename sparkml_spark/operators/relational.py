@@ -501,6 +501,22 @@ def stat_crosstab(spark, sf_dir):
     )
 
 
+@query("stat_freq_items", section="2.B")
+def stat_freq_items(spark, sf_dir):
+    """`df.stat.freqItems` — single-pass approximate heavy hitters
+    (Karp-Shenker-Papadimitriou counters). ROWS tier: the sketch may
+    include false positives by contract, so the pinned guarantee is
+    CONTAINMENT — every event_type with support > 15% must appear —
+    asserted in tests/test_operators.py against the exact counts.
+    Scale: one narrow pass, per-partition counter maps merged on the
+    driver; no shuffle of the data itself."""
+    e = load_table(spark, sf_dir, "events")
+    fi = e.stat.freqItems(["event_type"], support=0.15)
+    return fi.select(
+        F.sort_array(F.col("event_type_freqItems")).alias("frequent_event_types")
+    )
+
+
 @query("stat_sampleby_seeded", section="2.B")
 def stat_sampleby_seeded(spark, sf_dir):
     """`df.stat.sampleBy` — per-stratum seeded Bernoulli sampling (the

@@ -63,6 +63,13 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             df = df.withColumn(
                 "ts", F.timestamp_micros(F.expr("ts DIV 1000")).cast("timestamp_ntz")
             )
+        # Drift guard: should a regeneration ever write isAdjustedToUTC
+        # timestamps (loaded as LTZ `timestamp`), normalize to NTZ —
+        # values are identical under the pinned UTC session and DuckDB
+        # reads the same file as NTZ, so oracle parity is preserved.
+        for col, dtype in df.dtypes:
+            if dtype == "timestamp":
+                df = df.withColumn(col, F.col(col).cast("timestamp_ntz"))
         _cache[key] = df
     return df
 

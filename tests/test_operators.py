@@ -300,3 +300,24 @@ def test_quantized_topk_approximates_exact(spark):
     for qid, ex in exact.items():
         overlap = len(ex & quant[qid])
         assert overlap >= 3, f"query {qid}: quantized recall too low ({overlap}/5)"
+
+
+def test_freq_items_contains_exact_heavy_hitters(spark):
+    """freqItems may over-report (sketch contract) but must never miss
+    an item whose exact support exceeds the threshold."""
+    from pyspark.sql import functions as F
+
+    from sparkml_spark.registry import QUERIES
+    from sparkml_spark.sources.loader import load_table
+
+    from .conftest import SF_DIR
+
+    got = set(QUERIES["stat_freq_items"](spark, SF_DIR).collect()[0][0])
+    e = load_table(spark, SF_DIR, "events")
+    total = e.count()
+    exact = {
+        r.event_type
+        for r in e.groupBy("event_type").count().collect()
+        if r["count"] > 0.15 * total
+    }
+    assert exact <= got, f"missed heavy hitters: {exact - got}"
