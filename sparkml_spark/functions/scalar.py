@@ -440,6 +440,41 @@ def events_hourly_batch(spark, sf_dir):
 
 
 @query(
+    "events_sliding_batch",
+    section="2.K",
+    oracle="""
+SELECT win_start, event_type, COUNT(*) AS n_events
+FROM (
+  SELECT event_type,
+         make_timestamp((epoch_us(ts) // 900000000 - k) * 900000000)
+           AS win_start
+  FROM events, LATERAL unnest(range(0, 4)) AS t(k)
+)
+GROUP BY win_start, event_type
+""",
+)
+def events_sliding_batch(spark, sf_dir):
+    """Sliding-window aggregation (1 h window, 15 min slide) in batch
+    form — the ORACLE twin of stream_sliding_agg. Spark's F.window
+    assigns each event to the 4 epoch-aligned overlapping windows; the
+    oracle reproduces that with explicit epoch arithmetic (floor to the
+    15-min grid, back-shift k slides). Equality with the streamed run
+    is asserted in tests/test_streaming.py."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            F.window("ts", "1 hour", "15 minutes").alias("win"), "event_type"
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("win.start").cast("timestamp_ntz").alias("win_start"),
+            "event_type",
+            "n_events",
+        )
+    )
+
+
+@query(
     "fn_bitwise",
     section="2.H",
     oracle="""

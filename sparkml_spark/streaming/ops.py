@@ -88,7 +88,8 @@ def stream_tumbling_agg(spark, sf_dir):
 @query("stream_sliding_agg", section="2.K")
 def stream_sliding_agg(spark, sf_dir):
     """1-hour window sliding every 15 minutes — each event lands in 4
-    overlapping windows."""
+    overlapping windows. Batch twin: events_sliding_batch (ORACLE) —
+    equality asserted in tests/test_streaming.py."""
     s = _event_stream(spark, sf_dir)
     agg = (
         s.withWatermark("ts", "1 hour")

@@ -116,3 +116,13 @@ def test_chained_windows_equal_batch_rollup(spark):
     horizon = max(t for t, _ in b)
     from datetime import timedelta
     assert all(horizon - t <= timedelta(hours=12) for t, _ in set(b) - set(s))
+
+
+def test_sliding_stream_equals_batch_twin(spark):
+    """stream_sliding_agg (complete mode) must emit exactly the batch
+    sliding-window aggregation — the ORACLE twin events_sliding_batch."""
+    stream = QUERIES["stream_sliding_agg"](spark, SF_DIR)
+    batch = QUERIES["events_sliding_batch"](spark, SF_DIR)
+    s = {(r.win_start, r.event_type): r.n_events for r in stream.collect()}
+    b = {(r.win_start, r.event_type): r.n_events for r in batch.collect()}
+    assert s == b
