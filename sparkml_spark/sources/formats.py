@@ -65,6 +65,22 @@ def scan_json(spark, sf_dir):
 
 
 @query(
+    "scan_text_lines",
+    section="2.A",
+    oracle="SELECT text AS value FROM documents",
+)
+def scan_text_lines(spark, sf_dir):
+    """Plain-text line source (`spark.read.text`) — the rawest corpus
+    ingest format: one row per line, single `value` column. Round-trip:
+    documents.text written as text lines, read back ≡ the originals
+    (fixture text is single-line, so the line framing is lossless)."""
+    d = load_table(spark, sf_dir, "documents")
+    path = _artifact("documents_text")
+    d.select("text").write.mode("overwrite").text(path)
+    return spark.read.text(path)
+
+
+@query(
     "sink_parquet_partitioned",
     section="2.A",
     oracle="""

@@ -7,8 +7,9 @@ Deterministic on the fixture; the SAME logical plan runs unbounded in
 production by swapping source/sink and trigger.
 
 Semantics pinning: each windowed aggregation has an ORACLE-checked
-batch twin (events_hourly_batch, win_sessionize_batch) and
-tests/test_streaming.py asserts stream == batch on the fixture.
+batch twin (events_hourly_batch, events_sliding_batch,
+win_sessionize_batch, ts_downsample_ohlc) and tests/test_streaming.py
+asserts stream == batch on the fixture.
 
 100 TB notes: every stateful op carries a watermark (unbounded state
 is an outage, SURVEY §4.3); at scale the state store moves to RocksDB
