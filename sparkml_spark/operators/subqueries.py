@@ -44,6 +44,50 @@ def subquery_scalar(spark, sf_dir):
 
 
 @query(
+    "subquery_not_in_null",
+    section="2.C",
+    oracle="""
+SELECT
+  (SELECT COUNT(*) FROM customer WHERE c_nationkey NOT IN
+     (SELECT nullif(n_nationkey, 2) FROM nation WHERE n_regionkey = 2))
+    AS not_in_with_null,
+  (SELECT COUNT(*) FROM customer WHERE c_nationkey NOT IN
+     (SELECT n_nationkey FROM nation WHERE n_regionkey = 2))
+    AS not_in_no_null,
+  (SELECT COUNT(*) FROM customer c WHERE NOT EXISTS
+     (SELECT 1 FROM nation n
+      WHERE n.n_nationkey = c.c_nationkey AND n.n_regionkey = 2))
+    AS not_exists_count
+""",
+)
+def subquery_not_in_null(spark, sf_dir):
+    """The NOT IN three-valued-logic trap, pinned cross-engine: when
+    the subquery list contains a NULL (injected via nullif on a key
+    known to be in the set), ANSI semantics make `x NOT IN (...)`
+    UNKNOWN for every row — count 0 — while the NULL-free NOT IN and
+    the NOT EXISTS anti-join agree with each other. Catalyst plans the
+    NULL-risky form as null-aware anti join (the expensive one); NOT
+    EXISTS stays a plain left-anti — which is why pipelines should
+    write NOT EXISTS at 100 TB."""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+SELECT
+  (SELECT COUNT(*) FROM customer WHERE c_nationkey NOT IN
+     (SELECT nullif(n_nationkey, 2) FROM nation WHERE n_regionkey = 2))
+    AS not_in_with_null,
+  (SELECT COUNT(*) FROM customer WHERE c_nationkey NOT IN
+     (SELECT n_nationkey FROM nation WHERE n_regionkey = 2))
+    AS not_in_no_null,
+  (SELECT COUNT(*) FROM customer c WHERE NOT EXISTS
+     (SELECT 1 FROM nation n
+      WHERE n.n_nationkey = c.c_nationkey AND n.n_regionkey = 2))
+    AS not_exists_count
+        """
+    )
+
+
+@query(
     "subquery_in",
     section="2.C",
     oracle="""
