@@ -384,6 +384,45 @@ def agg_collect_sorted_array(spark, sf_dir):
     )
 
 
+@query(
+    "agg_mode_deterministic",
+    section="2.D",
+    oracle="""
+SELECT o_orderpriority, event_mode, mode_count FROM (
+  SELECT o_orderpriority, o_orderstatus AS event_mode, COUNT(*) AS mode_count,
+         ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                            ORDER BY COUNT(*) DESC, o_orderstatus ASC) AS rn
+  FROM orders GROUP BY o_orderpriority, o_orderstatus
+) WHERE rn = 1
+""",
+)
+def agg_mode_deterministic(spark, sf_dir):
+    """Per-group statistical mode with a DETERMINISTIC tie-break
+    (highest count, then lowest value) — the profiling aggregate
+    Spark's builtin `mode()` leaves tie-nondeterministic, made
+    reproducible so reruns and engines agree. Plan: one hash aggregate
+    over the (group, value) pair, then a WindowGroupLimit top-1 per
+    group — shuffle keys are the group columns, never the raw rows."""
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    counts = o.groupBy("o_orderpriority", "o_orderstatus").agg(
+        F.count(F.lit(1)).alias("mode_count")
+    )
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("mode_count").desc(), F.col("o_orderstatus").asc()
+    )
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "o_orderpriority",
+            F.col("o_orderstatus").alias("event_mode"),
+            "mode_count",
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # agg_string_concat — ordered per-group string aggregation.
 # ---------------------------------------------------------------------------
