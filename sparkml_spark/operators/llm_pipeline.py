@@ -186,3 +186,63 @@ def pipeline_domain_mix(spark, sf_dir):
         .filter(h16 < F.col("thr"))
         .select("doc_id", "lang", "source")
     )
+
+
+@query(
+    "pipeline_decontaminate",
+    section="2.I",
+    oracle="""
+WITH grams AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_transform(
+           range(1, len(string_split_regex(lower(trim(text)), '\\s+')) - 1),
+           i -> concat_ws(' ',
+                string_split_regex(lower(trim(text)), '\\s+')[i],
+                string_split_regex(lower(trim(text)), '\\s+')[i+1],
+                string_split_regex(lower(trim(text)), '\\s+')[i+2])))) AS gram
+  FROM documents
+),
+eval_grams AS (
+  SELECT DISTINCT gram FROM grams WHERE doc_id % 97 = 0
+)
+SELECT g.doc_id, COUNT(*) AS n_shared_ngrams
+FROM grams g JOIN eval_grams e ON g.gram = e.gram
+WHERE g.doc_id % 97 <> 0
+GROUP BY g.doc_id
+""",
+)
+def pipeline_decontaminate(spark, sf_dir):
+    """Eval-set decontamination: flag training documents sharing any
+    n-gram (n=3 on the small-vocabulary fixture; production scrubs use
+    8-13) with a held-out eval set (every 97th doc) — the standard
+    benchmark-leakage scrub run before training.
+
+    Scale: an inverted-index join on the n-gram, never doc x doc. The
+    eval side collapses to a distinct-gram set (tiny vs the corpus) and
+    broadcasts; the train side explodes to distinct (doc, gram) pairs
+    whose shuffle key is the gram — cardinality bounded by corpus token
+    count, skew bounded by gram frequency. Counts are exact, so the op
+    is ORACLE-tier end to end."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    ngrams = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 2),
+            lambda i: F.concat_ws(
+                " ",
+                F.element_at(toks, i),
+                F.element_at(toks, i + 1),
+                F.element_at(toks, i + 2),
+            ),
+        )
+    )
+    grams = d.select("doc_id", F.explode(ngrams).alias("gram"))
+    eval_grams = (
+        grams.filter(F.col("doc_id") % 97 == 0).select("gram").distinct()
+    )
+    return (
+        grams.filter(F.col("doc_id") % 97 != 0)
+        .join(F.broadcast(eval_grams), "gram")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_shared_ngrams"))
+    )
