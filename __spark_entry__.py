@@ -54,6 +54,13 @@ def _prior_evidence() -> tuple[set, set, set]:
                 verified.add(qid)
             if row.get("rows_match") is True:
                 rows_ok.add(qid)
+            # ROWS-tier ids are recorded by the driver as err="no_oracle"
+            # with rows_match=null but a real spark_rows count — that IS
+            # the rows-only evidence the tier contract asks for (VERDICT
+            # r4 "What's wrong" #2; without this the same sketch ops eat
+            # the first rotation slots every round).
+            if row.get("err") == "no_oracle" and row.get("spark_rows") is not None:
+                rows_ok.add(qid)
     return verified, rows_ok, seen
 
 
@@ -61,17 +68,19 @@ def _priority_order() -> list:
     """Driver verification checks the FIRST N registered queries per
     round (round 1: N=50, registration order — CORRECTNESS_r01.json).
     Spend those slots on queries with no green row yet: ROWS-tier ids
-    whose only prior rows are ERR/no_oracle (a cheap ledger-clear, ≤4
-    ids), then ORACLE-tier never-hash-matched, then already-verified
-    ORACLE (regression guard), then never-run ROWS, then the rest."""
+    whose prior rows are all hard errors (crash — needs a retry), then
+    ORACLE-tier never-hash-matched, then ROWS-tier never-run (so once
+    the ORACLE backlog clears, slots burn down the §2.J/§2.K rows-only
+    ledger), then already-verified ORACLE (regression guard), then the
+    rest."""
     verified, rows_ok, seen = _prior_evidence()
     order = list(QUERIES)
     rows_retry = [q for q in order if q not in ORACLES and q in seen and q not in rows_ok]
     oracle_new = [q for q in order if q in ORACLES and q not in verified]
-    oracle_done = [q for q in order if q in ORACLES and q in verified]
     rows_new = [q for q in order if q not in ORACLES and q not in seen]
+    oracle_done = [q for q in order if q in ORACLES and q in verified]
     rows_seen = [q for q in order if q not in ORACLES and q in rows_ok]
-    return rows_retry + oracle_new + oracle_done + rows_new + rows_seen
+    return rows_retry + oracle_new + rows_new + oracle_done + rows_seen
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

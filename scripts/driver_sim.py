@@ -52,6 +52,19 @@ def pandas_rows(df):
             for row in df.itertuples(index=False, name=None)]
 
 
+def canon(df):
+    """Mirror the real driver's canonicalizer: select columns sorted by
+    name, then pandas sort_values over ALL of them. Crucially this DIES
+    with `TypeError: unhashable type: 'numpy.ndarray'` when any cell is
+    an ndarray (pandas lexsort factorizes object columns) — exactly the
+    CORRECTNESS_r04 agg_collect_sorted_array failure the sim previously
+    passed. DuckDB's .df() yields ndarray cells for every LIST column
+    and Arrow toPandas does too, so an ORACLE query with an array-typed
+    result column MUST fail here, before the driver finds it."""
+    cols = sorted(df.columns)
+    return df[cols].sort_values(by=cols).reset_index(drop=True)
+
+
 def norm_cell(v):
     if v is None:
         return "∅"
@@ -133,6 +146,11 @@ def main() -> int:
         try:
             sdf = fn(spark, args.sf_dir)
             spdf = sdf.toPandas()
+            if name in oracles:
+                # ROWS-tier results are only counted by the driver;
+                # ORACLE-tier go through the canonicalizer (which is
+                # where array-typed result columns explode).
+                spdf = canon(spdf)
             s_rows = pandas_rows(spdf)
             s_cols = list(spdf.columns)
         except Exception as e:
@@ -145,7 +163,7 @@ def main() -> int:
             n_rows_tier += 1
             continue
         try:
-            dddf = con.execute(oracles[name]).df()
+            dddf = canon(con.execute(oracles[name]).df())
             d_cols = list(dddf.columns)
             d_rows = pandas_rows(dddf)
         except Exception as e:

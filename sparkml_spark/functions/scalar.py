@@ -232,7 +232,9 @@ def fn_hash_fast(spark, sf_dir):
 SELECT vec_id,
        len(embedding) AS dim,
        embedding[1] AS first_val,
-       embedding[1:3] AS head3,
+       embedding[1:3][1] AS head3_1,
+       embedding[1:3][2] AS head3_2,
+       embedding[1:3][3] AS head3_3,
        list_max(embedding) AS vmax,
        list_min(embedding) AS vmin,
        len(list_distinct(embedding)) AS n_distinct,
@@ -242,13 +244,23 @@ FROM embeddings
 )
 def fn_array(spark, sf_dir):
     """Array family over the embedding column (1-based slicing on both
-    engines; float cells compare exactly — no arithmetic happens)."""
+    engines; float cells compare exactly — no arithmetic happens).
+
+    The slice's cells are emitted as SCALAR float columns instead of a
+    raw array<float>: the driver's canonicalizer pandas-sorts every
+    result column and dies on ndarray cells (`unhashable type` —
+    CORRECTNESS_r04's agg_collect_sorted_array), and float->string
+    serialization would not be engine-portable, so scalar extraction is
+    the one representation that is both hashable and exact."""
     e = load_table(spark, sf_dir, "embeddings")
+    head3 = F.slice("embedding", 1, 3)
     return e.select(
         "vec_id",
         F.size("embedding").alias("dim"),
         F.element_at("embedding", 1).alias("first_val"),
-        F.slice("embedding", 1, 3).alias("head3"),
+        F.element_at(head3, 1).alias("head3_1"),
+        F.element_at(head3, 2).alias("head3_2"),
+        F.element_at(head3, 3).alias("head3_3"),
         F.array_max("embedding").alias("vmax"),
         F.array_min("embedding").alias("vmin"),
         F.size(F.array_distinct("embedding")).alias("n_distinct"),
@@ -290,16 +302,18 @@ def fn_higher_order(spark, sf_dir):
     section="2.H",
     oracle="""
 SELECT doc_id,
-       ['lang', 'source'] AS meta_keys,
-       [lang, source] AS meta_vals,
+       array_to_string(['lang', 'source'], ',') AS meta_keys,
+       array_to_string([lang, source], ',') AS meta_vals,
        lang AS lang_val
 FROM documents
 """,
 )
 def fn_map(spark, sf_dir):
     """Map family: build a map in-query, read keys/values/elements
-    back. Oracle-able because the outputs are arrays/scalars (Spark
-    create_map preserves insertion order for map_keys/map_values);
+    back. Key/value arrays are CSV-serialized (array_join) because the
+    driver's canonicalizer cannot hash array-valued cells (same fix as
+    agg_collect_sorted). Oracle-able because the outputs are scalars
+    (Spark create_map preserves insertion order for map_keys/map_values);
     raw MAP columns would not hash cross-engine."""
     d = load_table(spark, sf_dir, "documents")
     m = F.create_map(
@@ -307,8 +321,8 @@ def fn_map(spark, sf_dir):
     )
     return d.select(
         "doc_id",
-        F.map_keys(m).alias("meta_keys"),
-        F.map_values(m).alias("meta_vals"),
+        F.array_join(F.map_keys(m), ",").alias("meta_keys"),
+        F.array_join(F.map_values(m), ",").alias("meta_vals"),
         F.element_at(m, "lang").alias("lang_val"),
     )
 
@@ -344,7 +358,8 @@ def fn_json(spark, sf_dir):
     oracle="""
 SELECT event_id,
        CAST(json_extract_string(props, '$.k') AS INT) AS k_typed,
-       to_json(struct_pack(event_type := event_type, user_id := user_id))
+       to_json(struct_pack(event_type := coalesce(event_type, ''),
+                           user_id := coalesce(user_id, -1)))
          AS evt_json
 FROM events
 """,
@@ -352,13 +367,21 @@ FROM events
 def fn_json_struct(spark, sf_dir):
     """Schema-full JSON: from_json into a typed struct and back with
     to_json. Both engines emit the same compact serialization
-    ({"k":v,...}, no spaces), so the round-trip hashes cross-engine."""
+    ({"k":v,...}, no spaces), so the round-trip hashes cross-engine.
+    Fields are coalesced on BOTH sides before serializing: Spark's
+    to_json OMITS null struct fields while DuckDB emits "key":null, so
+    without the coalesce, parity would silently depend on the fixture
+    never containing nulls (ADVICE r4, low)."""
     e = load_table(spark, sf_dir, "events")
     parsed = F.from_json("props", "k INT")
+    evt = F.struct(
+        F.coalesce(F.col("event_type"), F.lit("")).alias("event_type"),
+        F.coalesce(F.col("user_id"), F.lit(-1)).alias("user_id"),
+    )
     return e.select(
         "event_id",
         parsed.getField("k").alias("k_typed"),
-        F.to_json(F.struct(F.col("event_type"), F.col("user_id"))).alias("evt_json"),
+        F.to_json(evt).alias("evt_json"),
     )
 
 

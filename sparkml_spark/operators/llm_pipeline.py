@@ -141,8 +141,13 @@ WITH counts AS (
          SUM(COUNT(*)) OVER () AS total
   FROM documents GROUP BY lang
 ), thresholds AS (
+  -- CASTs force IEEE-double arithmetic to match Spark exactly: DuckDB
+  -- would otherwise evaluate 0.2 * total / cnt in DECIMAL/HUGEINT and
+  -- the two floors can differ by 1 at integer boundaries (ADVICE r4).
   SELECT lang,
-         CAST(floor(least(1.0, 0.2 * total / cnt) * 65536) AS INTEGER)
+         CAST(floor(least(CAST(1.0 AS DOUBLE),
+                          CAST(0.2 AS DOUBLE) * CAST(total AS DOUBLE) / cnt)
+                    * 65536) AS INTEGER)
            AS thr
   FROM counts
 )
@@ -225,9 +230,17 @@ def pipeline_decontaminate(spark, sf_dir):
     is ORACLE-tier end to end."""
     d = load_table(spark, sf_dir, "documents")
     toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    # Guard docs shorter than n: Spark's sequence(1, size-2) DESCENDS
+    # when size < 3 (default step -1), and element_at(toks, 0) then
+    # throws INVALID_INDEX_OF_ZERO — whereas the oracle's range(1, n-1)
+    # yields empty. Emit an explicitly-empty index array instead
+    # (ADVICE r4, medium).
+    idx = F.when(
+        F.size(toks) >= 3, F.sequence(F.lit(1), F.size(toks) - 2)
+    ).otherwise(F.array().cast("array<int>"))
     ngrams = F.array_distinct(
         F.transform(
-            F.sequence(F.lit(1), F.size(toks) - 2),
+            idx,
             lambda i: F.concat_ws(
                 " ",
                 F.element_at(toks, i),

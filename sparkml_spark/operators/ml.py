@@ -233,23 +233,30 @@ def ml_classify_trees(spark, sf_dir):
     bin_train = train.withColumn("label", (F.col("label") < 5).cast("double"))
     bin_test = test.withColumn("label", (F.col("label") < 5).cast("double"))
 
-    def acc(model, data):
-        pred = model.transform(data)
-        return pred.select(
-            (F.sum((F.col("label") == F.col("prediction")).cast("long"))
-             / F.count(F.lit(1))).alias("a")
-        ).collect()[0]["a"]
+    # One union'd plan, one job: the per-model accuracies aggregate in
+    # a single action run by the driver — no collect() inside the
+    # operator (§4.3 rule 1; VERDICT r4 minor #4).
+    def scored(name, model, data):
+        return model.transform(data).select(
+            F.lit(name).alias("model"),
+            (F.col("label") == F.col("prediction")).cast("long").alias("correct"),
+        )
 
-    rows = [
-        ("decision_tree", acc(DecisionTreeClassifier(seed=SEED, maxDepth=8).fit(train), test)),
-        (
-            "random_forest",
-            acc(RandomForestClassifier(seed=SEED, numTrees=30, maxDepth=8).fit(train), test),
-        ),
-        ("gbt_binary", acc(GBTClassifier(seed=SEED, maxIter=15).fit(bin_train), bin_test)),
-    ]
-    return spark.createDataFrame(
-        [(m, float(round(a, 4))) for m, a in rows], "model STRING, accuracy DOUBLE"
+    preds = (
+        scored("decision_tree", DecisionTreeClassifier(seed=SEED, maxDepth=8).fit(train), test)
+        .unionByName(
+            scored(
+                "random_forest",
+                RandomForestClassifier(seed=SEED, numTrees=30, maxDepth=8).fit(train),
+                test,
+            )
+        )
+        .unionByName(
+            scored("gbt_binary", GBTClassifier(seed=SEED, maxIter=15).fit(bin_train), bin_test)
+        )
+    )
+    return preds.groupBy("model").agg(
+        F.round(F.sum("correct") / F.count(F.lit(1)), 4).alias("accuracy")
     )
 
 
@@ -354,18 +361,24 @@ def ml_clustering(spark, sf_dir):
         ("bisecting", BisectingKMeans(k=10, seed=SEED).fit(vecs), vecs),
         ("gmm_pca8", GaussianMixture(k=6, seed=SEED).fit(pca8), pca8),
     ]:
-        hist = (
+        out.append(
             model.transform(data)
             .groupBy("prediction")
-            .count()
-            .orderBy("prediction")
-            .collect()
+            .agg(F.count(F.lit(1)).alias("n"))
+            .select(
+                F.lit(name).alias("model"),
+                F.col("prediction").cast("int").alias("cluster"),
+                F.col("n").cast("bigint").alias("n"),
+                (F.lit(sil) if name == "kmeans" else F.lit(None))
+                .cast("double")
+                .alias("kmeans_silhouette"),
+            )
         )
-        out.extend((name, int(r["prediction"]), int(r["count"]), sil if name == "kmeans" else None)
-                   for r in hist)
-    return spark.createDataFrame(
-        out, "model STRING, cluster INT, n BIGINT, kmeans_silhouette DOUBLE"
-    )
+    # Histograms union into ONE plan/action (bounded at k rows/model,
+    # but no reason to run three jobs + a collect; §4.3 rule 1). The
+    # silhouette stays an evaluator scalar — that API is driver-side by
+    # design, same as ml_regression's RegressionEvaluator.
+    return out[0].unionByName(out[1]).unionByName(out[2]).orderBy("model", "cluster")
 
 
 @query("ml_lda_topics", section="2.J")
@@ -411,17 +424,22 @@ def ml_word2vec(spark, sf_dir):
 @query("ml_als_recommend", section="2.J")
 def ml_als_recommend(spark, sf_dir):
     """ALS (seed=42, implicit) on the user × event_type interaction
-    matrix from events; top-2 recommendations per user."""
+    matrix from events; top-2 recommendations per user.
+
+    Item ids come from StringIndexer (alphabetical order — same mapping
+    a distinct().collect() dictionary produced, but the vocabulary
+    never passes through the driver, so unknown item cardinality at
+    100 TB is safe; VERDICT r4 minor #4)."""
+    from pyspark.ml.feature import StringIndexer
     from pyspark.ml.recommendation import ALS
 
     e = load_table(spark, sf_dir, "events")
-    types = e.select("event_type").distinct().orderBy("event_type").collect()
-    type_id = {r["event_type"]: i for i, r in enumerate(types)}
-    mapping = F.create_map(
-        *[x for t, i in type_id.items() for x in (F.lit(t), F.lit(i))]
-    )
+    indexer = StringIndexer(
+        inputCol="event_type", outputCol="item_idx", stringOrderType="alphabetAsc"
+    ).fit(e)
     ratings = (
-        e.withColumn("item", mapping.getItem(F.col("event_type")).cast("int"))
+        indexer.transform(e)
+        .withColumn("item", F.col("item_idx").cast("int"))
         .groupBy(F.col("user_id").cast("int").alias("user"), "item")
         .agg(F.count(F.lit(1)).cast("float").alias("rating"))
     )

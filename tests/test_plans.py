@@ -190,6 +190,24 @@ def test_minhash_band_join_no_cartesian(spark):
     assert "BroadcastNestedLoop" not in plan, plan[:1500]
 
 
+def test_ngram_jaccard_join_input_is_df_filtered(spark):
+    """The shared-shingle self-join must consume the df-CUT shingle
+    stream: a per-shingle frequency window feeding a `2*df <= n_docs`
+    filter BEFORE the a×b join. Without it, one ubiquitous shingle is a
+    single shuffle key with an O(df²) pair explosion at corpus scale
+    (VERDICT r4 'What's wrong' #3)."""
+    qe = QUERIES["dedup_ngram_jaccard"](spark, SF_DIR)._jdf.queryExecution()
+    optimized = qe.optimizedPlan().toString()
+    # df computed per shingle...
+    assert "windowspecdefinition(shingle" in optimized, optimized[:2000]
+    # ...and the cut filter present (constant-folded or not).
+    assert "(2 * df" in optimized or "(df" in optimized, optimized[:2000]
+    # Still a blocked equi join — never all-pairs.
+    plan = qe.executedPlan().toString()
+    assert "CartesianProduct" not in plan, plan[:1500]
+    assert "BroadcastNestedLoop" not in plan, plan[:1500]
+
+
 def test_asof_join_no_nested_loop(spark):
     """join_asof must be the partitioned union+window form, never a
     range-predicate nested loop over the full event table."""
