@@ -101,6 +101,23 @@ def load_tables(spark: SparkSession, sf_dir: str) -> LazyTables:
 
 
 def register_views(spark: SparkSession, sf_dir: str) -> None:
-    """Register every table as a temp view for `spark.sql(...)` entry."""
+    """Register every table as a temp view for `spark.sql(...)` entry.
+
+    Blast-radius bound (ADVICE r4): SQL text can reference any view, so
+    views can't be lazy the way LazyTables is — but one unreadable
+    parquet must not kill SQL queries that never touch it. A table that
+    fails to load has its (possibly stale) view dropped, so only
+    queries actually referencing it fail, loudly, with
+    TABLE_OR_VIEW_NOT_FOUND; the first load error is re-raised only if
+    NO table registered (a wrong sf_dir should not fail silently)."""
+    first_err: Exception | None = None
+    n_ok = 0
     for n in TABLES:
-        load_table(spark, sf_dir, n).createOrReplaceTempView(n)
+        try:
+            load_table(spark, sf_dir, n).createOrReplaceTempView(n)
+            n_ok += 1
+        except Exception as e:  # corrupt/missing parquet — bound the blast
+            first_err = first_err or e
+            spark.catalog.dropTempView(n)
+    if n_ok == 0 and first_err is not None:
+        raise first_err

@@ -22,7 +22,12 @@ import shutil
 
 import pytest
 
-from sparkml_spark.sources.loader import LazyTables, load_table, load_tables
+from sparkml_spark.sources.loader import (
+    LazyTables,
+    load_table,
+    load_tables,
+    register_views,
+)
 
 from .conftest import SF_DIR
 
@@ -95,11 +100,22 @@ EXPECTED_DTYPES = {
 }
 
 
+#: Every scale the driver touches: t1 smoke / t2 verify / bench. A
+#: regeneration at ONE scale (r3 regenerated all, but nothing pins that)
+#: must fail here, not as 30 red driver rows at the verify scale.
+SF_DIRS = [
+    "/root/testdata/sf0.001",
+    "/root/testdata/sf0.01",
+    "/root/testdata/sf0.1",
+]
+
+
+@pytest.mark.parametrize("sf_dir", SF_DIRS)
 @pytest.mark.parametrize("table", sorted(EXPECTED_DTYPES))
-def test_loaded_dtypes_pinned(spark, table):
-    got = dict(load_table(spark, SF_DIR, table).dtypes)
+def test_loaded_dtypes_pinned(spark, table, sf_dir):
+    got = dict(load_table(spark, sf_dir, table).dtypes)
     assert got == EXPECTED_DTYPES[table], (
-        f"FIXTURE DRIFT in {table!r}: loaded dtypes {got} != pinned "
+        f"FIXTURE DRIFT in {table!r} at {sf_dir}: loaded dtypes {got} != pinned "
         f"{EXPECTED_DTYPES[table]} — /root/testdata was likely regenerated; "
         "update sources/loader.py + FIXTURES.md together."
     )
@@ -119,3 +135,24 @@ def test_lazy_tables_isolate_bad_table(spark, tmp_path):
 
     with pytest.raises(AttributeError):
         _ = t.not_a_table
+
+
+def test_register_views_bounds_blast_radius(spark, tmp_path):
+    # Valid lineitem, corrupt events: SQL-entry queries that never
+    # touch events must keep working; ones that do must fail loudly
+    # with a missing-view error, not a poisoned-session error.
+    shutil.copy(os.path.join(SF_DIR, "lineitem.parquet"), tmp_path / "lineitem.parquet")
+    (tmp_path / "events.parquet").write_bytes(b"this is not parquet")
+
+    register_views(spark, str(tmp_path))
+    assert spark.sql("SELECT COUNT(*) AS n FROM lineitem").collect()[0]["n"] > 0
+    with pytest.raises(Exception):
+        spark.sql("SELECT COUNT(*) FROM events").collect()
+
+    # Restore real views for any later SQL-entry test in this session.
+    register_views(spark, SF_DIR)
+
+    # A fully-bogus sf_dir must still fail loudly, not register nothing.
+    with pytest.raises(Exception):
+        register_views(spark, str(tmp_path / "nowhere"))
+    register_views(spark, SF_DIR)
