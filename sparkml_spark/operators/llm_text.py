@@ -41,6 +41,19 @@ def _tokens():
 _TOKENS_SQL = "string_split_regex(lower(trim(text)), '\\s+')"
 
 
+def _gram_idx(toks, n):
+    """Ascending n-gram start positions 1..size-(n-1), EMPTY for docs
+    shorter than n tokens. Spark's bare sequence(1, size-(n-1)) DESCENDS
+    (default step -1) below that and element_at then throws
+    INVALID_INDEX_OF_ZERO / INVALID_ARRAY_INDEX_IN_ELEMENT_AT under the
+    default ANSI mode (verified live), where the oracle's range() yields
+    empty — the ADVICE r4 failure class, fixed at every gram site."""
+    upper = F.size(toks) - (n - 1)
+    return F.when(upper >= 1, F.sequence(F.lit(1), upper)).otherwise(
+        F.array().cast("array<int>")
+    )
+
+
 @query(
     "text_tokenize_count",
     section="2.I",
@@ -122,7 +135,7 @@ def text_ngram_sql(spark, sf_dir):
     d = load_table(spark, sf_dir, "documents")
     toks = _tokens()
     bigrams = F.transform(
-        F.sequence(F.lit(1), F.size(toks) - 1),
+        _gram_idx(toks, 2),
         lambda i: F.concat_ws(" ", F.element_at(toks, i), F.element_at(toks, i + 1)),
     )
     return (
@@ -342,7 +355,7 @@ def text_token_count(spark, sf_dir):
 SELECT doc_id,
        md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS content_md5,
        (SELECT MIN(md5(sh)) FROM unnest(list_transform(
-           range(1, greatest(len({_TOKENS_SQL}) - 3, 1) + 1),
+           range(1, len({_TOKENS_SQL}) - 2),
            i -> {_TOKENS_SQL}[i] || ' ' || {_TOKENS_SQL}[i+1] || ' '
                 || {_TOKENS_SQL}[i+2] || ' ' || {_TOKENS_SQL}[i+3])) AS t(sh))
          AS min_shingle_hash,
@@ -354,11 +367,13 @@ def text_fingerprint(spark, sf_dir):
     """Document fingerprints: normalized-content md5, a 1-permutation
     MinHash over 4-token shingles (min of shingle hashes — the rolling-
     hash fingerprint, order-independent and SQL-exact), and a prefix
-    hash. These are the join keys for dedup at scale."""
+    hash. These are the join keys for dedup at scale. Docs shorter than
+    4 tokens get a NULL min_shingle_hash on BOTH engines (empty shingle
+    set -> MIN over nothing)."""
     d = load_table(spark, sf_dir, "documents")
     toks = _tokens()
     shingles = F.transform(
-        F.sequence(F.lit(1), F.greatest(F.size(toks) - 3, F.lit(1))),
+        _gram_idx(toks, 4),
         lambda i: F.concat_ws(
             " ",
             F.element_at(toks, i),
@@ -460,7 +475,7 @@ def text_repetition_score(spark, sf_dir):
         )
     )
     bigrams = F.transform(
-        F.sequence(F.lit(1), F.size(toks) - 1),
+        _gram_idx(toks, 2),
         lambda i: F.concat_ws(" ", F.element_at(toks, i), F.element_at(toks, i + 1)),
     )
     big_counts = (

@@ -321,3 +321,36 @@ def test_freq_items_contains_exact_heavy_hitters(spark):
         if r["count"] > 0.15 * total
     }
     assert exact <= got, f"missed heavy hitters: {exact - got}"
+
+
+def test_gram_builders_survive_short_docs(spark):
+    """Docs shorter than n tokens must yield EMPTY gram arrays, not an
+    INVALID_INDEX_OF_ZERO / out-of-bounds crash (ANSI sequence() steps
+    DOWN when start > stop — verified live; the oracle's range() yields
+    empty, so empty is also the parity-correct answer)."""
+    from sparkml_spark.operators.llm_dedup import _trigram_idx
+    from sparkml_spark.operators.llm_text import _gram_idx
+
+    df = spark.createDataFrame(
+        [(1, ""), (2, "one"), (3, "two words"), (4, "a b c"), (5, "a b c d e")],
+        "doc_id long, text string",
+    )
+    toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    got = {
+        r["doc_id"]: (r["n2"], r["n3f"], r["n4"])
+        for r in df.select(
+            "doc_id",
+            F.size(F.transform(_gram_idx(toks, 2), lambda i: F.element_at(toks, i))).alias("n2"),
+            F.size(_trigram_idx(toks)).alias("n3f"),
+            F.size(F.transform(_gram_idx(toks, 4), lambda i: F.element_at(toks, i))).alias("n4"),
+        ).collect()
+    }
+    # bigram count = max(size-1, 0); _trigram_idx pins 1..size-3 (the
+    # jaccard oracle's shape); 4-gram count = max(size-3, 0).
+    assert got == {
+        1: (0, 0, 0),   # "" splits to [""] -> size 1
+        2: (0, 0, 0),
+        3: (1, 0, 0),
+        4: (2, 0, 0),
+        5: (4, 2, 2),
+    }, got
