@@ -259,3 +259,204 @@ def pipeline_decontaminate(spark, sf_dir):
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).alias("n_shared_ngrams"))
     )
+
+
+_CHUNK = 64  # tokens per training/RAG chunk
+_STRIDE = 48  # chunk stride (16-token overlap)
+
+
+@query(
+    "pipeline_token_budget_mix",
+    section="2.I",
+    oracle="""
+WITH docs AS (
+  SELECT doc_id, lang, source,
+         len(string_split_regex(lower(trim(text)), '\\s+')) AS n_tok
+  FROM documents
+), budgets AS (
+  -- CASTs force IEEE-double arithmetic to match Spark (same rationale
+  -- as pipeline_domain_mix).
+  SELECT lang,
+         CAST(floor(least(CAST(1.0 AS DOUBLE),
+                          CAST(0.2 AS DOUBLE)
+                            * CAST(SUM(SUM(n_tok)) OVER () AS DOUBLE)
+                            / SUM(n_tok))
+                    * 65536) AS INTEGER) AS thr
+  FROM docs GROUP BY lang
+)
+SELECT d.doc_id, d.lang, d.source, CAST(d.n_tok AS BIGINT) AS n_tok
+FROM docs d JOIN budgets b ON d.lang = b.lang
+WHERE ('0x' || substr(md5('mix' || CAST(d.doc_id AS VARCHAR)), 1, 4))::INTEGER
+      < b.thr
+""",
+)
+def pipeline_token_budget_mix(spark, sf_dir):
+    """Domain-mix rebalancing by TOKEN budget: downsample each language
+    toward a 20% share of total TOKENS (not documents) with a
+    deterministic per-doc content-hash filter — the form production LLM
+    mixes actually use, since a domain's cost is its token count and
+    doc-count mixing over/under-weights domains with atypical document
+    lengths.
+
+    Scale: identical shape to pipeline_domain_mix — one tiny per-lang
+    aggregate (token sums; map-side combined), thresholds broadcast
+    back, then an embarrassingly-parallel per-row hash compare. The
+    doc-level token count is one codegen'd size(split(...)) — no
+    shuffle of text, ever. The hash is salted ('mix') so keep-sets of
+    different pipeline stages are statistically independent."""
+    d = load_table(spark, sf_dir, "documents")
+    docs = d.select(
+        "doc_id",
+        "lang",
+        "source",
+        F.size(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("n_tok"),
+    )
+    w_tot = Window.partitionBy()
+    budgets = (
+        docs.groupBy("lang")
+        .agg(F.sum("n_tok").alias("lang_tok"))
+        .select(
+            "lang",
+            F.floor(
+                F.least(
+                    F.lit(1.0),
+                    0.2 * F.sum("lang_tok").over(w_tot) / F.col("lang_tok"),
+                )
+                * 65536
+            )
+            .cast("int")
+            .alias("thr"),
+        )
+    )
+    h16 = F.conv(
+        F.substring(F.md5(F.concat(F.lit("mix"), F.col("doc_id").cast("string"))), 1, 4),
+        16,
+        10,
+    ).cast("int")
+    return (
+        docs.join(F.broadcast(budgets), "lang")
+        .filter(h16 < F.col("thr"))
+        .select("doc_id", "lang", "source", F.col("n_tok").cast("bigint").alias("n_tok"))
+    )
+
+
+@query(
+    "pipeline_epoch_upsample",
+    section="2.I",
+    oracle="""
+WITH counts AS (
+  SELECT lang, COUNT(*) AS cnt, SUM(COUNT(*)) OVER () AS total
+  FROM documents GROUP BY lang
+), epochs AS (
+  -- target epochs per lang in [1, 3]: rarer languages repeat more.
+  SELECT lang,
+         CAST(floor(greatest(CAST(1.0 AS DOUBLE),
+                    least(CAST(3.0 AS DOUBLE),
+                          CAST(0.2 AS DOUBLE) * CAST(total AS DOUBLE) / cnt)))
+              AS INTEGER) AS floor_e,
+         CAST(floor((greatest(CAST(1.0 AS DOUBLE),
+                    least(CAST(3.0 AS DOUBLE),
+                          CAST(0.2 AS DOUBLE) * CAST(total AS DOUBLE) / cnt))
+                    - floor(greatest(CAST(1.0 AS DOUBLE),
+                            least(CAST(3.0 AS DOUBLE),
+                                  CAST(0.2 AS DOUBLE) * CAST(total AS DOUBLE) / cnt))))
+                    * 65536) AS INTEGER) AS frac_thr
+  FROM counts
+), expanded AS (
+  SELECT d.doc_id, d.lang,
+         e.floor_e
+           + CASE WHEN ('0x' || substr(md5('up' || CAST(d.doc_id AS VARCHAR)), 1, 4))::INTEGER
+                       < e.frac_thr
+                  THEN 1 ELSE 0 END AS n_copies
+  FROM documents d JOIN epochs e ON d.lang = e.lang
+)
+SELECT doc_id, lang, CAST(unnest(range(1, n_copies + 1)) AS INTEGER) AS epoch_i
+FROM expanded
+""",
+)
+def pipeline_epoch_upsample(spark, sf_dir):
+    """Deterministic fractional-epoch up-sampling: each language gets a
+    target epoch count in [1, 3] (rarer languages repeat more, the
+    Llama-style data recipe), where the fractional part selects a
+    stable hash-chosen subset for the extra pass — so a rerun, a
+    retried partition, or an incremental corpus add repeats EXACTLY the
+    same documents, unlike RNG sampling.
+
+    Scale: per-lang doc counts are a 5-row aggregate; epoch params
+    broadcast back; the copy expansion is a per-row explode of at most
+    ceil(max_epochs) ints — output size is the token budget the trainer
+    asked for, and nothing shuffles (the explode is a narrow map).
+    Hash salted ('up') to stay independent of the mix filters."""
+    d = load_table(spark, sf_dir, "documents")
+    w_tot = Window.partitionBy()
+    e_raw = F.greatest(
+        F.lit(1.0),
+        F.least(F.lit(3.0), 0.2 * F.sum("cnt").over(w_tot) / F.col("cnt")),
+    )
+    epochs = (
+        d.groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(
+            "lang",
+            F.floor(e_raw).cast("int").alias("floor_e"),
+            F.floor((e_raw - F.floor(e_raw)) * 65536).cast("int").alias("frac_thr"),
+        )
+    )
+    h16 = F.conv(
+        F.substring(F.md5(F.concat(F.lit("up"), F.col("doc_id").cast("string"))), 1, 4),
+        16,
+        10,
+    ).cast("int")
+    n_copies = F.col("floor_e") + F.when(h16 < F.col("frac_thr"), 1).otherwise(0)
+    return (
+        d.join(F.broadcast(epochs), "lang")
+        .select(
+            "doc_id",
+            "lang",
+            F.explode(F.sequence(F.lit(1), n_copies)).alias("epoch_i"),
+        )
+    )
+
+
+@query(
+    "pipeline_chunk_overlap",
+    section="2.I",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS t
+  FROM documents
+)
+SELECT doc_id,
+       CAST(s AS INTEGER) AS chunk_start,
+       CAST(len(list_slice(t, s, s + {_CHUNK} - 1)) AS INTEGER) AS n_chunk_tokens,
+       md5(array_to_string(list_slice(t, s, s + {_CHUNK} - 1), ' ')) AS chunk_md5
+FROM toks, unnest(range(1, len(t) + 1, {_STRIDE})) AS u(s)
+""",
+)
+def pipeline_chunk_overlap(spark, sf_dir):
+    """Overlapping-window chunking: split each document into
+    {_CHUNK}-token chunks on a {_STRIDE}-token stride (16-token
+    overlap) — the standard unit-of-work builder for RAG indexing and
+    long-document training, with the final short chunk kept. Chunks
+    are emitted as (start, length, content-md5) so rows stay narrow;
+    the chunk text itself is reproducible from (doc_id, start, len).
+
+    Scale: pure narrow ops — tokenize, an explode bounded by
+    len/stride, a slice and a hash per chunk, all codegen'd; no
+    shuffle at all (the driver's hash does the only exchange).
+    sequence(1, size, stride) is always ascending (size >= 1), so the
+    short-doc guard the gram builders need does not apply here."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    with_toks = d.select("doc_id", toks.alias("t"))
+    starts = F.explode(F.sequence(F.lit(1), F.size("t"), F.lit(_STRIDE))).alias("s")
+    chunk = F.slice(F.col("t"), F.col("s"), F.lit(_CHUNK))
+    return (
+        with_toks.select("doc_id", "t", starts)
+        .select(
+            "doc_id",
+            F.col("s").cast("int").alias("chunk_start"),
+            F.size(chunk).cast("int").alias("n_chunk_tokens"),
+            F.md5(F.array_join(chunk, " ")).alias("chunk_md5"),
+        )
+    )
