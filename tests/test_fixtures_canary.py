@@ -156,3 +156,49 @@ def test_register_views_bounds_blast_radius(spark, tmp_path):
     with pytest.raises(Exception):
         register_views(spark, str(tmp_path / "nowhere"))
     register_views(spark, SF_DIR)
+
+
+def test_fixture_integrity_facts_pinned(spark):
+    """Integrity facts several ORACLE queries silently ride on
+    (SURVEY 5.3, ADVICE r4): a regeneration that breaks one of these
+    flips parity in query-specific ways much harder to diagnose than
+    this named test. Facts: events.event_id unique; event_type/user_id
+    non-null (fn_json_struct's to_json omits nulls — now coalesced, but
+    keep the canary); documents.n_chars == length(text) exactly; no
+    exact-duplicate texts (dedup ops manufacture their own dup
+    population and assume a clean base); embeddings unit-norm."""
+    from pyspark.sql import functions as F
+
+    e = load_table(spark, SF_DIR, "events")
+    row = e.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("event_id").alias("n_ids"),
+        F.sum(F.col("event_type").isNull().cast("int")).alias("null_types"),
+        F.sum(F.col("user_id").isNull().cast("int")).alias("null_users"),
+    ).collect()[0]
+    assert row["n"] == row["n_ids"], "event_id no longer unique"
+    assert row["null_types"] == 0 and row["null_users"] == 0, (
+        "events.event_type/user_id grew nulls — audit to_json/groupBy queries"
+    )
+
+    d = load_table(spark, SF_DIR, "documents")
+    drow = d.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("text").alias("n_texts"),
+        F.sum((F.col("n_chars") != F.length("text")).cast("int")).alias("bad_nchars"),
+        F.min(F.size(F.split(F.lower(F.trim("text")), r"\s+"))).alias("min_toks"),
+    ).collect()[0]
+    assert drow["bad_nchars"] == 0, "n_chars != length(text) appeared"
+    assert drow["n"] == drow["n_texts"], "exact-duplicate texts appeared in base corpus"
+    # Gram builders are guarded for short docs, but record the current
+    # floor so a regeneration that introduces tiny docs is visible.
+    assert drow["min_toks"] >= 1
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    norm_sq = F.aggregate(
+        F.transform("embedding", lambda x: x.cast("double") * x.cast("double")),
+        F.lit(0.0),
+        lambda a, v: a + v,
+    )
+    bad = emb.filter((norm_sq < 0.999) | (norm_sq > 1.001)).count()
+    assert bad == 0, f"{bad} embeddings no longer unit-norm"

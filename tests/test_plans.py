@@ -222,3 +222,22 @@ def test_global_shuffle_is_range_partitioned(spark):
     plan = QUERIES["pipeline_global_shuffle"](spark, SF_DIR)._jdf.queryExecution().executedPlan().toString()
     assert "rangepartitioning" in plan.lower(), plan[:1500]
     assert "SinglePartition" not in plan, plan[:1500]
+
+
+def test_pipeline_mix_ops_broadcast_thresholds(spark):
+    """The domain/token/epoch rebalancers must broadcast their tiny
+    per-lang parameter tables back to the corpus — a shuffled join here
+    would exchange the whole corpus to meet a 5-row table."""
+    for qid in ("pipeline_domain_mix", "pipeline_token_budget_mix",
+                "pipeline_epoch_upsample"):
+        plan = QUERIES[qid](spark, SF_DIR)._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in plan, f"{qid}: {plan[:1500]}"
+        assert "SortMergeJoin" not in plan, f"{qid}: {plan[:1500]}"
+
+
+def test_chunk_overlap_is_shuffle_free(spark):
+    """Chunking is tokenize+explode+slice — a narrow map pipeline; any
+    Exchange in the plan means something regressed into a shuffle."""
+    from sparkml_spark.plans import shuffle_count
+    df = QUERIES["pipeline_chunk_overlap"](spark, SF_DIR)
+    assert shuffle_count(df) == 0, df._jdf.queryExecution().executedPlan().toString()[:1500]
