@@ -354,3 +354,28 @@ def test_gram_builders_survive_short_docs(spark):
         4: (2, 0, 0),
         5: (4, 2, 2),
     }, got
+
+
+def test_corpus_assembly_deterministic_under_partitioning(spark):
+    """The r5 corpus-assembly ops' core claim: hash-threshold decisions
+    (mix keep-sets, fractional-epoch extra passes) and chunk manifests
+    are a pure function of content — identical across reruns and
+    under different shuffle partitioning, which RNG sampling is not."""
+    ids = (
+        "pipeline_token_budget_mix",
+        "pipeline_epoch_upsample",
+        "pipeline_chunk_overlap",
+    )
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        results = {}
+        for n_part in ("7", prev):
+            spark.conf.set("spark.sql.shuffle.partitions", n_part)
+            for qid in ids:
+                rows = sorted(map(tuple, QUERIES[qid](spark, SF_DIR).collect()))
+                assert rows, qid
+                results.setdefault(qid, []).append(rows)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    for qid, (a, b) in results.items():
+        assert a == b, f"{qid} changed under repartitioning"
