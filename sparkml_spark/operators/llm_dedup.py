@@ -169,7 +169,14 @@ def dedup_ngram_jaccard(spark, sf_dir):
     so results are unchanged; at 100 TB it bounds the per-key join
     fan-out. Jaccard denominators count kept shingles only, so the
     score stays a true Jaccard of the filtered sets on both engines."""
-    corpus = _corpus_with_near_dups(spark, sf_dir)
+    return jaccard_pairs(_corpus_with_near_dups(spark, sf_dir))
+
+
+def jaccard_pairs(corpus, threshold: float = 0.6):
+    """Core of dedup_ngram_jaccard over any (doc_id, text) DataFrame —
+    exposed so the hot-shingle stress test can drive it with injected
+    skew (tests/test_operators.py) and so callers can dedup arbitrary
+    corpora, not just the fixture."""
     toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
     shingles = F.array_distinct(
         F.transform(
@@ -210,7 +217,7 @@ def dedup_ngram_jaccard(spark, sf_dir):
     return (
         inter.join(sa, "id_a")
         .join(sb, "id_b")
-        .filter(jac > 0.6)
+        .filter(jac > threshold)
         .select("id_a", "id_b", F.round(jac, 6).alias("jaccard"))
     )
 

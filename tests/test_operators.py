@@ -379,3 +379,27 @@ def test_corpus_assembly_deterministic_under_partitioning(spark):
         spark.conf.set("spark.sql.shuffle.partitions", prev)
     for qid, (a, b) in results.items():
         assert a == b, f"{qid} changed under repartitioning"
+
+
+def test_jaccard_df_cut_bounds_hot_shingle_explosion(spark):
+    """Inject the skew VERDICT r4 warned about: one trigram present in
+    EVERY doc. Without the df-cut the inverted-index self-join meets
+    n*(n-1)/2 pairs on that single shuffle key; with it, docs sharing
+    ONLY the hot shingle produce no candidate pair at all, and genuine
+    near-dups are still found via their informative shingles."""
+    from sparkml_spark.operators.llm_dedup import jaccard_pairs
+
+    n = 120
+    hot = "the end of"  # one trigram shared by every doc
+    rows = [(i, f"{hot} unique{i} token{i} filler{i} body{i}") for i in range(n)]
+    # one genuine near-dup pair: same informative content, one token off
+    rows.append((1000, "alpha beta gamma delta epsilon zeta eta theta"))
+    rows.append((1001, "alpha beta gamma delta epsilon zeta eta iota"))
+    corpus = spark.createDataFrame(rows, "doc_id long, text string")
+
+    pairs = jaccard_pairs(corpus, threshold=0.5).collect()
+    found = {(r["id_a"], r["id_b"]) for r in pairs}
+    assert (1000, 1001) in found, pairs
+    # No pair among the 120 hot-shingle-only docs: the O(n^2) explosion
+    # the cut exists to prevent.
+    assert all(a >= 1000 for a, _ in found), sorted(found)[:10]
