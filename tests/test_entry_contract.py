@@ -56,3 +56,49 @@ def test_slot_rotation_prioritizes_unverified_oracle():
     for n in head[len(rows_retry):]:
         assert n in oracles, f"non-ORACLE id {n!r} wasting a priority slot"
         assert n not in verified, f"verified id {n!r} wasting a priority slot"
+
+
+def test_no_oracle_driver_rows_count_as_rows_evidence(tmp_path, monkeypatch):
+    """The driver records a ROWS-tier run as err='no_oracle' with a
+    real spark_rows count and rows_match=null. That IS the rows-only
+    evidence — ids with such a row must NOT sit in the retry bucket
+    burning a rotation slot every round (VERDICT r4 #2)."""
+    import json
+
+    record = {
+        "sketchy_op": {"rows_match": None, "hash_match": None,
+                       "spark_rows": 5, "oracle_rows": None, "err": "no_oracle"},
+        "crashed_op": {"rows_match": None, "hash_match": None,
+                       "spark_rows": None, "oracle_rows": None, "err": "e\nboom"},
+        "green_op": {"rows_match": True, "hash_match": True,
+                     "spark_rows": 3, "oracle_rows": 3, "err": None},
+    }
+    (tmp_path / "CORRECTNESS_r99.json").write_text(json.dumps(record))
+    monkeypatch.setattr(entrymod, "_HERE", str(tmp_path))
+    verified, rows_ok, seen = entrymod._prior_evidence()
+    assert "sketchy_op" in rows_ok          # no_oracle + rows == evidence
+    assert "crashed_op" not in rows_ok      # hard error == needs retry
+    assert "green_op" in verified and "green_op" in rows_ok
+    assert seen == {"sketchy_op", "crashed_op", "green_op"}
+
+
+def test_sim_canon_mirrors_driver_array_failure():
+    """scripts/driver_sim.canon must die exactly where the real driver
+    dies — pandas sort_values over ndarray-valued cells — so an ORACLE
+    query with an array result column fails in the sim BEFORE the
+    driver finds it (the r4 agg_collect_sorted_array gap)."""
+    import sys
+
+    import numpy as np
+    import pandas as pd
+    import pytest
+
+    sys.path.insert(0, "/root/repo/scripts")
+    from driver_sim import canon
+
+    ok = canon(pd.DataFrame({"b": [2, 1], "a": ["y", "x"]}))
+    assert list(ok.columns) == ["a", "b"]          # column-name order
+    assert list(ok["b"]) == [1, 2]                 # row canonicalization
+    bad = pd.DataFrame({"k": [1, 2], "arr": [np.array([1]), np.array([2])]})
+    with pytest.raises(TypeError):
+        canon(bad)
