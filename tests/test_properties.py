@@ -211,3 +211,44 @@ def test_global_shuffle_is_permutation(spark):
     d_ids = {r.doc_id for r in load_table(spark, SF_DIR, "documents").collect()}
     assert {r.doc_id for r in out} == d_ids
     assert len({r.shuffle_key for r in out}) == len(d_ids)
+
+
+@given(
+    texts=st.lists(
+        st.text(
+            alphabet=st.sampled_from(list("ab \t")),  # forces odd whitespace
+            min_size=0,
+            max_size=24,
+        ),
+        min_size=1,
+        max_size=12,
+    )
+)
+@_SETTINGS
+def test_gram_idx_never_descends_counts_match(spark, texts):
+    """For ARBITRARY whitespace-mangled text, the guarded gram builders
+    must (a) never throw (the descending-sequence / element_at(0) crash
+    class) and (b) emit exactly max(0, n_tokens-(n-1)) n-grams — the
+    count DuckDB's range(...) produces, which is what keeps oracle
+    parity for any future fixture population."""
+    from sparkml_spark.operators.llm_text import _gram_idx
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    out = df.select(
+        F.size(toks).alias("n_tok"),
+        F.size(F.transform(_gram_idx(toks, 2), lambda i: F.element_at(toks, i))).alias("n2"),
+        F.size(
+            F.transform(
+                _gram_idx(toks, 3),
+                lambda i: F.concat_ws(
+                    " ", F.element_at(toks, i), F.element_at(toks, i + 1), F.element_at(toks, i + 2)
+                ),
+            )
+        ).alias("n3"),
+    ).collect()
+    for r in out:
+        assert r["n2"] == max(0, r["n_tok"] - 1), r
+        assert r["n3"] == max(0, r["n_tok"] - 2), r
