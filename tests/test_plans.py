@@ -241,3 +241,20 @@ def test_chunk_overlap_is_shuffle_free(spark):
     from sparkml_spark.plans import shuffle_count
     df = QUERIES["pipeline_chunk_overlap"](spark, SF_DIR)
     assert shuffle_count(df) == 0, df._jdf.queryExecution().executedPlan().toString()[:1500]
+
+
+def test_decontaminate_broadcasts_eval_side(spark):
+    """The eval-gram set (tiny vs the corpus) must broadcast into the
+    inverted-index join; no cartesian/nested-loop anywhere."""
+    plan = QUERIES["pipeline_decontaminate"](spark, SF_DIR)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan, plan[:1500]
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan, plan[:1500]
+
+
+def test_two_phase_prefix_sums_bound_single_partition(spark):
+    """pipeline_sequence_pack / multimodal_shard_manifest exist to keep
+    the global prefix sum OFF the corpus: the only SinglePartition
+    exchange allowed is the one over the 1000x-smaller bucket table."""
+    for qid in ("pipeline_sequence_pack", "multimodal_shard_manifest"):
+        plan = QUERIES[qid](spark, SF_DIR)._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("SinglePartition") <= 1, f"{qid}: {plan[:2000]}"
