@@ -102,3 +102,31 @@ def test_sim_canon_mirrors_driver_array_failure():
     bad = pd.DataFrame({"k": [1, 2], "arr": [np.array([1]), np.array([2])]})
     with pytest.raises(TypeError):
         canon(bad)
+
+
+def test_no_oracle_query_returns_nested_result_columns(spark):
+    """Structural guarantee against the r4 failure class: the driver's
+    canonicalizer cannot hash array/map/struct-valued cells (pandas
+    factorize dies on ndarrays), so every ORACLE-tier query must
+    resolve to a schema of scalar columns only — nested payloads are
+    serialized (CSV-join / to_json) or scalarized inside the query.
+    Schema resolution needs analysis only, not execution."""
+    from .conftest import SF_DIR
+
+    offenders = {}
+    oracles = entrymod.oracle_sql()
+    for name, fn in entrymod.queries().items():
+        if name not in oracles:
+            continue
+        schema = fn(spark, SF_DIR).schema
+        nested = [
+            f.name
+            for f in schema.fields
+            if f.dataType.typeName() in ("array", "map", "struct")
+        ]
+        if nested:
+            offenders[name] = nested
+    assert not offenders, (
+        f"ORACLE queries with canonicalizer-unsafe nested result "
+        f"columns: {offenders}"
+    )
