@@ -318,3 +318,43 @@ def udaf_cogroup_pandas(spark, sf_dir):
             "purchase_value double, view_value double",
         )
     )
+
+
+@query(
+    "udaf_apply_in_arrow",
+    section="2.L",
+    oracle="""
+SELECT event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(user_id) AS BIGINT) AS sum_user_id
+FROM events GROUP BY event_type
+""",
+)
+def udaf_apply_in_arrow(spark, sf_dir):
+    """applyInArrow (Spark 4.0): whole-group ZERO-COPY transform — each
+    group arrives as a pyarrow.Table, no pandas conversion cost, the
+    modern replacement for applyInPandas when the logic is expressible
+    in Arrow compute. Exact integer math (count + int64 sum via
+    pyarrow.compute) makes this Python-boundary op ORACLE-tier, same
+    pattern as map_in_arrow_vectorized; the oracle CASTs its SUM back
+    to BIGINT because DuckDB widens to HUGEINT (the r2 trap)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def gstats(table: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_type": [table.column("event_type")[0].as_py()],
+                "n_events": pa.array([table.num_rows], pa.int64()),
+                "sum_user_id": pa.array(
+                    [pc.sum(table.column("user_id")).as_py()], pa.int64()
+                ),
+            }
+        )
+
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.select("event_type", "user_id")
+        .groupBy("event_type")
+        .applyInArrow(gstats, "event_type STRING, n_events BIGINT, sum_user_id BIGINT")
+    )
