@@ -358,3 +358,38 @@ def udaf_apply_in_arrow(spark, sf_dir):
         .groupBy("event_type")
         .applyInArrow(gstats, "event_type STRING, n_events BIGINT, sum_user_id BIGINT")
     )
+
+
+@query("udtf_analyze_dynamic", section="2.L")
+def udtf_analyze_dynamic(spark, sf_dir):
+    """Polymorphic Python UDTF (Spark 4): the static `analyze` hook
+    computes the OUTPUT SCHEMA from the call-site arguments — here a
+    key:value exploder whose value column is named after a literal
+    argument — the 4.x mechanism behind schema-flexible table functions
+    (ROWS tier: the mechanism is Python-side; scalar outputs only)."""
+    from pyspark.sql.functions import AnalyzeArgument, AnalyzeResult, lit, udtf
+    from pyspark.sql.types import IntegerType, StringType, StructType
+
+    @udtf
+    class ExplodeProps:
+        @staticmethod
+        def analyze(props: AnalyzeArgument, colname: AnalyzeArgument) -> AnalyzeResult:
+            return AnalyzeResult(
+                StructType()
+                .add("k", StringType())
+                .add(str(colname.value), IntegerType())
+            )
+
+        def eval(self, props: str, colname: str):
+            import json
+
+            for k, v in sorted(json.loads(props).items()):
+                yield k, int(v)
+
+    spark.udtf.register("explode_props", ExplodeProps)
+    e = load_table(spark, sf_dir, "events")
+    e.createOrReplaceTempView("events_udtf_src")
+    return spark.sql(
+        "SELECT s.k, s.k_value FROM events_udtf_src e, "
+        "LATERAL explode_props(e.props, 'k_value') s "
+    )
