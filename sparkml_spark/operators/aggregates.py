@@ -363,22 +363,47 @@ def agg_collect_sorted(spark, sf_dir):
     )
 
 
-@query("agg_collect_sorted_array", section="2.D")
+@query(
+    "agg_collect_sorted_array",
+    section="2.D",
+    oracle="""
+SELECT r_name,
+       CAST(len(arr) AS INTEGER) AS n_nations,
+       arr[1] AS first_nation,
+       arr[-1] AS last_nation,
+       array_to_string(arr, ',') AS nations_csv
+FROM (
+  SELECT r_name, list_sort(list(n_name)) AS arr
+  FROM nation JOIN region ON n_regionkey = r_regionkey
+  GROUP BY r_name
+)
+""",
+)
 def agg_collect_sorted_array(spark, sf_dir):
-    """Array twin of agg_collect_sorted keeping the native
-    array<string> result type (per-group sorted collect_list).
+    """Array twin of agg_collect_sorted: builds the native
+    array<string> per-group sorted collect_list, then exercises the
+    array surface (size / element_at first & last / array_join) and
+    emits SCALAR columns only.
 
-    ROWS tier by necessity (VERDICT r4 "What's wrong" #1): the driver's
-    canonicalizer hashes via pandas sort_values, which cannot factorize
-    ndarray-valued cells (`TypeError: unhashable type: 'numpy.ndarray'`,
-    CORRECTNESS_r04). The semantics are pinned by the hash-green scalar
-    twin `agg_collect_sorted` above, which serializes the identical
-    sorted list to CSV."""
+    Result columns are flat by contract: the driver's canonicalizer
+    hashes via pandas sort_values, which cannot factorize
+    ndarray-valued cells (`TypeError: unhashable type:
+    'numpy.ndarray'`, CORRECTNESS_r04/r05) — so the array is consumed
+    inside the plan and never crosses the result boundary. That also
+    promotes this op back to ORACLE tier."""
     t = load_tables(spark, sf_dir)
+    arr = F.sort_array(F.collect_list("n_name"))
     return (
         t.nation.join(t.region, t.nation.n_regionkey == t.region.r_regionkey)
         .groupBy("r_name")
-        .agg(F.sort_array(F.collect_list("n_name")).alias("nations"))
+        .agg(arr.alias("arr"))
+        .select(
+            "r_name",
+            F.size("arr").alias("n_nations"),
+            F.element_at("arr", 1).alias("first_nation"),
+            F.element_at("arr", -1).alias("last_nation"),
+            F.array_join("arr", ",").alias("nations_csv"),
+        )
     )
 
 

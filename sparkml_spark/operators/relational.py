@@ -512,8 +512,12 @@ def stat_freq_items(spark, sf_dir):
     driver; no shuffle of the data itself."""
     e = load_table(spark, sf_dir, "events")
     fi = e.stat.freqItems(["event_type"], support=0.15)
+    # CSV-serialized: flat scalar output by contract (driver
+    # canonicalizer cannot hash array cells, VERDICT r5 #1).
     return fi.select(
-        F.sort_array(F.col("event_type_freqItems")).alias("frequent_event_types")
+        F.array_join(
+            F.sort_array(F.col("event_type_freqItems")), ","
+        ).alias("frequent_event_types_csv")
     )
 
 

@@ -304,7 +304,7 @@ def test_freq_items_contains_exact_heavy_hitters(spark):
 
     from .conftest import SF_DIR
 
-    got = set(QUERIES["stat_freq_items"](spark, SF_DIR).collect()[0][0])
+    got = set(QUERIES["stat_freq_items"](spark, SF_DIR).collect()[0][0].split(","))
     e = load_table(spark, SF_DIR, "events")
     total = e.count()
     exact = {
