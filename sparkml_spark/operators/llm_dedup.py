@@ -19,6 +19,7 @@ from __future__ import annotations
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
+from sparkml_spark.operators.llm_text import _gram_idx
 from sparkml_spark.registry import query
 from sparkml_spark.sources.loader import load_table
 
@@ -92,15 +93,13 @@ _VARIANT_SQL = f"""
 
 
 def _trigram_idx(toks):
-    """Ascending trigram start positions 1..size-3, EMPTY for too-short
-    docs: Spark's sequence(1, size-3) DESCENDS (default step -1) when
-    size < 4 and element_at(toks, 0) then throws INVALID_INDEX_OF_ZERO,
-    whereas the oracle's range(1, n-2) yields empty (same failure class
-    as ADVICE r4's pipeline_decontaminate finding)."""
-    upper = F.size(toks) - 3
-    return F.when(upper >= 1, F.sequence(F.lit(1), upper)).otherwise(
-        F.array().cast("array<int>")
-    )
+    """Trigram start positions for the jaccard pipeline, pinned to the
+    oracle's `range(1, len - 2)` — end-EXCLUSIVE, so 1..size-3 (one
+    fewer than the textbook 1..size-2; both engines agree, hash-green
+    since r2, so the bound is a semantics pin, not a bug). That bound
+    equals `_gram_idx`'s n=4 upper, so delegate there: ONE short-doc
+    guard for every gram site (ADVICE r5 — two copies can drift)."""
+    return _gram_idx(toks, 4)
 
 
 def _corpus_with_near_dups(spark, sf_dir):
@@ -189,15 +188,18 @@ def jaccard_pairs(corpus, threshold: float = 0.6):
     shingled = corpus.select("doc_id", shingles.alias("shingles"))
     exploded = shingled.select("doc_id", F.explode("shingles").alias("shingle"))
     # Per-shingle df via one window on the same key the self-join
-    # shuffles on. Corpus size is a scalar dimension (one count, same
-    # pattern as text_tfidf_sql's N) — attaching it as a 1-row
-    # crossJoin would plan a BroadcastNestedLoopJoin for no benefit.
-    n_docs = corpus.count()
+    # shuffles on. Corpus size rides along as a broadcast 1-row
+    # aggregate (BroadcastNestedLoopJoin of a single row — a per-
+    # partition scalar hand-off, not a real nested loop): the plan
+    # stays fully lazy, with no eager count() action at construction
+    # and no baked-in literal to go stale (ADVICE r5).
+    n_docs = F.broadcast(corpus.agg(F.count(F.lit(1)).alias("n_docs")))
     kept = (
         exploded.withColumn(
             "df", F.count(F.lit(1)).over(Window.partitionBy("shingle"))
         )
-        .filter(2 * F.col("df") <= F.lit(n_docs))
+        .crossJoin(n_docs)
+        .filter(2 * F.col("df") <= F.col("n_docs"))
         .select("doc_id", "shingle")
     )
     sizes = kept.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))

@@ -434,8 +434,8 @@ FROM toks, unnest(range(1, len(t) + 1, {_STRIDE})) AS u(s)
 """,
 )
 def pipeline_chunk_overlap(spark, sf_dir):
-    """Overlapping-window chunking: split each document into
-    {_CHUNK}-token chunks on a {_STRIDE}-token stride (16-token
+    """Overlapping-window chunking: split each document into 64-token
+    chunks on a 48-token stride (16-token
     overlap) — the standard unit-of-work builder for RAG indexing and
     long-document training, with the final short chunk kept. Chunks
     are emitted as (start, length, content-md5) so rows stay narrow;

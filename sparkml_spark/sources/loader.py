@@ -110,6 +110,8 @@ def register_views(spark: SparkSession, sf_dir: str) -> None:
     queries actually referencing it fail, loudly, with
     TABLE_OR_VIEW_NOT_FOUND; the first load error is re-raised only if
     NO table registered (a wrong sf_dir should not fail silently)."""
+    import warnings
+
     first_err: Exception | None = None
     n_ok = 0
     for n in TABLES:
@@ -119,5 +121,12 @@ def register_views(spark: SparkSession, sf_dir: str) -> None:
         except Exception as e:  # corrupt/missing parquet — bound the blast
             first_err = first_err or e
             spark.catalog.dropTempView(n)
+            # Surface the original error NOW (ADVICE r5): the eventual
+            # TABLE_OR_VIEW_NOT_FOUND hides which parquet broke and why.
+            warnings.warn(
+                f"register_views: dropped view {n!r} — load failed with "
+                f"{type(e).__name__}: {e}",
+                stacklevel=2,
+            )
     if n_ok == 0 and first_err is not None:
         raise first_err

@@ -144,18 +144,21 @@ def test_register_views_bounds_blast_radius(spark, tmp_path):
     shutil.copy(os.path.join(SF_DIR, "lineitem.parquet"), tmp_path / "lineitem.parquet")
     (tmp_path / "events.parquet").write_bytes(b"this is not parquet")
 
-    register_views(spark, str(tmp_path))
-    assert spark.sql("SELECT COUNT(*) AS n FROM lineitem").collect()[0]["n"] > 0
-    with pytest.raises(Exception):
-        spark.sql("SELECT COUNT(*) FROM events").collect()
+    # try/finally (ADVICE r5): an assertion mid-phase must not leave
+    # corrupt/missing views poisoning later SQL-entry tests.
+    try:
+        with pytest.warns(UserWarning, match="dropped view 'events'"):
+            register_views(spark, str(tmp_path))
+        assert spark.sql("SELECT COUNT(*) AS n FROM lineitem").collect()[0]["n"] > 0
+        with pytest.raises(Exception):
+            spark.sql("SELECT COUNT(*) FROM events").collect()
 
-    # Restore real views for any later SQL-entry test in this session.
-    register_views(spark, SF_DIR)
-
-    # A fully-bogus sf_dir must still fail loudly, not register nothing.
-    with pytest.raises(Exception):
-        register_views(spark, str(tmp_path / "nowhere"))
-    register_views(spark, SF_DIR)
+        # A fully-bogus sf_dir must still fail loudly, not register nothing.
+        with pytest.raises(Exception):
+            register_views(spark, str(tmp_path / "nowhere"))
+    finally:
+        # Restore real views for any later SQL-entry test in this session.
+        register_views(spark, SF_DIR)
 
 
 def test_fixture_integrity_facts_pinned(spark):
