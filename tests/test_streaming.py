@@ -126,3 +126,25 @@ def test_sliding_stream_equals_batch_twin(spark):
     s = {(r.win_start, r.event_type): r.n_events for r in stream.collect()}
     b = {(r.win_start, r.event_type): r.n_events for r in batch.collect()}
     assert s == b
+
+
+def test_streaming_ops_within_smoke_budget(spark):
+    """Per-op wall-clock budget for every §2.K streaming op (VERDICT r5
+    #6): each runs an AvailableNow/processAllAvailable micro-batch at
+    the test scale, so a state-store or trigger regression shows up
+    here as a named timing failure instead of silently eating the
+    driver's per-round slot budget. Budget is generous (30 s vs the
+    ≤7 s these take at the 10×-larger sf0.01) to stay noise-proof."""
+    import time
+
+    budgets = {}
+    for name in sorted(QUERIES):
+        if not name.startswith("stream_"):
+            continue
+        t0 = time.monotonic()
+        df = QUERIES[name](spark, SF_DIR)
+        n = df.count()
+        budgets[name] = (time.monotonic() - t0, n)
+    assert budgets, "no streaming ops registered?"
+    slow = {k: round(t, 1) for k, (t, _) in budgets.items() if t > 30.0}
+    assert not slow, f"streaming ops over the 30 s smoke budget: {slow}"
