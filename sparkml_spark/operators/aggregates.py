@@ -809,7 +809,9 @@ def agg_count_min_bound(spark, sf_dir):
     overshoot <= n_rows/256 * 4 (oracle: 0 violations)."""
     d, w = 4, 256
     e = load_table(spark, sf_dir, "events")
-    n_rows = e.count()  # scalar bound input, one driver action
+    # Total-row bound as a lazy broadcast 1-row aggregate (dimension-
+    # scalar pattern, ADVICE r5) — no eager action at construction.
+    n = F.broadcast(e.agg(F.count(F.lit(1)).alias("n_rows")))
     seeds = F.explode(F.array(*[F.lit(i) for i in range(d)])).alias("seed")
     bucket = F.pmod(
         F.xxhash64(F.concat(F.col("seed").cast("string"), F.col("event_type"))),
@@ -825,9 +827,10 @@ def agg_count_min_bound(spark, sf_dir):
         .agg(F.min("cnt").alias("est_cnt"))
     )
     viol = (F.col("est_cnt") < F.col("exact_cnt")) | (
-        F.col("est_cnt") - F.col("exact_cnt") > F.lit(4.0 * n_rows / w)
+        F.col("est_cnt") - F.col("exact_cnt")
+        > F.lit(4.0) * F.col("n_rows") / F.lit(w)
     )
-    return est.agg(F.count_if(viol).alias("n_violations"))
+    return est.crossJoin(n).agg(F.count_if(viol).alias("n_violations"))
 
 
 @query(

@@ -176,15 +176,23 @@ def text_tfidf_sql(spark, sf_dir):
     toks = d.select("doc_id", F.explode(_tokens()).alias("token"))
     tf = toks.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
     df = toks.groupBy("token").agg(F.countDistinct("doc_id").alias("df"))
-    n_docs = d.count()  # scalar dimension (a count, not data motion)
-    return tf.join(F.broadcast(df), "token").select(
-        "doc_id",
-        "token",
-        "tf",
-        "df",
-        F.round(
-            F.col("tf") * F.log((F.lit(n_docs) + 1.0) / (F.col("df") + 1.0)), 6
-        ).alias("tfidf"),
+    # Corpus size rides along as a lazy broadcast 1-row aggregate —
+    # same dimension-scalar pattern as jaccard_pairs (ADVICE r5): no
+    # eager action at construction, nothing baked in to go stale.
+    n = F.broadcast(d.agg(F.count(F.lit(1)).alias("n_docs")))
+    return (
+        tf.join(F.broadcast(df), "token")
+        .crossJoin(n)
+        .select(
+            "doc_id",
+            "token",
+            "tf",
+            "df",
+            F.round(
+                F.col("tf") * F.log((F.col("n_docs") + 1.0) / (F.col("df") + 1.0)),
+                6,
+            ).alias("tfidf"),
+        )
     )
 
 
