@@ -188,11 +188,14 @@ def jaccard_pairs(corpus, threshold: float = 0.6):
     shingled = corpus.select("doc_id", shingles.alias("shingles"))
     exploded = shingled.select("doc_id", F.explode("shingles").alias("shingle"))
     # Per-shingle df via one window on the same key the self-join
-    # shuffles on. Corpus size rides along as a broadcast 1-row
-    # aggregate (BroadcastNestedLoopJoin of a single row — a per-
-    # partition scalar hand-off, not a real nested loop): the plan
-    # stays fully lazy, with no eager count() action at construction
-    # and no baked-in literal to go stale (ADVICE r5).
+    # shuffles on. Corpus size rides along as a lazy broadcast 1-row
+    # aggregate — no eager count() action at construction and no
+    # baked-in literal to go stale (ADVICE r5). This plans as a
+    # BroadcastNestedLoopJoin whose build side is ONE row (a scalar
+    # hand-off per partition, not a real nested loop — Catalyst
+    # constant-folds even an explicit constant-key equi join into this
+    # shape); test_plans pins that any BNLJ in this plan is exactly
+    # the n_docs attach and the candidate join stays equi-on-shingle.
     n_docs = F.broadcast(corpus.agg(F.count(F.lit(1)).alias("n_docs")))
     kept = (
         exploded.withColumn(

@@ -9,8 +9,12 @@ Hierarchy (fastest first):
    kept ONLY as the semantics demo (udf_python_scalar); never used in
    the engine's hot paths.
 
-All ROWS-tier: the Python bodies are not SQL-expressible, but each
-has deterministic output.
+Tiering: ops whose Python bodies compute ENGINE-EXACT results (integer
+math, exact min/max spans, sequential float summation mirroring the
+oracle's) carry DuckDB oracles and are ORACLE-tier — the UDF machinery
+is the thing demonstrated, but the VALUES are still hash-checkable.
+Only genuinely engine-specific bodies (order-dependent float
+recurrences like EWMA, quantile-boundary subsets) stay ROWS-tier.
 """
 
 # NOTE: no `from __future__ import annotations` here — pandas_udf
@@ -25,7 +29,16 @@ from sparkml_spark.registry import query
 from sparkml_spark.sources.loader import load_table
 
 
-@query("udf_python_scalar", section="2.L")
+@query(
+    "udf_python_scalar",
+    section="2.L",
+    oracle="""
+SELECT r_regionkey, r_name,
+       CAST(length(regexp_replace(lower(r_name), '[^aeiou]', '', 'g')) AS INTEGER) AS vowels_udf,
+       CAST(length(regexp_replace(lower(r_name), '[^aeiou]', '', 'g')) AS INTEGER) AS vowels_builtin
+FROM region
+""",
+)
 def udf_python_scalar(spark, sf_dir):
     """Row-at-a-time Python UDF (THE SLOW PATH — every row crosses the
     JVM↔Python boundary pickled; shown on the 5-row region table on
@@ -46,19 +59,35 @@ def udf_python_scalar(spark, sf_dir):
     )
 
 
-@query("udf_pandas_scalar", section="2.L")
+@query(
+    "udf_pandas_scalar",
+    section="2.L",
+    oracle="""
+SELECT c_custkey, c_acctbal,
+       CAST(round((c_acctbal - 4500.0) * 100) AS BIGINT) AS bal_dev_cents
+FROM customer
+""",
+)
 def udf_pandas_scalar(spark, sf_dir):
-    """Arrow-vectorized scalar pandas_udf: batch-wise z-score of the
-    account balance (pandas Series in/out, one Python call per Arrow
-    batch instead of per row)."""
-    @F.pandas_udf(DoubleType())
-    def zscore_vs(bal: pd.Series) -> pd.Series:
-        # Constants fixed so the result is deterministic (per-batch
-        # stats would depend on partitioning).
-        return ((bal - 4500.0) / 3000.0).round(6)
+    """Arrow-vectorized scalar pandas_udf: batch-wise balance deviation
+    from a fixed 4500.00 anchor, in exact integer cents (pandas Series
+    in/out, one Python call per Arrow batch instead of per row).
+
+    Constants are fixed so the result is deterministic (per-batch
+    stats would depend on partitioning), and the math is EXACT —
+    c_acctbal carries 2 decimals, so (bal-4500)*100 sits within one
+    ulp of an integer and both engines round to the same int64 —
+    which is what makes a pandas-UDF op ORACLE-tier."""
+    from pyspark.sql.types import LongType
+
+    @F.pandas_udf(LongType())
+    def dev_cents(bal: pd.Series) -> pd.Series:
+        return ((bal - 4500.0) * 100.0).round().astype("int64")
 
     c = load_table(spark, sf_dir, "customer")
-    return c.select("c_custkey", "c_acctbal", zscore_vs("c_acctbal").alias("bal_z"))
+    return c.select(
+        "c_custkey", "c_acctbal", dev_cents("c_acctbal").alias("bal_dev_cents")
+    )
 
 
 @query("udaf_pandas_grouped", section="2.L")
@@ -80,11 +109,21 @@ def udaf_pandas_grouped(spark, sf_dir):
     )
 
 
-@query("udaf_apply_in_pandas", section="2.L")
+@query(
+    "udaf_apply_in_pandas",
+    section="2.L",
+    oracle="""
+SELECT o_orderpriority, COUNT(*) AS n_orders,
+       round(MAX(o_totalprice) - MIN(o_totalprice), 4) AS price_span
+FROM orders GROUP BY o_orderpriority
+""",
+)
 def udaf_apply_in_pandas(spark, sf_dir):
     """applyInPandas: whole-group pandas transform (per-priority order
     count + price span) — the arbitrary-group-logic escape hatch; each
-    group becomes one pandas DataFrame on one executor."""
+    group becomes one pandas DataFrame on one executor. ORACLE-tier:
+    count is exact, and max-min over 2-decimal prices is exact IEEE
+    subtraction, so both engines agree to the bit."""
     import pandas as pd
 
     def span(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -102,10 +141,21 @@ def udaf_apply_in_pandas(spark, sf_dir):
     )
 
 
-@query("udtf_python", section="2.L")
+@query(
+    "udtf_python",
+    section="2.L",
+    oracle="""
+SELECT r_regionkey,
+       unnest(string_split(r_name, ' ')) AS word,
+       CAST(generate_subscripts(string_split(r_name, ' '), 1) - 1 AS INTEGER) AS pos
+FROM region
+""",
+)
 def udtf_python(spark, sf_dir):
     """Python UDTF (table function): one region row → one row per word
-    of the comment-ish name field, with position."""
+    of the comment-ish name field, with position. ORACLE-tier: a pure
+    deterministic string split, mirrored by unnest+generate_subscripts
+    in the oracle."""
     from pyspark.sql.functions import udtf
 
     @udtf(returnType="word: string, pos: int")
@@ -123,24 +173,39 @@ def udtf_python(spark, sf_dir):
     )
 
 
-@query("map_in_pandas", section="2.L")
+@query(
+    "map_in_pandas",
+    section="2.L",
+    oracle="""
+SELECT vec_id,
+       CAST(round(list_aggregate(embedding, 'sum') / sqrt(len(embedding)), 6)
+            AS DOUBLE) AS probe_cosine
+FROM embeddings
+""",
+)
 def map_in_pandas(spark, sf_dir):
     """mapInPandas: partition-wise Arrow batch transform — the bulk-
-    scoring shape (here: numpy cosine of every embedding against a
-    fixed probe vector; in production: model inference per batch)."""
+    scoring shape (here: cosine of every embedding against the
+    all-ones unit probe; in production: model inference per batch).
+
+    ORACLE-tier via engine-exact math: against the ones/sqrt(d) probe,
+    cosine = sequential row-sum / sqrt(d). Row sums use
+    np.add.reduceat (strictly LEFT-TO-RIGHT accumulation — the same
+    order DuckDB's list_aggregate uses), so both engines produce
+    bit-identical doubles before the final round; a BLAS `mat @ probe`
+    would reorder the accumulation and drift in the last ulp."""
     import numpy as np
     import pandas as pd
 
     def score(batches):
-        probe = None
         for pdf in batches:
-            mat = np.vstack(pdf["embedding"].to_numpy())
-            if probe is None:
-                probe = np.ones(mat.shape[1]) / np.sqrt(mat.shape[1])
+            mat = np.vstack(pdf["embedding"].to_numpy()).astype("float64")
+            n, d = mat.shape
+            sums = np.add.reduceat(mat.ravel(), np.arange(0, n * d, d))
             yield pd.DataFrame(
                 {
                     "vec_id": pdf["vec_id"],
-                    "probe_cosine": np.round(mat.astype("float64") @ probe, 6),
+                    "probe_cosine": np.round(sums / np.sqrt(d), 6),
                 }
             )
 
@@ -231,7 +296,16 @@ def udaf_ewma_apply_in_pandas(spark, sf_dir):
     )
 
 
-@query("udf_arrow_optimized", section="2.L")
+@query(
+    "udf_arrow_optimized",
+    section="2.L",
+    oracle="""
+SELECT doc_id,
+       CAST(length(lang) + length(source) AS INTEGER) AS keylen_arrow_udf,
+       CAST(length(lang) + length(source) AS INTEGER) AS keylen_builtin
+FROM documents
+""",
+)
 def udf_arrow_optimized(spark, sf_dir):
     """Arrow-optimized Python UDF (`useArrow=True`, Spark 3.5+): same
     row-wise signature as udf_python_scalar but the JVM<->Python
@@ -252,13 +326,18 @@ def udf_arrow_optimized(spark, sf_dir):
     )
 
 
-@query("map_in_arrow", section="2.L")
+@query(
+    "map_in_arrow",
+    section="2.L",
+    oracle="SELECT doc_id, CAST(n_chars * 2 AS BIGINT) AS n_chars_x2 FROM documents",
+)
 def map_in_arrow(spark, sf_dir):
     """mapInArrow: the lowest-overhead Python escape hatch — raw
     pyarrow.RecordBatch in/out, no pandas conversion on either side.
     Used when the Python side is itself Arrow-native (tokenizers,
-    encoders). Deterministic per-row output (doubled char count), with
-    the batch size column proving work arrives batched, not row-wise."""
+    encoders). ORACLE-tier (exact integer doubling); the batch size
+    column proves work arrives batched, not row-wise, and is dropped
+    before the result boundary (it depends on partitioning)."""
     import pyarrow as pa
 
     d = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
@@ -279,14 +358,36 @@ def map_in_arrow(spark, sf_dir):
     ).select("doc_id", "n_chars_x2")
 
 
-@query("udaf_cogroup_pandas", section="2.L")
+@query(
+    "udaf_cogroup_pandas",
+    section="2.L",
+    oracle="""
+WITH p AS (
+  SELECT user_id, COUNT(*) AS n_purchases, round(SUM(value), 2) AS purchase_value
+  FROM events WHERE event_type = 'purchase' GROUP BY user_id
+), v AS (
+  SELECT user_id, COUNT(*) AS n_views, round(SUM(value), 2) AS view_value
+  FROM events WHERE event_type = 'view' GROUP BY user_id
+)
+SELECT COALESCE(p.user_id, v.user_id) AS user_id,
+       COALESCE(n_purchases, 0) AS n_purchases,
+       COALESCE(n_views, 0) AS n_views,
+       COALESCE(purchase_value, 0.0) AS purchase_value,
+       COALESCE(view_value, 0.0) AS view_value
+FROM p FULL JOIN v ON p.user_id = v.user_id
+""",
+)
 def udaf_cogroup_pandas(spark, sf_dir):
     """Cogrouped applyInPandas — the two-table Arrow escape hatch:
     purchases and views cogrouped per user, merged in one pandas
     call (the asof/custom-merge seam when DataFrame joins can't
-    express the pairing). Deterministic per-user counts + value sums
-    (rounded) out; grouped Arrow batches in. One shuffle per side on
-    the cogroup key, same as a join."""
+    express the pairing). Grouped Arrow batches in; per-user counts +
+    value sums out. ORACLE-tier: counts are exact and the per-user
+    sums are over few 2-decimal values, so the round(2) recovers the
+    exact cent on both engines (the oracle is the FULL JOIN of the
+    two per-side aggregates, null-filled like the empty cogroup
+    frames). One shuffle per side on the cogroup key, same as a
+    join."""
     import pandas as pd
 
     e = load_table(spark, sf_dir, "events")
@@ -360,13 +461,22 @@ def udaf_apply_in_arrow(spark, sf_dir):
     )
 
 
-@query("udtf_analyze_dynamic", section="2.L")
+@query(
+    "udtf_analyze_dynamic",
+    section="2.L",
+    oracle="""
+SELECT 'k' AS k, CAST(regexp_extract(props, '-?\\d+') AS INTEGER) AS k_value
+FROM events
+""",
+)
 def udtf_analyze_dynamic(spark, sf_dir):
     """Polymorphic Python UDTF (Spark 4): the static `analyze` hook
     computes the OUTPUT SCHEMA from the call-site arguments — here a
     key:value exploder whose value column is named after a literal
-    argument — the 4.x mechanism behind schema-flexible table functions
-    (ROWS tier: the mechanism is Python-side; scalar outputs only)."""
+    argument — the 4.x mechanism behind schema-flexible table
+    functions. ORACLE-tier: events.props is uniformly a one-key
+    integer object (fixture canary), so the exploded rows are exactly
+    the oracle's regexp extraction."""
     from pyspark.sql.functions import AnalyzeArgument, AnalyzeResult, lit, udtf
     from pyspark.sql.types import IntegerType, StringType, StructType
 

@@ -196,16 +196,25 @@ def test_ngram_jaccard_join_input_is_df_filtered(spark):
     filter BEFORE the a×b join. Without it, one ubiquitous shingle is a
     single shuffle key with an O(df²) pair explosion at corpus scale
     (VERDICT r4 'What's wrong' #3)."""
+    import re
+
     qe = QUERIES["dedup_ngram_jaccard"](spark, SF_DIR)._jdf.queryExecution()
     optimized = qe.optimizedPlan().toString()
     # df computed per shingle...
     assert "windowspecdefinition(shingle" in optimized, optimized[:2000]
     # ...and the cut filter present (constant-folded or not).
     assert "(2 * df" in optimized or "(df" in optimized, optimized[:2000]
-    # Still a blocked equi join — never all-pairs.
+    # Still a blocked equi join — never all-pairs. The ONE allowed
+    # BroadcastNestedLoopJoin shape is the 1-row corpus-size scalar
+    # attach (its condition references n_docs); the candidate join
+    # itself must be an equi join on shingle.
     plan = qe.executedPlan().toString()
     assert "CartesianProduct" not in plan, plan[:1500]
-    assert "BroadcastNestedLoop" not in plan, plan[:1500]
+    for m in re.finditer(r"BroadcastNestedLoopJoin[^\n]*", plan):
+        assert "n_docs" in m.group(0), f"non-scalar-attach BNLJ: {m.group(0)}"
+    assert re.search(
+        r"(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin) \[shingle", plan
+    ), plan[:1500]
 
 
 def test_asof_join_no_nested_loop(spark):
