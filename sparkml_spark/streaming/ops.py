@@ -6,10 +6,16 @@ the events parquet (bounded replay), transformations, memory sink,
 Deterministic on the fixture; the SAME logical plan runs unbounded in
 production by swapping source/sink and trigger.
 
-Semantics pinning: each windowed aggregation has an ORACLE-checked
-batch twin (events_hourly_batch, events_sliding_batch,
-win_sessionize_batch, ts_downsample_ohlc) and tests/test_streaming.py
-asserts stream == batch on the fixture.
+Semantics pinning: bounded AvailableNow replay of a deterministic
+fixture makes most ops' final output a pure function of the input, so
+they carry DuckDB oracles DIRECTLY (ORACLE tier) — complete-mode aggs
+equal the plain batch aggregation; append-mode ops equal the batch
+aggregation restricted to windows whose end precedes the final
+watermark (max event time - delay; pinned empirically, r6). Only
+genuinely engine-specific state machines stay ROWS tier:
+applyInPandasWithState / transformWithStateInPandas (per-batch update
+emission) and the HLL sketch rollup. tests/test_streaming.py
+additionally asserts stream == batch-twin equality in-process.
 
 100 TB notes: every stateful op carries a watermark (unbounded state
 is an outage, SURVEY §4.3); at scale the state store moves to RocksDB
@@ -61,7 +67,18 @@ def _run_to_memory(df, name_prefix: str, output_mode: str = "append"):
     return spark.table(name)
 
 
-@query("stream_tumbling_agg", section="2.K")
+@query(
+    "stream_tumbling_agg",
+    section="2.K",
+    oracle="""
+SELECT date_trunc('hour', ts) AS hour_start,
+       event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST((value) AS DECIMAL(27,6))) AS DOUBLE) AS sum_value
+FROM events
+GROUP BY date_trunc('hour', ts), event_type
+""",
+)
 def stream_tumbling_agg(spark, sf_dir):
     """Per-hour tumbling counts/sums by event_type (watermarked).
     Batch twin: events_hourly_batch (ORACLE) — equality asserted in
@@ -86,7 +103,20 @@ def stream_tumbling_agg(spark, sf_dir):
     return _run_to_memory(agg, "tumbling", "complete")
 
 
-@query("stream_sliding_agg", section="2.K")
+@query(
+    "stream_sliding_agg",
+    section="2.K",
+    oracle="""
+SELECT win_start, event_type, COUNT(*) AS n_events
+FROM (
+  SELECT event_type,
+         make_timestamp((epoch_us(ts) // 900000000 - k) * 900000000)
+           AS win_start
+  FROM events, LATERAL unnest(range(0, 4)) AS t(k)
+)
+GROUP BY win_start, event_type
+""",
+)
 def stream_sliding_agg(spark, sf_dir):
     """1-hour window sliding every 15 minutes — each event lands in 4
     overlapping windows. Batch twin: events_sliding_batch (ORACLE) —
@@ -105,11 +135,38 @@ def stream_sliding_agg(spark, sf_dir):
     return _run_to_memory(agg, "sliding", "complete")
 
 
-@query("stream_session_window", section="2.K")
+@query(
+    "stream_session_window",
+    section="2.K",
+    oracle="""
+WITH lagged AS (
+  SELECT user_id, ts,
+         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+  FROM events
+), sess AS (
+  SELECT user_id, ts,
+         SUM(CASE WHEN prev_ts IS NULL
+                    OR epoch_us(ts) - epoch_us(prev_ts) >= 1800000000
+                  THEN 1 ELSE 0 END)
+           OVER (PARTITION BY user_id ORDER BY ts
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+  FROM lagged
+)
+SELECT user_id,
+       MIN(ts) AS sess_start,
+       MAX(ts) + INTERVAL 30 MINUTE AS sess_end,
+       COUNT(*) AS n_events
+FROM sess GROUP BY user_id, sid
+""",
+)
 def stream_session_window(spark, sf_dir):
     """Gap-based session windows (30 min) per user — the native
     streaming form of win_sessionize_batch (cross-checked in tests:
-    same session count per user)."""
+    same session count per user). ORACLE-tier: Spark merges an event
+    into the open session iff its gap to the previous event is
+    STRICTLY under 30 min (each event's window is [ts, ts+gap), and
+    touching intervals do not overlap), so the oracle's new-session
+    predicate is `gap >= 30 min`; session end = last event + gap."""
     s = _event_stream(spark, sf_dir)
     agg = (
         s.withWatermark("ts", "1 hour")
@@ -125,12 +182,26 @@ def stream_session_window(spark, sf_dir):
     return _run_to_memory(agg, "session", "complete")
 
 
-@query("stream_watermark_late", section="2.K")
+@query(
+    "stream_watermark_late",
+    section="2.K",
+    oracle="""
+WITH w AS (
+  SELECT time_bucket(INTERVAL 15 MINUTE, ts) AS win_start, COUNT(*) AS n_events
+  FROM events GROUP BY 1
+), m AS (SELECT max(ts) - INTERVAL 10 MINUTE AS wm FROM events)
+SELECT win_start, n_events FROM w, m
+WHERE win_start + INTERVAL 15 MINUTE <= wm
+""",
+)
 def stream_watermark_late(spark, sf_dir):
     """Tight 10-minute watermark before a windowed agg — the
     late-data-drop configuration (fixture events arrive in order, so
     bounded replay drops nothing; the plan carries the state-eviction
-    contract that matters unbounded)."""
+    contract that matters unbounded). ORACLE-tier: append mode emits
+    exactly the windows whose end precedes the final watermark
+    (max ts - 10 min) — the oracle applies that cutoff to the batch
+    aggregation (boundary pinned empirically, r6)."""
     s = _event_stream(spark, sf_dir)
     agg = (
         s.withWatermark("ts", "10 minutes")
@@ -141,11 +212,18 @@ def stream_watermark_late(spark, sf_dir):
     return _run_to_memory(agg, "late", "append")
 
 
-@query("stream_dedup", section="2.K")
+@query(
+    "stream_dedup",
+    section="2.K",
+    oracle="SELECT event_type, COUNT(*) AS n_unique FROM events GROUP BY event_type",
+)
 def stream_dedup(spark, sf_dir):
     """Stateful dedup on event_id within the watermark
     (dropDuplicatesWithinWatermark) — the stream twin of
-    win_dedup_latest; counts survivors per event_type."""
+    win_dedup_latest; counts survivors per event_type. ORACLE-tier:
+    event_id is unique on the fixture (canary-pinned), so the
+    survivor count per type equals the plain count — which is exactly
+    the invariant a dedup must preserve on already-unique input."""
     s = _event_stream(spark, sf_dir)
     deduped = (
         s.withWatermark("ts", "1 hour")
@@ -190,11 +268,22 @@ def stream_stateful_custom(spark, sf_dir):
     return _run_to_memory(out, "stateful", "update")
 
 
-@query("stream_static_join", section="2.K")
+@query(
+    "stream_static_join",
+    section="2.K",
+    oracle="""
+WITH f AS (SELECT user_id, MIN(ts) AS first_seen FROM events GROUP BY user_id)
+SELECT e.user_id, f.first_seen, COUNT(*) AS n_events
+FROM events e JOIN f ON e.user_id = f.user_id
+GROUP BY e.user_id, f.first_seen
+""",
+)
 def stream_static_join(spark, sf_dir):
     """Stream ⋈ static dimension: enrich the event stream with a static
     per-user profile (built from the batch table). Static side is
-    broadcast into every micro-batch."""
+    broadcast into every micro-batch. ORACLE-tier: the enrichment is a
+    deterministic equi join, so the result equals the batch join +
+    aggregation."""
     s = _event_stream(spark, sf_dir)
     users = (
         load_table(spark, sf_dir, "events")
@@ -206,14 +295,30 @@ def stream_static_join(spark, sf_dir):
         .groupBy("user_id", "first_seen")
         .agg(F.count(F.lit(1)).alias("n_events"))
     )
-    return _run_to_memory(joined, "static_join", "complete")
+    return _run_to_memory(joined, "static_join", "complete").select(
+        "user_id",
+        F.col("first_seen").cast("timestamp_ntz").alias("first_seen"),
+        "n_events",
+    )
 
 
-@query("stream_output_modes", section="2.K")
+@query(
+    "stream_output_modes",
+    section="2.K",
+    oracle="""
+SELECT event_type, COUNT(*) AS n,
+       CAST((SELECT COUNT(DISTINCT event_type) FROM events) AS BIGINT)
+         AS update_mode_rows
+FROM events GROUP BY event_type
+""",
+)
 def stream_output_modes(spark, sf_dir):
     """Same aggregation under complete vs update output modes (memory
     sink); returns the complete-mode result with the update-mode row
-    count attached — exercising the mode semantics side by side."""
+    count attached — exercising the mode semantics side by side.
+    ORACLE-tier: single-batch AvailableNow replay makes update mode
+    emit each changed group exactly once, so its row count equals the
+    number of distinct groups."""
     s1 = _event_stream(spark, sf_dir)
     agg1 = s1.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
     complete = _run_to_memory(agg1, "mode_complete", "complete")
@@ -226,11 +331,20 @@ def stream_output_modes(spark, sf_dir):
     )
 
 
-@query("stream_foreach_batch_sink", section="2.K")
+@query(
+    "stream_foreach_batch_sink",
+    section="2.K",
+    oracle="""
+SELECT CAST(0 AS INTEGER) AS batch_id, event_type, COUNT(*) AS n
+FROM events GROUP BY event_type
+""",
+)
 def stream_foreach_batch_sink(spark, sf_dir):
     """foreachBatch sink: per-micro-batch handler appends aggregates to
     an accumulator list (stand-in for an arbitrary batch-integration
-    sink — JDBC/parquet/upsert); returns the captured rows."""
+    sink — JDBC/parquet/upsert); returns the captured rows.
+    ORACLE-tier: the one-file bounded replay is a single micro-batch
+    (batch_id 0) whose complete-mode aggregate is the batch GROUP BY."""
     s = _event_stream(spark, sf_dir)
     agg = s.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
     captured: list = []
@@ -251,11 +365,17 @@ def stream_foreach_batch_sink(spark, sf_dir):
     )
 
 
-@query("stream_source_files", section="2.K")
+@query(
+    "stream_source_files",
+    section="2.K",
+    oracle="SELECT event_id, ts, user_id, event_type FROM events",
+)
 def stream_source_files(spark, sf_dir):
     """The file-source replay itself (§2.A stream_source_files): raw
     bounded stream of events → append sink, proving source semantics
-    (schema enforcement, nanos repair) independent of any aggregation."""
+    (schema enforcement, nanos repair) independent of any aggregation.
+    ORACLE-tier: a pure pass-through must deliver the table
+    byte-exactly."""
     s = _event_stream(spark, sf_dir)
     out = s.select(
         "event_id", F.col("ts").cast("timestamp_ntz").alias("ts"), "user_id", "event_type"
@@ -263,13 +383,27 @@ def stream_source_files(spark, sf_dir):
     return _run_to_memory(out, "source_files", "append")
 
 
-@query("stream_stream_join", section="2.K")
+@query(
+    "stream_stream_join",
+    section="2.K",
+    oracle="""
+SELECT p.event_id AS purchase_event_id,
+       p.user_id AS user_id,
+       p.ts AS purchase_ts,
+       c.ts AS click_ts
+FROM events p JOIN events c ON p.user_id = c.user_id
+WHERE p.event_type = 'purchase' AND c.event_type = 'click'
+  AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts <= p.ts
+""",
+)
 def stream_stream_join(spark, sf_dir):
     """Stream⋈stream interval join: each purchase joined to clicks of
     the same user within the preceding hour — BOTH sides are streams
     with watermarks, so the join state is bounded on both sides (the
-    canonical funnel-attribution shape). Bounded replay makes the
-    result deterministic; counts matched pairs per user."""
+    canonical funnel-attribution shape). ORACLE-tier: bounded replay
+    flushes every matched pair exactly once at termination (verified
+    r6: stream row set == batch interval join), so the oracle is the
+    batch interval join itself."""
     purchases = (
         _event_stream(spark, sf_dir)
         .filter(F.col("event_type") == "purchase")
@@ -382,7 +516,24 @@ def stream_sketch_rollup(spark, sf_dir):
     return _run_to_memory(agg, "stream_sketch_rollup", output_mode="complete")
 
 
-@query("stream_ohlc", section="2.K")
+@query(
+    "stream_ohlc",
+    section="2.K",
+    oracle="""
+WITH b AS (
+  SELECT event_type,
+         date_trunc('hour', ts) AS hour_start,
+         arg_min(value, strftime(ts,'%Y%m%d%H%M%S%f') || lpad(CAST(event_id AS VARCHAR),12,'0')) AS bar_open,
+         MAX(value) AS bar_high,
+         MIN(value) AS bar_low,
+         arg_max(value, strftime(ts,'%Y%m%d%H%M%S%f') || lpad(CAST(event_id AS VARCHAR),12,'0')) AS bar_close,
+         COUNT(*) AS n_events
+  FROM events GROUP BY event_type, date_trunc('hour', ts)
+), m AS (SELECT max(ts) - INTERVAL 1 HOUR AS wm FROM events)
+SELECT event_type, hour_start, bar_open, bar_high, bar_low, bar_close, n_events
+FROM b, m WHERE hour_start + INTERVAL 1 HOUR <= wm
+""",
+)
 def stream_ohlc(spark, sf_dir):
     """Streaming OHLC bars: per (event_type, 1h tumbling window) open/
     high/low/close with min_by/max_by over the event-time+id key —
@@ -419,7 +570,19 @@ def stream_ohlc(spark, sf_dir):
     return _run_to_memory(bars, "ohlc", "append")
 
 
-@query("stream_chained_windows", section="2.K")
+@query(
+    "stream_chained_windows",
+    section="2.K",
+    oracle="""
+WITH h AS (
+  SELECT event_type, time_bucket(INTERVAL 6 HOUR, ts) AS block_start,
+         COUNT(*) AS n_events
+  FROM events GROUP BY 1, 2
+), m AS (SELECT max(ts) - INTERVAL 1 HOUR AS wm FROM events)
+SELECT block_start, event_type, n_events FROM h, m
+WHERE block_start + INTERVAL 6 HOUR <= wm
+""",
+)
 def stream_chained_windows(spark, sf_dir):
     """Chained time-window aggregations in ONE streaming query
     (Spark 3.4+): hourly event counts re-aggregated into 6-hour
@@ -446,7 +609,11 @@ def stream_chained_windows(spark, sf_dir):
     return _run_to_memory(six_hourly, "chained", "append")
 
 
-@query("stream_checkpoint_recovery", section="2.K")
+@query(
+    "stream_checkpoint_recovery",
+    section="2.K",
+    oracle="SELECT event_type, COUNT(*) AS n_events FROM events GROUP BY event_type",
+)
 def stream_checkpoint_recovery(spark, sf_dir):
     """Checkpointed restart — the exactly-once operational story: the
     same file-stream aggregation is started TWICE against one
@@ -557,7 +724,15 @@ def parse_kafka_events(raw):
     )
 
 
-@query("stream_source_kafka", section="2.K")
+@query(
+    "stream_source_kafka",
+    section="2.K",
+    oracle="""
+SELECT date_trunc('hour', ts) AS hour_start, event_type,
+       COUNT(*) AS n_events, 'simulated_wire' AS transport
+FROM events GROUP BY date_trunc('hour', ts), event_type
+""",
+)
 def stream_source_kafka(spark, sf_dir):
     """Kafka-transport pipeline, env-gated: try the real
     `format("kafka")` source first; in this sandbox (no connector jar,
