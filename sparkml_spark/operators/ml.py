@@ -109,11 +109,50 @@ def ml_feature_text_pipeline(spark, sf_dir):
     )
 
 
-@query("ml_feature_scalers", section="2.J")
+@query(
+    "ml_feature_scalers",
+    section="2.J",
+    oracle="""
+WITH stats AS (
+  SELECT avg(c_acctbal) AS m1, stddev_samp(c_acctbal) AS s1,
+         avg(CAST(c_nationkey AS DOUBLE)) AS m2,
+         stddev_samp(CAST(c_nationkey AS DOUBLE)) AS s2
+  FROM customer
+), std AS (
+  SELECT c_custkey, c_acctbal,
+         (c_acctbal - m1) / s1 AS z1,
+         (CAST(c_nationkey AS DOUBLE) - m2) / s2 AS z2
+  FROM customer, stats
+), mm AS (
+  SELECT min(z1) AS lo1, max(z1) AS hi1, min(z2) AS lo2, max(z2) AS hi2 FROM std
+), qq AS (
+  SELECT quantile_disc(c_acctbal, 0.25) AS q1,
+         quantile_disc(c_acctbal, 0.5) AS q2,
+         quantile_disc(c_acctbal, 0.75) AS q3
+  FROM customer
+)
+SELECT c_custkey,
+       round((z1 - lo1) / (hi1 - lo1), 6) AS bal_scaled,
+       round((z2 - lo2) / (hi2 - lo2), 6) AS nation_scaled,
+       CAST(CASE WHEN c_acctbal < 0 THEN 0 WHEN c_acctbal < 2500 THEN 1
+                 WHEN c_acctbal < 5000 THEN 2 WHEN c_acctbal < 7500 THEN 3
+                 ELSE 4 END AS INTEGER) AS bal_bucket,
+       CAST(CASE WHEN c_acctbal < q1 THEN 0 WHEN c_acctbal < q2 THEN 1
+                 WHEN c_acctbal < q3 THEN 2 ELSE 3 END AS INTEGER) AS bal_quartile
+FROM std, mm, qq
+""",
+)
 def ml_feature_scalers(spark, sf_dir):
     """Numeric feature chain on customer: VectorAssembler →
     StandardScaler → MinMaxScaler, plus Bucketizer and
-    QuantileDiscretizer on the raw balance."""
+    QuantileDiscretizer on the raw balance.
+
+    ORACLE-tier (upgraded r6): every stage is closed-form —
+    z = (x-mean)/stddev_samp, minmax over z, CASE-threshold buckets,
+    and exact quantile splits (relativeError=0.0 ⇒ MLlib's
+    approxQuantile returns the order statistic, = quantile_disc) —
+    so the whole pipeline has a SQL twin, hash-verified at all three
+    fixture scales."""
     from pyspark.ml import Pipeline
     from pyspark.ml.feature import (
         Bucketizer,
@@ -175,10 +214,27 @@ def ml_feature_pca(spark, sf_dir):
     )
 
 
-@query("ml_feature_indexers", section="2.J")
+@query(
+    "ml_feature_indexers",
+    section="2.J",
+    oracle="""
+SELECT d.doc_id, d.lang,
+       CAST(r.idx AS INTEGER) AS lang_idx,
+       d.lang AS lang_back,
+       CAST(round(d.n_chars / 100.0, 4) AS DOUBLE) AS hectochars
+FROM documents d
+JOIN (
+  SELECT lang, dense_rank() OVER (ORDER BY lang) - 1 AS idx
+  FROM (SELECT DISTINCT lang FROM documents)
+) r ON d.lang = r.lang
+""",
+)
 def ml_feature_indexers(spark, sf_dir):
     """StringIndexer → OneHotEncoder → IndexToString round-trip on the
-    lang column, plus SQLTransformer as a pipeline-native SQL stage."""
+    lang column, plus SQLTransformer as a pipeline-native SQL stage.
+    ORACLE-tier (upgraded r6): alphabetAsc StringIndexer is exactly a
+    dense_rank over the distinct values, and the round-trip must
+    return the original string — both SQL-expressible."""
     from pyspark.ml import Pipeline
     from pyspark.ml.feature import IndexToString, OneHotEncoder, SQLTransformer, StringIndexer
 
@@ -199,7 +255,10 @@ def ml_feature_indexers(spark, sf_dir):
         "lang",
         F.col("lang_idx").cast("int").alias("lang_idx"),
         "lang_back",
-        F.round("hectochars", 4).alias("hectochars"),
+        # cast: the SQLTransformer's `n_chars / 100.0` is DECIMAL
+        # division in Spark SQL (100.0 parses as DECIMAL(3,1)), which
+        # pandas would box as Decimal objects — emit double.
+        F.round(F.col("hectochars").cast("double"), 4).alias("hectochars"),
     )
 
 
