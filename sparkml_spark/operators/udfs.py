@@ -90,11 +90,28 @@ def udf_pandas_scalar(spark, sf_dir):
     )
 
 
-@query("udaf_pandas_grouped", section="2.L")
+@query(
+    "udaf_pandas_grouped",
+    section="2.L",
+    oracle="""
+WITH q AS (
+  SELECT o_orderpriority, quantile_cont(o_totalprice, 0.25) AS lo,
+         quantile_cont(o_totalprice, 0.75) AS hi
+  FROM orders GROUP BY o_orderpriority
+)
+SELECT o.o_orderpriority, round(avg(o.o_totalprice), 4) AS iq_mean_price
+FROM orders o JOIN q ON o.o_orderpriority = q.o_orderpriority
+WHERE o.o_totalprice >= q.lo AND o.o_totalprice <= q.hi
+GROUP BY o.o_orderpriority
+""",
+)
 def udaf_pandas_grouped(spark, sf_dir):
     """Custom aggregation two ways: a GROUPED_AGG pandas_udf (interquartile
     mean of totalprice per priority) and applyInPandas for the
-    full-group generality."""
+    full-group generality. ORACLE-tier (r6): pandas' linear-interpolated
+    quantile is DuckDB's quantile_cont (same (n-1)*q definition), so
+    the boundary subset — and with it the rounded mean — agrees
+    bit-for-bit (hash-verified at all three fixture scales)."""
     @F.pandas_udf("double")
     def iq_mean(v: pd.Series) -> float:
         lo, hi = v.quantile(0.25), v.quantile(0.75)
@@ -262,37 +279,73 @@ def map_in_arrow_vectorized(spark, sf_dir):
     return e.mapInArrow(stats, "vec_id BIGINT, dim INT, emb_sum DOUBLE")
 
 
-@query("udaf_ewma_apply_in_pandas", section="2.L")
+@query(
+    "udaf_ewma_apply_in_pandas",
+    section="2.L",
+    oracle="""
+WITH RECURSIVE ordered AS (
+  SELECT event_id, user_id, value,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM events
+), rec AS (
+  SELECT event_id, user_id, value, rn, value AS ewma FROM ordered WHERE rn = 1
+  UNION ALL
+  SELECT o.event_id, o.user_id, o.value, o.rn,
+         (1 - 0.3) * r.ewma + 0.3 * o.value
+  FROM ordered o JOIN rec r ON o.user_id = r.user_id AND o.rn = r.rn + 1
+)
+SELECT event_id, user_id, value,
+       CAST(floor(ewma * 1000000 + 0.5) AS BIGINT) AS ewma_micro
+FROM rec
+""",
+)
 def udaf_ewma_apply_in_pandas(spark, sf_dir):
     """Exponentially-weighted moving average per user — the canonical
     ORDER-DEPENDENT recurrence (s_t = a*v_t + (1-a)*s_{t-1}) that no
     built-in window frame expresses; applyInPandas is the right escape
-    hatch: one Arrow batch per user, sorted inside the group, vectorized
-    pandas ewm. ROWS tier (recurrence over floats is engine-specific),
-    deterministic: groups are hash-partitioned by user_id, rows sorted
+    hatch: one Arrow batch per user, sorted inside the group.
+
+    ORACLE-tier (r6): the UDF runs the recurrence EXPLICITLY with the
+    literal op order `(1-a)*s + a*v`, which a recursive-CTE oracle
+    replays bit-for-bit (pandas' `.ewm(adjust=False)` reaches the
+    same doubles here, but spelling the recurrence out pins the op
+    order; `.ewm` remains the production shortcut). The output is
+    FIXED-POINT micro-units via floor(x*1e6 + 0.5) — identical IEEE
+    ops on identical doubles on both engines — because decimal
+    `round(x, 6)` is half-even in numpy but half-away in DuckDB and
+    ~2e-4 of rows land exactly on a representable n+0.5 tie after
+    scaling (measured r6, 19/100k rows at sf0.1).
+    Deterministic: groups are hash-partitioned by user_id, rows sorted
     by (ts, event_id) inside the group, fixed alpha.
 
     Scale: state per group is O(1); groups are independent — this is
     exactly the batch twin of `stream_stateful_custom`'s running
     state, and at 100 TB it shards by user across executors with one
     shuffle."""
+    import numpy as np
     import pandas as pd
 
     def ewma(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(["ts", "event_id"])
-        s = pdf["value"].ewm(alpha=0.3, adjust=False).mean()
+        v = pdf["value"].to_numpy()
+        out = np.empty_like(v, dtype="float64")
+        a = 0.3
+        s = 0.0
+        for i, x in enumerate(v):
+            s = x if i == 0 else (1 - a) * s + a * x
+            out[i] = s
         return pd.DataFrame(
             {
                 "event_id": pdf["event_id"],
                 "user_id": pdf["user_id"],
                 "value": pdf["value"],
-                "ewma": s.round(6),
+                "ewma_micro": np.floor(out * 1e6 + 0.5).astype("int64"),
             }
         )
 
     e = load_table(spark, sf_dir, "events").select("event_id", "user_id", "ts", "value")
     return e.groupBy("user_id").applyInPandas(
-        ewma, "event_id BIGINT, user_id BIGINT, value DOUBLE, ewma DOUBLE"
+        ewma, "event_id BIGINT, user_id BIGINT, value DOUBLE, ewma_micro BIGINT"
     )
 
 

@@ -139,8 +139,8 @@ def test_hll_union_estimate_close(spark):
 
 
 def test_ewma_recurrence(spark):
-    # adjust=False pins s_0 = v_0 and s_t = a*v_t + (1-a)*s_{t-1};
-    # recompute one user's series in plain Python and compare.
+    # s_0 = v_0 and s_t = a*v_t + (1-a)*s_{t-1}; recompute one user's
+    # series in plain Python and compare the fixed-point micro output.
     rows = QUERIES["udaf_ewma_apply_in_pandas"](spark, SF_DIR).collect()
     by_user = {}
     for r in rows:
@@ -149,8 +149,8 @@ def test_ewma_recurrence(spark):
     series.sort(key=lambda r: r["event_id"])  # event_id monotonic with ts
     s = None
     for r in series:
-        s = r["value"] if s is None else 0.3 * r["value"] + 0.7 * s
-        assert abs(r["ewma"] - round(s, 6)) < 1e-9, (uid, r, s)
+        s = r["value"] if s is None else (1 - 0.3) * s + 0.3 * r["value"]
+        assert r["ewma_micro"] == int(s * 1e6 + 0.5), (uid, r, s)
 
 
 def test_stream_sketch_rollup_close_to_exact(spark):
