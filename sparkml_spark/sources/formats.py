@@ -228,7 +228,16 @@ def compact_small_files(spark, sf_dir):
     return stats(src, "before").unionByName(stats(dst, "after"))
 
 
-@query("scan_csv_malformed", section="2.A")
+@query(
+    "scan_csv_malformed",
+    section="2.A",
+    oracle="""
+SELECT CAST(110 AS BIGINT) AS n_rows,
+       CAST(100 AS BIGINT) AS n_clean,
+       CAST(10 AS BIGINT) AS n_quarantined,
+       CAST(49500 AS BIGINT) AS clean_amount_total
+""",
+)
 def scan_csv_malformed(spark, sf_dir):
     """Malformed-input handling — the ingest reality at 100 TB where
     some fraction of rows is always broken: a CSV with deliberately
@@ -236,8 +245,10 @@ def scan_csv_malformed(spark, sf_dir):
     column; output = per-category counts (clean vs quarantined) plus
     the recoverable aggregate over clean rows. The quarantine column
     is the pattern that keeps one bad row from failing a 10^6-task
-    job (FAILFAST is the validation-run twin). ROWS tier: corrupt-
-    record capture is reader-specific; counts asserted in tests."""
+    job (FAILFAST is the validation-run twin). ORACLE-tier via an
+    expected-constants oracle (the synthetic input is fixed: 100 clean
+    + 10 type-corrupt rows, clean sum 49500) — PERMISSIVE must
+    quarantine exactly the corrupt rows and lose none."""
     path = _artifact("malformed_csv")
     os.makedirs(path, exist_ok=True)
     with open(os.path.join(path, "part-0.csv"), "w") as fh:

@@ -24,9 +24,10 @@ def test_oracle_sql_mentions_known_views():
         "region", "nation", "customer", "supplier", "part",
         "orders", "lineitem", "events", "documents", "embeddings",
     }
-    # Queries whose data is generated in-query (custom connectors) rather
-    # than read from a fixture table; their oracle uses table functions.
-    generator_backed = {"scan_python_datasource"}
+    # Queries whose data is generated in-query (custom connectors /
+    # synthetic malformed input) rather than read from a fixture table;
+    # their oracle uses table functions or expected constants.
+    generator_backed = {"scan_python_datasource", "scan_csv_malformed"}
     for name, sql in entrymod.oracle_sql().items():
         if name in generator_backed:
             continue
