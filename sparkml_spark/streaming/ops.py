@@ -146,7 +146,7 @@ WITH lagged AS (
 ), sess AS (
   SELECT user_id, ts,
          SUM(CASE WHEN prev_ts IS NULL
-                    OR epoch_us(ts) - epoch_us(prev_ts) >= 1800000000
+                    OR epoch_us(ts) - epoch_us(prev_ts) > 1800000000
                   THEN 1 ELSE 0 END)
            OVER (PARTITION BY user_id ORDER BY ts
                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
@@ -163,10 +163,11 @@ def stream_session_window(spark, sf_dir):
     """Gap-based session windows (30 min) per user — the native
     streaming form of win_sessionize_batch (cross-checked in tests:
     same session count per user). ORACLE-tier: Spark merges an event
-    into the open session iff its gap to the previous event is
-    STRICTLY under 30 min (each event's window is [ts, ts+gap), and
-    touching intervals do not overlap), so the oracle's new-session
-    predicate is `gap >= 30 min`; session end = last event + gap."""
+    into the open session iff its gap to the previous event is AT
+    MOST the 30-min gap — an exactly-30:00.000000 gap still merges
+    (pinned by a synthetic probe in tests/test_streaming.py) — so the
+    oracle's new-session predicate is `gap > 30 min` (micro-exact);
+    session end = last event + gap."""
     s = _event_stream(spark, sf_dir)
     agg = (
         s.withWatermark("ts", "1 hour")

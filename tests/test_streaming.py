@@ -148,3 +148,59 @@ def test_streaming_ops_within_smoke_budget(spark):
     assert budgets, "no streaming ops registered?"
     slow = {k: round(t, 1) for k, (t, _) in budgets.items() if t > 30.0}
     assert not slow, f"streaming ops over the 30 s smoke budget: {slow}"
+
+
+def test_session_gap_boundary_merges(spark):
+    """Ground truth the stream_session_window oracle rides on: an
+    exactly-gap-length (30:00.000000) gap between events still MERGES
+    into one session — Spark's new-session predicate is gap > 30 min
+    strictly (probed r6; the oracle must use `>` not `>=`)."""
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(1, "2024-01-01 00:00:00"), (1, "2024-01-01 00:30:00")],
+        "user_id int, ts string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    out = df.groupBy(
+        F.session_window("ts", "30 minutes").alias("w"), "user_id"
+    ).count().collect()
+    assert len(out) == 1 and out[0]["count"] == 2, out
+    # and one microsecond beyond the gap splits
+    df2 = spark.createDataFrame(
+        [(1, "2024-01-01 00:00:00"), (1, "2024-01-01 00:30:00.000001")],
+        "user_id int, ts string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    out2 = df2.groupBy(
+        F.session_window("ts", "30 minutes").alias("w"), "user_id"
+    ).count().collect()
+    assert len(out2) == 2, out2
+
+
+def test_append_emits_window_at_exact_watermark(spark, tmp_path):
+    """Ground truth the append-mode oracles ride on: a window whose end
+    EQUALS the final watermark (max ts - delay) IS emitted — the
+    cutoff predicate is `window_end <= watermark`, inclusive (probed
+    r6; stream_ohlc / stream_watermark_late / stream_chained_windows
+    oracles all use `<=`)."""
+    from pyspark.sql import functions as F
+
+    events = spark.createDataFrame(
+        [(1, "2024-01-01 00:05:00"), (2, "2024-01-01 00:50:00"),
+         (99, "2024-01-01 01:10:00")],  # wm = 01:00:00 == end of [00:00,01:00)
+        "event_id long, ts string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    path = str(tmp_path / "wm_probe")
+    events.write.mode("overwrite").parquet(path)
+    s = spark.readStream.schema(events.schema).parquet(path)
+    agg = (
+        s.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    q = (
+        agg.writeStream.format("memory").queryName("wm_probe_t")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    got = {str(r.w.start): r.n for r in spark.table("wm_probe_t").collect()}
+    assert got == {"2024-01-01 00:00:00": 2}, got
