@@ -183,6 +183,15 @@ def test_fixture_integrity_facts_pinned(spark):
     assert row["null_types"] == 0 and row["null_users"] == 0, (
         "events.event_type/user_id grew nulls — audit to_json/groupBy queries"
     )
+    # props is uniformly a one-key integer object — the shape the
+    # udtf_analyze_dynamic oracle's regexp extraction rides on.
+    bad_props = e.filter(
+        ~F.col("props").rlike(r'^\{"k":\s*-?\d+\}$')
+    ).count()
+    assert bad_props == 0, (
+        f"{bad_props} events.props rows no longer match the "
+        '{"k": <int>} shape — udtf_analyze_dynamic oracle at risk'
+    )
 
     d = load_table(spark, SF_DIR, "documents")
     drow = d.agg(
