@@ -1,0 +1,138 @@
+"""Scale-up stress harness: measure how the headline queries scale
+when the FACT tables grow k× (default 10×) while dimensions stay
+fixed — the shape of real growth, and the direct evidence for
+SCALE.md's "would this plan survive a scale-up" claims.
+
+Builds .artifacts/scalebench/x{k}/ by replicating lineitem / orders /
+customer / events k times with per-replica key offsets (order keys,
+customer keys, event/user ids), so row counts AND join/distinct
+cardinalities scale together while referential integrity holds; the
+small dims (region/nation/supplier/part/documents/embeddings) are
+copied through unchanged. Then runs every bench.HEADLINE query
+steady-state (min of 3) at the base and scaled dirs and prints one
+JSON line with per-query times and scaling ratios.
+
+A plan that survives scale-up shows ratio ≈ k (linear in rows, the
+local ceiling: 32 cores, one machine) or better; a super-linear ratio
+is the smell the harness exists to catch (pair explosion, global
+sort, driver materialization).
+
+Usage: python scripts/stress_scale.py [--k 10] [--sf-dir /root/testdata/sf0.1]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+FACTS = {
+    # table -> columns whose key-space must shift per replica
+    "orders": ["o_orderkey", "o_custkey"],
+    "lineitem": ["l_orderkey"],
+    "customer": ["c_custkey"],
+    "events": ["event_id", "user_id"],
+}
+DIMS = ["region", "nation", "supplier", "part", "documents", "embeddings"]
+
+
+def build_scaled(spark, base_dir: str, out_dir: str, k: int) -> None:
+    os.makedirs(out_dir, exist_ok=True)
+    for t in DIMS:
+        src = os.path.join(base_dir, f"{t}.parquet")
+        dst = os.path.join(out_dir, f"{t}.parquet")
+        if not os.path.exists(dst):
+            shutil.copy(src, dst)
+    for t, keys in FACTS.items():
+        dst = os.path.join(out_dir, f"{t}.parquet")
+        if os.path.exists(dst):
+            continue
+        # raw read (nanosAsLong on) keeps events.ts as bigint — the
+        # loader's dtype-gated repair then treats the scaled copy
+        # exactly like the original fixture.
+        df = spark.read.parquet(os.path.join(base_dir, f"{t}.parquet"))
+        offsets = {c: df.agg(F.max(c)).collect()[0][0] + 1 for c in keys}
+        parts = []
+        for i in range(k):
+            rep = df
+            for c, off in offsets.items():
+                rep = rep.withColumn(c, F.col(c) + F.lit(i * off))
+            parts.append(rep)
+        out = parts[0]
+        for rep in parts[1:]:
+            out = out.unionByName(rep)
+        # one file per replica keeps scan parallelism honest (the base
+        # fixture is a single rowgroup; k files -> k-way scan).
+        out.repartition(k).write.mode("overwrite").parquet(dst + ".dir")
+        # loader expects <table>.parquet as a path; a directory works.
+        os.rename(dst + ".dir", dst)
+
+
+def steady(fn, spark, sf_dir: str) -> float:
+    df = fn(spark, sf_dir)
+    df.collect()  # warm (plan + codegen + cache)
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.time()
+        df.collect()
+        best = min(best, time.time() - t0)
+    return best
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--k", type=int, default=10)
+    ap.add_argument("--sf-dir", default="/root/testdata/sf0.1")
+    args = ap.parse_args()
+
+    from bench import HEADLINE
+    from sparkml_spark.session import get_spark
+
+    os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "16g")
+    spark = get_spark("sparkml_spark-stress")
+    spark.conf.set("spark.sql.shuffle.partitions", "32")
+    import sparkml_spark.operators  # noqa: F401
+    from sparkml_spark.registry import QUERIES
+
+    out_dir = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        ".artifacts",
+        "scalebench",
+        f"x{args.k}",
+    )
+    build_scaled(spark, args.sf_dir, out_dir, args.k)
+
+    base, scaled, ratios = {}, {}, {}
+    for name, qid in HEADLINE.items():
+        fn = QUERIES[qid]
+        base[name] = round(steady(fn, spark, args.sf_dir), 3)
+        scaled[name] = round(steady(fn, spark, out_dir), 3)
+        ratios[name] = round(scaled[name] / max(base[name], 1e-9), 1)
+        print(
+            f"# {name}: base {base[name]:.3f}s -> x{args.k} {scaled[name]:.3f}s "
+            f"(ratio {ratios[name]:.1f}, linear would be ~{args.k})",
+            file=sys.stderr,
+        )
+    print(
+        json.dumps(
+            {
+                "metric": "scaleup_stress",
+                "k": args.k,
+                "base": base,
+                "scaled": scaled,
+                "ratio": ratios,
+            }
+        )
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

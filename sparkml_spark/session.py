@@ -80,6 +80,11 @@ def get_spark(app_name: str = "sparkml_spark", master: str | None = None) -> Spa
     builder = SparkSession.builder.appName(app_name).master(master)
     for k, v in {**REQUIRED_SQL_CONFS, **PERF_SQL_CONFS}.items():
         builder = builder.config(k, v)
+    # Builder-time-only knob (JVM heap can't change after start): the
+    # 10x/30x scale-up stress harness needs more than the 1g default.
+    mem = os.environ.get("SPARK_GRAFT_DRIVER_MEM")
+    if mem:
+        builder = builder.config("spark.driver.memory", mem)
     # Quieter driver logs; harmless if log4j overrides.
     builder = builder.config("spark.ui.enabled", "false")
     spark = builder.getOrCreate()
