@@ -39,8 +39,29 @@ FACTS = {
     "lineitem": ["l_orderkey"],
     "customer": ["c_custkey"],
     "events": ["event_id", "user_id"],
+    "documents": ["doc_id"],
+    "embeddings": ["vec_id"],
 }
-DIMS = ["region", "nation", "supplier", "part", "documents", "embeddings"]
+DIMS = ["region", "nation", "supplier", "part"]
+
+#: The §2.I ops with real blow-up risk at scale (candidate joins,
+#: inverted indexes, global manifests) — timed by --llm. NOTE
+#: dedup_embedding_cosine is deliberately absent: it is the
+#: documented-cutoff all-pairs semantic pin (O(n²·d), "fine to ~10⁴
+#: vectors" per its docstring) and the first harness run validated
+#: that cutoff empirically — at ×10 (20.8k vectors ⇒ 4.3e8 pairs) it
+#: does not finish in bench time. sim_lsh_ann, the blocked scale path
+#: the docstring prescribes beyond the cutoff, is timed instead.
+LLM_SUITE = [
+    "dedup_exact_hash",
+    "dedup_minhash_sql",
+    "dedup_ngram_jaccard",
+    "text_tfidf_sql",
+    "pipeline_training_corpus",
+    "pipeline_sequence_pack",
+    "sim_lsh_ann",
+    "win_sessionize_batch",
+]
 
 
 def build_scaled(spark, base_dir: str, out_dir: str, k: int) -> None:
@@ -64,6 +85,31 @@ def build_scaled(spark, base_dir: str, out_dir: str, k: int) -> None:
             rep = df
             for c, off in offsets.items():
                 rep = rep.withColumn(c, F.col(c) + F.lit(i * off))
+            if t == "documents" and i > 0:
+                # Make replica text DISJOINT (per-replica Caesar
+                # translate): the duplicate/near-dup structure then
+                # stays constant while rows scale. A weaker perturb
+                # (suffix tag) left trigram sets ~identical across
+                # replicas, so every doc formed a genuine k-sized
+                # duplicate cluster and pairwise dedup output grew
+                # quadratically — correct dedup behavior, wrong
+                # experiment (first harness run caught exactly this).
+                alpha = "abcdefghijklmnopqrstuvwxyz"
+                rot = alpha[i % 25 + 1:] + alpha[: i % 25 + 1]
+                rep = rep.withColumn("text", F.translate("text", alpha, rot))
+            if t == "embeddings" and i > 0:
+                # Circular-shift vector components per replica: unit
+                # norms and within-replica geometry preserved, exact
+                # cross-replica duplication destroyed (same quadratic-
+                # cluster reasoning as documents).
+                s = i % 63 + 1
+                rep = rep.withColumn(
+                    "embedding",
+                    F.concat(
+                        F.slice("embedding", s + 1, 64 - s),
+                        F.slice("embedding", 1, s),
+                    ),
+                )
             parts.append(rep)
         out = parts[0]
         for rep in parts[1:]:
@@ -90,6 +136,9 @@ def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--k", type=int, default=10)
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.1")
+    ap.add_argument(
+        "--llm", action="store_true", help="time the §2.I LLM suite instead"
+    )
     args = ap.parse_args()
 
     from bench import HEADLINE
@@ -109,8 +158,9 @@ def main() -> int:
     )
     build_scaled(spark, args.sf_dir, out_dir, args.k)
 
+    suite = {q: q for q in LLM_SUITE} if args.llm else HEADLINE
     base, scaled, ratios = {}, {}, {}
-    for name, qid in HEADLINE.items():
+    for name, qid in suite.items():
         fn = QUERIES[qid]
         base[name] = round(steady(fn, spark, args.sf_dir), 3)
         scaled[name] = round(steady(fn, spark, out_dir), 3)
@@ -123,7 +173,7 @@ def main() -> int:
     print(
         json.dumps(
             {
-                "metric": "scaleup_stress",
+                "metric": "scaleup_stress_llm" if args.llm else "scaleup_stress",
                 "k": args.k,
                 "base": base,
                 "scaled": scaled,
