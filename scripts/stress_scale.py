@@ -3,12 +3,16 @@ when the FACT tables grow k× (default 10×) while dimensions stay
 fixed — the shape of real growth, and the direct evidence for
 SCALE.md's "would this plan survive a scale-up" claims.
 
-Builds .artifacts/scalebench/x{k}/ by replicating lineitem / orders /
-customer / events k times with per-replica key offsets (order keys,
-customer keys, event/user ids), so row counts AND join/distinct
-cardinalities scale together while referential integrity holds; the
-small dims (region/nation/supplier/part/documents/embeddings) are
-copied through unchanged. Then runs every bench.HEADLINE query
+Builds .artifacts/scalebench/ by replicating the fact tables
+(lineitem / orders / customer / events / documents / embeddings) k
+times with per-replica key offsets — offsets are computed over each
+SHARED key space (custkey across customer+orders, orderkey across
+orders+lineitem), so row counts AND join/distinct cardinalities scale
+together while referential integrity holds by construction. Document
+text is Caesar-translated and embedding components rotated per
+replica so the duplicate/near-dup structure stays constant. The
+small dims (region/nation/supplier/part) are copied through
+unchanged. Then runs every bench.HEADLINE query
 steady-state (min of 3) at the base and scaled dirs and prints one
 JSON line with per-query times and scaling ratios.
 
@@ -33,14 +37,18 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from pyspark.sql import functions as F
 
+#: fact table -> {column: shared key-space name}. Offsets are computed
+#: per key SPACE (max over every column in the space + 1), not per
+#: column — o_custkey and c_custkey must shift by the SAME amount or
+#: cross-replica joins dangle whenever the two maxima differ (they
+#: coincide on the current fixture only by accident).
 FACTS = {
-    # table -> columns whose key-space must shift per replica
-    "orders": ["o_orderkey", "o_custkey"],
-    "lineitem": ["l_orderkey"],
-    "customer": ["c_custkey"],
-    "events": ["event_id", "user_id"],
-    "documents": ["doc_id"],
-    "embeddings": ["vec_id"],
+    "orders": {"o_orderkey": "orderkey", "o_custkey": "custkey"},
+    "lineitem": {"l_orderkey": "orderkey"},
+    "customer": {"c_custkey": "custkey"},
+    "events": {"event_id": "eventid", "user_id": "userid"},
+    "documents": {"doc_id": "docid"},
+    "embeddings": {"vec_id": "vecid"},
 }
 DIMS = ["region", "nation", "supplier", "part"]
 
@@ -71,20 +79,30 @@ def build_scaled(spark, base_dir: str, out_dir: str, k: int) -> None:
         dst = os.path.join(out_dir, f"{t}.parquet")
         if not os.path.exists(dst):
             shutil.copy(src, dst)
-    for t, keys in FACTS.items():
+    # Shared key-space offsets FIRST: max over every column in the
+    # space across all tables that carry it, +1.
+    raw = {
+        t: spark.read.parquet(os.path.join(base_dir, f"{t}.parquet"))
+        for t in FACTS
+    }
+    spaces: dict[str, int] = {}
+    for t, cols in FACTS.items():
+        for c, space in cols.items():
+            m = raw[t].agg(F.max(c)).collect()[0][0]
+            spaces[space] = max(spaces.get(space, 0), m + 1)
+    for t, cols in FACTS.items():
         dst = os.path.join(out_dir, f"{t}.parquet")
         if os.path.exists(dst):
             continue
         # raw read (nanosAsLong on) keeps events.ts as bigint — the
         # loader's dtype-gated repair then treats the scaled copy
         # exactly like the original fixture.
-        df = spark.read.parquet(os.path.join(base_dir, f"{t}.parquet"))
-        offsets = {c: df.agg(F.max(c)).collect()[0][0] + 1 for c in keys}
+        df = raw[t]
         parts = []
         for i in range(k):
             rep = df
-            for c, off in offsets.items():
-                rep = rep.withColumn(c, F.col(c) + F.lit(i * off))
+            for c, space in cols.items():
+                rep = rep.withColumn(c, F.col(c) + F.lit(i * spaces[space]))
             if t == "documents" and i > 0:
                 # Make replica text DISJOINT (per-replica Caesar
                 # translate): the duplicate/near-dup structure then
@@ -140,6 +158,13 @@ def main() -> int:
         "--llm", action="store_true", help="time the §2.I LLM suite instead"
     )
     args = ap.parse_args()
+    if args.llm and args.k > 25:
+        # The per-replica Caesar rotation has period 25; beyond that,
+        # replicas i and i+25 share text and re-form the quadratic
+        # duplicate clusters the rotation exists to prevent. The
+        # headline suite never touches documents, so plain --k is
+        # unrestricted.
+        ap.error("--llm supports k <= 25 (text rotation period)")
 
     from bench import HEADLINE
     from sparkml_spark.session import get_spark
@@ -150,11 +175,13 @@ def main() -> int:
     import sparkml_spark.operators  # noqa: F401
     from sparkml_spark.registry import QUERIES
 
+    # Keyed by BOTH k and the base fixture: a cached x10-of-sf0.1 must
+    # never be reused for a later x10-of-sf0.01 run.
     out_dir = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         ".artifacts",
         "scalebench",
-        f"x{args.k}",
+        f"x{args.k}_{os.path.basename(args.sf_dir.rstrip('/'))}",
     )
     build_scaled(spark, args.sf_dir, out_dir, args.k)
 

@@ -98,31 +98,51 @@ WITH q AS (
   SELECT o_orderpriority, quantile_cont(o_totalprice, 0.25) AS lo,
          quantile_cont(o_totalprice, 0.75) AS hi
   FROM orders GROUP BY o_orderpriority
+), m AS (
+  SELECT o.o_orderpriority,
+         SUM(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS cents,
+         COUNT(*) AS n
+  FROM orders o JOIN q ON o.o_orderpriority = q.o_orderpriority
+  WHERE o.o_totalprice >= q.lo AND o.o_totalprice <= q.hi
+  GROUP BY o.o_orderpriority
 )
-SELECT o.o_orderpriority, round(avg(o.o_totalprice), 4) AS iq_mean_price
-FROM orders o JOIN q ON o.o_orderpriority = q.o_orderpriority
-WHERE o.o_totalprice >= q.lo AND o.o_totalprice <= q.hi
-GROUP BY o.o_orderpriority
+SELECT o_orderpriority,
+       CAST(floor(cents / (100.0 * n) * 10000 + 0.5) AS BIGINT) AS iq_mean_e4
+FROM m
 """,
 )
 def udaf_pandas_grouped(spark, sf_dir):
     """Custom aggregation two ways: a GROUPED_AGG pandas_udf (interquartile
     mean of totalprice per priority) and applyInPandas for the
-    full-group generality. ORACLE-tier (r6): pandas' linear-interpolated
-    quantile is DuckDB's quantile_cont (same (n-1)*q definition), so
-    the boundary subset — and with it the rounded mean — agrees
-    bit-for-bit (hash-verified at all three fixture scales)."""
-    @F.pandas_udf("double")
-    def iq_mean(v: pd.Series) -> float:
+    full-group generality.
+
+    ORACLE-tier (r6) on two engine-exact legs. (1) The boundary subset
+    is provably identical: pandas' linear-interpolated quantile and
+    quantile_cont share the (n-1)*q definition, and an interpolated lo
+    in [x[f], x[f+1]] can never strictly separate a data point from
+    itself — any ulp drift lands in the open gap between adjacent
+    sorted values, so `v >= lo` agrees regardless. (2) The mean is
+    integer arithmetic: 2-decimal prices recover exact cents, both
+    engines divide the identical int64 sum by the identical count, and
+    the output is fixed-point 1e-4 units (floor(x*1e4+0.5) — same IEEE
+    op sequence; a plain float mean would differ in the last ulp:
+    pandas sums pairwise, DuckDB sequentially)."""
+    @F.pandas_udf("long")
+    def iq_mean_e4(v: pd.Series) -> int:
+        import numpy as np
+
         lo, hi = v.quantile(0.25), v.quantile(0.75)
         mid = v[(v >= lo) & (v <= hi)]
-        return float(round(mid.mean(), 4)) if len(mid) else float("nan")
+        if not len(mid):
+            return 0
+        cents = int((mid * 100.0).round().astype("int64").sum())
+        return int(np.floor(cents / (100.0 * len(mid)) * 1e4 + 0.5))
 
     # NOTE: a GROUPED_AGG pandas UDF cannot be mixed with non-pandas
     # aggregates in one agg() (INVALID_PANDAS_UDF_PLACEMENT).
     o = load_table(spark, sf_dir, "orders")
     return o.groupBy("o_orderpriority").agg(
-        iq_mean("o_totalprice").alias("iq_mean_price"),
+        iq_mean_e4("o_totalprice").alias("iq_mean_e4"),
     )
 
 

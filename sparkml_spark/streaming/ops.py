@@ -36,13 +36,27 @@ from sparkml_spark.sources.loader import load_table
 def _event_stream(spark, sf_dir):
     """Bounded replay of events.parquet as a stream (same dtype-gated
     ts repair as the batch loader: NANOS fixtures arrive as bigint and
-    need DIV 1000; MICROS fixtures arrive as timestamp_ntz)."""
-    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
-    stream = (
-        spark.readStream.schema(raw_schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-    )
+    need DIV 1000; MICROS fixtures arrive as timestamp_ntz).
+
+    Source-path shape: the streaming file source REQUIRES a directory
+    ("Option 'basePath' must be a directory"), so a single-file
+    fixture streams from the parent dir with a pathGlobFilter, while
+    a directory-shaped events.parquet (e.g. the scale-up harness's
+    multi-part build) streams from the directory itself — a
+    pathGlobFilter on the parent would silently match ZERO of the
+    directory's part files (code-review r6)."""
+    import os
+
+    path = f"{sf_dir}/events.parquet"
+    raw_schema = spark.read.parquet(path).schema
+    if os.path.isdir(path):
+        stream = spark.readStream.schema(raw_schema).parquet(path)
+    else:
+        stream = (
+            spark.readStream.schema(raw_schema)
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(sf_dir)
+        )
     # Keep LTZ here (session TZ pinned to UTC): watermarks/event-time
     # require TIMESTAMP, not TIMESTAMP_NTZ. Window bounds are cast to
     # NTZ at output so results line up with the batch twins.

@@ -6,6 +6,8 @@ duplicate docs)."""
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
@@ -150,7 +152,9 @@ def test_ewma_recurrence(spark):
     s = None
     for r in series:
         s = r["value"] if s is None else (1 - 0.3) * s + 0.3 * r["value"]
-        assert r["ewma_micro"] == int(s * 1e6 + 0.5), (uid, r, s)
+        # floor, not int(): int() truncates toward zero and diverges
+        # from the UDF/oracle on negative EWMA values (code-review r6)
+        assert r["ewma_micro"] == math.floor(s * 1e6 + 0.5), (uid, r, s)
 
 
 def test_stream_sketch_rollup_close_to_exact(spark):
