@@ -88,27 +88,60 @@ def _decode_image(payload: bytes, fake: bool | None = None):
     return width, height, channels
 
 
-@query("multimodal_decode_stub", section="2.I")
+@query(
+    "multimodal_decode_stub",
+    section="2.I",
+    oracle="""
+WITH h AS (
+  SELECT doc_id,
+         64 + ascii(substr(text, 1, 1)) % 192 AS width,
+         64 + (CASE WHEN len(text) >= 2 THEN ascii(substr(text, 2, 1)) ELSE 0 END) % 192 AS height,
+         1 + (CASE WHEN len(text) >= 3 THEN ascii(substr(text, 3, 1)) ELSE 0 END) % 3 AS channels
+  FROM documents
+)
+SELECT doc_id, CAST(width AS INTEGER) AS width,
+       CAST(height AS INTEGER) AS height,
+       CAST(channels AS INTEGER) AS channels,
+       CAST(floor(CAST(width AS DOUBLE) / height * 10000 + 0.5) AS BIGINT) AS aspect_e4
+FROM h
+""",
+)
 def multimodal_decode_stub(spark, sf_dir):
     """Decode + feature-extract over binary payloads via mapInPandas:
     Arrow batches of (id, payload) → (id, width, height, channels,
     aspect). Decode itself is the stub above; everything around it
-    (schema, batch shape, vectorized loop) is the production path."""
+    (schema, batch shape, vectorized loop) is the production path.
+
+    ORACLE-tier (r6): the pseudo-decode derives dimensions from the
+    payload header BYTES, and fixture text is pure ASCII (canary-
+    pinned) so byte k == ascii(char k) — the header math is
+    SQL-expressible. Aspect is fixed-point 1e-4 units
+    (floor(w/h*1e4+0.5)): w/h with small integer denominators lands
+    exactly on 4-dp rounding ties (e.g. w≡2 mod 4 over h=128), where
+    numpy half-even and DuckDB half-away would diverge. If PIL is
+    present the real decoder runs first and falls back to this parse
+    for undecodable payloads — text bytes are undecodable, so the
+    result is the same either way."""
     import pandas as pd
 
     d = load_table(spark, sf_dir, "documents")
     blobs = d.select("doc_id", F.encode("text", "UTF-8").alias("payload"))
 
     def decode(batches):
+        import numpy as np
+
         for pdf in batches:
             dims = [_decode_image(p) for p in pdf["payload"]]
             out = pd.DataFrame(dims, columns=["width", "height", "channels"])
             out.insert(0, "doc_id", pdf["doc_id"].values)
-            out["aspect"] = (out.width / out.height).round(4)
+            out["aspect_e4"] = np.floor(
+                out.width / out.height * 10000 + 0.5
+            ).astype("int64")
             yield out
 
     return blobs.mapInPandas(
-        decode, "doc_id BIGINT, width INT, height INT, channels INT, aspect DOUBLE"
+        decode,
+        "doc_id BIGINT, width INT, height INT, channels INT, aspect_e4 BIGINT",
     )
 
 
@@ -154,11 +187,36 @@ def multimodal_frame_sample(spark, sf_dir):
     return blobs.mapInPandas(sample, "doc_id BIGINT, frame_idx INT, frame_md5 STRING")
 
 
-@query("multimodal_audio_features_stub", section="2.I")
+@query(
+    "multimodal_audio_features_stub",
+    section="2.I",
+    oracle="""
+WITH b AS (
+  SELECT doc_id, len(text) AS n,
+         CAST(list_sum(list_transform(range(1, len(text) + 1),
+             i -> CAST((ascii(substr(text, i, 1)) - 128)
+                       * (ascii(substr(text, i, 1)) - 128) AS BIGINT)))
+              AS BIGINT) AS ss
+  FROM documents
+)
+SELECT doc_id,
+       CAST(floor(n / 16000.0 * 1000000 + 0.5) AS BIGINT) AS duration_us,
+       CAST(floor(sqrt(ss / CAST(n AS DOUBLE)) * 1000000 + 0.5) AS BIGINT) AS rms_e6
+FROM b
+""",
+)
 def multimodal_audio_features_stub(spark, sf_dir):
-    """Audio feature extraction seam: payload → (duration_s, rms)
+    """Audio feature extraction seam: payload → (duration, rms)
     pseudo-features from byte stats (deterministic stand-ins for a
-    real DSP lib), Arrow-batched."""
+    real DSP lib), Arrow-batched.
+
+    ORACLE-tier (r6): outputs are fixed-point (microseconds; rms in
+    1e-6 units) because the old `round(len/16000, 6)` hit an EXACT
+    decimal tie on every odd byte length (len*62.5 = k+0.5), where
+    numpy's half-even and DuckDB's half-away rounding disagree on
+    ~half the corpus. The sum of squared byte deviations is exact
+    int64 on both engines (ASCII text ⇒ byte == ascii(char),
+    canary-pinned), so sqrt/divide see identical doubles."""
     import numpy as np
     import pandas as pd
 
@@ -166,20 +224,26 @@ def multimodal_audio_features_stub(spark, sf_dir):
     blobs = d.select("doc_id", F.encode("text", "UTF-8").alias("payload"))
 
     def feats(batches):
+        import math
+
         for pdf in batches:
             rows = []
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
-                arr = np.frombuffer(bytes(payload), dtype=np.uint8).astype("float64")
+                arr = np.frombuffer(bytes(payload), dtype=np.uint8).astype("int64")
+                n = len(arr)
+                ss = int(((arr - 128) ** 2).sum())
                 rows.append(
                     (
                         int(doc_id),
-                        round(len(arr) / 16000.0, 6),
-                        round(float(np.sqrt(np.mean((arr - 128.0) ** 2))), 6),
+                        math.floor(n / 16000.0 * 1000000 + 0.5),
+                        math.floor(math.sqrt(ss / float(n)) * 1000000 + 0.5),
                     )
                 )
-            yield pd.DataFrame(rows, columns=["doc_id", "duration_s", "rms"])
+            yield pd.DataFrame(rows, columns=["doc_id", "duration_us", "rms_e6"])
 
-    return blobs.mapInPandas(feats, "doc_id BIGINT, duration_s DOUBLE, rms DOUBLE")
+    return blobs.mapInPandas(
+        feats, "doc_id BIGINT, duration_us BIGINT, rms_e6 BIGINT"
+    )
 
 
 @query(

@@ -202,6 +202,14 @@ def test_fixture_integrity_facts_pinned(spark):
     ).collect()[0]
     assert drow["bad_nchars"] == 0, "n_chars != length(text) appeared"
     assert drow["n"] == drow["n_texts"], "exact-duplicate texts appeared in base corpus"
+    # Pure printable ASCII: the multimodal byte-level oracles
+    # (frame_sample, decode_stub, audio_features_stub) ride on
+    # byte k == ascii(char k).
+    non_ascii = d.filter(~F.col("text").rlike(r"^[ -~]*$")).count()
+    assert non_ascii == 0, (
+        f"{non_ascii} documents are no longer printable ASCII — "
+        "multimodal byte-level oracles at risk"
+    )
     # Gram builders are guarded for short docs, but record the current
     # floor so a regeneration that introduces tiny docs is visible.
     assert drow["min_toks"] >= 1
