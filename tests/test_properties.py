@@ -252,3 +252,60 @@ def test_gram_idx_never_descends_counts_match(spark, texts):
     for r in out:
         assert r["n2"] == max(0, r["n_tok"] - 1), r
         assert r["n3"] == max(0, r["n_tok"] - 2), r
+
+
+@given(
+    xs=st.lists(
+        st.floats(min_value=-1e6, max_value=1e6, allow_nan=False,
+                  allow_infinity=False),
+        min_size=1, max_size=40,
+    )
+)
+@_SETTINGS
+def test_fixed_point_floor_matches_duckdb(xs):
+    """The round-6 fixed-point output rule — floor(x*scale + 0.5) —
+    must be the SAME function in Python/numpy and DuckDB for any
+    finite double, including values landing exactly on a representable
+    n+0.5 after scaling (where decimal round() half-even vs half-away
+    made EWMA/audio outputs diverge; this is the property the rule
+    replaced round() to get)."""
+    import math
+
+    import duckdb
+
+    con = duckdb.connect()
+    for scale in (1e4, 1e6):
+        got = [
+            r[0]
+            for r in con.execute(
+                f"SELECT CAST(floor(x * {scale} + 0.5) AS BIGINT) "
+                "FROM (SELECT unnest(?) AS x)", [xs]
+            ).fetchall()
+        ]
+        want = [math.floor(x * scale + 0.5) for x in xs]
+        assert got == want, (scale, list(zip(xs, got, want)))
+    con.close()
+
+
+def test_fixed_point_floor_tie_regressions():
+    """Pinned tie cases measured in round 6: odd byte lengths make
+    len/16000*1e6 an exact k+0.5 (audio stub), and small-denominator
+    aspect ratios tie at 1e4 — floor(+0.5) must round them UP on both
+    engines, unlike numpy's round-half-even."""
+    import math
+
+    import duckdb
+    import numpy as np
+
+    cases4 = [2.0 / 128 * 10000, 66.0 / 128 * 10000]      # aspect grid
+    cases6 = [161 / 16000.0 * 1e6, 47 / 16000.0 * 1e6]    # odd lengths
+    con = duckdb.connect()
+    for v in cases4 + cases6:
+        duck = con.execute(
+            "SELECT CAST(floor(? + 0.5) AS BIGINT)", [v]
+        ).fetchone()[0]
+        assert duck == math.floor(v + 0.5) == int(np.floor(v + 0.5))
+    # and the half-even/half-away split this replaced IS real:
+    assert round(10062.5) == 10062          # python: half-even
+    assert con.execute("SELECT round(10062.5)").fetchone()[0] == 10063.0
+    con.close()
