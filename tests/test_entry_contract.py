@@ -13,6 +13,16 @@ def test_oracle_keys_subset_of_queries():
     assert not missing, f"oracle entries without queries: {missing}"
 
 
+def test_oracle_tier_never_shrinks():
+    """Round-6 floor: 240 of 274 queries are hash-checkable (the 34
+    ROWS-tier remainder is exactly the engine-private surface — model
+    fits, hash families, RNG samplers, sketches, streaming state
+    machines, file layout). A tier demotion is a verification-strength
+    regression and must be a conscious decision, not a side effect."""
+    assert len(entrymod.oracle_sql()) >= 240
+    assert len(entrymod.queries()) >= 274
+
+
 def test_query_callables_arity():
     for name, fn in entrymod.queries().items():
         params = inspect.signature(fn).parameters
