@@ -47,8 +47,12 @@ FACTS = {
     "lineitem": {"l_orderkey": "orderkey"},
     "customer": {"c_custkey": "custkey"},
     "events": {"event_id": "eventid", "user_id": "userid"},
-    "documents": {"doc_id": "docid"},
-    "embeddings": {"vec_id": "vecid"},
+    # doc_id and vec_id share ONE space: join_multimodal pairs
+    # documents.doc_id = embeddings.vec_id, so both must shift by the
+    # same per-replica amount (max over BOTH, +1) or cross-replica
+    # doc↔vector joins dangle (code-review r6 #2).
+    "documents": {"doc_id": "docvec"},
+    "embeddings": {"vec_id": "docvec"},
 }
 DIMS = ["region", "nation", "supplier", "part"]
 
@@ -79,6 +83,10 @@ def build_scaled(spark, base_dir: str, out_dir: str, k: int) -> None:
         dst = os.path.join(out_dir, f"{t}.parquet")
         if not os.path.exists(dst):
             shutil.copy(src, dst)
+    if all(
+        os.path.exists(os.path.join(out_dir, f"{t}.parquet")) for t in FACTS
+    ):
+        return  # cached build — skip the offset-probing reads entirely
     # Shared key-space offsets FIRST: max over every column in the
     # space across all tables that carry it, +1.
     raw = {

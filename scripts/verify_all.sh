@@ -1,7 +1,9 @@
 #!/usr/bin/env bash
 # One-shot full verification: internal test suite, the driver's t2
-# protocol at every fixture scale, and the headline bench. Prints a
-# compact summary; exits non-zero on the first red gate.
+# protocol at every fixture scale, and the headline bench. Prints the
+# summary so far and exits non-zero at the FIRST red gate (a failed
+# pytest must not burn 30 minutes of sims); every Spark step runs
+# under a hard timeout so a hang can't block the one-shot forever.
 #
 # Usage: bash scripts/verify_all.sh [--quick]
 #   --quick: sf0.01 sim + bench only (skips pytest and the other scales)
@@ -12,7 +14,12 @@ quick=0
 [ "${1:-}" = "--quick" ] && quick=1
 
 summary=()
-fail=0
+
+finish() {
+  echo
+  echo "== verify_all summary =="
+  for line in "${summary[@]}"; do echo "$line"; done
+}
 
 run() { # name, cmd...
   local name=$1; shift
@@ -22,25 +29,23 @@ run() { # name, cmd...
   local tail_line
   tail_line=$(printf '%s\n' "$out" | tail -1)
   if [ $rc -ne 0 ]; then
-    fail=1
-    summary+=("FAIL  ${name} (${dt}s): ${tail_line}")
+    summary+=("FAIL  ${name} (${dt}s, rc=${rc}): ${tail_line}")
     printf '%s\n' "$out" | tail -30
-  else
-    summary+=("ok    ${name} (${dt}s): ${tail_line}")
+    finish
+    exit 1
   fi
+  summary+=("ok    ${name} (${dt}s): ${tail_line}")
 }
 
 if [ $quick -eq 0 ]; then
-  run "pytest" python -m pytest tests/ -q -x
+  run "pytest" timeout 1200 python -m pytest tests/ -q -x
 fi
-run "sim sf0.01" python scripts/driver_sim.py
+run "sim sf0.01" timeout 900 python scripts/driver_sim.py
 if [ $quick -eq 0 ]; then
-  run "sim sf0.001" python scripts/driver_sim.py --sf-dir /root/testdata/sf0.001
-  run "sim sf0.1" python scripts/driver_sim.py --sf-dir /root/testdata/sf0.1
+  run "sim sf0.001" timeout 900 python scripts/driver_sim.py --sf-dir /root/testdata/sf0.001
+  run "sim sf0.1" timeout 900 python scripts/driver_sim.py --sf-dir /root/testdata/sf0.1
 fi
-run "bench" python bench.py
+run "bench" timeout 900 python bench.py
 
-echo
-echo "== verify_all summary =="
-for line in "${summary[@]}"; do echo "$line"; done
-exit $fail
+finish
+exit 0

@@ -117,11 +117,15 @@ def multimodal_decode_stub(spark, sf_dir):
     pinned) so byte k == ascii(char k) — the header math is
     SQL-expressible. Aspect is fixed-point 1e-4 units
     (floor(w/h*1e4+0.5)): w/h with small integer denominators lands
-    exactly on 4-dp rounding ties (e.g. w≡2 mod 4 over h=128), where
-    numpy half-even and DuckDB half-away would diverge. If PIL is
-    present the real decoder runs first and falls back to this parse
-    for undecodable payloads — text bytes are undecodable, so the
-    result is the same either way."""
+    exactly on 4-dp rounding ties (e.g. w ≡ 4 mod 8 over h=128 gives
+    w*78.125 = k+0.5 exactly), where numpy half-even and DuckDB
+    half-away would diverge. The REGISTERED query forces the fake
+    path (`fake=True`): the oracle pins the byte-math contract, and a
+    PIL auto-upgrade must not silently flip results for payloads PIL
+    happens to header-parse (ASCII starting with a PNM magic like
+    'P6 2 2 255' IS lazily decodable — code-review r6). Production
+    callers use `_decode_image`'s auto-detect default and get real
+    decoding the moment a codec is installed."""
     import pandas as pd
 
     d = load_table(spark, sf_dir, "documents")
@@ -131,7 +135,7 @@ def multimodal_decode_stub(spark, sf_dir):
         import numpy as np
 
         for pdf in batches:
-            dims = [_decode_image(p) for p in pdf["payload"]]
+            dims = [_decode_image(p, fake=True) for p in pdf["payload"]]
             out = pd.DataFrame(dims, columns=["width", "height", "channels"])
             out.insert(0, "doc_id", pdf["doc_id"].values)
             out["aspect_e4"] = np.floor(
@@ -201,7 +205,9 @@ WITH b AS (
 )
 SELECT doc_id,
        CAST(floor(n / 16000.0 * 1000000 + 0.5) AS BIGINT) AS duration_us,
-       CAST(floor(sqrt(ss / CAST(n AS DOUBLE)) * 1000000 + 0.5) AS BIGINT) AS rms_e6
+       CASE WHEN n = 0 THEN 0
+            ELSE CAST(floor(sqrt(ss / CAST(n AS DOUBLE)) * 1000000 + 0.5) AS BIGINT)
+       END AS rms_e6
 FROM b
 """,
 )
@@ -232,11 +238,18 @@ def multimodal_audio_features_stub(spark, sf_dir):
                 arr = np.frombuffer(bytes(payload), dtype=np.uint8).astype("int64")
                 n = len(arr)
                 ss = int(((arr - 128) ** 2).sum())
+                # empty payload -> rms 0 (mirrors the oracle's CASE;
+                # a bare division would abort the whole task)
+                rms = (
+                    0
+                    if n == 0
+                    else math.floor(math.sqrt(ss / float(n)) * 1000000 + 0.5)
+                )
                 rows.append(
                     (
                         int(doc_id),
                         math.floor(n / 16000.0 * 1000000 + 0.5),
-                        math.floor(math.sqrt(ss / float(n)) * 1000000 + 0.5),
+                        rms,
                     )
                 )
             yield pd.DataFrame(rows, columns=["doc_id", "duration_us", "rms_e6"])

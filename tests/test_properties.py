@@ -297,10 +297,15 @@ def test_fixed_point_floor_tie_regressions():
     import duckdb
     import numpy as np
 
-    cases4 = [2.0 / 128 * 10000, 66.0 / 128 * 10000]      # aspect grid
+    # REAL half-ties: w/128*1e4 = w*78.125 is k+0.5 exactly iff
+    # w ≡ 4 (mod 8) — 68*78.125 = 5312.5, 132*78.125 = 10312.5
+    # (an earlier draft pinned w≡2 mod 4, whose fraction is .25, i.e.
+    # not a tie at all — code-review r6).
+    cases4 = [68.0 / 128 * 10000, 132.0 / 128 * 10000]
     cases6 = [161 / 16000.0 * 1e6, 47 / 16000.0 * 1e6]    # odd lengths
     con = duckdb.connect()
     for v in cases4 + cases6:
+        assert v * 2 == math.floor(v * 2), f"{v} is not an exact half-tie"
         duck = con.execute(
             "SELECT CAST(floor(? + 0.5) AS BIGINT)", [v]
         ).fetchone()[0]
