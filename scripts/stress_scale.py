@@ -9,8 +9,9 @@ times with per-replica key offsets — offsets are computed over each
 SHARED key space (custkey across customer+orders, orderkey across
 orders+lineitem), so row counts AND join/distinct cardinalities scale
 together while referential integrity holds by construction. Document
-text is Caesar-translated and embedding components rotated per
-replica so the duplicate/near-dup structure stays constant. The
+text is mapped through a per-replica seeded alphabet permutation and
+embedding components circular-shifted (sign-flipped past the shift
+period) so the duplicate/near-dup structure stays constant. The
 small dims (region/nation/supplier/part) are copied through
 unchanged. Then runs every bench.HEADLINE query
 steady-state (min of 3) at the base and scaled dirs and prints one
@@ -55,6 +56,20 @@ FACTS = {
     "embeddings": {"vec_id": "docvec"},
 }
 DIMS = ["region", "nation", "supplier", "part"]
+
+_ALPHA = "abcdefghijklmnopqrstuvwxyz"
+
+
+def _perm(i: int) -> str:
+    """Deterministic per-replica permutation of a-z (replica 0 is the
+    identity — the base data rides through unchanged)."""
+    if i == 0:
+        return _ALPHA
+    import random
+
+    chars = list(_ALPHA)
+    random.Random(0x5CA1E + i).shuffle(chars)
+    return "".join(chars)
 
 #: The §2.I ops with real blow-up risk at scale (candidate joins,
 #: inverted indexes, global manifests) — timed by --llm. NOTE
@@ -112,30 +127,38 @@ def build_scaled(spark, base_dir: str, out_dir: str, k: int) -> None:
             for c, space in cols.items():
                 rep = rep.withColumn(c, F.col(c) + F.lit(i * spaces[space]))
             if t == "documents" and i > 0:
-                # Make replica text DISJOINT (per-replica Caesar
-                # translate): the duplicate/near-dup structure then
-                # stays constant while rows scale. A weaker perturb
-                # (suffix tag) left trigram sets ~identical across
-                # replicas, so every doc formed a genuine k-sized
-                # duplicate cluster and pairwise dedup output grew
-                # quadratically — correct dedup behavior, wrong
-                # experiment (first harness run caught exactly this).
-                alpha = "abcdefghijklmnopqrstuvwxyz"
-                rot = alpha[i % 25 + 1:] + alpha[: i % 25 + 1]
-                rep = rep.withColumn("text", F.translate("text", alpha, rot))
-            if t == "embeddings" and i > 0:
-                # Circular-shift vector components per replica: unit
-                # norms and within-replica geometry preserved, exact
-                # cross-replica duplication destroyed (same quadratic-
-                # cluster reasoning as documents).
-                s = i % 63 + 1
+                # Make replica text DISJOINT (per-replica seeded
+                # alphabet permutation): ANY bijection on a-z maps
+                # tokens/shingles bijectively, so the duplicate/
+                # near-dup structure within a replica is preserved
+                # exactly while cross-replica text shares nothing.
+                # A weaker perturb (suffix tag) left trigram sets
+                # ~identical across replicas, so every doc formed a
+                # genuine k-sized duplicate cluster and PAIRWISE dedup
+                # output grew quadratically — correct dedup behavior,
+                # wrong experiment (first harness run caught exactly
+                # this). A Caesar rotation has period 25 and capped
+                # --llm at k<=25; seeded permutations have no period
+                # (distinctness asserted by the caller).
                 rep = rep.withColumn(
-                    "embedding",
-                    F.concat(
-                        F.slice("embedding", s + 1, 64 - s),
-                        F.slice("embedding", 1, s),
-                    ),
+                    "text", F.translate("text", _ALPHA, _perm(i))
                 )
+            if t == "embeddings" and i > 0:
+                # Circular-shift vector components per replica, with a
+                # global sign flip every 63 replicas: unit norms and
+                # within-replica geometry (cosine is negation-
+                # invariant) preserved, exact cross-replica
+                # duplication destroyed (same quadratic-cluster
+                # reasoning as documents). Shift alone has period 63;
+                # the sign flip doubles it to 126.
+                s = i % 63 + 1
+                shifted = F.concat(
+                    F.slice("embedding", s + 1, 64 - s),
+                    F.slice("embedding", 1, s),
+                )
+                if (i // 63) % 2 == 1:
+                    shifted = F.transform(shifted, lambda x: -x)
+                rep = rep.withColumn("embedding", shifted)
             parts.append(rep)
         out = parts[0]
         for rep in parts[1:]:
@@ -166,13 +189,18 @@ def main() -> int:
         "--llm", action="store_true", help="time the §2.I LLM suite instead"
     )
     args = ap.parse_args()
-    if args.llm and args.k > 25:
-        # The per-replica Caesar rotation has period 25; beyond that,
-        # replicas i and i+25 share text and re-form the quadratic
-        # duplicate clusters the rotation exists to prevent. The
-        # headline suite never touches documents, so plain --k is
-        # unrestricted.
-        ap.error("--llm supports k <= 25 (text rotation period)")
+    if args.llm:
+        # Replicas i and j sharing a text permutation (or an embedding
+        # (shift, sign) pair) would re-form the quadratic duplicate
+        # clusters the perturbations exist to prevent. Seeded
+        # permutations make collisions astronomically unlikely
+        # (26! states) — assert rather than trust; the embedding
+        # scheme has a hard period of 126.
+        perms = [_perm(i) for i in range(args.k)]
+        if len(set(perms)) != args.k:
+            ap.error("replica text permutations collide — change the seed")
+        if args.k > 126:
+            ap.error("--llm supports k <= 126 (embedding shift+sign period)")
 
     from bench import HEADLINE
     from sparkml_spark.session import get_spark
@@ -183,13 +211,17 @@ def main() -> int:
     import sparkml_spark.operators  # noqa: F401
     from sparkml_spark.registry import QUERIES
 
-    # Keyed by BOTH k and the base fixture: a cached x10-of-sf0.1 must
-    # never be reused for a later x10-of-sf0.01 run.
+    # Keyed by k, the base fixture, AND the perturbation-scheme version
+    # (p2 = seeded permutation / shift+sign): a cached x10-of-sf0.1
+    # must never be reused for a later x10-of-sf0.01 run, and a cache
+    # built under an older perturbation scheme must never satisfy a
+    # newer build (the build is per-table resumable, so a stale cache
+    # would short-circuit silently).
     out_dir = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         ".artifacts",
         "scalebench",
-        f"x{args.k}_{os.path.basename(args.sf_dir.rstrip('/'))}",
+        f"x{args.k}p2_{os.path.basename(args.sf_dir.rstrip('/'))}",
     )
     build_scaled(spark, args.sf_dir, out_dir, args.k)
 

@@ -8,6 +8,8 @@ order-independence.
 
 from __future__ import annotations
 
+import os
+
 import pytest
 
 try:
@@ -314,3 +316,26 @@ def test_fixed_point_floor_tie_regressions():
     assert round(10062.5) == 10062          # python: half-even
     assert con.execute("SELECT round(10062.5)").fetchone()[0] == 10063.0
     con.close()
+
+
+def test_stress_perturbations_are_disjoint_bijections():
+    """The scale-up harness keeps dedup structure constant across
+    replicas only if every replica's text map is a bijection on a-z
+    (n-grams then map bijectively) and no two replicas share a map
+    (a shared map re-forms the quadratic duplicate clusters the
+    first harness run caught). Pinned to the harness's own supported
+    ceiling (k=126, the embedding shift+sign period)."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "stress_scale",
+        os.path.join(os.path.dirname(__file__), "..", "scripts", "stress_scale.py"),
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    perms = [mod._perm(i) for i in range(126)]
+    assert perms[0] == mod._ALPHA  # replica 0 = base data untouched
+    assert len(set(perms)) == 126  # no two replicas share a map
+    for p in perms:
+        assert sorted(p) == sorted(mod._ALPHA)  # bijection on a-z
