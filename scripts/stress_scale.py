@@ -170,13 +170,31 @@ def build_scaled(spark, base_dir: str, out_dir: str, k: int) -> None:
         os.rename(dst + ".dir", dst)
 
 
-def steady(fn, spark, sf_dir: str) -> float:
+def steady(fn, spark, sf_dir: str, sink: str = "collect") -> float:
+    """Best-of-3 warm re-execution. sink='collect' matches the bench
+    protocol (result rows cross to the driver — right for small
+    results); sink='noop' writes executor-side to Spark's noop source,
+    isolating the DISTRIBUTED stages. For ops whose OUTPUT grows with
+    the data (tfidf's (doc,term) pairs, sessionize's sessions), the
+    collect protocol measures mostly the driver single-threadedly
+    ingesting millions of result rows — its own documented
+    anti-pattern. Measured at ×100: tfidf 82.2× under collect vs 6.4×
+    under noop; sessionize 112.6× vs 3.9×. A production pipeline
+    writes such outputs to a sink, so noop is the cluster-predictive
+    protocol for output-linear ops."""
     df = fn(spark, sf_dir)
-    df.collect()  # warm (plan + codegen + cache)
+
+    def run():
+        if sink == "noop":
+            df.write.format("noop").mode("overwrite").save()
+        else:
+            df.collect()
+
+    run()  # warm (plan + codegen + shuffle reuse)
     best = float("inf")
     for _ in range(3):
         t0 = time.time()
-        df.collect()
+        run()
         best = min(best, time.time() - t0)
     return best
 
@@ -187,6 +205,14 @@ def main() -> int:
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.1")
     ap.add_argument(
         "--llm", action="store_true", help="time the §2.I LLM suite instead"
+    )
+    ap.add_argument(
+        "--sink",
+        choices=["collect", "noop"],
+        default="collect",
+        help="collect = bench protocol (driver ingests results); "
+        "noop = executor-side write, isolates the distributed stages "
+        "(use for output-linear ops — see steady() docstring)",
     )
     args = ap.parse_args()
     if args.llm:
@@ -229,8 +255,8 @@ def main() -> int:
     base, scaled, ratios = {}, {}, {}
     for name, qid in suite.items():
         fn = QUERIES[qid]
-        base[name] = round(steady(fn, spark, args.sf_dir), 3)
-        scaled[name] = round(steady(fn, spark, out_dir), 3)
+        base[name] = round(steady(fn, spark, args.sf_dir, args.sink), 3)
+        scaled[name] = round(steady(fn, spark, out_dir, args.sink), 3)
         ratios[name] = round(scaled[name] / max(base[name], 1e-9), 1)
         print(
             f"# {name}: base {base[name]:.3f}s -> x{args.k} {scaled[name]:.3f}s "
@@ -242,6 +268,7 @@ def main() -> int:
             {
                 "metric": "scaleup_stress_llm" if args.llm else "scaleup_stress",
                 "k": args.k,
+                "sink": args.sink,
                 "base": base,
                 "scaled": scaled,
                 "ratio": ratios,
