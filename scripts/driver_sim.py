@@ -27,6 +27,7 @@ import argparse
 import datetime
 import hashlib
 import json
+import os
 import sys
 import time
 
@@ -135,8 +136,15 @@ def main() -> int:
     con = duckdb.connect()
     for t in ("region nation customer supplier part orders lineitem events "
               "documents embeddings").split():
+        # Real fixtures are single files; stress-harness builds write
+        # <table>.parquet as a DIRECTORY of part files (Spark layout).
+        # DuckDB needs a glob for the latter — this lets the sim run
+        # against .artifacts/scalebench/* replicated fixtures too.
+        path = f"{args.sf_dir}/{t}.parquet"
+        if os.path.isdir(path):
+            path = f"{path}/*.parquet"
         con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{args.sf_dir}/{t}.parquet')"
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}')"
         )
 
     n_pass = n_fail = n_rows_tier = 0
