@@ -1,0 +1,149 @@
+"""Skew-join probe: MEASURE that AQE skew-split and manual salting
+rescue a pathologically hot join key, rather than asserting it.
+
+Construction: lineitem from the ×k scalebench build (60M rows at
+k=100) with 50% of l_orderkey remapped to ONE hot key, joined to
+orders on orderkey with broadcasting disabled (at 100 TB the orders
+side is not broadcastable — that is the regime where skew bites; with
+broadcast allowed the hot key is a non-event, which the probe also
+demonstrates). Three timed variants:
+
+  baseline  sort-merge join, AQE skew-split OFF — the hot key's rows
+            all land in one task (the pathology).
+  aqe       sort-merge join, AQE skew-split ON — runtime splits the
+            oversized partition (the zero-code-change fix).
+  salted    explicit salt mod S on the fact side, dim exploded ×S
+            (the join_skew_salted pattern) — the fix that works even
+            where AQE can't see the skew (e.g. pre-AQE engines or
+            non-shuffle-boundary skew).
+  broadcast default thresholds — shows the pathology vanishes when
+            the dim side is broadcastable at all.
+
+Each variant writes to the noop sink (executor-side, no driver
+ingest). Prints one JSON line.
+
+Usage: python scripts/skew_probe.py [--k 100] [--salt 8]
+(expects the scalebench x{k}p2 build to exist — run stress_scale.py
+first; falls back to the base fixture with a warning if absent).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+HOT_KEY = 1
+
+
+def timed(df) -> float:
+    df.write.format("noop").mode("overwrite").save()  # warm
+    best = float("inf")
+    for _ in range(2):
+        t0 = time.time()
+        df.write.format("noop").mode("overwrite").save()
+        best = min(best, time.time() - t0)
+    return round(best, 3)
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--k", type=int, default=100)
+    ap.add_argument("--salt", type=int, default=8)
+    ap.add_argument("--sf-dir", default="/root/testdata/sf0.1")
+    args = ap.parse_args()
+
+    from sparkml_spark.session import get_spark
+
+    os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "16g")
+    spark = get_spark("sparkml_spark-skew-probe")
+    spark.conf.set("spark.sql.shuffle.partitions", "32")
+
+    scaled = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        ".artifacts",
+        "scalebench",
+        f"x{args.k}p2_{os.path.basename(args.sf_dir.rstrip('/'))}",
+    )
+    if os.path.isdir(scaled):
+        src = scaled
+    else:
+        print(f"# WARNING: {scaled} absent, probing at base scale", file=sys.stderr)
+        src = args.sf_dir
+
+    li = spark.read.parquet(os.path.join(src, "lineitem.parquet"))
+    orders = spark.read.parquet(os.path.join(src, "orders.parquet"))
+
+    # 50% of fact rows onto ONE key (deterministic, key-parity based).
+    skewed = li.withColumn(
+        "l_orderkey",
+        F.when(F.col("l_orderkey") % 2 == 0, F.lit(HOT_KEY)).otherwise(
+            F.col("l_orderkey")
+        ),
+    )
+    joined_cols = [
+        skewed.l_orderkey,
+        orders.o_orderdate,
+        (skewed.l_extendedprice * (1 - skewed.l_discount)).alias("rev"),
+    ]
+
+    def smj(skew_split: bool):
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set(
+            "spark.sql.adaptive.skewJoin.enabled", str(skew_split).lower()
+        )
+        return skewed.join(orders, skewed.l_orderkey == orders.o_orderkey).select(
+            *joined_cols
+        )
+
+    results = {}
+    results["smj_skew_off"] = timed(smj(False))
+    results["smj_aqe_skew_split"] = timed(smj(True))
+
+    # Manual salting (join_skew_salted pattern), AQE split off so the
+    # number isolates the salt's effect.
+    spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "false")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    s = args.salt
+    fact = skewed.withColumn(
+        "salt", (F.xxhash64("l_extendedprice", "l_partkey") % s + s) % s
+    )
+    dim = orders.withColumn("salt", F.explode(F.array(*[F.lit(i) for i in range(s)])))
+    salted = fact.join(
+        dim, (fact.l_orderkey == dim.o_orderkey) & (fact.salt == dim.salt)
+    ).select(*joined_cols)
+    results["smj_salted"] = timed(salted)
+
+    # Default thresholds: dim side broadcastable -> skew is a non-event.
+    spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+    results["broadcast_default"] = timed(
+        skewed.join(orders, skewed.l_orderkey == orders.o_orderkey).select(
+            *joined_cols
+        )
+    )
+
+    n_hot = skewed.filter(F.col("l_orderkey") == HOT_KEY).count()
+    print(
+        json.dumps(
+            {
+                "metric": "skew_join_probe",
+                "k": args.k if src == scaled else 1,
+                "fact_rows": skewed.count(),
+                "hot_key_rows": n_hot,
+                "salt": s,
+                "seconds": results,
+            }
+        )
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
