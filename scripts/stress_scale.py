@@ -79,6 +79,14 @@ def _perm(i: int) -> str:
 #: that cutoff empirically — at ×10 (20.8k vectors ⇒ 4.3e8 pairs) it
 #: does not finish in bench time. sim_lsh_ann, the blocked scale path
 #: the docstring prescribes beyond the cutoff, is timed instead.
+#: Note for pair-level analysis of dedup outputs at large k: the dedup
+#: ops self-union a synthetic twin corpus at doc_id + 1_000_000
+#: (llm_dedup._DUP_OFFSET); once k × max(doc_id) crosses 1M (k ≳ 20 on
+#: sf0.1) twin ids overlap other replicas' REAL id ranges. Runtime
+#: measurements are unaffected (the corpus is a union, nothing joins
+#: on doc_id), but anyone mapping pair ids back to replicas must
+#: normalize by % _DUP_OFFSET first (see the replica-disjointness
+#: property test).
 LLM_SUITE = [
     "dedup_exact_hash",
     "dedup_minhash_sql",

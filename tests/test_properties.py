@@ -339,3 +339,59 @@ def test_stress_perturbations_are_disjoint_bijections():
     assert len(set(perms)) == 126  # no two replicas share a map
     for p in perms:
         assert sorted(p) == sorted(mod._ALPHA)  # bijection on a-z
+
+
+def test_stress_replicas_preserve_dedup_structure(spark, tmp_path):
+    """The property every stress ratio rests on, executed: a k×
+    replication must scale DEDUP OUTPUT exactly k× — within-replica
+    duplicate structure preserved by the text bijection, zero
+    cross-replica pairs created. (The failure mode is real: the first
+    harness scheme produced quadratic pair growth; the second —
+    Caesar — silently re-merged replicas 25 apart.)"""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "stress_scale",
+        os.path.join(os.path.dirname(__file__), "..", "scripts", "stress_scale.py"),
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    import sparkml_spark.operators  # noqa: F401 — populates QUERIES
+    from sparkml_spark.registry import QUERIES
+
+    base = "/root/testdata/sf0.001"
+    k = 3
+    out = str(tmp_path / f"x{k}")
+    mod.build_scaled(spark, base, out, k)
+
+    # Exact dedup: bijection-invariant, so output must scale EXACTLY k×
+    # (identical texts stay identical, distinct stay distinct).
+    n_base = QUERIES["dedup_exact_hash"](spark, base).count()
+    n_scaled = QUERIES["dedup_exact_hash"](spark, out).count()
+    assert n_scaled == k * n_base, (n_base, n_scaled)
+
+    # MinHash: the bijection changes shingle HASH VALUES, so each
+    # replica is an independent LSH draw and per-replica pair counts
+    # wobble (measured: 276 vs 3×90 at k=3). The invariant that must
+    # hold exactly is ZERO cross-replica pairs — permuted replicas
+    # share no shingles, so any cross pair would mean the band join
+    # leaked. The op pairs docs with SYNTHETIC +_DUP_OFFSET twins
+    # (its corpus self-union), so normalize ids back to the original
+    # doc before asking which replica a pair member belongs to.
+    from sparkml_spark.operators.llm_dedup import _DUP_OFFSET
+
+    off = (
+        spark.read.parquet(f"{base}/documents.parquet")
+        .agg(F.max("doc_id"))
+        .collect()[0][0]
+        + 1
+    )
+    pairs = QUERIES["dedup_minhash_sql"](spark, out)
+    rep_a = F.expr(f"(id_a % {_DUP_OFFSET}) DIV {off}")
+    rep_b = F.expr(f"(id_b % {_DUP_OFFSET}) DIV {off}")
+    cross = pairs.filter(rep_a != rep_b).count()
+    assert cross == 0, f"{cross} cross-replica minhash pairs leaked"
+    n_mh_base = QUERIES["dedup_minhash_sql"](spark, base).count()
+    n_mh = pairs.count()
+    assert 0.5 * k * n_mh_base <= n_mh <= 2.0 * k * n_mh_base, (n_mh_base, n_mh)
