@@ -7,11 +7,14 @@ fit the stress harness's base-vs-scaled timing shape.
   stream  watermarked streaming tumbling agg replayed over the ×k
           events build — pins events/s and that state stays EXACTLY
           3600 windows × event_type regardless of input volume.
+  bucket  bucketing amortization at ×k: raw fact⋈fact join vs
+          bucketed write + exchange-free join; reports how many
+          repeat joins pay back the one-time write shuffle.
 
-Both expect the scalebench x{k}p2 build to exist (run
+All expect the scalebench x{k}p2 build to exist (run
 stress_scale.py first). Prints one JSON line per probe.
 
-Usage: python scripts/scale_probes.py [cc|stream|all] [--k 100]
+Usage: python scripts/scale_probes.py [cc|stream|bucket|all] [--k 100]
 """
 
 from __future__ import annotations
@@ -74,9 +77,74 @@ def probe_stream(spark, k: int, sf_dir: str) -> dict:
     }
 
 
+def probe_bucket(spark, k: int, sf_dir: str) -> dict:
+    """Bucketing amortization: one write-time shuffle buys exchange-
+    free repeat joins (join_bucketed_colocated's claim, measured).
+    Times the raw fact⋈fact join, the bucketed write, and the
+    bucketed join at ×k, then reports the crossover — how many
+    repeat joins pay back the write."""
+    from pyspark.sql import functions as F
+
+    _, scaled = _dirs(k, sf_dir)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    li = spark.read.parquet(os.path.join(scaled, "lineitem.parquet")).select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    o = spark.read.parquet(os.path.join(scaled, "orders.parquet")).select(
+        "o_orderkey", "o_orderstatus"
+    )
+
+    def join_time(left, right) -> float:
+        df = (
+            left.join(right, left.l_orderkey == right.o_orderkey)
+            .groupBy("o_orderstatus")
+            .agg(F.count(F.lit(1)).alias("n_items"))
+        )
+        df.write.format("noop").mode("overwrite").save()  # warm
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.time()
+            df.write.format("noop").mode("overwrite").save()
+            best = min(best, time.time() - t0)
+        return round(best, 2)
+
+    t_raw = join_time(li, o)
+
+    wh = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        ".artifacts",
+        "bucket_probe",
+    )
+    os.makedirs(wh, exist_ok=True)
+    names = (f"li_probe_x{k}", f"o_probe_x{k}")
+    t0 = time.time()
+    for name, df, key in ((names[0], li, "l_orderkey"), (names[1], o, "o_orderkey")):
+        if not spark.catalog.tableExists(name):
+            (
+                df.write.bucketBy(32, key)
+                .sortBy(key)
+                .option("path", os.path.join(wh, name))
+                .mode("overwrite")
+                .saveAsTable(name)
+            )
+    t_write = round(time.time() - t0, 2)
+    t_bucketed = join_time(spark.table(names[0]), spark.table(names[1]))
+    saved = max(t_raw - t_bucketed, 1e-9)
+    return {
+        "metric": "bucket_amortization_probe",
+        "k": k,
+        "seconds": {
+            "raw_join": t_raw,
+            "bucket_write": t_write,
+            "bucketed_join": t_bucketed,
+        },
+        "joins_to_break_even": round(t_write / saved, 1),
+    }
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
-    ap.add_argument("probe", choices=["cc", "stream", "all"], nargs="?", default="all")
+    ap.add_argument("probe", choices=["cc", "stream", "bucket", "all"], nargs="?", default="all")
     ap.add_argument("--k", type=int, default=100)
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.1")
     args = ap.parse_args()
@@ -89,7 +157,7 @@ def main() -> int:
     import sparkml_spark.operators  # noqa: F401
     import sparkml_spark.streaming.ops  # noqa: F401
 
-    probes = {"cc": probe_cc, "stream": probe_stream}
+    probes = {"cc": probe_cc, "stream": probe_stream, "bucket": probe_bucket}
     names = list(probes) if args.probe == "all" else [args.probe]
     for name in names:
         print(json.dumps(probes[name](spark, args.k, args.sf_dir)))
