@@ -222,6 +222,15 @@ def main() -> int:
         "noop = executor-side write, isolates the distributed stages "
         "(use for output-linear ops — see steady() docstring)",
     )
+    ap.add_argument(
+        "--fail-ratio",
+        type=float,
+        default=None,
+        help="exit non-zero if any query's scaled/base ratio exceeds "
+        "this bound — turns the harness into a CI gate against "
+        "super-linear plan rot (VERDICT r6 #6). Linear-in-rows is "
+        "ratio ≈ k; leave headroom for small-base timing noise.",
+    )
     args = ap.parse_args()
     if args.llm:
         # Replicas i and j sharing a text permutation (or an embedding
@@ -283,6 +292,14 @@ def main() -> int:
             }
         )
     )
+    if args.fail_ratio is not None:
+        over = {q: r for q, r in ratios.items() if r > args.fail_ratio}
+        if over:
+            print(
+                f"# FAIL: ratios over --fail-ratio {args.fail_ratio}: {over}",
+                file=sys.stderr,
+            )
+            return 1
     return 0
 
 

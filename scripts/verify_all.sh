@@ -44,6 +44,11 @@ run "sim sf0.01" timeout 900 python scripts/driver_sim.py
 if [ $quick -eq 0 ]; then
   run "sim sf0.001" timeout 900 python scripts/driver_sim.py --sf-dir /root/testdata/sf0.001
   run "sim sf0.1" timeout 900 python scripts/driver_sim.py --sf-dir /root/testdata/sf0.1
+  # Cheap scale gate (VERDICT r6 #6): headline suite at x10-of-sf0.01,
+  # fail on any super-linear ratio (measured ratios are <=3 here —
+  # scan parallelism absorbs x10; 10 = linear is the rot alarm).
+  run "stress x10" timeout 900 python scripts/stress_scale.py --k 10 \
+    --sf-dir /root/testdata/sf0.01 --fail-ratio 10
 fi
 run "bench" timeout 900 python bench.py
 

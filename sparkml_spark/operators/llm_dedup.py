@@ -92,13 +92,14 @@ _VARIANT_SQL = f"""
 """
 
 
-def _trigram_idx(toks):
-    """Trigram start positions for the jaccard pipeline, pinned to the
-    oracle's `range(1, len - 2)` — end-EXCLUSIVE, so 1..size-3 (one
-    fewer than the textbook 1..size-2; both engines agree, hash-green
-    since r2, so the bound is a semantics pin, not a bug). That bound
-    equals `_gram_idx`'s n=4 upper, so delegate there: ONE short-doc
-    guard for every gram site (ADVICE r5 — two copies can drift)."""
+def _gram4_idx(toks):
+    """Shingle start positions for the jaccard pipeline (named for the
+    n=4 bound it pins): the oracle's `range(1, len - 2)` —
+    end-EXCLUSIVE, so 1..size-3 (one fewer than the textbook trigram
+    1..size-2; both engines agree, hash-green since r2, so the bound
+    is a semantics pin, not a bug). That bound equals `_gram_idx`'s
+    n=4 upper, so delegate there: ONE short-doc guard for every gram
+    site (ADVICE r5 — two copies can drift)."""
     return _gram_idx(toks, 4)
 
 
@@ -179,7 +180,7 @@ def jaccard_pairs(corpus, threshold: float = 0.6):
     toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
     shingles = F.array_distinct(
         F.transform(
-            _trigram_idx(toks),
+            _gram4_idx(toks),
             lambda i: F.concat_ws(
                 " ", F.element_at(toks, i), F.element_at(toks, i + 1), F.element_at(toks, i + 2)
             ),
@@ -244,7 +245,7 @@ def dedup_near_minhash(spark, sf_dir):
     toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
     shingles = F.array_distinct(
         F.transform(
-            _trigram_idx(toks),
+            _gram4_idx(toks),
             lambda i: F.concat_ws(
                 " ", F.element_at(toks, i), F.element_at(toks, i + 1), F.element_at(toks, i + 2)
             ),
@@ -462,7 +463,7 @@ def dedup_minhash_sql(spark, sf_dir):
     toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
     sh = F.array_distinct(
         F.transform(
-            _trigram_idx(toks),
+            _gram4_idx(toks),
             lambda i: F.concat_ws(
                 " ", F.element_at(toks, i), F.element_at(toks, i + 1), F.element_at(toks, i + 2)
             ),

@@ -141,3 +141,19 @@ def test_no_oracle_query_returns_nested_result_columns(spark):
         f"ORACLE queries with canonicalizer-unsafe nested result "
         f"columns: {offenders}"
     )
+
+
+def test_every_evidenced_id_stays_registered():
+    """Cumulative-evidence floor (VERDICT r6 #5): any id that ever
+    earned a green driver row — hash_match=True, rows_match=True, or a
+    no_oracle rows-evidence row — must still exist in queries(). A
+    refactor that renames or drops such an id silently discards
+    driver-verified evidence; make that a named failure instead."""
+    verified, rows_ok, _seen = entrymod._prior_evidence()
+    registered = set(entrymod.queries())
+    lost = (verified | rows_ok) - registered
+    assert not lost, f"ids with green driver evidence missing from queries(): {sorted(lost)}"
+    # And every hash-verified id must still be ORACLE-tier: demoting a
+    # hash-green id to ROWS weakens verification strength invisibly.
+    demoted = verified - set(entrymod.oracle_sql())
+    assert not demoted, f"hash-verified ids demoted out of ORACLE tier: {sorted(demoted)}"

@@ -324,7 +324,7 @@ def test_gram_builders_survive_short_docs(spark):
     INVALID_INDEX_OF_ZERO / out-of-bounds crash (ANSI sequence() steps
     DOWN when start > stop — verified live; the oracle's range() yields
     empty, so empty is also the parity-correct answer)."""
-    from sparkml_spark.operators.llm_dedup import _trigram_idx
+    from sparkml_spark.operators.llm_dedup import _gram4_idx
     from sparkml_spark.operators.llm_text import _gram_idx
 
     df = spark.createDataFrame(
@@ -337,11 +337,11 @@ def test_gram_builders_survive_short_docs(spark):
         for r in df.select(
             "doc_id",
             F.size(F.transform(_gram_idx(toks, 2), lambda i: F.element_at(toks, i))).alias("n2"),
-            F.size(_trigram_idx(toks)).alias("n3f"),
+            F.size(_gram4_idx(toks)).alias("n3f"),
             F.size(F.transform(_gram_idx(toks, 4), lambda i: F.element_at(toks, i))).alias("n4"),
         ).collect()
     }
-    # bigram count = max(size-1, 0); _trigram_idx pins 1..size-3 (the
+    # bigram count = max(size-1, 0); _gram4_idx pins 1..size-3 (the
     # jaccard oracle's shape); 4-gram count = max(size-3, 0).
     assert got == {
         1: (0, 0, 0),   # "" splits to [""] -> size 1

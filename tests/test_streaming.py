@@ -204,3 +204,37 @@ def test_append_emits_window_at_exact_watermark(spark, tmp_path):
     q.awaitTermination()
     got = {str(r.w.start): r.n for r in spark.table("wm_probe_t").collect()}
     assert got == {"2024-01-01 00:00:00": 2}, got
+
+
+def test_stateful_tws_parity_with_custom(spark):
+    """stream_stateful_tws and stream_stateful_custom are semantic
+    twins (per-user running value total + event count). On this
+    container TWS falls back to applyInPandasWithState because
+    google.protobuf is missing (ops.py env gate) — this parity pin
+    exists so that when the TWS branch DOES execute (protobuf present,
+    e.g. a real cluster), any drift between the two implementations
+    fails a named test instead of shipping silently (VERDICT r6 #4).
+    Update-mode memory sinks may hold one row per user per micro-batch;
+    the running totals are monotone in n_events, so the final state is
+    the max-n_events row per user."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    def finals(qid):
+        df = QUERIES[qid](spark, SF_DIR)
+        w = Window.partitionBy("user_id").orderBy(F.col("n_events").desc())
+        return {
+            (r.user_id, r.n_events, round(r.total_value, 4))
+            for r in df.withColumn("rk", F.row_number().over(w))
+            .filter("rk = 1")
+            .drop("rk")
+            .collect()
+        }
+
+    custom = finals("stream_stateful_custom")
+    tws = finals("stream_stateful_tws")
+    assert custom, "stateful op emitted no rows"
+    assert tws == custom, (
+        f"TWS drifted from applyInPandasWithState twin: "
+        f"only_tws={sorted(tws - custom)[:3]} only_custom={sorted(custom - tws)[:3]}"
+    )
