@@ -12,7 +12,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from sparkml_spark.registry import dsum, dsum_sql, query
+from sparkml_spark.registry import ZERO_VIOLATIONS, dsum, dsum_sql, query
 from sparkml_spark.sources.loader import load_table
 
 
@@ -223,6 +223,38 @@ def fn_hash_fast(spark, sf_dir):
         F.crc32("text").alias("text_crc32"),
         F.hash("text").alias("text_murmur3"),
     )
+
+
+@query("fn_hash_fast_bound", section="2.H", oracle=ZERO_VIOLATIONS)
+def fn_hash_fast_bound(spark, sf_dir):
+    """ORACLE pin for fn_hash_fast (VERDICT r6 #3): the hash values are
+    engine-private, but their ALGEBRA is not — each function must be a
+    function (every distinct text maps to exactly one hash, so distinct
+    hash counts can never exceed distinct texts), and xxhash64's 64-bit
+    range makes a fixture-scale collision astronomically unlikely
+    (~n²/2⁶⁵ ≈ 1e-11 at sf0.1), so its distinct count must EQUAL the
+    distinct text count. crc32 (32-bit) and murmur3 (32-bit) get the
+    one-sided ≤ pin only — a birthday collision there is merely
+    improbable, not impossible. Oracle pins violations to 0."""
+    d = load_table(spark, sf_dir, "documents")
+    h = d.select(
+        "text",
+        F.xxhash64("text").alias("hx"),
+        F.crc32("text").alias("hc"),
+        F.hash("text").alias("hm"),
+    )
+    totals = h.agg(
+        F.countDistinct("text").alias("n_text"),
+        F.countDistinct("hx").alias("n_hx"),
+        F.countDistinct("hc").alias("n_hc"),
+        F.countDistinct("hm").alias("n_hm"),
+    )
+    viol = (
+        (F.col("n_hx") != F.col("n_text")).cast("bigint")
+        + (F.col("n_hc") > F.col("n_text")).cast("bigint")
+        + (F.col("n_hm") > F.col("n_text")).cast("bigint")
+    )
+    return totals.select(viol.alias("n_violations"))
 
 
 @query(

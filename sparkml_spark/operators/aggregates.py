@@ -19,7 +19,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from sparkml_spark.registry import davg_sql, dsum, dsum_sql, query
+from sparkml_spark.registry import ZERO_VIOLATIONS, davg_sql, dsum, dsum_sql, query
 from sparkml_spark.sources.loader import load_table, load_tables
 
 
@@ -738,9 +738,8 @@ def agg_bitmap_distinct(spark, sf_dir):
 # (rsd=2% HLL -> 10%; lgK=12 HLL -> 10%; CMS overestimates bounded by
 # n_rows/w at d=4 w.h.p. -> exact one-sided check with the full slack).
 # ---------------------------------------------------------------------------
-#: anchored on region (always 5 rows) so the oracle references a
-#: fixture view like every other (entry-contract test requirement).
-_ZERO_VIOLATIONS = "SELECT CAST(0 AS BIGINT) AS n_violations FROM region LIMIT 1"
+#: Shared across operator modules since r7 — see registry.ZERO_VIOLATIONS.
+_ZERO_VIOLATIONS = ZERO_VIOLATIONS
 
 
 @query("agg_approx_distinct_bound", section="2.D", oracle=_ZERO_VIOLATIONS)

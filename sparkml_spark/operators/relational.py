@@ -12,7 +12,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from sparkml_spark.registry import query
+from sparkml_spark.registry import ZERO_VIOLATIONS, query
 from sparkml_spark.sources.loader import load_table, load_tables
 
 # ---------------------------------------------------------------------------
@@ -233,6 +233,40 @@ def sample_deterministic(spark, sf_dir):
     intentionally differs from DuckDB's; same seed ⇒ same Spark rows)."""
     o = load_table(spark, sf_dir, "orders")
     return o.sample(fraction=0.1, seed=42).select("o_orderkey", "o_totalprice")
+
+
+@query("sample_deterministic_bound", section="2.B", oracle=ZERO_VIOLATIONS)
+def sample_deterministic_bound(spark, sf_dir):
+    """ORACLE pin for sample_deterministic (VERDICT r6 #3): the RNG
+    stream is engine-private, but seed-stability is not — two
+    independent scans sampled with the SAME seed over the same
+    partition layout must select the IDENTICAL row multiset (that is
+    the op's entire contract), and the sample must be proper (neither
+    empty nor the whole table at fraction 0.1). Violations = rows in
+    the symmetric difference + 1 per broken properness side; oracle
+    pins 0."""
+    s1 = (
+        load_table(spark, sf_dir, "orders")
+        .sample(fraction=0.1, seed=42)
+        .select("o_orderkey")
+    )
+    s2 = (
+        load_table(spark, sf_dir, "orders")
+        .sample(fraction=0.1, seed=42)
+        .select("o_orderkey")
+    )
+    sym = s1.exceptAll(s2).unionAll(s2.exceptAll(s1)).agg(
+        F.count(F.lit(1)).alias("n_diff")
+    )
+    counts = s1.agg(F.count(F.lit(1)).alias("n_sample")).crossJoin(
+        load_table(spark, sf_dir, "orders").agg(F.count(F.lit(1)).alias("n_total"))
+    )
+    viol = (
+        F.col("n_diff")
+        + (F.col("n_sample") == 0).cast("bigint")
+        + (F.col("n_sample") >= F.col("n_total")).cast("bigint")
+    )
+    return sym.crossJoin(counts).select(viol.alias("n_violations"))
 
 
 # ---------------------------------------------------------------------------
@@ -534,6 +568,42 @@ def stat_sampleby_seeded(spark, sf_dir):
         {"view": 0.05, "click": 0.10, "purchase": 0.5, "signup": 1.0, "error": 1.0},
         seed=42,
     ).select("event_id", "event_type", "user_id", "value")
+
+
+@query("stat_sampleby_bound", section="2.B", oracle=ZERO_VIOLATIONS)
+def stat_sampleby_bound(spark, sf_dir):
+    """ORACLE pin for stat_sampleby_seeded (VERDICT r6 #3): per-stratum
+    RNG draws are engine-private, but (a) same seed twice must select
+    the identical event_id set, and (b) fraction-1.0 strata ('signup',
+    'error') must be sampled COMPLETELY — an exact invariant, no RNG
+    involved. Violations = symmetric-difference rows + per-stratum
+    completeness breaks; oracle pins 0."""
+    fr = {"view": 0.05, "click": 0.10, "purchase": 0.5, "signup": 1.0, "error": 1.0}
+
+    def draw():
+        return (
+            load_table(spark, sf_dir, "events")
+            .stat.sampleBy("event_type", fr, seed=42)
+            .select("event_id", "event_type")
+        )
+
+    s1, s2 = draw(), draw()
+    sym = (
+        s1.select("event_id")
+        .exceptAll(s2.select("event_id"))
+        .unionAll(s2.select("event_id").exceptAll(s1.select("event_id")))
+        .agg(F.count(F.lit(1)).alias("n_diff"))
+    )
+    full = F.col("event_type").isin("signup", "error")
+    n_full_src = (
+        load_table(spark, sf_dir, "events")
+        .agg(F.count_if(full).alias("n_src"))
+    )
+    n_full_smp = s1.agg(F.count_if(full).alias("n_smp"))
+    viol = F.col("n_diff") + (F.col("n_smp") != F.col("n_src")).cast("bigint")
+    return sym.crossJoin(n_full_src).crossJoin(n_full_smp).select(
+        viol.alias("n_violations")
+    )
 
 
 @query(

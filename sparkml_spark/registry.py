@@ -27,6 +27,14 @@ ORACLES: Dict[str, str] = {}
 #: Optional per-query metadata (tier, survey section) for reporting.
 META: Dict[str, dict] = {}
 
+#: Shared oracle for *_bound pin queries: the Spark side computes an
+#: invariant-violation count over engine-private output (sketch error
+#: bands, RNG seed-stability, hash injectivity) and the oracle pins it
+#: to exactly 0 — hash-checkable without the oracle re-deriving the
+#: engine-private values. Anchored on region (always 5 rows) so the
+#: SQL references a fixture view like every other oracle.
+ZERO_VIOLATIONS = "SELECT CAST(0 AS BIGINT) AS n_violations FROM region LIMIT 1"
+
 
 def query(name: str, oracle: str | None = None, section: str = "", doc: str = ""):
     """Register an operator query; `oracle=None` => ROWS-tier check."""

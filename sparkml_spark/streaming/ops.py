@@ -29,7 +29,7 @@ import uuid
 
 from pyspark.sql import functions as F
 
-from sparkml_spark.registry import query
+from sparkml_spark.registry import ZERO_VIOLATIONS, query
 from sparkml_spark.sources.loader import load_table
 
 
@@ -529,6 +529,36 @@ def stream_sketch_rollup(spark, sf_dir):
         .select(F.col("win.start").alias("hour_start"), "event_type", "approx_users")
     )
     return _run_to_memory(agg, "stream_sketch_rollup", output_mode="complete")
+
+
+@query("stream_sketch_rollup_bound", section="2.K", oracle=ZERO_VIOLATIONS)
+def stream_sketch_rollup_bound(spark, sf_dir):
+    """ORACLE pin for stream_sketch_rollup (VERDICT r6 #3, the
+    agg_approx_distinct_bound pattern lifted to streaming): replay the
+    stream, then full-outer-join its per-(window, type) HLL estimates
+    against the exact batch distinct-user counts. Violations: a
+    (window, type) key present on only one side (the complete-mode
+    replay must cover exactly the batch key set), or an estimate off by
+    more than max(10% of exact, 3) — the relative band is 5x the rsd=2%
+    sketch, and the absolute floor absorbs HLL++'s small-range
+    granularity (hourly windows here hold single-digit distinct users,
+    where an off-by-one is 25% relative but entirely in-spec).
+    Oracle pins 0."""
+    stream = stream_sketch_rollup(spark, sf_dir)
+    e = load_table(spark, sf_dir, "events")
+    exact = e.groupBy(
+        F.date_trunc("hour", "ts").alias("hour_start"), "event_type"
+    ).agg(F.countDistinct("user_id").alias("exact_users"))
+    j = stream.join(exact, ["hour_start", "event_type"], "full_outer")
+    viol = (
+        F.col("approx_users").isNull()
+        | F.col("exact_users").isNull()
+        | (
+            F.abs(F.col("approx_users") - F.col("exact_users"))
+            > F.greatest(0.10 * F.col("exact_users"), F.lit(3.0))
+        )
+    )
+    return j.agg(F.count_if(viol).alias("n_violations"))
 
 
 @query(
