@@ -52,6 +52,7 @@ def main() -> int:
 
     times: dict[str, float] = {}
     times_e2e: dict[str, float] = {}
+    times_plan: dict[str, float] = {}
     total = 0.0
     total_e2e = 0.0
     for bench_name, qid in HEADLINE.items():
@@ -74,6 +75,17 @@ def main() -> int:
         df = fn(spark, sf_dir)
         rows = len(df.collect())
         e2e = time.time() - t0  # run 2: build + execute
+        # Plan-side cost in isolation (VERDICT r6 #2: make e2e drift
+        # attributable): Python DataFrame construction + Catalyst
+        # analysis/optimization/physical planning of a FRESH plan,
+        # no execution. e2e - plan ≈ pure execution; for the flagship
+        # the residual is the documented exact-decimal aggregation tax
+        # on the serial single-rowgroup scan (SCALE.md), not compile
+        # creep.
+        t0 = time.time()
+        fresh = fn(spark, sf_dir)
+        fresh._jdf.queryExecution().executedPlan()
+        plan_s = time.time() - t0
         best = float("inf")
         for _ in range(3):
             t0 = time.time()
@@ -81,11 +93,12 @@ def main() -> int:
             best = min(best, time.time() - t0)
         times[bench_name] = round(best, 3)
         times_e2e[bench_name] = round(e2e, 3)
+        times_plan[bench_name] = round(plan_s, 3)
         total += best
         total_e2e += e2e
         print(
-            f"# {bench_name} ({qid}): steady {best:.3f}s / e2e {e2e:.3f}s,"
-            f" {rows} rows",
+            f"# {bench_name} ({qid}): steady {best:.3f}s / e2e {e2e:.3f}s"
+            f" (plan {plan_s:.3f}s), {rows} rows",
             file=sys.stderr,
         )
 
@@ -99,6 +112,7 @@ def main() -> int:
                 "queries": times,
                 "value_e2e_run2": round(total_e2e, 3),
                 "queries_e2e_run2": times_e2e,
+                "queries_plan": times_plan,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )
