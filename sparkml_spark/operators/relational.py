@@ -555,6 +555,31 @@ def stat_freq_items(spark, sf_dir):
     )
 
 
+@query("stat_freq_items_bound", section="2.B", oracle=ZERO_VIOLATIONS)
+def stat_freq_items_bound(spark, sf_dir):
+    """ORACLE pin for stat_freq_items (VERDICT r6 #3): the KSP sketch's
+    exact output is engine-private (false positives allowed by
+    contract), but its CONTAINMENT guarantee is not — every event_type
+    whose exact support exceeds 15% MUST appear in the returned set.
+    Violations = truly-frequent types missing from the sketch output;
+    oracle pins 0. (This lifts the tests/test_operators.py assertion
+    into driver-hash evidence.)"""
+    e = load_table(spark, sf_dir, "events")
+    fi = e.stat.freqItems(["event_type"], support=0.15).select(
+        F.col("event_type_freqItems").alias("found")
+    )
+    exact = (
+        e.groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .crossJoin(e.agg(F.count(F.lit(1)).alias("total")))
+        .filter(F.col("n") > 0.15 * F.col("total"))
+    )
+    missing = ~F.array_contains(F.col("found"), F.col("event_type"))
+    return exact.crossJoin(F.broadcast(fi)).agg(
+        F.count_if(missing).alias("n_violations")
+    )
+
+
 @query("stat_sampleby_seeded", section="2.B")
 def stat_sampleby_seeded(spark, sf_dir):
     """`df.stat.sampleBy` — per-stratum seeded Bernoulli sampling (the

@@ -15,7 +15,7 @@ import os
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from sparkml_spark.registry import query
+from sparkml_spark.registry import ZERO_VIOLATIONS, query
 from sparkml_spark.sources.loader import load_table
 
 _ARTIFACTS = "/root/repo/.artifacts"
@@ -226,6 +226,44 @@ def compact_small_files(spark, sf_dir):
         ).select(F.lit(phase).alias("phase"), "*")
 
     return stats(src, "before").unionByName(stats(dst, "after"))
+
+
+@query("compact_small_files_bound", section="2.A", oracle=ZERO_VIOLATIONS)
+def compact_small_files_bound(spark, sf_dir):
+    """ORACLE pin for compact_small_files (VERDICT r6 #3): file layout
+    is engine-physical, but the maintenance contract is not — the
+    rewrite must conserve CONTENT exactly (zero rows in either side of
+    the bag difference) and must actually consolidate (fewer output
+    files than the 64 input shards). Violations = content-diff rows +
+    1 if no consolidation; oracle pins 0."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    src = _artifact("compact_bound_src")
+    d.repartition(64).write.mode("overwrite").parquet(src)
+    dst = _artifact("compact_bound_dst")
+    (
+        spark.read.parquet(src)
+        .repartitionByRange(4, "doc_id")
+        .write.mode("overwrite")
+        .option("maxRecordsPerFile", 500_000)
+        .parquet(dst)
+    )
+    before, after = spark.read.parquet(src), spark.read.parquet(dst)
+    content_diff = (
+        before.exceptAll(after)
+        .unionAll(after.exceptAll(before))
+        .agg(F.count(F.lit(1)).alias("n_diff"))
+    )
+    files = before.select(F.col("_metadata.file_name").alias("f")).distinct().agg(
+        F.count(F.lit(1)).alias("files_before")
+    ).crossJoin(
+        after.select(F.col("_metadata.file_name").alias("f")).distinct().agg(
+            F.count(F.lit(1)).alias("files_after")
+        )
+    )
+    viol = F.col("n_diff") + (
+        F.col("files_after") >= F.col("files_before")
+    ).cast("bigint")
+    return content_diff.crossJoin(files).select(viol.alias("n_violations"))
 
 
 @query(

@@ -451,6 +451,41 @@ def stream_stream_join(spark, sf_dir):
     return _run_to_memory(joined, "ss_join", "append")
 
 
+@query("stream_stateful_bound", section="2.K", oracle=ZERO_VIOLATIONS)
+def stream_stateful_bound(spark, sf_dir):
+    """ORACLE pin for stream_stateful_custom/_tws (VERDICT r6 #3): the
+    per-batch emission cadence is engine-private, but the FINAL state
+    is not — after a bounded replay, each user's last update (the
+    max-n_events row; the running totals are monotone in n_events)
+    must equal the batch groupBy: n_events exactly, total_value within
+    1e-6 (the processor sums float64 sequentially and rounds to 4dp at
+    emit; summation order may differ from the batch plan's, so the pin
+    allows ulp slack far below the 4dp grid). A user present on only
+    one side is also a violation. Oracle pins 0."""
+    from pyspark.sql.window import Window
+
+    stream = stream_stateful_custom(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy(F.col("n_events").desc())
+    final = (
+        stream.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("user_id", "total_value", "n_events")
+    )
+    e = load_table(spark, sf_dir, "events")
+    batch = e.groupBy("user_id").agg(
+        F.round(F.sum("value"), 4).alias("b_total"),
+        F.count(F.lit(1)).alias("b_n"),
+    )
+    j = final.join(batch, "user_id", "full_outer")
+    viol = (
+        F.col("n_events").isNull()
+        | F.col("b_n").isNull()
+        | (F.col("n_events") != F.col("b_n"))
+        | (F.abs(F.col("total_value") - F.col("b_total")) > 1e-6)
+    )
+    return j.agg(F.count_if(viol).alias("n_violations"))
+
+
 @query("stream_stateful_tws", section="2.K")
 def stream_stateful_tws(spark, sf_dir):
     """Arbitrary stateful processing via the Spark 4.x
