@@ -18,7 +18,7 @@ from __future__ import annotations
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
-from sparkml_spark.registry import query
+from sparkml_spark.registry import ZERO_VIOLATIONS, query
 from sparkml_spark.sources.loader import load_table
 
 _N_QUERIES = 10
@@ -412,4 +412,47 @@ def sim_quantized_int8(spark, sf_dir):
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= _K)
         .select("query_id", "neighbor_id", "qdot", "rank")
+    )
+
+
+@query("sim_ann_recall_bound", section="2.I", oracle=ZERO_VIOLATIONS)
+def sim_ann_recall_bound(spark, sf_dir):
+    """ORACLE pin for sim_lsh_ann / sim_ivf_ann (VERDICT r6 #3): the
+    bucketed candidates are seed-specific, but ANN quality is the
+    contract — recall@5 against the exact brute-force top-k (itself
+    ORACLE-green) must beat a floor, and no ANN result may be a
+    self-match or exceed k rows per query. Floors (LSH >= 0.6,
+    IVF >= 0.3) sit well under the measured tri-scale minima
+    (0.82/0.48) but orders of magnitude above the ~k/n random floor,
+    so a broken index fails while LSH draw variance cannot.
+    Violations = failed floors + structural breaks; oracle pins 0."""
+    exact = sim_topk_bruteforce(spark, sf_dir).select("query_id", "neighbor_id")
+    n_exact = exact.agg(F.count(F.lit(1)).alias("n_exact"))
+
+    def audit(df, tag, floor):
+        hits = (
+            df.select("query_id", "neighbor_id")
+            .join(exact, ["query_id", "neighbor_id"], "left_semi")
+            .agg(F.count(F.lit(1)).alias("n_hit"))
+        )
+        structural = df.agg(
+            F.count_if(F.col("query_id") == F.col("neighbor_id")).alias("n_self"),
+            F.count_if(F.col("rank") > _K).alias("n_overk"),
+        )
+        return (
+            hits.crossJoin(n_exact)
+            .crossJoin(structural)
+            .select(
+                (
+                    (F.col("n_hit") < floor * F.col("n_exact")).cast("bigint")
+                    + F.col("n_self")
+                    + F.col("n_overk")
+                ).alias(f"v_{tag}")
+            )
+        )
+
+    lsh = audit(sim_lsh_ann(spark, sf_dir), "lsh", 0.6)
+    ivf = audit(sim_ivf_ann(spark, sf_dir), "ivf", 0.3)
+    return lsh.crossJoin(ivf).select(
+        (F.col("v_lsh") + F.col("v_ivf")).alias("n_violations")
     )

@@ -18,7 +18,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from sparkml_spark.registry import query
+from sparkml_spark.registry import ZERO_VIOLATIONS, query
 from sparkml_spark.sources.loader import load_table
 
 SEED = 42
@@ -276,6 +276,45 @@ def ml_classify_logistic(spark, sf_dir):
         F.col("prediction").cast("int").alias("prediction"),
         (F.col("label") == F.col("prediction")).alias("correct"),
     )
+
+
+@query("ml_fit_quality_bound", section="2.J", oracle=ZERO_VIOLATIONS)
+def ml_fit_quality_bound(spark, sf_dir):
+    """ORACLE pin for the §2.J fit family (VERDICT r6 #3): model
+    weights are engine-private, but learned-signal floors are not —
+    (a) the multinomial logistic TRAIN accuracy must beat 2x the
+    10-class random rate (the fixture's labels are synthetic noise —
+    test accuracy IS random ~0.1 by construction, so generalization
+    can't be pinned; what can is that LBFGS actually optimizes: train
+    accuracy is 0.41-0.45 tri-scale, floor 0.2, and a broken fit
+    degenerates to ~0.1), and (b)
+    seeded KMeans(k=16) must produce 16 NON-EMPTY clusters (a
+    collapsed/degenerate quantizer empties cells — the same failure
+    that would gut sim_ivf_ann's probes). Deterministic: LBFGS and
+    seeded k-means on a fixed key-split. Violations pinned to 0."""
+    from pyspark.ml.classification import LogisticRegression
+    from pyspark.ml.clustering import KMeans
+
+    feats = _features(spark, sf_dir)
+    train, _test = _train_test(feats)
+    lr = LogisticRegression(maxIter=25, regParam=0.01).fit(train)
+    acc = lr.transform(train).agg(
+        (
+            F.count_if(F.col("prediction") == F.col("label"))
+            / F.count(F.lit(1))
+        ).alias("acc")
+    )
+    km = KMeans(k=16, seed=42).fit(feats)
+    n_cells = (
+        km.transform(feats)
+        .groupBy("prediction")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .agg(F.count(F.lit(1)).alias("n_nonempty"))
+    )
+    viol = (F.col("acc") < 0.2).cast("bigint") + (
+        F.col("n_nonempty") != 16
+    ).cast("bigint")
+    return acc.crossJoin(n_cells).select(viol.alias("n_violations"))
 
 
 @query("ml_classify_trees", section="2.J")
