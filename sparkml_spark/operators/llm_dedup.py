@@ -20,7 +20,7 @@ from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from sparkml_spark.operators.llm_text import _gram_idx
-from sparkml_spark.registry import query
+from sparkml_spark.registry import ZERO_VIOLATIONS, query
 from sparkml_spark.sources.loader import load_table
 
 #: Offset that turns a copied doc_id into a synthetic duplicate's id.
@@ -785,3 +785,33 @@ def cc_min_label(edges, max_rounds: int = 40):
         f"cc_min_label did not converge within {max_rounds} rounds — "
         "graph diameter exceeds 2^max_rounds or ids are adversarial"
     )
+
+
+@query("dedup_minhash_recall_bound", section="2.I", oracle=ZERO_VIOLATIONS)
+def dedup_minhash_recall_bound(spark, sf_dir):
+    """ORACLE pin for dedup_near_minhash (VERDICT r6 #3): the banded
+    sketch is seed-specific, but its RECALL against the exact-Jaccard
+    ground truth is checkable — dedup_ngram_jaccard (itself
+    ORACLE-green) enumerates the true pairs at sim >= 0.6, and the
+    MinHashLSH join (distance <= 0.4, the same cutoff; seed=42 so the
+    draw is fixed) must return exactly that set: approxSimilarityJoin
+    reranks candidates by TRUE Jaccard, so found => true holds by
+    construction, and a miss requires all 8 independent min-hashes to
+    disagree (p <= 0.4^8 ~ 7e-4 per borderline pair — measured ZERO
+    missing tri-scale). Violations = symmetric-difference pairs;
+    oracle pins 0."""
+    exact = dedup_ngram_jaccard(spark, sf_dir).select(
+        F.least("id_a", "id_b").alias("a"), F.greatest("id_a", "id_b").alias("b")
+    ).distinct()
+    mh = (
+        dedup_near_minhash(spark, sf_dir)
+        .select(
+            F.least("id_a", "id_b").alias("a"), F.greatest("id_a", "id_b").alias("b")
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    sym = exact.join(mh, ["a", "b"], "left_anti").unionAll(
+        mh.join(exact, ["a", "b"], "left_anti")
+    )
+    return sym.agg(F.count(F.lit(1)).alias("n_violations"))

@@ -557,10 +557,46 @@ def ml_als_recommend(spark, sf_dir):
     )
 
 
-@query("ml_fpgrowth", section="2.J")
+@query(
+    "ml_fpgrowth",
+    section="2.J",
+    oracle="""
+WITH types AS (
+  SELECT event_type, row_number() OVER (ORDER BY event_type) - 1 AS i
+  FROM (SELECT DISTINCT event_type FROM events)
+),
+k AS (SELECT COUNT(*) AS c FROM types),
+masks AS (SELECT unnest(range(1, 1 << (SELECT c FROM k))) AS m),
+subsets AS (
+  SELECT m, list_sort(list(event_type)) AS items
+  FROM masks JOIN types ON (m >> i) & 1 = 1
+  GROUP BY m
+),
+b AS (
+  SELECT user_id, list_distinct(list(event_type)) AS basket
+  FROM events GROUP BY user_id
+),
+n AS (SELECT COUNT(*) AS nb FROM b),
+counts AS (
+  SELECT s.items, COUNT(*) AS freq
+  FROM subsets s JOIN b ON list_has_all(b.basket, s.items)
+  GROUP BY s.items
+)
+SELECT array_to_string(items, ',') AS itemset_csv, freq
+FROM counts, n WHERE freq >= CEIL(0.2 * nb)
+""",
+)
 def ml_fpgrowth(spark, sf_dir):
     """FPGrowth over per-user event-type baskets: frequent itemsets with
-    support counts (sorted items for determinism)."""
+    support counts (sorted items for determinism).
+
+    PROMOTED to ORACLE in r7: FPGrowth is an EXACT algorithm, and over
+    a 5-symbol alphabet the ground truth is SQL-enumerable — the oracle
+    generates all non-empty subsets via bitmasks, counts each subset's
+    support with a basket-containment join, and keeps those meeting
+    Spark's minCount = ceil(minSupport x n_baskets). At real scale the
+    oracle side is exponential in alphabet size and FPGrowth is the
+    point; the pin holds wherever the alphabet is small."""
     from pyspark.ml.fpm import FPGrowth
 
     e = load_table(spark, sf_dir, "events")
