@@ -612,6 +612,65 @@ def ml_fpgrowth(spark, sf_dir):
     )
 
 
+@query("ml_embed_models_bound", section="2.J", oracle=ZERO_VIOLATIONS)
+def ml_embed_models_bound(spark, sf_dir):
+    """ORACLE pin for the embedding-model trio (VERDICT r6 #3) — the
+    learned weights are seed-specific, their structural contracts are
+    not:
+    - Word2Vec (minCount=1): the vocabulary must be EXACTLY the
+      distinct token set (SQL-countable), and every learned vector
+      must have nonzero norm (a zero vector = dead embedding).
+    - LDA (k=5, top-5 terms): exactly 5 topics, each naming 5 DISTINCT
+      term indices.
+    - ALS (top-2 recs, 5 item types): top1 != top2 and both item ids
+      inside [0, n_item_types).
+    Violations summed across the trio; oracle pins 0."""
+    w2v = ml_word2vec(spark, sf_dir)
+    d = load_table(spark, sf_dir, "documents")
+    n_tokens = d.select(
+        F.explode(F.split(F.lower(F.trim("text")), r"\s+")).alias("tok")
+    ).agg(F.countDistinct("tok").alias("n_tok"))
+    v_w2v = w2v.agg(
+        F.count(F.lit(1)).alias("n_vocab"),
+        F.count_if(F.col("sq_norm") <= 0).alias("n_dead"),
+    )
+
+    lda = ml_lda_topics(spark, sf_dir)
+    v_lda = lda.agg(
+        (F.count(F.lit(1)) != 5).cast("bigint").alias("bad_k"),
+        F.count_if(
+            F.size(F.array_distinct(F.split("term_indices_csv", ","))) != 5
+        ).alias("bad_topics"),
+    )
+
+    als = ml_als_recommend(spark, sf_dir)
+    e = load_table(spark, sf_dir, "events")
+    n_items = e.agg(F.countDistinct("event_type").alias("n_items"))
+    v_als = als.crossJoin(F.broadcast(n_items)).agg(
+        F.count_if(
+            (F.col("top1_item") == F.col("top2_item"))
+            | (F.col("top1_item") < 0)
+            | (F.col("top1_item") >= F.col("n_items"))
+            | (F.col("top2_item") < 0)
+            | (F.col("top2_item") >= F.col("n_items"))
+        ).alias("bad_recs")
+    )
+
+    viol = (
+        (F.col("n_vocab") != F.col("n_tok")).cast("bigint")
+        + F.col("n_dead")
+        + F.col("bad_k")
+        + F.col("bad_topics")
+        + F.col("bad_recs")
+    )
+    return (
+        v_w2v.crossJoin(n_tokens)
+        .crossJoin(v_lda)
+        .crossJoin(v_als)
+        .select(viol.alias("n_violations"))
+    )
+
+
 @query("ml_tuning_cv", section="2.J")
 def ml_tuning_cv(spark, sf_dir):
     """CrossValidator (2-fold) AND TrainValidationSplit (80/20), both

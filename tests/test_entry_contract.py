@@ -14,15 +14,15 @@ def test_oracle_keys_subset_of_queries():
 
 
 def test_oracle_tier_never_shrinks():
-    """Round-7 floor: 251 of 284 queries are hash-checkable (the 34
+    """Round-7 floor: 252 of 285 queries are hash-checkable (the 34
     ROWS-tier remainder is exactly the engine-private surface — model
     fits, hash families, RNG samplers, sketches, streaming state
     machines, file layout; since r7 each of those families also has an
     ORACLE-tier *_bound invariant pin). A tier demotion is a
     verification-strength regression and must be a conscious decision,
     not a side effect."""
-    assert len(entrymod.oracle_sql()) >= 251
-    assert len(entrymod.queries()) >= 284
+    assert len(entrymod.oracle_sql()) >= 252
+    assert len(entrymod.queries()) >= 285
 
 
 def test_query_callables_arity():
