@@ -815,3 +815,106 @@ def dedup_minhash_recall_bound(spark, sf_dir):
         mh.join(exact, ["a", "b"], "left_anti")
     )
     return sym.agg(F.count(F.lit(1)).alias("n_violations"))
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup — semantic (embedding-space) dedup within clusters
+# ---------------------------------------------------------------------------
+
+#: Integer similarity cutoff on the int8-quantized dot product:
+#: 0.78 cosine on unit vectors ~ 0.78 * 127^2 on the q8 grid. Random
+#: 64-d unit vectors pair at cosine ~ N(0, 1/64) (sigma ~ 0.125), so
+#: 0.78 is > 6 sigma above chance — only the injected exact copies
+#: (cosine 1.0) clear it; no flaky near-threshold pairs.
+_SEM_QDOT_MIN = 12582  # floor(0.78 * 127 * 127)
+
+_SEM_Q8_SQL = (
+    "list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 127.0 + 0.5) AS BIGINT))"
+)
+
+
+@query(
+    "dedup_semantic_semdedup",
+    section="2.I",
+    oracle=f"""
+WITH corpus AS (
+  SELECT vec_id, label, embedding FROM embeddings
+  UNION ALL
+  SELECT vec_id + {_DUP_OFFSET} AS vec_id, label, embedding
+  FROM embeddings WHERE vec_id % 25 = 0
+), qz AS (
+  SELECT vec_id, label, {_SEM_Q8_SQL} AS q8 FROM corpus
+), dup AS (
+  SELECT b.vec_id AS vec_id, MIN(a.vec_id) AS keeper_id
+  FROM qz a JOIN qz b ON a.label = b.label AND a.vec_id < b.vec_id
+  WHERE list_sum(list_transform(list_zip(a.q8, b.q8), p -> p[1] * p[2]))
+        >= {_SEM_QDOT_MIN}
+  GROUP BY b.vec_id
+)
+SELECT c.vec_id, c.label AS cluster, dup.keeper_id,
+       dup.keeper_id IS NULL AS is_kept
+FROM qz c LEFT JOIN dup ON c.vec_id = dup.vec_id
+""",
+)
+def dedup_semantic_semdedup(spark, sf_dir):
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic dedup
+    that only ever compares embeddings INSIDE a cluster — the cluster
+    structure bounds the quadratic pair cost that makes global
+    embedding dedup intractable. Here the cluster id is the fixture
+    `label` (the k-means assignment step is its own operator:
+    sim_centroid_assign / ml_clustering — SemDeDup composes them);
+    within a cluster, a vector is dropped iff a LOWER-id vector in the
+    same cluster is semantically identical (quantized dot >= 0.78 on
+    the int8 grid — integer arithmetic, so the pin is exact with zero
+    float drift, same trick as sim_quantized_int8). Deterministic
+    keeper rule: survivors are the cluster-local minima; each dropped
+    row reports its MIN matching keeper_id. The paper keeps the
+    centroid-FARTHEST member instead — same mechanics, different
+    ORDER BY; min-id is used here because it is total-order stable
+    under re-partitioning.
+
+    Scale: the pair join is label-partitioned (shuffle key = cluster
+    id), so cost is sum(c_i^2) over cluster sizes, never n^2 — with
+    k-means clusters sized ~n/k this is n^2/k and k grows with the
+    corpus (SemDeDup runs at k=50k on LAION). Skewed clusters are the
+    known failure mode: cap cluster size upstream or re-cluster the
+    giants. The q8 quantization also halves candidate shuffle bytes
+    (float32 -> int8), which at 100 TB is the difference between a
+    network-bound and CPU-bound stage."""
+    e = load_table(spark, sf_dir, "embeddings")
+    dups = e.filter(F.col("vec_id") % 25 == 0).select(
+        (F.col("vec_id") + _DUP_OFFSET).alias("vec_id"), "label", "embedding"
+    )
+    corpus = e.select("vec_id", "label", "embedding").unionByName(dups)
+    qz = corpus.select(
+        "vec_id",
+        "label",
+        F.transform(
+            "embedding",
+            lambda x: F.floor(x.cast("double") * F.lit(127.0) + F.lit(0.5)).cast("long"),
+        ).alias("q8"),
+    )
+    a = qz.select(
+        F.col("vec_id").alias("id_a"), F.col("label").alias("label_a"), F.col("q8").alias("q8_a")
+    )
+    b = qz.select(
+        F.col("vec_id").alias("id_b"), F.col("label").alias("label_b"), F.col("q8").alias("q8_b")
+    )
+    qdot = F.aggregate(
+        F.zip_with("q8_a", "q8_b", lambda x, y: x * y), F.lit(0).cast("long"), lambda acc, v: acc + v
+    )
+    dup = (
+        a.join(b, (F.col("label_a") == F.col("label_b")) & (F.col("id_a") < F.col("id_b")))
+        .filter(qdot >= F.lit(_SEM_QDOT_MIN))
+        .groupBy(F.col("id_b").alias("vec_id"))
+        .agg(F.min("id_a").alias("keeper_id"))
+    )
+    return (
+        qz.join(dup, "vec_id", "left")
+        .select(
+            "vec_id",
+            F.col("label").alias("cluster"),
+            "keeper_id",
+            F.col("keeper_id").isNull().alias("is_kept"),
+        )
+    )

@@ -267,3 +267,23 @@ def test_two_phase_prefix_sums_bound_single_partition(spark):
     for qid in ("pipeline_sequence_pack", "multimodal_shard_manifest"):
         plan = QUERIES[qid](spark, SF_DIR)._jdf.queryExecution().executedPlan().toString()
         assert plan.count("SinglePartition") <= 1, f"{qid}: {plan[:2000]}"
+
+
+def test_semdedup_pairs_meet_inside_cluster_only(spark):
+    """dedup_semantic_semdedup's pair join must be an equi join on the
+    cluster id (shuffle key = label) — the whole point of SemDeDup is
+    that the quadratic pair cost is bounded per cluster, so an
+    all-pairs (cartesian / nested-loop) plan defeats the operator."""
+    import re
+
+    plan = (
+        QUERIES["dedup_semantic_semdedup"](spark, SF_DIR)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan, plan[:1500]
+    assert "BroadcastNestedLoop" not in plan, plan[:1500]
+    assert re.search(
+        r"(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin) \[label", plan
+    ), plan[:1500]
