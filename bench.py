@@ -6,7 +6,7 @@ Timing protocol: one warm shared SparkSession, each query executed
 three times, the MINIMUM wall-clock reported — the steady-state
 throughput number (the first runs are dominated by JVM JIT/codegen
 warmup, which BASELINE.md's "second execution" protocol still partly
-absorbs: the flagship measures ~1.5 s on run 2 but ~0.07 s steady). Keep `spark.sql.shuffle.partitions` small at
+absorbs: the flagship measures ~1.0 s on run 2 but ~0.07 s steady). Keep `spark.sql.shuffle.partitions` small at
 this scale (BASELINE used 8) — AQE coalesces anyway, but the initial
 number still costs task-launch overhead locally.
 """
@@ -67,8 +67,8 @@ def main() -> int:
         #    of the second execution" protocol.
         # 2. steady: the prepared plan executed 3x, minimum taken —
         #    pure execution throughput (what scales with data; the
-        #    ~1.3 s plan-construction overhead above is fixed at any
-        #    SF). Each .collect() runs the full distributed job, AQE
+        #    ~0.1-0.25 s plan-construction overhead above is fixed at
+        #    any SF). Each .collect() runs the full distributed job, AQE
         #    included.
         rows = len(fn(spark, sf_dir).collect())  # run 1: warmup
         t0 = time.time()

@@ -19,7 +19,15 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from sparkml_spark.registry import ZERO_VIOLATIONS, davg_sql, dsum, dsum_sql, query
+from sparkml_spark.registry import (
+    ZERO_VIOLATIONS,
+    davg_sql,
+    dsum,
+    dsum_sql,
+    lsum,
+    lsum_sql,
+    query,
+)
 from sparkml_spark.sources.loader import load_table, load_tables
 
 
@@ -67,13 +75,13 @@ def agg_global(spark, sf_dir):
 SELECT
   l_returnflag,
   l_linestatus,
-  {dsum_sql('l_quantity')} AS sum_qty,
-  {dsum_sql('l_extendedprice')} AS sum_base_price,
-  {dsum_sql('l_extendedprice * (1 - l_discount)')} AS sum_disc_price,
-  {dsum_sql('l_extendedprice * (1 - l_discount) * (1 + l_tax)')} AS sum_charge,
-  {davg_sql('l_quantity')} AS avg_qty,
-  {davg_sql('l_extendedprice')} AS avg_price,
-  {davg_sql('l_discount')} AS avg_disc,
+  {lsum_sql('l_quantity')} AS sum_qty,
+  {lsum_sql('l_extendedprice')} AS sum_base_price,
+  {lsum_sql('l_extendedprice * (1 - l_discount)')} AS sum_disc_price,
+  {lsum_sql('l_extendedprice * (1 - l_discount) * (1 + l_tax)')} AS sum_charge,
+  {lsum_sql('l_quantity')} / COUNT(l_quantity) AS avg_qty,
+  {lsum_sql('l_extendedprice')} / COUNT(l_extendedprice) AS avg_price,
+  {lsum_sql('l_discount')} / COUNT(l_discount) AS avg_disc,
   COUNT(*) AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '1998-09-02'
@@ -86,7 +94,14 @@ def agg_groupby_multi(spark, sf_dir):
     The `l_shipdate <=` predicate reaches the parquet scan as a pushed
     filter and `ReadSchema` carries only the 7 referenced columns
     (verified via explain — SURVEY.md §4.2).
-    """
+
+    THE FLAGSHIP's aggregates use `lsum` (split-grid long sums — see
+    registry.py) rather than `dsum`: same 1e-6 quantization grid, same
+    exact cross-engine hash, but the hot loop is primitive long adds
+    instead of decimal arithmetic — measured 1.04-1.20s → 0.70-0.76s
+    fresh-plan e2e at sf0.1, which is the "exact-decimal aggregation
+    tax" SCALE.md tracked since r5, now mostly repaid. Overflow bounds
+    (why this is still 100 TB-safe) are in the lsum docstring."""
     li = load_table(spark, sf_dir, "lineitem")
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     charge = disc_price * (1 + F.col("l_tax"))
@@ -94,13 +109,13 @@ def agg_groupby_multi(spark, sf_dir):
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp_ntz"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            dsum("l_quantity").alias("sum_qty"),
-            dsum("l_extendedprice").alias("sum_base_price"),
-            dsum(disc_price).alias("sum_disc_price"),
-            dsum(charge).alias("sum_charge"),
-            (dsum("l_quantity") / F.count("l_quantity")).alias("avg_qty"),
-            (dsum("l_extendedprice") / F.count("l_extendedprice")).alias("avg_price"),
-            (dsum("l_discount") / F.count("l_discount")).alias("avg_disc"),
+            lsum("l_quantity").alias("sum_qty"),
+            lsum("l_extendedprice").alias("sum_base_price"),
+            lsum(disc_price).alias("sum_disc_price"),
+            lsum(charge).alias("sum_charge"),
+            (lsum("l_quantity") / F.count("l_quantity")).alias("avg_qty"),
+            (lsum("l_extendedprice") / F.count("l_extendedprice")).alias("avg_price"),
+            (lsum("l_discount") / F.count("l_discount")).alias("avg_disc"),
             F.count(F.lit(1)).alias("count_order"),
         )
     )

