@@ -92,6 +92,39 @@ def test_dsum_order_independent(spark, rows):
 
 @given(rows=rows_strategy)
 @_SETTINGS
+def test_lsum_matches_duckdb_and_order_independent(spark, rows):
+    """The flagship's split-grid long sum (registry.lsum) must (a) be
+    exactly the same function as its DuckDB twin lsum_sql on arbitrary
+    finite doubles — the risk is tie rounding of the frac part, where
+    Spark round() (HALF_UP, away-from-zero on ties) must agree with
+    DuckDB round() (half away from zero) — and (b) not depend on row
+    order or partitioning (long adds are exact and commutative)."""
+    import duckdb
+
+    from sparkml_spark.registry import lsum, lsum_sql
+
+    df = _df(spark, rows)
+    fwd = df.agg(lsum("x").alias("s")).collect()[0]["s"]
+    shuf = (
+        df.orderBy(F.col("x").desc())
+        .repartition(7)
+        .agg(lsum("x").alias("s"))
+        .collect()[0]["s"]
+    )
+    assert fwd == shuf  # exact equality, not isclose
+    con = duckdb.connect()
+    try:
+        oracle = con.execute(
+            f"SELECT {lsum_sql('x')} AS s FROM (SELECT unnest(?) AS x)",
+            [[x for _, x in rows]],
+        ).fetchone()[0]
+    finally:
+        con.close()
+    assert fwd == oracle, (rows, fwd, oracle)
+
+
+@given(rows=rows_strategy)
+@_SETTINGS
 def test_window_dedup_idempotent(spark, rows):
     df = _df(spark, rows)
     w = Window.partitionBy("k").orderBy(F.col("x").desc())
