@@ -22,6 +22,7 @@ from __future__ import annotations
 import argparse
 import json
 import os
+import re
 import sys
 import time
 
@@ -126,7 +127,10 @@ def probe_bucket(spark, k: int, sf_dir: str) -> dict:
     # (re)write: a tableExists skip would report bucket_write ~0s and a
     # bogus break-even, and a stale table from another --sf-dir at the
     # same k would silently poison the join timing (ADVICE r6).
-    fixture = os.path.basename(sf_dir.rstrip("/"))
+    # Sanitize for SQL identifiers: fixture basenames contain dots
+    # ("sf0.1"), which break every unquoted `spark.sql`/saveAsTable
+    # reference to the table.
+    fixture = re.sub(r"[^A-Za-z0-9_]", "_", os.path.basename(sf_dir.rstrip("/")))
     names = (f"li_probe_x{k}_{fixture}", f"o_probe_x{k}_{fixture}")
     t0 = time.time()
     for name, df, key in ((names[0], li, "l_orderkey"), (names[1], o, "o_orderkey")):

@@ -826,7 +826,7 @@ def dedup_minhash_recall_bound(spark, sf_dir):
 #: 64-d unit vectors pair at cosine ~ N(0, 1/64) (sigma ~ 0.125), so
 #: 0.78 is > 6 sigma above chance — only the injected exact copies
 #: (cosine 1.0) clear it; no flaky near-threshold pairs.
-_SEM_QDOT_MIN = 12582  # floor(0.78 * 127 * 127)
+_SEM_QDOT_MIN = 12580  # floor(0.78 * 127 * 127) = floor(12580.62)
 
 _SEM_Q8_SQL = (
     "list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 127.0 + 0.5) AS BIGINT))"

@@ -425,8 +425,15 @@ def sim_ann_recall_bound(spark, sf_dir):
     IVF >= 0.3) sit well under the measured tri-scale minima
     (0.82/0.48) but orders of magnitude above the ~k/n random floor,
     so a broken index fails while LSH draw variance cannot.
-    Violations = failed floors + structural breaks; oracle pins 0."""
-    exact = sim_topk_bruteforce(spark, sf_dir).select("query_id", "neighbor_id")
+    Violations = failed floors + structural breaks; oracle pins 0.
+
+    The exact top-k subplan is persist()ed: it feeds three consumers
+    (the n_exact count plus one semi-join per audited index), and the
+    O(q·n·d) brute force is the most expensive subplan here — without
+    the persist it executes three times per run."""
+    exact = (
+        sim_topk_bruteforce(spark, sf_dir).select("query_id", "neighbor_id").persist()
+    )
     n_exact = exact.agg(F.count(F.lit(1)).alias("n_exact"))
 
     def audit(df, tag, floor):

@@ -458,10 +458,13 @@ def stream_stateful_bound(spark, sf_dir):
     is not — after a bounded replay, each user's last update (the
     max-n_events row; the running totals are monotone in n_events)
     must equal the batch groupBy: n_events exactly, total_value within
-    1e-6 (the processor sums float64 sequentially and rounds to 4dp at
-    emit; summation order may differ from the batch plan's, so the pin
-    allows ulp slack far below the 4dp grid). A user present on only
-    one side is also a violation. Oracle pins 0."""
+    1.1e-4. Tolerance derivation: BOTH sides round their float64 sum
+    to 4dp, but they sum in different orders — when the true sum sits
+    within an ulp of a 0.00005 rounding boundary the two rounds can
+    legitimately land one 1e-4 grid step apart, so the pin must admit
+    one grid step (plus slack); anything beyond that is a real state
+    divergence (the smallest event value is ~0.01). A user present on
+    only one side is also a violation. Oracle pins 0."""
     from pyspark.sql.window import Window
 
     stream = stream_stateful_custom(spark, sf_dir)
@@ -481,7 +484,7 @@ def stream_stateful_bound(spark, sf_dir):
         F.col("n_events").isNull()
         | F.col("b_n").isNull()
         | (F.col("n_events") != F.col("b_n"))
-        | (F.abs(F.col("total_value") - F.col("b_total")) > 1e-6)
+        | (F.abs(F.col("total_value") - F.col("b_total")) > 1.1e-4)
     )
     return j.agg(F.count_if(viol).alias("n_violations"))
 
