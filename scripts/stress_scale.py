@@ -79,6 +79,12 @@ def _perm(i: int) -> str:
 #: that cutoff empirically — at ×10 (20.8k vectors ⇒ 4.3e8 pairs) it
 #: does not finish in bench time. sim_lsh_ann, the blocked scale path
 #: the docstring prescribes beyond the cutoff, is timed instead.
+#: dedup_semantic_semdedup is absent for the same structural reason:
+#: its cost is sum(cluster²) and the FIXTURE has a fixed 10-label
+#: clustering, so replicating the corpus ×k grows every cluster ×k and
+#: the pair count ×k² — by design. The production scale lever is
+#: growing the cluster COUNT with the corpus (SemDeDup's k=50k on
+#: LAION), which a replicated fixture cannot express.
 #: Note for pair-level analysis of dedup outputs at large k: the dedup
 #: ops self-union a synthetic twin corpus at doc_id + 1_000_000
 #: (llm_dedup._DUP_OFFSET); once k × max(doc_id) crosses 1M (k ≳ 20 on
