@@ -280,65 +280,158 @@ def dedup_near_minhash(spark, sf_dir):
 # ---------------------------------------------------------------------------
 # SimHash near-dup: 64-bit signatures + banded Hamming blocking.
 # ---------------------------------------------------------------------------
-@query("dedup_simhash", section="2.I")
-def dedup_simhash(spark, sf_dir):
-    """SimHash near-dup (ROWS tier — xxhash64 is Spark-native).
+# SimHash oracle SQL, generated to mirror the Spark expressions 1:1.
+# The 64-bit signature lives as FOUR 16-bit chunks (one per LSH band):
+# small non-negative integers on both engines, so there is no signed
+# shiftleft-into-bit-63 edge anywhere — that is what makes the op
+# ORACLE-expressible where the previous xxhash64 form was ROWS-only.
+_SH_BITSUMS_SQL = ",\n    ".join(
+    f"SUM(CASE WHEN (c{j} >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS b{j}_{i}"
+    for j in range(4)
+    for i in range(16)
+)
+_SH_KEYS_SQL = ",\n    ".join(
+    "("
+    + " + ".join(f"CASE WHEN b{j}_{i} > 0 THEN {1 << i} ELSE 0 END" for i in range(16))
+    + f") AS k{j}"
+    for j in range(4)
+)
+_SH_HAMMING_SQL = " + ".join(f"bit_count(xor(a{j}, b{j}))" for j in range(4))
 
-    Signature: for each of 64 bits, sign of Σ(±1) over token hashes →
-    packed bigint. Blocking: 4 bands of 16 bits; candidate pairs share
-    ≥1 band (Hamming ≤ small ⟹ some band equal, pigeonhole); verify
-    with bit_count(xor) ≤ 8. All codegen expressions — no UDF."""
+
+@query(
+    "dedup_simhash",
+    section="2.I",
+    oracle=f"""
+WITH corpus AS ({_VARIANT_SQL}),
+tok AS (
+  SELECT doc_id, unnest(list_distinct({_TOKS})) AS token FROM corpus
+), h AS (
+  SELECT doc_id,
+    ('0x' || substr(md5(token), 1, 4))::BIGINT AS c0,
+    ('0x' || substr(md5(token), 5, 4))::BIGINT AS c1,
+    ('0x' || substr(md5(token), 9, 4))::BIGINT AS c2,
+    ('0x' || substr(md5(token), 13, 4))::BIGINT AS c3
+  FROM tok
+), sums AS (
+  SELECT doc_id,
+    {_SH_BITSUMS_SQL}
+  FROM h GROUP BY doc_id
+), sig AS (
+  SELECT doc_id,
+    {_SH_KEYS_SQL}
+  FROM sums
+), bands AS (
+  SELECT doc_id, k0, k1, k2, k3, j AS band,
+         CASE j WHEN 0 THEN k0 WHEN 1 THEN k1 WHEN 2 THEN k2 ELSE k3 END AS key
+  FROM sig, unnest([0, 1, 2, 3]) AS t(j)
+), cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+         a.k0 AS a0, a.k1 AS a1, a.k2 AS a2, a.k3 AS a3,
+         b.k0 AS b0, b.k1 AS b1, b.k2 AS b2, b.k3 AS b3
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+)
+SELECT id_a, id_b, ({_SH_HAMMING_SQL}) AS hamming
+FROM cand
+WHERE ({_SH_HAMMING_SQL}) <= 8
+""",
+)
+def dedup_simhash(spark, sf_dir):
+    """SimHash near-dup — ORACLE since r7 (was ROWS on xxhash64).
+
+    Signature: for each of 64 bits, sign of Σ(±1) over token hashes.
+    Token hash = four 16-bit chunks of md5 (both engines compute md5
+    and parse hex identically — `conv(hex,16,10)` vs `('0x'||hex)::
+    BIGINT`, verified equal), and the signature is kept as the four
+    chunks rather than one packed int64, so every intermediate is a
+    small non-negative integer: exact on both engines, no signed-bit
+    edge, and each chunk IS its LSH band key. Blocking: candidate
+    pairs share ≥1 of the 4 bands (Hamming ≤ 8 over 64 bits ⟹ some
+    16-bit band equal by pigeonhole at ≤3 flipped bands — the standard
+    SimHash band argument); verify Σ bit_count(xor) ≤ 8. All codegen
+    expressions — no UDF.
+
+    Scale: identical to dedup_minhash_sql — candidates only meet
+    inside a (band, key) bucket (equi join), never all-pairs; the
+    64 conditional sums are one map-side partial agg over the token
+    explode. md5 is ~2× slower per token than xxhash64, which is the
+    price of the cross-engine pin; swap the chunk source back to
+    xxhash64 bits for production corpora where the oracle isn't run.
+    Output density note: the fixture vocabulary is ~40 tokens, so most
+    docs genuinely ARE near-identical in distinct-token space and the
+    pair output is dense (~3% of all pairs at sf0.01, hash-verified
+    tri-scale at up to 1.55M pairs / 11 s at sf0.1) — on real corpora
+    signature entropy, not banding, is what keeps output sparse."""
     corpus = _corpus_with_near_dups(spark, sf_dir)
     toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
     tok = corpus.select("doc_id", F.explode(F.array_distinct(toks)).alias("token"))
-    tok = tok.withColumn("h", F.xxhash64("token"))
-    # Σ over tokens of (bit_i(h) ? +1 : -1), for each of 64 bits.
+    md5 = F.md5("token")
+    tok = tok.select(
+        "doc_id",
+        *[
+            F.conv(F.substring(md5, 1 + 4 * j, 4), 16, 10).cast("long").alias(f"c{j}")
+            for j in range(4)
+        ],
+    )
     bit_sums = tok.groupBy("doc_id").agg(
         *[
             F.sum(
-                F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-            ).alias(f"b{i}")
-            for i in range(64)
+                F.when(
+                    F.shiftright(F.col(f"c{j}"), i).bitwiseAND(F.lit(1)) == 1, 1
+                ).otherwise(-1)
+            ).alias(f"b{j}_{i}")
+            for j in range(4)
+            for i in range(16)
         ]
     )
-    # Pack sign bits into one bigint. Bit 63 via bitwise shift keeps the
-    # sign bit well-defined on two's-complement longs.
-    sig = None
-    for i in range(64):
-        bit = F.when(F.col(f"b{i}") > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
-        term = F.shiftleft(bit, i)
-        sig = term if sig is None else sig.bitwiseXOR(term)
-    signatures = bit_sums.select("doc_id", sig.alias("simhash"))
-    bands = signatures.select(
+    keys = []
+    for j in range(4):
+        k = None
+        for i in range(16):
+            term = F.when(F.col(f"b{j}_{i}") > 0, F.lit(1 << i)).otherwise(F.lit(0))
+            k = term if k is None else k + term
+        keys.append(k.cast("long").alias(f"k{j}"))
+    sig = bit_sums.select("doc_id", *keys)
+    bands = sig.select(
         "doc_id",
-        "simhash",
+        "k0",
+        "k1",
+        "k2",
+        "k3",
         F.explode(
             F.array(
                 *[
-                    F.struct(
-                        F.lit(i).alias("band"),
-                        F.shiftright(F.col("simhash"), 16 * i)
-                        .bitwiseAND(F.lit(0xFFFF))
-                        .alias("key"),
-                    )
-                    for i in range(4)
+                    F.struct(F.lit(j).alias("band"), F.col(f"k{j}").alias("key"))
+                    for j in range(4)
                 ]
             )
         ).alias("bk"),
-    ).select("doc_id", "simhash", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    ).select(
+        "doc_id", "k0", "k1", "k2", "k3",
+        F.col("bk.band").alias("band"), F.col("bk.key").alias("key"),
+    )
     a = bands.select(
-        F.col("doc_id").alias("id_a"), F.col("simhash").alias("sig_a"), "band", "key"
+        F.col("doc_id").alias("id_a"),
+        *[F.col(f"k{j}").alias(f"a{j}") for j in range(4)],
+        "band",
+        "key",
     )
     b = bands.select(
-        F.col("doc_id").alias("id_b"), F.col("simhash").alias("sig_b"), "band", "key"
+        F.col("doc_id").alias("id_b"),
+        *[F.col(f"k{j}").alias(f"b{j}") for j in range(4)],
+        "band",
+        "key",
     )
     cand = (
         a.join(b, ["band", "key"])
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "sig_a", "sig_b")
+        .select("id_a", "id_b", *[f"a{j}" for j in range(4)], *[f"b{j}" for j in range(4)])
         .distinct()
     )
-    hamming = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+    hamming = sum(
+        F.bit_count(F.col(f"a{j}").bitwiseXOR(F.col(f"b{j}"))) for j in range(4)
+    )
     return cand.select("id_a", "id_b", hamming.alias("hamming")).filter(
         F.col("hamming") <= 8
     )
