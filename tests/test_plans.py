@@ -182,12 +182,13 @@ def test_win_topk_uses_window_group_limit(spark):
 
 
 def test_minhash_band_join_no_cartesian(spark):
-    """The banded MinHash self-join must meet candidates only inside a
-    band bucket (equi join) — an all-pairs plan would be quadratic in
-    corpus size."""
-    plan = QUERIES["dedup_minhash_sql"](spark, SF_DIR)._jdf.queryExecution().executedPlan().toString()
-    assert "CartesianProduct" not in plan, plan[:1500]
-    assert "BroadcastNestedLoop" not in plan, plan[:1500]
+    """The banded MinHash/SimHash self-joins must meet candidates only
+    inside a band bucket (equi join) — an all-pairs plan would be
+    quadratic in corpus size."""
+    for qid in ("dedup_minhash_sql", "dedup_simhash"):
+        plan = QUERIES[qid](spark, SF_DIR)._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan, f"{qid}: {plan[:1500]}"
+        assert "BroadcastNestedLoop" not in plan, f"{qid}: {plan[:1500]}"
 
 
 def test_ngram_jaccard_join_input_is_df_filtered(spark):
