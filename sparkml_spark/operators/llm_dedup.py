@@ -20,7 +20,7 @@ from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from sparkml_spark.operators.llm_text import _gram_idx
-from sparkml_spark.registry import ZERO_VIOLATIONS, query
+from sparkml_spark.registry import ZERO_VIOLATIONS, md5_chunk16, query
 from sparkml_spark.sources.loader import load_table
 
 #: Offset that turns a copied doc_id into a synthetic duplicate's id.
@@ -347,10 +347,14 @@ def dedup_simhash(spark, sf_dir):
     chunks rather than one packed int64, so every intermediate is a
     small non-negative integer: exact on both engines, no signed-bit
     edge, and each chunk IS its LSH band key. Blocking: candidate
-    pairs share ≥1 of the 4 bands (Hamming ≤ 8 over 64 bits ⟹ some
-    16-bit band equal by pigeonhole at ≤3 flipped bands — the standard
-    SimHash band argument); verify Σ bit_count(xor) ≤ 8. All codegen
-    expressions — no UDF.
+    pairs share ≥1 of the 4 bands, then verify Σ bit_count(xor) ≤ 8.
+    Recall contract, stated honestly: pigeonhole GUARANTEES a shared
+    band only for Hamming ≤ 3; a pair at Hamming 4-8 whose flips land
+    in all four bands escapes the blocking (standard SimHash banding
+    trade-off — more bands = more recall = more candidates). The
+    ORACLE mirrors the same blocking, so the pin is exact over the
+    declared candidate set; it is not an all-pairs Hamming-8 finder.
+    All codegen expressions — no UDF.
 
     Scale: identical to dedup_minhash_sql — candidates only meet
     inside a (band, key) bucket (equi join), never all-pairs; the
@@ -366,13 +370,9 @@ def dedup_simhash(spark, sf_dir):
     corpus = _corpus_with_near_dups(spark, sf_dir)
     toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
     tok = corpus.select("doc_id", F.explode(F.array_distinct(toks)).alias("token"))
-    md5 = F.md5("token")
     tok = tok.select(
         "doc_id",
-        *[
-            F.conv(F.substring(md5, 1 + 4 * j, 4), 16, 10).cast("long").alias(f"c{j}")
-            for j in range(4)
-        ],
+        *[md5_chunk16(F.col("token"), j).alias(f"c{j}") for j in range(4)],
     )
     bit_sums = tok.groupBy("doc_id").agg(
         *[

@@ -14,7 +14,7 @@ from __future__ import annotations
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
-from sparkml_spark.registry import query
+from sparkml_spark.registry import md5_chunk16, query
 from sparkml_spark.sources.loader import load_table
 
 _SEQ_TOKENS = 512  # sequence-pack token budget
@@ -183,9 +183,7 @@ def pipeline_domain_mix(spark, sf_dir):
             .alias("thr"),
         )
     )
-    h16 = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10).cast(
-        "int"
-    )
+    h16 = md5_chunk16(F.col("doc_id").cast("string"))
     return (
         d.join(F.broadcast(thresholds), "lang")
         .filter(h16 < F.col("thr"))
@@ -328,11 +326,7 @@ def pipeline_token_budget_mix(spark, sf_dir):
             .alias("thr"),
         )
     )
-    h16 = F.conv(
-        F.substring(F.md5(F.concat(F.lit("mix"), F.col("doc_id").cast("string"))), 1, 4),
-        16,
-        10,
-    ).cast("int")
+    h16 = md5_chunk16(F.concat(F.lit("mix"), F.col("doc_id").cast("string")))
     return (
         docs.join(F.broadcast(budgets), "lang")
         .filter(h16 < F.col("thr"))
@@ -402,11 +396,7 @@ def pipeline_epoch_upsample(spark, sf_dir):
             F.floor((e_raw - F.floor(e_raw)) * 65536).cast("int").alias("frac_thr"),
         )
     )
-    h16 = F.conv(
-        F.substring(F.md5(F.concat(F.lit("up"), F.col("doc_id").cast("string"))), 1, 4),
-        16,
-        10,
-    ).cast("int")
+    h16 = md5_chunk16(F.concat(F.lit("up"), F.col("doc_id").cast("string")))
     n_copies = F.col("floor_e") + F.when(h16 < F.col("frac_thr"), 1).otherwise(0)
     return (
         d.join(F.broadcast(epochs), "lang")

@@ -430,7 +430,12 @@ def sim_ann_recall_bound(spark, sf_dir):
     The exact top-k subplan is persist()ed: it feeds three consumers
     (the n_exact count plus one semi-join per audited index), and the
     O(q·n·d) brute force is the most expensive subplan here — without
-    the persist it executes three times per run."""
+    the persist it executes three times per run. The cache entry is
+    never explicitly unpersisted, which is deliberate and bounded:
+    what is cached is the brute-force OUTPUT (q·k ≈ 100 rows of two
+    longs, ~KBs), not its input, so even a session that runs this at
+    every fixture scale accumulates a few KB of CacheManager entries
+    — not the O(n·d) intermediate the wording might suggest."""
     exact = (
         sim_topk_bruteforce(spark, sf_dir).select("query_id", "neighbor_id").persist()
     )

@@ -84,6 +84,18 @@ def dsum_sql(expr: str) -> str:
     return f"CAST(SUM(CAST(({expr}) AS DECIMAL(27,6))) AS DOUBLE)"
 
 
+def md5_chunk16(col: Column, j: int = 0) -> Column:
+    """16-bit non-negative integer from hex chars [4j+1 .. 4j+4] of
+    md5(col) — THE cross-engine hash-parse convention, single-sourced
+    so a chunk-width or offset tweak cannot drift from the DuckDB
+    twins: Spark `conv(hex_slice, 16, 10)` equals DuckDB
+    `('0x' || hex_slice)::BIGINT` for lowercase md5 hex (both engines
+    emit lowercase). Consumers: deterministic keep-filters
+    (llm_pipeline domain/token/epoch mixes, j=0) and the SimHash
+    signature chunks (llm_dedup, j=0..3)."""
+    return F.conv(F.substring(F.md5(col), 1 + 4 * j, 4), 16, 10).cast("long")
+
+
 def lsum(col: Column | str) -> Column:
     """Exact 1e-6-grid sum as TWO primitive LONG sums (floor + frac).
 

@@ -90,6 +90,49 @@ def test_dsum_order_independent(spark, rows):
     assert fwd == shuf  # exact equality, not isclose
 
 
+@given(
+    texts=st.lists(
+        st.text(
+            alphabet=st.characters(min_codepoint=32, max_codepoint=126),
+            min_size=0,
+            max_size=24,
+        ),
+        min_size=1,
+        max_size=15,
+    )
+)
+@_SETTINGS
+def test_md5_chunk16_matches_duckdb(spark, texts):
+    """registry.md5_chunk16 is THE cross-engine hash-parse convention
+    (SimHash chunks, pipeline keep-filters): Spark's
+    conv(substr(md5(x), 4j+1, 4), 16, 10) must equal DuckDB's
+    ('0x' || substr(md5(x), 4j+1, 4))::BIGINT for arbitrary strings
+    and every chunk index, including the empty string."""
+    import duckdb
+
+    from sparkml_spark.registry import md5_chunk16
+
+    df = spark.createDataFrame([(t,) for t in texts], "t STRING")
+    got = [
+        tuple(r)
+        for r in df.select(
+            "t", *[md5_chunk16(F.col("t"), j).alias(f"c{j}") for j in range(4)]
+        ).collect()
+    ]
+    con = duckdb.connect()
+    try:
+        chunks = ", ".join(
+            f"('0x' || substr(md5(t), {1 + 4 * j}, 4))::BIGINT AS c{j}"
+            for j in range(4)
+        )
+        want = con.execute(
+            f"SELECT t, {chunks} FROM (SELECT unnest(?) AS t)", [texts]
+        ).fetchall()
+    finally:
+        con.close()
+    assert sorted(got) == sorted(tuple(w) for w in want)
+
+
 @given(rows=rows_strategy)
 @_SETTINGS
 def test_lsum_matches_duckdb_and_order_independent(spark, rows):
