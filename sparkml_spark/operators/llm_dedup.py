@@ -1011,3 +1011,112 @@ def dedup_semantic_semdedup(spark, sf_dir):
             F.col("keeper_id").isNull().alias("is_kept"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact-substring dedup — maximal repeated token spans (ExactSubstr)
+# ---------------------------------------------------------------------------
+
+_ES_K = 8  # gram width: spans shorter than this are not considered repeats
+#: Deterministic boilerplate appended to every 7th doc — novel tokens
+#: (absent from the fixture vocabulary), so the injected spans are the
+#: only guaranteed repeats and no boundary gram ever collides.
+_ES_BOILER = "alpha bravo charlie delta echo foxtrot golf hotel india juliet"
+
+_ES_GRAM_SQL = " || ' ' || ".join(f"t[i + {d}]" for d in range(_ES_K))
+
+
+@query(
+    "dedup_exact_substring",
+    section="2.I",
+    oracle=f"""
+WITH corpus AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 7 = 0 THEN text || ' {_ES_BOILER}' ELSE text END AS text
+  FROM documents
+), grams AS (
+  SELECT doc_id, i AS pos, {_ES_GRAM_SQL} AS gram
+  FROM (SELECT doc_id, {_TOKS} AS t FROM corpus),
+       unnest(range(1, len(t) - {_ES_K} + 2)) AS u(i)
+), rep AS (
+  SELECT doc_id, pos
+  FROM (SELECT doc_id, pos, COUNT(*) OVER (PARTITION BY gram) AS cnt FROM grams)
+  WHERE cnt >= 2
+), islands AS (
+  SELECT doc_id, pos,
+         pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS island
+  FROM rep
+)
+SELECT doc_id,
+       MIN(pos) AS span_start,
+       MAX(pos) + {_ES_K} - 1 AS span_end,
+       MAX(pos) + {_ES_K} - MIN(pos) AS span_tokens,
+       COUNT(*) AS n_repeat_grams
+FROM islands GROUP BY doc_id, island
+""",
+)
+def dedup_exact_substring(spark, sf_dir):
+    """Exact-substring dedup (Lee et al. 2022, arXiv:2107.06499
+    "Deduplicating Training Data Makes Language Models Better"):
+    report every MAXIMAL token span of length >= {_ES_K} that occurs
+    more than once in the corpus — the spans ExactSubstr dedup would
+    cut out of training text. The reference method builds a suffix
+    array, which does not distribute; the relational equivalent is
+    fixed-width gram matching + span merge: a span repeats iff all its
+    {_ES_K}-grams repeat, so (1) explode each doc into {_ES_K}-token
+    grams with positions, (2) keep positions whose gram occurs >= 2
+    times corpus-wide (one window count on the gram key), (3) merge
+    consecutive repeated positions per doc into maximal spans with the
+    gaps-and-islands trick (pos - row_number). The guaranteed repeats
+    are injected deterministically (a novel-token boilerplate sentence
+    on every 7th doc); both engines derive the identical span set —
+    exact strings and integers end to end. Notably the op also
+    surfaces ORGANIC duplication no other dedup op catches: the
+    fixture generator emitted docs sharing long prefixes (e.g. doc 98
+    and doc 290 at sf0.01 share a 93-token prefix — not exact dups, so
+    dedup_exact_hash misses them), and those spans hash-match the
+    oracle at every scale too.
+
+    Scale: the only corpus-wide exchange is the gram-key window — at
+    100 TB hash the gram to a 16-byte digest first (md5 — same trick
+    as dedup_exact_hash) so the shuffle carries fixed-width keys
+    instead of 8-token strings; hot boilerplate grams are exactly the
+    df-skew the ngram-jaccard df-cut pattern bounds. The islands merge
+    is partitioned by doc — narrow. The suffix array's
+    arbitrary-length guarantee is recovered by construction: any
+    repeated span of length L >= {_ES_K} is the union of its L-{_ES_K}+1
+    repeated grams, which merge back into the maximal span."""
+    corpus = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 7 == 0, F.concat("text", F.lit(" " + _ES_BOILER))
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    gram = lambda i: F.concat_ws(  # noqa: E731
+        " ", *[F.element_at(toks, i + d) for d in range(_ES_K)]
+    )
+    grams = corpus.select(
+        "doc_id",
+        F.explode(F.transform(_gram_idx(toks, _ES_K), lambda i: F.struct(i.alias("pos"), gram(i).alias("gram")))).alias("pg"),
+    ).select("doc_id", F.col("pg.pos").alias("pos"), F.col("pg.gram").alias("gram"))
+    w_cnt = Window.partitionBy("gram")
+    rep = (
+        grams.withColumn("cnt", F.count(F.lit(1)).over(w_cnt))
+        .filter(F.col("cnt") >= 2)
+        .select("doc_id", "pos")
+    )
+    w_rn = Window.partitionBy("doc_id").orderBy("pos")
+    islands = rep.withColumn("island", F.col("pos") - F.row_number().over(w_rn))
+    return (
+        islands.groupBy("doc_id", "island")
+        .agg(
+            F.min("pos").alias("span_start"),
+            (F.max("pos") + F.lit(_ES_K - 1)).alias("span_end"),
+            (F.max("pos") + F.lit(_ES_K) - F.min("pos")).alias("span_tokens"),
+            F.count(F.lit(1)).alias("n_repeat_grams"),
+        )
+        .drop("island")
+    )
