@@ -1071,11 +1071,13 @@ def dedup_exact_substring(spark, sf_dir):
     are injected deterministically (a novel-token boilerplate sentence
     on every 7th doc); both engines derive the identical span set —
     exact strings and integers end to end. Notably the op also
-    surfaces ORGANIC duplication no other dedup op catches: the
-    fixture generator emitted docs sharing long prefixes (e.g. doc 98
-    and doc 290 at sf0.01 share a 93-token prefix — not exact dups, so
-    dedup_exact_hash misses them), and those spans hash-match the
-    oracle at every scale too.
+    surfaces ORGANIC duplication in the fixtures: the generator
+    emitted docs sharing long prefixes (e.g. doc 98 and doc 290 at
+    sf0.01 share a 93-token prefix — not exact dups, so
+    dedup_exact_hash misses them; dedup_ngram_jaccard flags the pairs
+    but not WHERE they overlap). This op localizes the spans — the
+    cut-list ExactSubstr training-data surgery needs — and they
+    hash-match the oracle at every scale.
 
     Scale: the only corpus-wide exchange is the gram-key window — at
     100 TB hash the gram to a 16-byte digest first (md5 — same trick
