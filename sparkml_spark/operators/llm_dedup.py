@@ -1035,12 +1035,12 @@ WITH corpus AS (
          CASE WHEN doc_id % 7 = 0 THEN text || ' {_ES_BOILER}' ELSE text END AS text
   FROM documents
 ), grams AS (
-  SELECT doc_id, i AS pos, {_ES_GRAM_SQL} AS gram
+  SELECT doc_id, i AS pos, md5({_ES_GRAM_SQL}) AS gkey
   FROM (SELECT doc_id, {_TOKS} AS t FROM corpus),
        unnest(range(1, len(t) - {_ES_K} + 2)) AS u(i)
 ), rep AS (
   SELECT doc_id, pos
-  FROM (SELECT doc_id, pos, COUNT(*) OVER (PARTITION BY gram) AS cnt FROM grams)
+  FROM (SELECT doc_id, pos, COUNT(*) OVER (PARTITION BY gkey) AS cnt FROM grams)
   WHERE cnt >= 2
 ), islands AS (
   SELECT doc_id, pos,
@@ -1079,11 +1079,14 @@ def dedup_exact_substring(spark, sf_dir):
     cut-list ExactSubstr training-data surgery needs — and they
     hash-match the oracle at every scale.
 
-    Scale: the only corpus-wide exchange is the gram-key window — at
-    100 TB hash the gram to a 16-byte digest first (md5 — same trick
-    as dedup_exact_hash) so the shuffle carries fixed-width keys
-    instead of 8-token strings; hot boilerplate grams are exactly the
-    df-skew the ngram-jaccard df-cut pattern bounds. The islands merge
+    Scale: the only corpus-wide exchange is the gram-key window, and
+    it shuffles the md5 DIGEST of each gram (same trick as
+    dedup_exact_hash), so the exchange carries fixed 32-byte keys
+    instead of 8-token strings — both engines hash the identical gram
+    string, so the repeat sets are unchanged (collision probability
+    2^-128-scale, far below fixture determinism concerns); hot
+    boilerplate grams are exactly the df-skew the ngram-jaccard
+    df-cut pattern bounds. The islands merge
     is partitioned by doc — narrow. The suffix array's
     arbitrary-length guarantee is recovered by construction: any
     repeated span of length L >= {_ES_K} is the union of its L-{_ES_K}+1
@@ -1102,9 +1105,14 @@ def dedup_exact_substring(spark, sf_dir):
     )
     grams = corpus.select(
         "doc_id",
-        F.explode(F.transform(_gram_idx(toks, _ES_K), lambda i: F.struct(i.alias("pos"), gram(i).alias("gram")))).alias("pg"),
-    ).select("doc_id", F.col("pg.pos").alias("pos"), F.col("pg.gram").alias("gram"))
-    w_cnt = Window.partitionBy("gram")
+        F.explode(
+            F.transform(
+                _gram_idx(toks, _ES_K),
+                lambda i: F.struct(i.alias("pos"), F.md5(gram(i)).alias("gkey")),
+            )
+        ).alias("pg"),
+    ).select("doc_id", F.col("pg.pos").alias("pos"), F.col("pg.gkey").alias("gkey"))
+    w_cnt = Window.partitionBy("gkey")
     rep = (
         grams.withColumn("cnt", F.count(F.lit(1)).over(w_cnt))
         .filter(F.col("cnt") >= 2)
