@@ -64,15 +64,36 @@ def _prior_evidence() -> tuple[set, set, set]:
     return verified, rows_ok, seen
 
 
-def _priority_order() -> list:
+#: Driver slots hash-checked per round (observed in every
+#: CORRECTNESS_r*.json since r1); drives the rotation stride below.
+_DRIVER_SLOTS = 50
+
+
+def _n_rounds() -> int:
+    """Completed driver rounds = committed CORRECTNESS files."""
+    return len(glob.glob(os.path.join(_HERE, "CORRECTNESS_r*.json")))
+
+
+def _priority_order(n_rounds: int | None = None) -> list:
     """Driver verification checks the FIRST N registered queries per
-    round (round 1: N=50, registration order — CORRECTNESS_r01.json).
-    Spend those slots on queries with no green row yet: ROWS-tier ids
-    whose prior rows are all hard errors (crash — needs a retry), then
+    round (N=50, registration order — CORRECTNESS_r01.json). Spend
+    those slots on queries with no green row yet: ROWS-tier ids whose
+    prior rows are all hard errors (crash — needs a retry), then
     ORACLE-tier never-hash-matched, then ROWS-tier never-run (so once
     the ORACLE backlog clears, slots burn down the §2.J/§2.K rows-only
-    ledger), then already-verified ORACLE (regression guard), then the
-    rest."""
+    ledger), then the already-verified tail as a ROTATING regression
+    guard.
+
+    The tail rotation (VERDICT r7 #1): once every id is verified the
+    three priority buckets are empty and, without rotation, the same
+    first-50 verified ids in registration order would absorb the
+    driver's slots every round forever while the other ~237 never get
+    re-checked against evolving code. Rotating the verified tail by
+    ``50 * n_rounds`` positions advances the driver's window by one
+    full slot-width per round, so any ceil(len/50) consecutive rounds
+    cover the entire verified surface (consecutive windows span
+    50 * ceil(len/50) >= len positions). Unverified ids still preempt
+    the rotation — they sit in front of the tail regardless of offset."""
     verified, rows_ok, seen = _prior_evidence()
     order = list(QUERIES)
     rows_retry = [q for q in order if q not in ORACLES and q in seen and q not in rows_ok]
@@ -80,7 +101,13 @@ def _priority_order() -> list:
     rows_new = [q for q in order if q not in ORACLES and q not in seen]
     oracle_done = [q for q in order if q in ORACLES and q in verified]
     rows_seen = [q for q in order if q not in ORACLES and q in rows_ok]
-    return rows_retry + oracle_new + rows_new + oracle_done + rows_seen
+    tail = oracle_done + rows_seen
+    if tail:
+        if n_rounds is None:
+            n_rounds = _n_rounds()
+        off = (_DRIVER_SLOTS * n_rounds) % len(tail)
+        tail = tail[off:] + tail[:off]
+    return rows_retry + oracle_new + rows_new + tail
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -71,6 +71,67 @@ def test_slot_rotation_prioritizes_unverified_oracle():
         assert n not in verified, f"verified id {n!r} wasting a priority slot"
 
 
+def test_slot_rotation_cycles_every_id(monkeypatch):
+    """VERDICT r7 #1: with every id verified, the driver's 50 slots
+    must not freeze on the same first-50 registration-order ids — the
+    verified tail rotates by 50 positions per committed round, so ANY
+    ceil(N/50) consecutive rounds put every registered id through a
+    driver slot. Simulated against the real evidence files at HEAD."""
+    import math
+
+    n_ids = len(entrymod.queries())
+    n_windows = math.ceil(n_ids / entrymod._DRIVER_SLOTS)
+    for start in range(0, n_windows + 1):  # any starting round works
+        covered: set = set()
+        for r in range(start, start + n_windows):
+            covered.update(entrymod._priority_order(n_rounds=r)[: entrymod._DRIVER_SLOTS])
+        missing = set(entrymod.queries()) - covered
+        assert not missing, (
+            f"ids never reaching a driver slot in rounds "
+            f"[{start}, {start + n_windows}): {sorted(missing)[:10]}"
+        )
+
+
+def test_consecutive_rounds_actually_advance():
+    """The rotation must move: round N and round N+1 share at most a
+    boundary sliver of their 50 slots (stride == slot width ⇒ zero
+    overlap whenever the tail is longer than 2×50)."""
+    a = set(entrymod._priority_order(n_rounds=7)[: entrymod._DRIVER_SLOTS])
+    b = set(entrymod._priority_order(n_rounds=8)[: entrymod._DRIVER_SLOTS])
+    assert len(a & b) <= 10, f"rotation stalled: {len(a & b)} shared slots"
+
+
+def test_unverified_ids_preempt_rotation(monkeypatch):
+    """VERDICT r7 #7: when NEW ids are registered, the unverified
+    buckets must still jump the rotating tail — the rotation is a
+    regression guard, never a reason a new id waits 6 rounds for its
+    first hash check. Registers a fake unverified ORACLE id and a fake
+    never-seen ROWS id, asserts both land ahead of every verified id
+    at an arbitrary rotation offset."""
+    from sparkml_spark import registry
+
+    fake_oracle = "zz_fake_unverified_oracle"
+    fake_rows = "zz_fake_unseen_rows"
+    monkeypatch.setitem(registry.QUERIES, fake_oracle, lambda spark, sf: None)
+    monkeypatch.setitem(registry.ORACLES, fake_oracle, "SELECT 1 AS x FROM region")
+    monkeypatch.setitem(registry.QUERIES, fake_rows, lambda spark, sf: None)
+    try:
+        order = entrymod._priority_order(n_rounds=11)
+        verified, rows_ok, _ = entrymod._prior_evidence()
+        first_verified = min(
+            i for i, q in enumerate(order) if q in verified or q in rows_ok
+        )
+        assert order.index(fake_oracle) < first_verified
+        assert order.index(fake_rows) < first_verified
+        assert order.index(fake_oracle) < order.index(fake_rows), (
+            "unverified ORACLE must outrank never-seen ROWS"
+        )
+    finally:
+        registry.QUERIES.pop(fake_oracle, None)
+        registry.ORACLES.pop(fake_oracle, None)
+        registry.QUERIES.pop(fake_rows, None)
+
+
 def test_no_oracle_driver_rows_count_as_rows_evidence(tmp_path, monkeypatch):
     """The driver records a ROWS-tier run as err='no_oracle' with a
     real spark_rows count and rows_match=null. That IS the rows-only
