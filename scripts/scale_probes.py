@@ -10,9 +10,14 @@ fit the stress harness's base-vs-scaled timing shape.
   bucket  bucketing amortization at ×k: raw fact⋈fact join vs
           bucketed write + exchange-free join; reports how many
           repeat joins pay back the one-time write shuffle.
+  hotgram exact-substring dedup with the boilerplate gram on EVERY
+          doc at ×k — the adversarial hot key that would have been a
+          single task under a gkey window; pins that the partial-agg
+          + semi-join plan absorbs it.
 
-All expect the scalebench x{k}p2 build to exist (run
-stress_scale.py first). Prints one JSON line per probe.
+cc/stream/bucket expect the scalebench x{k}p2 build to exist (run
+stress_scale.py first); hotgram builds its corpus in-flight from
+--sf-dir. Prints one JSON line per probe.
 
 Usage: python scripts/scale_probes.py [cc|stream|bucket|all] [--k 100]
 """
@@ -157,9 +162,62 @@ def probe_bucket(spark, k: int, sf_dir: str) -> dict:
     }
 
 
+def probe_hotgram(spark, k: int, sf_dir: str) -> dict:
+    """Adversarial skew probe for dedup_exact_substring (VERDICT r7
+    #2): replicate documents ×k and put the boilerplate sentence on
+    EVERY replica — one gram digest now repeats n_docs×k times, the
+    worst hot key the op can face. Under the old gkey-window plan all
+    those rows land in ONE task; under the partial-agg + semi-join
+    plan the hot key collapses map-side to one (gkey, count) row per
+    map task. Reports base (every-7th boilerplate, ×1) vs hot (×k,
+    every doc) wall and the span-row counts, warm best-of-2."""
+    from pyspark.sql import functions as F
+
+    from sparkml_spark.operators.llm_dedup import _ES_BOILER, exact_substring_spans
+    from sparkml_spark.sources.formats import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    n_docs = docs.count()
+    base = docs.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 7 == 0, F.concat("text", F.lit(" " + _ES_BOILER)))
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    hot = (
+        docs.crossJoin(spark.range(k).select(F.col("id").alias("rep")))
+        .select(
+            (F.col("doc_id") * k + F.col("rep")).alias("doc_id"),
+            F.concat("text", F.lit(" " + _ES_BOILER)).alias("text"),
+        )
+        .repartition(32)
+    )
+    out = {}
+    for name, corpus in (("base", base), ("hot", hot)):
+        spans = exact_substring_spans(corpus)
+        rows = spans.count()  # warm
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.time()
+            spans.write.format("noop").mode("overwrite").save()
+            best = min(best, time.time() - t0)
+        out[name] = {"span_rows": rows, "seconds": round(best, 2)}
+    return {
+        "metric": "exact_substring_hotgram_probe",
+        "k": k,
+        "docs_base": n_docs,
+        "docs_hot": n_docs * k,
+        "hot_gram_occurrences": n_docs * k,
+        **out,
+        "ratio": round(out["hot"]["seconds"] / max(out["base"]["seconds"], 1e-9), 1),
+    }
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
-    ap.add_argument("probe", choices=["cc", "stream", "bucket", "all"], nargs="?", default="all")
+    ap.add_argument(
+        "probe", choices=["cc", "stream", "bucket", "hotgram", "all"], nargs="?", default="all"
+    )
     ap.add_argument("--k", type=int, default=100)
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.1")
     args = ap.parse_args()
@@ -172,7 +230,12 @@ def main() -> int:
     import sparkml_spark.operators  # noqa: F401
     import sparkml_spark.streaming.ops  # noqa: F401
 
-    probes = {"cc": probe_cc, "stream": probe_stream, "bucket": probe_bucket}
+    probes = {
+        "cc": probe_cc,
+        "stream": probe_stream,
+        "bucket": probe_bucket,
+        "hotgram": probe_hotgram,
+    }
     names = list(probes) if args.probe == "all" else [args.probe]
     for name in names:
         print(json.dumps(probes[name](spark, args.k, args.sf_dir)))

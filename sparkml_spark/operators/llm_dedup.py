@@ -925,6 +925,14 @@ _SEM_Q8_SQL = (
     "list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 127.0 + 0.5) AS BIGINT))"
 )
 
+#: Cluster-size cap (VERDICT r7 #3): clusters larger than this are
+#: split into ceil(size / cap) deterministic sub-cells before the
+#: pair join, bounding the per-cell pair cost at ~cap^2 no matter how
+#: degenerate the clustering. Fixture clusters top out at 218 members
+#: (sf0.1), so the cap never fires on any oracle-checked scale — the
+#: capped plan is bit-identical to the uncapped one there.
+_SEM_MAX_CLUSTER = 1024
+
 
 @query(
     "dedup_semantic_semdedup",
@@ -970,10 +978,20 @@ def dedup_semantic_semdedup(spark, sf_dir):
     id), so cost is sum(c_i^2) over cluster sizes, never n^2 — with
     k-means clusters sized ~n/k this is n^2/k and k grows with the
     corpus (SemDeDup runs at k=50k on LAION). Skewed clusters are the
-    known failure mode: cap cluster size upstream or re-cluster the
-    giants. The q8 quantization also halves candidate shuffle bytes
-    (float32 -> int8), which at 100 TB is the difference between a
-    network-bound and CPU-bound stage."""
+    known failure mode, and the cap is ENFORCED, not advisory: a
+    broadcast of per-cluster counts assigns each member of a cluster
+    larger than {_SEM_MAX_CLUSTER} to one of ceil(size/cap)
+    deterministic sub-cells (vec_id mod n_cells — stable under
+    re-partitioning, no RNG), and the pair join keys on
+    (label, cell), so a degenerate one-giant-cluster assignment costs
+    ~n*cap pairs instead of n^2. This is the standard SemDeDup
+    sharding trade: cross-cell duplicate pairs inside a giant cluster
+    are forfeited (recall loss documented in the paper's
+    within-cluster framing); clusters at or under the cap — all
+    fixture scales — get n_cells=1 and are EXACT, which is why the
+    oracle pin is unaffected. The q8 quantization also halves
+    candidate shuffle bytes (float32 -> int8), which at 100 TB is the
+    difference between a network-bound and CPU-bound stage."""
     e = load_table(spark, sf_dir, "embeddings")
     dups = e.filter(F.col("vec_id") % 25 == 0).select(
         (F.col("vec_id") + _DUP_OFFSET).alias("vec_id"), "label", "embedding"
@@ -987,17 +1005,46 @@ def dedup_semantic_semdedup(spark, sf_dir):
             lambda x: F.floor(x.cast("double") * F.lit(127.0) + F.lit(0.5)).cast("long"),
         ).alias("q8"),
     )
-    a = qz.select(
-        F.col("vec_id").alias("id_a"), F.col("label").alias("label_a"), F.col("q8").alias("q8_a")
+    return semdedup_within_clusters(qz)
+
+
+def semdedup_within_clusters(qz, cap: int = _SEM_MAX_CLUSTER):
+    """Capped within-cluster pair join over a (vec_id, label, q8)
+    frame — the core of dedup_semantic_semdedup, shared with the
+    giant-cluster property test. Per-cluster counts are tiny (one row
+    per cluster id) and broadcast; members of clusters larger than
+    ``cap`` are salted into ceil(size/cap) sub-cells by vec_id mod
+    (deterministic), and the pair join keys on (label, cell). At or
+    under the cap every cluster gets a single cell, making the capped
+    plan semantically identical to the uncapped join."""
+    sizes = qz.groupBy("label").agg(F.count(F.lit(1)).alias("c_size"))
+    cells = (
+        qz.join(F.broadcast(sizes), "label")
+        .withColumn("n_cells", F.ceil(F.col("c_size") / F.lit(cap)).cast("int"))
+        .withColumn("cell", F.pmod(F.col("vec_id"), F.col("n_cells")).cast("int"))
     )
-    b = qz.select(
-        F.col("vec_id").alias("id_b"), F.col("label").alias("label_b"), F.col("q8").alias("q8_b")
+    a = cells.select(
+        F.col("vec_id").alias("id_a"),
+        F.col("label").alias("label_a"),
+        F.col("cell").alias("cell_a"),
+        F.col("q8").alias("q8_a"),
+    )
+    b = cells.select(
+        F.col("vec_id").alias("id_b"),
+        F.col("label").alias("label_b"),
+        F.col("cell").alias("cell_b"),
+        F.col("q8").alias("q8_b"),
     )
     qdot = F.aggregate(
         F.zip_with("q8_a", "q8_b", lambda x, y: x * y), F.lit(0).cast("long"), lambda acc, v: acc + v
     )
     dup = (
-        a.join(b, (F.col("label_a") == F.col("label_b")) & (F.col("id_a") < F.col("id_b")))
+        a.join(
+            b,
+            (F.col("label_a") == F.col("label_b"))
+            & (F.col("cell_a") == F.col("cell_b"))
+            & (F.col("id_a") < F.col("id_b")),
+        )
         .filter(qdot >= F.lit(_SEM_QDOT_MIN))
         .groupBy(F.col("id_b").alias("vec_id"))
         .agg(F.min("id_a").alias("keeper_id"))
@@ -1024,6 +1071,44 @@ _ES_K = 8  # gram width: spans shorter than this are not considered repeats
 _ES_BOILER = "alpha bravo charlie delta echo foxtrot golf hotel india juliet"
 
 _ES_GRAM_SQL = " || ' ' || ".join(f"t[i + {d}]" for d in range(_ES_K))
+
+
+def exact_substring_spans(corpus):
+    """Core of dedup_exact_substring over any (doc_id, text) frame:
+    explode into {_ES_K}-gram (pos, md5 digest) pairs, keep positions
+    whose gram repeats corpus-wide via partial-agg count + LEFT SEMI
+    join on the digest (never a gkey window — see the operator
+    docstring for the hot-gram rationale), then gaps-and-islands merge
+    per doc. Shared by the registered query and the hot-gram scale
+    probe (scripts/scale_probes.py), which feeds it a corpus where the
+    boilerplate gram is deliberately on EVERY doc."""
+    toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    gram = lambda i: F.concat_ws(  # noqa: E731
+        " ", *[F.element_at(toks, i + d) for d in range(_ES_K)]
+    )
+    grams = corpus.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                _gram_idx(toks, _ES_K),
+                lambda i: F.struct(i.alias("pos"), F.md5(gram(i)).alias("gkey")),
+            )
+        ).alias("pg"),
+    ).select("doc_id", F.col("pg.pos").alias("pos"), F.col("pg.gkey").alias("gkey"))
+    hot = grams.groupBy("gkey").count().filter(F.col("count") >= 2).select("gkey")
+    rep = grams.join(hot, "gkey", "left_semi").select("doc_id", "pos")
+    w_rn = Window.partitionBy("doc_id").orderBy("pos")
+    islands = rep.withColumn("island", F.col("pos") - F.row_number().over(w_rn))
+    return (
+        islands.groupBy("doc_id", "island")
+        .agg(
+            F.min("pos").alias("span_start"),
+            (F.max("pos") + F.lit(_ES_K - 1)).alias("span_end"),
+            (F.max("pos") + F.lit(_ES_K) - F.min("pos")).alias("span_tokens"),
+            F.count(F.lit(1)).alias("n_repeat_grams"),
+        )
+        .drop("island")
+    )
 
 
 @query(
@@ -1062,12 +1147,18 @@ def dedup_exact_substring(spark, sf_dir):
     more than once in the corpus — the spans ExactSubstr dedup would
     cut out of training text. The reference method builds a suffix
     array, which does not distribute; the relational equivalent is
-    fixed-width gram matching + span merge: a span repeats iff all its
-    {_ES_K}-grams repeat, so (1) explode each doc into {_ES_K}-token
-    grams with positions, (2) keep positions whose gram occurs >= 2
-    times corpus-wide (one window count on the gram key), (3) merge
-    consecutive repeated positions per doc into maximal spans with the
-    gaps-and-islands trick (pos - row_number). The guaranteed repeats
+    fixed-width gram matching + span merge: a span repeats ONLY IF all
+    its {_ES_K}-grams repeat (the converse does not hold — adjacent
+    grams whose repeats occur at DIFFERENT counterpart locations merge
+    into one island, so a reported maximal span can over-extend past
+    any single repeated occurrence: recall-exact, precision-approximate
+    versus the suffix array; the oracle mirrors the identical
+    approximation so the pin holds). Steps: (1) explode each doc into
+    {_ES_K}-token grams with positions, (2) keep positions whose gram
+    occurs >= 2 times corpus-wide (partial-agg count on the gram key +
+    semi-join back), (3) merge consecutive repeated positions per doc
+    into maximal spans with the gaps-and-islands trick
+    (pos - row_number). The guaranteed repeats
     are injected deterministically (a novel-token boilerplate sentence
     on every 7th doc); both engines derive the identical span set —
     exact strings and integers end to end. Notably the op also
@@ -1079,15 +1170,22 @@ def dedup_exact_substring(spark, sf_dir):
     cut-list ExactSubstr training-data surgery needs — and they
     hash-match the oracle at every scale.
 
-    Scale: the only corpus-wide exchange is the gram-key window, and
-    it shuffles the md5 DIGEST of each gram (same trick as
-    dedup_exact_hash), so the exchange carries fixed 32-byte keys
-    instead of 8-token strings — both engines hash the identical gram
-    string, so the repeat sets are unchanged (collision probability
-    2^-128-scale, far below fixture determinism concerns); hot
-    boilerplate grams are exactly the df-skew the ngram-jaccard
-    df-cut pattern bounds. The islands merge
-    is partitioned by doc — narrow. The suffix array's
+    Scale: the corpus-wide repeat test is a partial aggregation
+    (`groupBy(gkey).count()`) followed by a broadcast-or-shuffled
+    LEFT SEMI join of the grams back onto the `cnt >= 2` keys — NOT a
+    window over the gram key. A window would force every occurrence of
+    a hot gram into ONE task, and this op's entire purpose is finding
+    hot repeated grams: at 100 TB one boilerplate gram shared by
+    billions of docs would become a single straggler/OOM task. The
+    partial agg collapses the hot key map-side (each map task emits
+    one (gkey, partial_count) row), and the semi-join is an equi-join
+    AQE can skew-split. Both sides shuffle the md5 DIGEST of each gram
+    (same trick as dedup_exact_hash), so the exchange carries fixed
+    32-byte keys instead of 8-token strings — both engines hash the
+    identical gram string, so the repeat sets are unchanged (collision
+    probability 2^-128-scale, far below fixture determinism concerns).
+    The islands merge is partitioned by doc — narrow. The suffix
+    array's
     arbitrary-length guarantee is recovered by construction: any
     repeated span of length L >= {_ES_K} is the union of its L-{_ES_K}+1
     repeated grams, which merge back into the maximal span."""
@@ -1099,34 +1197,4 @@ def dedup_exact_substring(spark, sf_dir):
         .otherwise(F.col("text"))
         .alias("text"),
     )
-    toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
-    gram = lambda i: F.concat_ws(  # noqa: E731
-        " ", *[F.element_at(toks, i + d) for d in range(_ES_K)]
-    )
-    grams = corpus.select(
-        "doc_id",
-        F.explode(
-            F.transform(
-                _gram_idx(toks, _ES_K),
-                lambda i: F.struct(i.alias("pos"), F.md5(gram(i)).alias("gkey")),
-            )
-        ).alias("pg"),
-    ).select("doc_id", F.col("pg.pos").alias("pos"), F.col("pg.gkey").alias("gkey"))
-    w_cnt = Window.partitionBy("gkey")
-    rep = (
-        grams.withColumn("cnt", F.count(F.lit(1)).over(w_cnt))
-        .filter(F.col("cnt") >= 2)
-        .select("doc_id", "pos")
-    )
-    w_rn = Window.partitionBy("doc_id").orderBy("pos")
-    islands = rep.withColumn("island", F.col("pos") - F.row_number().over(w_rn))
-    return (
-        islands.groupBy("doc_id", "island")
-        .agg(
-            F.min("pos").alias("span_start"),
-            (F.max("pos") + F.lit(_ES_K - 1)).alias("span_end"),
-            (F.max("pos") + F.lit(_ES_K) - F.min("pos")).alias("span_tokens"),
-            F.count(F.lit(1)).alias("n_repeat_grams"),
-        )
-        .drop("island")
-    )
+    return exact_substring_spans(corpus)

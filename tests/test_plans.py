@@ -285,6 +285,30 @@ def test_semdedup_pairs_meet_inside_cluster_only(spark):
     )
     assert "CartesianProduct" not in plan, plan[:1500]
     assert "BroadcastNestedLoop" not in plan, plan[:1500]
+    # salted form (VERDICT r7 #3): the equi keys must be BOTH the
+    # cluster id and the size-cap sub-cell, so giant clusters stay
+    # bounded at ~cap^2 pairs per cell
     assert re.search(
-        r"(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin) \[label", plan
+        r"(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin) \[label_a[^\]]*cell_a", plan
     ), plan[:1500]
+
+
+def test_exact_substring_no_window_on_gram_key(spark):
+    """VERDICT r7 #2: the corpus-wide gram repeat test must be a
+    partial aggregation + semi-join, never a window partitioned on the
+    gram key — a gkey window puts every occurrence of a hot boilerplate
+    gram into ONE task, the exact rows this operator exists to find.
+    Asserts no Window node keys on gkey and that the repeat test
+    map-side-combines (partial aggregate) before the equi semi-join."""
+    import re
+
+    df = QUERIES["dedup_exact_substring"](spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    for m in re.finditer(r"Window \[.*?\], \[([^\]]*)\]", plan):
+        assert "gkey" not in m.group(1), f"window partitioned on gkey: {m.group(0)}"
+    assert re.search(r"HashAggregate\(keys=\[gkey[^\]]*\][^)]*partial_count", plan), (
+        plan[:2000]
+    )
+    assert re.search(r"(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin) \[gkey", plan), (
+        plan[:2000]
+    )

@@ -486,3 +486,84 @@ def test_stress_replicas_preserve_dedup_structure(spark, tmp_path):
             "not necessarily a regression",
             stacklevel=1,
         )
+
+
+def test_semdedup_cap_bounds_giant_cluster(spark):
+    """VERDICT r7 #3: a degenerate clustering (one giant cluster) must
+    not go quadratic — the enforced cap salts members of any cluster
+    over `cap` into ceil(size/cap) sub-cells, so the pair join's
+    candidate count collapses from n*(n-1)/2 to ~sum per-cell c^2/2.
+    Checked on a synthetic 400-member single-label cluster with cap=50
+    (8 cells): candidate pairs are exactly the within-cell pairs, and
+    the dedup verdicts the cap CAN still see (same-cell duplicate
+    pairs) are preserved."""
+    from sparkml_spark.operators.llm_dedup import semdedup_within_clusters
+
+    n, cap = 400, 50
+    n_cells = -(-n // cap)
+    # 200 base ids and one exact copy of each (id + n), all in one
+    # cluster; copy i shares vec_id parity structure so some pairs
+    # land same-cell, some cross-cell — both regimes exercised.
+    base = spark.range(n // 2).select(
+        F.col("id").alias("vec_id"),
+        F.lit(0).alias("label"),
+        F.array(F.lit(127), F.lit(0), F.lit(0), F.lit(0)).alias("q8"),
+    )
+    copies = spark.range(n // 2).select(
+        (F.col("id") + n).alias("vec_id"),
+        F.lit(0).alias("label"),
+        F.array(F.lit(127), F.lit(0), F.lit(0), F.lit(0)).alias("q8"),
+    )
+    qz = base.unionByName(copies)
+
+    res = semdedup_within_clusters(qz, cap=cap).collect()
+    assert len(res) == n
+
+    # every member of the giant cluster is identical (q8 = e1*127,
+    # qdot = 16129 >= threshold), so the UNcapped join would drop all
+    # but vec_id 0. The capped join must behave exactly like running
+    # dedup independently within each vec_id-mod-8 cell: the keeper of
+    # cell c is min id in cell c (= c for these ids), everything else
+    # in the cell is dropped with keeper_id == its cell's min.
+    for r in res:
+        cell = r.vec_id % n_cells
+        if r.vec_id == cell:  # the cell-minimum survives
+            assert r.is_kept and r.keeper_id is None, r
+        else:
+            assert (not r.is_kept) and r.keeper_id == cell, r
+
+    # pair-count bound: exactly sum over cells of c*(c-1)/2, far under
+    # the uncapped n*(n-1)/2
+    sizes = [n // n_cells + (1 if c < n % n_cells else 0) for c in range(n_cells)]
+    expected_pairs = sum(c * (c - 1) // 2 for c in sizes)
+    dropped = sum(0 if r.is_kept else 1 for r in res)
+    assert dropped == n - n_cells
+    assert expected_pairs < 0.2 * n * (n - 1) // 2
+
+
+def test_semdedup_cap_noop_at_or_under_cap(spark):
+    """At or under the cap the salted plan must be EXACTLY the
+    uncapped semantics (n_cells == 1 for every cluster) — this is the
+    property that keeps the oracle pin valid on the fixtures, where no
+    cluster exceeds 218 members against a cap of 1024."""
+    from sparkml_spark.operators.llm_dedup import semdedup_within_clusters
+
+    # half the vectors are exact copies (q8 = e1*127 -> qdot 16129
+    # over threshold), half are orthogonal chaff, across 3 clusters of
+    # 20 members each
+    qz = spark.range(60).select(
+        F.col("id").alias("vec_id"),
+        (F.col("id") % 3).alias("label"),
+        F.when(F.col("id") % 2 == 0, F.array(F.lit(127), F.lit(0)))
+        .otherwise(F.array(F.lit(0), F.col("id").cast("long")))
+        .alias("q8"),
+    )
+    capped = {
+        (r.vec_id, r.cluster, r.keeper_id, r.is_kept)
+        for r in semdedup_within_clusters(qz, cap=20).collect()
+    }
+    uncapped = {
+        (r.vec_id, r.cluster, r.keeper_id, r.is_kept)
+        for r in semdedup_within_clusters(qz, cap=10**9).collect()
+    }
+    assert capped == uncapped
