@@ -52,7 +52,10 @@ if [ $quick -eq 0 ]; then
   run "stress x10" timeout 900 python scripts/stress_scale.py --k 10 \
     --sf-dir /root/testdata/sf0.01 --fail-ratio 10
 fi
-run "bench" timeout 900 python bench.py
+# bench + cross-round steady regression gate (VERDICT r7 #4): runs
+# bench.py once and fails when any per-query steady time regresses
+# >1.5x AND >+150ms vs the last committed BENCH_r{N}.json.
+run "bench" timeout 960 python scripts/bench_gate.py
 
 finish
 exit 0
