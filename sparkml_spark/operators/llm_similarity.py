@@ -435,7 +435,14 @@ def sim_ann_recall_bound(spark, sf_dir):
     what is cached is the brute-force OUTPUT (q·k ≈ 100 rows of two
     longs, ~KBs), not its input, so even a session that runs this at
     every fixture scale accumulates a few KB of CacheManager entries
-    — not the O(n·d) intermediate the wording might suggest."""
+    — not the O(n·d) intermediate the wording might suggest.
+
+    Timing caveat (ADVICE r7): Spark dedups cache entries by logical
+    plan, so REPEATED same-session executions of this query (bench
+    steady loops, stress repeats) hit the cached exact top-k — run 2+
+    wall time EXCLUDES the O(q·n·d) brute-force stage. Any timing
+    claim about this query must use the first (cold) execution or a
+    fresh session; correctness is unaffected either way."""
     exact = (
         sim_topk_bruteforce(spark, sf_dir).select("query_id", "neighbor_id").persist()
     )

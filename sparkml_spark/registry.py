@@ -114,6 +114,17 @@ def lsum(col: Column | str) -> Column:
       frac <= n_rows * 1e6     (safe to ~9.2e12 rows per group)
     Beyond those bounds use `dsum` (decimal accumulator, 1e21 ceiling).
 
+    GRID-EXACTNESS bound (tighter than the overflow bound, ADVICE r7):
+    the final `.cast("double")` of each long partial is exact only
+    while the long fits in double's 53-bit mantissa — past 2^53
+    (~9e15; at TPC-H charge magnitudes ~8e10 rows/group for hi) the
+    recombined value rounds and the result stops being exact on the
+    1e-6 grid. CROSS-ENGINE DETERMINISM survives far beyond that
+    (both engines apply the identical int64->double rounding to the
+    identical long sums), so the oracle pin is unaffected — but if
+    grid exactness itself is required past ~1e10 rows/group, use
+    `dsum`, whose decimal accumulator never leaves exact arithmetic.
+
     Exactness: floor(v) and v-floor(v) are IEEE-deterministic, the
     frac is quantized with the same round-half-up both engines apply,
     and long addition is exact and order-independent — the recombine
