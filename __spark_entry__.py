@@ -87,13 +87,15 @@ def _priority_order(n_rounds: int | None = None) -> list:
     The tail rotation (VERDICT r7 #1): once every id is verified the
     three priority buckets are empty and, without rotation, the same
     first-50 verified ids in registration order would absorb the
-    driver's slots every round forever while the other ~237 never get
-    re-checked against evolving code. Rotating the verified tail by
-    ``50 * n_rounds`` positions advances the driver's window by one
-    full slot-width per round, so any ceil(len/50) consecutive rounds
-    cover the entire verified surface (consecutive windows span
-    50 * ceil(len/50) >= len positions). Unverified ids still preempt
-    the rotation — they sit in front of the tail regardless of offset."""
+    driver's slots every round forever while the other ~240 never get
+    re-checked against evolving code. The tail rotates by the number
+    of TAIL slots the driver actually consumes per round —
+    ``50 - len(front)`` while unverified ids occupy the front of the
+    window (a fixed 50-stride would skip ``len(front)`` tail ids per
+    cycle whenever new ids are pending) — so any
+    ceil(len(tail)/stride) consecutive rounds cover the entire
+    verified surface. Unverified ids still preempt the rotation —
+    they sit in front of the tail regardless of offset."""
     verified, rows_ok, seen = _prior_evidence()
     order = list(QUERIES)
     rows_retry = [q for q in order if q not in ORACLES and q in seen and q not in rows_ok]
@@ -101,13 +103,15 @@ def _priority_order(n_rounds: int | None = None) -> list:
     rows_new = [q for q in order if q not in ORACLES and q not in seen]
     oracle_done = [q for q in order if q in ORACLES and q in verified]
     rows_seen = [q for q in order if q not in ORACLES and q in rows_ok]
+    front = rows_retry + oracle_new + rows_new
     tail = oracle_done + rows_seen
     if tail:
         if n_rounds is None:
             n_rounds = _n_rounds()
-        off = (_DRIVER_SLOTS * n_rounds) % len(tail)
+        stride = max(1, _DRIVER_SLOTS - min(len(front), _DRIVER_SLOTS - 1))
+        off = (stride * n_rounds) % len(tail)
         tail = tail[off:] + tail[:off]
-    return rows_retry + oracle_new + rows_new + tail
+    return front + tail
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

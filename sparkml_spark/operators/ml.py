@@ -920,3 +920,282 @@ def ml_isotonic_aft_fm(spark, sf_dir):
         ("fm_regressor_rows", float(fmr_rows)),
     ]
     return spark.createDataFrame(rows, "metric STRING, value DOUBLE")
+
+
+# ---------------------------------------------------------------------------
+# Round-8 bound pins: close the "stated reason" rows in README's table.
+# Each is ORACLE-tier — a violation count hash-pinned to zero — so the
+# ROWS-tier op it audits carries a driver-checkable contract instead of
+# a prose rationale.
+# ---------------------------------------------------------------------------
+
+
+@query("ml_eval_metrics_bound", section="2.J", oracle=ZERO_VIOLATIONS)
+def ml_eval_metrics_bound(spark, sf_dir):
+    """ORACLE pin for ml_evaluation_metrics: evaluator outputs are
+    Python floats, but their MATH has exact relational twins on the
+    same prediction frame — accuracy and weighted F1 from the
+    confusion counts, and areaUnderROC from the tie-corrected
+    Mann-Whitney rank statistic (trapezoidal ROC over tie-grouped
+    thresholds == average-rank MW; measured equal to 1e-16 tri-scale).
+    The evaluator values enter the plan as literals; every exact twin
+    is computed Spark-side and compared at 1e-6. The MW window is a
+    global sort over the TEST SPLIT only (hundreds of rows — bounded
+    by construction, not by corpus size); validity guard: the ML
+    evaluator downsamples its ROC curve past 1000 distinct scores, so
+    the AUC comparison is gated on n_distinct <= 1000 (always true on
+    the fixtures' test splits) rather than ever false-failing at
+    scale. Violations pinned to 0."""
+    from pyspark.ml.classification import LogisticRegression
+    from pyspark.ml.evaluation import (
+        BinaryClassificationEvaluator,
+        MulticlassClassificationEvaluator,
+    )
+    from pyspark.ml.functions import vector_to_array
+    from pyspark.sql import Window
+
+    train, test = _train_test(_features(spark, sf_dir))
+    m = _strip_summary(LogisticRegression(maxIter=20, regParam=0.01).fit(train))
+    pred = m.transform(test).select("label", "prediction").cache()
+    acc_ev = MulticlassClassificationEvaluator(metricName="accuracy").evaluate(pred)
+    f1_ev = MulticlassClassificationEvaluator(metricName="f1").evaluate(pred)
+
+    total = pred.count()
+    acc_exact = pred.agg(
+        (F.sum((F.col("label") == F.col("prediction")).cast("long")) / F.lit(total)).alias("v")
+    )
+    # confusion counts per class without any cross join: support from
+    # labels, predicted-count from predictions, tp where they agree
+    support = pred.groupBy(F.col("label").alias("cls")).agg(
+        F.count(F.lit(1)).alias("support"),
+        F.sum((F.col("label") == F.col("prediction")).cast("long")).alias("tp"),
+    )
+    predicted = pred.groupBy(F.col("prediction").alias("cls")).agg(
+        F.count(F.lit(1)).alias("n_pred")
+    )
+    per_class = (
+        support.join(predicted, "cls", "full_outer")
+        .na.fill({"support": 0, "tp": 0, "n_pred": 0})
+        .withColumn("fp", F.col("n_pred") - F.col("tp"))
+        .withColumn("fn", F.col("support") - F.col("tp"))
+    )
+    prec = F.when(F.col("tp") + F.col("fp") > 0, F.col("tp") / (F.col("tp") + F.col("fp"))).otherwise(F.lit(0.0))
+    rec = F.when(F.col("tp") + F.col("fn") > 0, F.col("tp") / (F.col("tp") + F.col("fn"))).otherwise(F.lit(0.0))
+    f1c = F.when(prec + rec > 0, 2 * prec * rec / (prec + rec)).otherwise(F.lit(0.0))
+    f1_exact = per_class.agg(
+        (F.sum(f1c * F.col("support")) / F.lit(total)).alias("v")
+    )
+
+    bin_train = train.withColumn("label", (F.col("label") < 5).cast("double"))
+    bin_test = test.withColumn("label", (F.col("label") < 5).cast("double"))
+    bm = _strip_summary(LogisticRegression(maxIter=20).fit(bin_train))
+    auc_ev = BinaryClassificationEvaluator(metricName="areaUnderROC").evaluate(
+        bm.transform(bin_test)
+    )
+    scores = bm.transform(bin_test).select(
+        F.element_at(vector_to_array("probability"), 2).alias("s"), "label"
+    )
+    rk = scores.withColumn("rn", F.row_number().over(Window.orderBy("s")))
+    mw = (
+        rk.groupBy("s")
+        .agg(F.avg("rn").alias("avg_rank"), F.sum("label").alias("npos_g"))
+        .agg(F.sum(F.col("avg_rank") * F.col("npos_g")).alias("rpos"))
+        .crossJoin(
+            scores.agg(
+                F.sum("label").alias("npos"),
+                F.count(F.lit(1)).alias("n"),
+                F.count_distinct("s").alias("nds"),
+            )
+        )
+        .select(
+            ((F.col("rpos") - F.col("npos") * (F.col("npos") + 1) / 2)
+             / (F.col("npos") * (F.col("n") - F.col("npos")))).alias("auc"),
+            "nds",
+        )
+    )
+    return (
+        acc_exact.select(F.col("v").alias("acc"))
+        .crossJoin(f1_exact.select(F.col("v").alias("f1")))
+        .crossJoin(mw)
+        .select(
+            (
+                (F.abs(F.col("acc") - F.lit(float(acc_ev))) > 1e-6).cast("long")
+                + (F.abs(F.col("f1") - F.lit(float(f1_ev))) > 1e-6).cast("long")
+                + (
+                    (F.col("nds") <= 1000)
+                    & (F.abs(F.col("auc") - F.lit(float(auc_ev))) > 1e-6)
+                ).cast("long")
+            ).alias("n_violations")
+        )
+    )
+
+
+@query("ml_persist_roundtrip_bound", section="2.J", oracle=ZERO_VIOLATIONS)
+def ml_persist_roundtrip_bound(spark, sf_dir):
+    """ORACLE pin for ml_pipeline_persist: model persistence must be
+    prediction-lossless — the save/load round-trip's predictions are
+    compared row-by-row inside ml_pipeline_persist, and this pin
+    hash-checks the aggregate: zero unequal rows, and a non-empty test
+    frame (an empty comparison would vacuously pass)."""
+    out = ml_pipeline_persist(spark, sf_dir)
+    return out.agg(
+        (
+            F.sum((~F.col("roundtrip_equal")).cast("long"))
+            + (F.count(F.lit(1)) == 0).cast("long")
+        ).alias("n_violations")
+    )
+
+
+@query("ml_cv_selection_bound", section="2.J", oracle=ZERO_VIOLATIONS)
+def ml_cv_selection_bound(spark, sf_dir):
+    """ORACLE pin for ml_tuning_cv: fold metrics are engine-private,
+    but the tuning CONTRACT is not — (a) CrossValidator must report
+    one avg metric per grid point, (b) the selected best model's grid
+    param must carry the maximal avg metric (selection optimality),
+    (c) every metric is a probability in [0, 1], and (d) the same
+    three hold for TrainValidationSplit. Deterministic under seed=42.
+    Violations pinned to 0."""
+    from pyspark.ml.classification import LogisticRegression
+    from pyspark.ml.evaluation import MulticlassClassificationEvaluator
+    from pyspark.ml.tuning import CrossValidator, ParamGridBuilder, TrainValidationSplit
+
+    data = _features(spark, sf_dir)
+    lr = LogisticRegression(maxIter=15)
+    grid = ParamGridBuilder().addGrid(lr.regParam, [0.01, 0.5]).build()
+    ev = MulticlassClassificationEvaluator(metricName="accuracy")
+    cv = CrossValidator(
+        estimator=lr, estimatorParamMaps=grid, evaluator=ev,
+        numFolds=2, seed=SEED, parallelism=2,
+    ).fit(data)
+    tvs = TrainValidationSplit(
+        estimator=lr, estimatorParamMaps=grid, evaluator=ev, trainRatio=0.8, seed=SEED
+    ).fit(data)
+
+    v = 0
+    for metrics, best in (
+        (list(cv.avgMetrics), cv.bestModel.getRegParam()),
+        (list(tvs.validationMetrics), tvs.bestModel.getRegParam()),
+    ):
+        v += int(len(metrics) != len(grid))
+        v += sum(1 for x in metrics if not (0.0 <= x <= 1.0))
+        best_idx = [float(g[lr.regParam]) for g in grid].index(float(best))
+        v += int(metrics[best_idx] < max(metrics) - 1e-12)
+    return spark.range(1).select(F.lit(v).cast("long").alias("n_violations"))
+
+
+@query("ml_pca_bound", section="2.J", oracle=ZERO_VIOLATIONS)
+def ml_pca_bound(spark, sf_dir):
+    """ORACLE pin for ml_feature_pca: the principal components' signs
+    and rotation are engine-private (eigenvectors are unique only up
+    to sign), but the DEFINITION of PCA is not — the loading matrix
+    must be orthonormal (|c_i . c_j - delta_ij| <= 1e-6 for all
+    pairs) and the explained-variance ratios must be non-increasing,
+    non-negative, and sum to <= 1 + 1e-6. The k x k Gram check runs
+    on the 64 x 8 loading matrix (driver-local by nature — it IS the
+    model), not on data. Violations pinned to 0."""
+    from pyspark.ml.feature import PCA
+
+    feats = _features(spark, sf_dir)
+    model = PCA(k=8, inputCol="features", outputCol="pca").fit(feats)
+    pc = model.pc.toArray()  # 64 x 8
+    ev = list(model.explainedVariance.toArray())
+    v = 0
+    k = pc.shape[1]
+    for i in range(k):
+        for j in range(k):
+            dot = float(sum(pc[r][i] * pc[r][j] for r in range(pc.shape[0])))
+            v += int(abs(dot - (1.0 if i == j else 0.0)) > 1e-6)
+    v += sum(1 for a, b in zip(ev, ev[1:]) if b > a + 1e-12)
+    v += sum(1 for x in ev if x < -1e-12)
+    v += int(sum(ev) > 1.0 + 1e-6)
+    return spark.range(1).select(F.lit(v).cast("long").alias("n_violations"))
+
+
+@query("ml_impute_bound", section="2.J", oracle=ZERO_VIOLATIONS)
+def ml_impute_bound(spark, sf_dir):
+    """ORACLE pin for ml_feature_select_impute's Imputer stage: the
+    median Imputer uses approxQuantile (rank error 1e-3 — its exact
+    fill value is engine-private), but its contract is checkable —
+    (a) rows that were NOT null must pass through bit-unchanged,
+    (b) all imputed rows receive ONE constant, and (c) that constant
+    lies inside the exact [p45, p55] quantile bracket of the observed
+    values (a mean/zero/max imputer lands far outside; the 1e-3 rank
+    error cannot escape a +/-5pp bracket). Violations pinned to 0."""
+    from pyspark.ml.feature import Imputer
+
+    c = load_table(spark, sf_dir, "customer")
+    with_nulls = c.select(
+        "c_custkey",
+        "c_acctbal",
+        F.when(F.col("c_custkey") % 11 == 0, None)
+        .otherwise(F.col("c_acctbal"))
+        .alias("bal_holey"),
+    )
+    imp = Imputer(
+        inputCols=["bal_holey"], outputCols=["bal_filled"], strategy="median"
+    ).fit(with_nulls)
+    out = imp.transform(with_nulls)
+    bracket = with_nulls.filter(F.col("bal_holey").isNotNull()).agg(
+        F.expr("percentile(bal_holey, 0.45)").alias("p45"),
+        F.expr("percentile(bal_holey, 0.55)").alias("p55"),
+    )
+    passthrough = out.filter(F.col("bal_holey").isNotNull()).agg(
+        F.sum((F.col("bal_filled") != F.col("c_acctbal")).cast("long")).alias("n_changed")
+    )
+    imputed = out.filter(F.col("bal_holey").isNull()).agg(
+        (F.count_distinct("bal_filled") - 1).alias("n_extra_constants"),
+        F.min("bal_filled").alias("fill"),
+    )
+    return (
+        passthrough.crossJoin(imputed)
+        .crossJoin(bracket)
+        .select(
+            (
+                F.col("n_changed")
+                + F.greatest(F.col("n_extra_constants"), F.lit(0))
+                + ((F.col("fill") < F.col("p45")) | (F.col("fill") > F.col("p55"))).cast("long")
+            ).alias("n_violations")
+        )
+    )
+
+
+@query("ml_tree_regression_fit_bound", section="2.J", oracle=ZERO_VIOLATIONS)
+def ml_tree_regression_fit_bound(spark, sf_dir):
+    """ORACLE pin extending ml_fit_quality_bound's floors to the tree
+    and regression families (their weights are engine-private; their
+    LEARNED SIGNAL is not): (a) the seeded DecisionTree's TRAIN
+    accuracy must beat 2x the 10-class random rate (measured 0.36 to
+    0.72 tri-scale, floor 0.2 — a broken fit degenerates to ~0.1),
+    and (b) LinearRegression's TRAIN RMSE must not exceed the label's
+    population stddev: OLS with an intercept guarantees R^2 >= 0 on
+    its own training data, so predicting worse than the mean means
+    the solver is broken (measured ratio 0.92-0.98 tri-scale; 1e-9
+    slack for float roundoff). Violations pinned to 0."""
+    from pyspark.ml.classification import DecisionTreeClassifier
+    from pyspark.ml.regression import LinearRegression
+
+    feats = _features(spark, sf_dir)
+    train, _test = _train_test(feats)
+    dt = DecisionTreeClassifier(seed=SEED, maxDepth=8).fit(train)
+    acc = dt.transform(train).agg(
+        F.avg((F.col("label") == F.col("prediction")).cast("double")).alias("train_acc")
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    data = (
+        feats.withColumnRenamed("label", "cls")
+        .join(docs, F.col("vec_id") == F.col("doc_id"))
+        .select("vec_id", F.col("n_chars").cast("double").alias("label"), "features")
+    )
+    rtrain, _ = _train_test(data)
+    lin = LinearRegression(maxIter=25).fit(rtrain)
+    reg = lin.transform(rtrain).agg(
+        F.sqrt(F.avg((F.col("label") - F.col("prediction")) ** 2)).alias("rmse"),
+        F.stddev_pop("label").alias("sd"),
+    )
+    return acc.crossJoin(reg).select(
+        (
+            (F.col("train_acc") < 0.2).cast("long")
+            + (F.col("rmse") > F.col("sd") + 1e-9).cast("long")
+        ).alias("n_violations")
+    )
