@@ -1199,3 +1199,201 @@ def ml_tree_regression_fit_bound(spark, sf_dir):
             + (F.col("rmse") > F.col("sd") + 1e-9).cast("long")
         ).alias("n_violations")
     )
+
+
+@query("ml_mlp_linear_fit_bound", section="2.J", oracle=ZERO_VIOLATIONS)
+def ml_mlp_linear_fit_bound(spark, sf_dir):
+    """ORACLE pin for ml_classify_mlp / ml_classify_linear and the FM
+    half of ml_isotonic_aft_fm: TRAIN-accuracy floors in the
+    ml_fit_quality_bound pattern. Seeded/deterministic fits measured
+    tri-scale: MLP 0.23-0.50, OneVsRest(LinearSVC) 0.18-0.53,
+    GaussianNB 0.31-0.65 against a ~0.1 majority-class degenerate
+    rate (floors 0.15/0.13/0.15); FMClassifier(binary) 0.71-0.99
+    against ~0.5 (floor 0.55). A broken solver collapses to the
+    degenerate rate; solver determinism (fixed seeds, convex or
+    seeded-init) keeps the measured values stable per fixture.
+    Violations pinned to 0."""
+    from pyspark.ml.classification import (
+        FMClassifier,
+        LinearSVC,
+        MultilayerPerceptronClassifier,
+        NaiveBayes,
+        OneVsRest,
+    )
+
+    train, _test = _train_test(_features(spark, sf_dir))
+
+    def train_acc(model, data, name):
+        return model.transform(data).agg(
+            F.avg((F.col("label") == F.col("prediction")).cast("double")).alias(name)
+        )
+
+    mlp = MultilayerPerceptronClassifier(layers=[64, 32, 10], seed=SEED, maxIter=40).fit(train)
+    ovr = OneVsRest(classifier=LinearSVC(maxIter=15, regParam=0.05)).fit(train)
+    nb = NaiveBayes(modelType="gaussian").fit(train)
+    bin_train = train.withColumn("label", (F.col("label") < 5).cast("double"))
+    fmc = _strip_summary(
+        FMClassifier(factorSize=4, stepSize=0.1, maxIter=30, seed=SEED).fit(bin_train)
+    )
+    a = train_acc(mlp, train, "mlp")
+    b = train_acc(ovr, train, "ovr")
+    c = train_acc(nb, train, "nb")
+    d = train_acc(fmc, bin_train, "fm")
+    return (
+        a.crossJoin(b).crossJoin(c).crossJoin(d)
+        .select(
+            (
+                (F.col("mlp") < 0.15).cast("long")
+                + (F.col("ovr") < 0.13).cast("long")
+                + (F.col("nb") < 0.15).cast("long")
+                + (F.col("fm") < 0.55).cast("long")
+            ).alias("n_violations")
+        )
+    )
+
+
+@query("ml_monotone_models_bound", section="2.J", oracle=ZERO_VIOLATIONS)
+def ml_monotone_models_bound(spark, sf_dir):
+    """ORACLE pin for ml_isotonic_aft_fm's isotonic and AFT halves —
+    their fitted values are engine-private, but their DEFINING
+    constraints are not: IsotonicRegression(isotonic=True) output must
+    be non-decreasing in the feature (that IS the PAVA constraint),
+    and AFT survival predictions are exp(linear) — strictly positive
+    and finite for every row (a diverged solver emits NaN/inf).
+    Inputs are built exactly as in ml_isotonic_aft_fm. Violations
+    pinned to 0."""
+    from pyspark.ml.feature import VectorAssembler
+    from pyspark.ml.regression import AFTSurvivalRegression, IsotonicRegression
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    deciles = (
+        o.withColumn(
+            "decile", F.ntile(10).over(Window.orderBy("o_totalprice", "o_orderkey"))
+        )
+        .groupBy("decile")
+        .agg(F.avg("o_totalprice").alias("avg_price"), F.count("*").cast("double").alias("n"))
+    )
+    iso_in = VectorAssembler(inputCols=["avg_price"], outputCol="features").transform(
+        deciles.withColumn("label", F.col("n"))
+    )
+    iso = IsotonicRegression(isotonic=True).fit(iso_in)
+    w = Window.orderBy("avg_price")
+    iso_v = (
+        iso.transform(iso_in)
+        .withColumn("prev", F.lag("prediction").over(w))
+        .agg(
+            F.sum(
+                (F.col("prev").isNotNull() & (F.col("prediction") < F.col("prev") - 1e-9)).cast("long")
+            ).alias("v_iso")
+        )
+    )
+
+    wc = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    gaps = (
+        o.withColumn("next_dt", F.lead("o_orderdate").over(wc))
+        .withColumn(
+            "label",
+            F.coalesce(
+                F.datediff(F.col("next_dt"), F.col("o_orderdate")).cast("double"),
+                F.lit(30.0),
+            ) + F.lit(1.0),
+        )
+        .withColumn("censor", F.when(F.col("next_dt").isNull(), 0.0).otherwise(1.0))
+        .select("label", "censor", (F.col("o_totalprice") / 1e5).alias("price_scaled"))
+    )
+    aft_in = VectorAssembler(inputCols=["price_scaled"], outputCol="features").transform(gaps)
+    aft = AFTSurvivalRegression(censorCol="censor", maxIter=25).fit(aft_in)
+    aft_v = aft.transform(aft_in).agg(
+        F.sum(
+            (
+                ~(F.col("prediction") > 0)  # catches NaN, <=0
+                | F.isnan("prediction")
+                | (F.col("prediction") > 1e15)
+            ).cast("long")
+        ).alias("v_aft")
+    )
+    return iso_v.crossJoin(aft_v).select(
+        (F.col("v_iso") + F.col("v_aft")).alias("n_violations")
+    )
+
+
+@query("ml_text_hash_bound", section="2.J", oracle=ZERO_VIOLATIONS)
+def ml_text_hash_bound(spark, sf_dir):
+    """ORACLE pin for ml_feature_text_pipeline / text_tfidf_mllib: the
+    hashing-trick bucket ids are engine-private (murmur3 of the
+    term), but the transform's ALGEBRA is not — (a) FUNCTIONALITY: a
+    byte-identical duplicate of a document must receive the exact
+    same TF-IDF vector (zero element-wise difference), (b) counting
+    conservation: hash collisions may merge buckets but never change
+    mass, so every doc's TF vector L1 norm equals its token count
+    exactly, and (c) IDF weights are ln((m+1)/(df+1)) >= 0, so no
+    vector element may be negative. The exact TF-IDF VALUES are
+    already ORACLE-pinned relationally by text_tfidf_sql; this pin
+    closes the hashed variant. Violations pinned to 0."""
+    from pyspark.ml import Pipeline
+    from pyspark.ml.feature import HashingTF, IDF, Tokenizer
+    from pyspark.ml.functions import vector_to_array
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    # append a byte-identical twin of every 13th doc
+    twins = docs.filter(F.col("doc_id") % 13 == 0).select(
+        (F.col("doc_id") + 10_000_000).alias("doc_id"), "text"
+    )
+    corpus = docs.unionByName(twins)
+    pipe = Pipeline(
+        stages=[
+            Tokenizer(inputCol="text", outputCol="tokens"),
+            HashingTF(inputCol="tokens", outputCol="tf", numFeatures=1 << 12),
+            IDF(inputCol="tf", outputCol="tfidf"),
+        ]
+    )
+    out = (
+        pipe.fit(corpus)
+        .transform(corpus)
+        .select(
+            "doc_id",
+            vector_to_array("tfidf").alias("vec"),
+            vector_to_array("tf").alias("tf_vec"),
+            F.size("tokens").alias("n_tokens"),
+        )
+    )
+    base = out.filter(
+        (F.col("doc_id") % 13 == 0) & (F.col("doc_id") < 10_000_000)
+    ).select(F.col("doc_id").alias("k"), F.col("vec").alias("vec_a"))
+    twin = out.filter(
+        (F.col("doc_id") >= 10_000_000) & (F.col("doc_id") < 20_000_000)
+    ).select((F.col("doc_id") - 10_000_000).alias("k"), F.col("vec").alias("vec_b"))
+    v_twin = base.join(twin, "k").agg(
+        F.sum(
+            (
+                F.aggregate(
+                    F.zip_with("vec_a", "vec_b", lambda x, y: F.abs(x - y)),
+                    F.lit(0.0),
+                    lambda acc, v: acc + v,
+                )
+                > 0.0
+            ).cast("long")
+        ).alias("v_twin")
+    )
+    v_mass = out.agg(
+        F.sum(
+            (
+                F.abs(
+                    F.aggregate("tf_vec", F.lit(0.0), lambda acc, v: acc + v)
+                    - F.col("n_tokens")
+                )
+                > 1e-9
+            ).cast("long")
+        ).alias("v_mass")
+    )
+    v_neg = out.agg(
+        F.sum(
+            (F.aggregate("vec", F.lit(0.0), lambda acc, v: acc + (v < 0).cast("double")) > 0).cast("long")
+        ).alias("v_neg")
+    )
+    return (
+        v_twin.crossJoin(v_mass)
+        .crossJoin(v_neg)
+        .select((F.col("v_twin") + F.col("v_mass") + F.col("v_neg")).alias("n_violations"))
+    )

@@ -14,15 +14,15 @@ def test_oracle_keys_subset_of_queries():
 
 
 def test_oracle_tier_never_shrinks():
-    """Round-7 floor: 255 of 287 queries are hash-checkable (the
+    """Round-8 floor: 264 of 296 queries are hash-checkable (the
     32-id ROWS-tier remainder is exactly the engine-private surface — model
     fits, hash families, RNG samplers, sketches, streaming state
-    machines, file layout; since r7 each of those families also has an
+    machines, file layout; as of r8 EVERY one of those families has an
     ORACLE-tier *_bound invariant pin). A tier demotion is a
     verification-strength regression and must be a conscious decision,
     not a side effect."""
-    assert len(entrymod.oracle_sql()) >= 255
-    assert len(entrymod.queries()) >= 287
+    assert len(entrymod.oracle_sql()) >= 264
+    assert len(entrymod.queries()) >= 296
 
 
 def test_query_callables_arity():
