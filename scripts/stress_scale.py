@@ -97,6 +97,9 @@ LLM_SUITE = [
     "dedup_exact_hash",
     "dedup_minhash_sql",
     "dedup_ngram_jaccard",
+    "dedup_containment",
+    "dedup_incremental",
+    "dedup_exact_substring_apply",
     "text_tfidf_sql",
     "pipeline_training_corpus",
     "pipeline_sequence_pack",

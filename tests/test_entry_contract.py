@@ -21,8 +21,8 @@ def test_oracle_tier_never_shrinks():
     ORACLE-tier *_bound invariant pin). A tier demotion is a
     verification-strength regression and must be a conscious decision,
     not a side effect."""
-    assert len(entrymod.oracle_sql()) >= 264
-    assert len(entrymod.queries()) >= 296
+    assert len(entrymod.oracle_sql()) >= 267
+    assert len(entrymod.queries()) >= 299
 
 
 def test_query_callables_arity():
@@ -99,12 +99,24 @@ def test_slot_rotation_cycles_every_id(monkeypatch):
 
 
 def test_consecutive_rounds_actually_advance():
-    """The rotation must move: round N and round N+1 share at most a
-    boundary sliver of their 50 slots (stride == slot width ⇒ zero
-    overlap whenever the tail is longer than 2×50)."""
+    """The ROTATING TAIL must move: round N and round N+1 share at
+    most a boundary sliver of their 50 slots once the pending front
+    (unverified ids, which MUST occupy slots in both rounds until the
+    driver hash-checks them) is excluded — a fixed all-slots overlap
+    cap would spuriously fail every time >= 5 new ids are registered
+    in one round."""
+    verified, rows_ok, seen = entrymod._prior_evidence()
+    oracles = entrymod.oracle_sql()
+    front = {
+        q
+        for q in entrymod.queries()
+        if (q in oracles and q not in verified)
+        or (q not in oracles and q not in rows_ok)
+    }
     a = set(entrymod._priority_order(n_rounds=7)[: entrymod._DRIVER_SLOTS])
     b = set(entrymod._priority_order(n_rounds=8)[: entrymod._DRIVER_SLOTS])
-    assert len(a & b) <= 10, f"rotation stalled: {len(a & b)} shared slots"
+    shared_tail = (a & b) - front
+    assert len(shared_tail) <= 10, f"rotation stalled: {len(shared_tail)} shared tail slots"
 
 
 def test_unverified_ids_preempt_rotation(monkeypatch):

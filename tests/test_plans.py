@@ -193,18 +193,30 @@ def test_minhash_band_join_no_cartesian(spark):
 
 def test_ngram_jaccard_join_input_is_df_filtered(spark):
     """The shared-shingle self-join must consume the df-CUT shingle
-    stream: a per-shingle frequency window feeding a `2*df <= n_docs`
-    filter BEFORE the a×b join. Without it, one ubiquitous shingle is a
-    single shuffle key with an O(df²) pair explosion at corpus scale
-    (VERDICT r4 'What's wrong' #3)."""
+    stream: a per-shingle frequency (partial aggregation since r8 —
+    never a shingle window, which would hold every occurrence of a hot
+    shingle in one task) feeding a `2*df <= n_docs` filter + LEFT SEMI
+    join BEFORE the a×b join. Without the cut, one ubiquitous shingle
+    is a single shuffle key with an O(df²) pair explosion at corpus
+    scale (VERDICT r4 'What's wrong' #3)."""
     import re
 
     qe = QUERIES["dedup_ngram_jaccard"](spark, SF_DIR)._jdf.queryExecution()
     optimized = qe.optimizedPlan().toString()
-    # df computed per shingle...
-    assert "windowspecdefinition(shingle" in optimized, optimized[:2000]
+    # df computed per shingle by aggregation (no window on the key)...
+    assert "windowspecdefinition(shingle" not in optimized, optimized[:2000]
     # ...and the cut filter present (constant-folded or not).
     assert "(2 * df" in optimized or "(df" in optimized, optimized[:2000]
+    # The cut applies via a semi join of the shingle stream against
+    # the surviving (cold) keys — map-side-combined, skew-splittable.
+    plan0 = qe.executedPlan().toString()
+    assert re.search(r"HashAggregate\(keys=\[shingle[^\]]*\][^)]*partial_count", plan0), (
+        plan0[:2000]
+    )
+    assert re.search(
+        r"(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin) \[shingle[^\n]*LeftSemi",
+        plan0,
+    ), plan0[:2000]
     # Still a blocked equi join — never all-pairs. The ONE allowed
     # BroadcastNestedLoopJoin shape is the 1-row corpus-size scalar
     # attach (its condition references n_docs); the candidate join
@@ -312,3 +324,85 @@ def test_exact_substring_no_window_on_gram_key(spark):
     assert re.search(r"(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin) \[gkey", plan), (
         plan[:2000]
     )
+
+
+def test_containment_df_cut_no_window_on_shingle(spark):
+    """dedup_containment's df-cut must follow the partial-agg +
+    semi-join pattern (the dedup_exact_substring fix): no Window node
+    keyed on the shingle — a hot boilerplate shingle would otherwise
+    collapse into one task — and the shingle-frequency count must
+    map-side-combine before an equi semi-join prunes hot shingles.
+    Any BNLJ present must be the 1-row n_docs scalar attach."""
+    import re
+
+    df = QUERIES["dedup_containment"](spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan, f"unexpected window: {plan[:1500]}"
+    assert re.search(r"HashAggregate\(keys=\[shingle[^\]]*\][^)]*partial_count", plan), (
+        plan[:2000]
+    )
+    assert re.search(
+        r"(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin) \[shingle[^\n]*LeftSemi", plan
+    ), plan[:2000]
+    for m in re.finditer(r"BroadcastNestedLoopJoin[^\n]*\n[^\n]*", plan):
+        assert "n_docs" in m.group(0), f"non-scalar BNLJ: {m.group(0)}"
+
+
+def test_exact_substring_apply_joins_are_equi(spark):
+    """dedup_exact_substring_apply: the token-vs-covered anti join and
+    the reassembly joins must all be equi joins keyed on doc position
+    (AQE-splittable) — no window partitioned on the gram key leaks in
+    from the detect pass, and no cartesian pairing of tokens against
+    spans."""
+    import re
+
+    df = QUERIES["dedup_exact_substring_apply"](spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    for m in re.finditer(r"Window \[.*?\], \[([^\]]*)\]", plan):
+        assert "gkey" not in m.group(1), f"window partitioned on gkey: {m.group(0)}"
+    assert "CartesianProduct" not in plan, plan[:1500]
+    assert "BroadcastNestedLoopJoin" not in plan, plan[:1500]
+    assert re.search(
+        r"(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin) \[[^\n]*LeftAnti", plan
+    ), plan[:2000]
+
+
+def test_incremental_no_window_on_hash_key(spark):
+    """dedup_incremental: both keeper derivations (corpus index and
+    within-batch) must be partial aggregations on the digest plus equi
+    joins — never a window over the content hash, so a billion-copy
+    hot document collapses map-side instead of landing in one task."""
+    import re
+
+    df = QUERIES["dedup_incremental"](spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan, f"unexpected window: {plan[:1500]}"
+    assert re.search(r"HashAggregate\(keys=\[h[#\d]*[^\]]*\][^)]*partial_min", plan), (
+        plan[:2000]
+    )
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan, (
+        plan[:1500]
+    )
+
+
+def test_dedup_family_no_hot_key_windows(spark):
+    """Family-wide r8 invariant: NO dedup operator may compute a
+    window partitioned on an unbounded-cardinality-per-key column
+    (content digest, shingle, gram key, cluster label, hash-family
+    key). A window needs every row of a partition in one task, and
+    dedup keys are hot by the operator's own purpose — repeated
+    content. Partial aggregation + equi join back is the required
+    shape (map-side combine; AQE-skew-splittable). Windows partitioned
+    per doc (bounded by document length) are allowed."""
+    import re
+
+    hot_keys = {"content_hash", "h", "shingle", "gkey", "cluster_id", "cell", "band", "sig"}
+    for name in sorted(QUERIES):
+        if not name.startswith("dedup_"):
+            continue
+        df = QUERIES[name](spark, SF_DIR)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        for m in re.finditer(r"Window \[.*?\], \[([^\]]*)\]", plan):
+            part_keys = m.group(1)
+            bad = [k for k in hot_keys if re.search(rf"\b{k}#", part_keys)]
+            assert not bad, f"{name}: window partitioned on hot key {bad}: {m.group(0)[:200]}"
