@@ -194,8 +194,14 @@ def sim_ivf_ann(spark, sf_dir):
 
     e = load_table(spark, sf_dir, "embeddings")
     vecs = e.select("vec_id", "embedding", array_to_vector("embedding").alias("features"))
+    from sparkml_spark.operators.ml import _strip_summary
+
     km = KMeans(k=16, seed=42, featuresCol="features", predictionCol="cell")
-    model = km.fit(vecs)
+    # Strip the training summary before transform: KMeansModel carries
+    # a session-referencing summary, and serializing it into the
+    # transform closure dies once the session has served an observe()
+    # query (see operators/ml.py `_strip_summary`).
+    model = _strip_summary(km.fit(vecs))
     assign = model.transform(vecs).select("vec_id", "embedding", "cell")
     centroids = spark.createDataFrame(
         [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],

@@ -269,7 +269,7 @@ def ml_classify_logistic(spark, sf_dir):
     from pyspark.ml.classification import LogisticRegression
 
     train, test = _train_test(_features(spark, sf_dir))
-    model = LogisticRegression(maxIter=25, regParam=0.01).fit(train)
+    model = _strip_summary(LogisticRegression(maxIter=25, regParam=0.01).fit(train))
     return model.transform(test).select(
         "vec_id",
         F.col("label").cast("int").alias("label"),
@@ -297,14 +297,14 @@ def ml_fit_quality_bound(spark, sf_dir):
 
     feats = _features(spark, sf_dir)
     train, _test = _train_test(feats)
-    lr = LogisticRegression(maxIter=25, regParam=0.01).fit(train)
+    lr = _strip_summary(LogisticRegression(maxIter=25, regParam=0.01).fit(train))
     acc = lr.transform(train).agg(
         (
             F.count_if(F.col("prediction") == F.col("label"))
             / F.count(F.lit(1))
         ).alias("acc")
     )
-    km = KMeans(k=16, seed=42).fit(feats)
+    km = _strip_summary(KMeans(k=16, seed=42).fit(feats))
     n_cells = (
         km.transform(feats)
         .groupBy("prediction")
@@ -345,7 +345,9 @@ def ml_classify_trees(spark, sf_dir):
         .unionByName(
             scored(
                 "random_forest",
-                RandomForestClassifier(seed=SEED, numTrees=30, maxDepth=8).fit(train),
+                _strip_summary(
+                    RandomForestClassifier(seed=SEED, numTrees=30, maxDepth=8).fit(train)
+                ),
                 test,
             )
         )
@@ -365,7 +367,7 @@ def ml_classify_linear(spark, sf_dir):
     from pyspark.ml.classification import LinearSVC, NaiveBayes, OneVsRest
 
     train, test = _train_test(_features(spark, sf_dir))
-    ovr = OneVsRest(classifier=LinearSVC(maxIter=15, regParam=0.05)).fit(train)
+    ovr = _strip_summary(OneVsRest(classifier=LinearSVC(maxIter=15, regParam=0.05)).fit(train))
     nb = NaiveBayes(modelType="gaussian").fit(train)
     a = ovr.transform(test).select(
         F.col("vec_id"), F.col("prediction").alias("svc_pred")
@@ -389,9 +391,9 @@ def ml_classify_mlp(spark, sf_dir):
     from pyspark.ml.classification import MultilayerPerceptronClassifier
 
     train, test = _train_test(_features(spark, sf_dir))
-    mlp = MultilayerPerceptronClassifier(
-        layers=[64, 32, 10], seed=SEED, maxIter=40
-    ).fit(train)
+    mlp = _strip_summary(
+        MultilayerPerceptronClassifier(layers=[64, 32, 10], seed=SEED, maxIter=40).fit(train)
+    )
     return mlp.transform(test).select(
         "vec_id",
         F.col("label").cast("int").alias("label"),
@@ -421,8 +423,8 @@ def ml_regression(spark, sf_dir):
     train, test = _train_test(data)
     ev = RegressionEvaluator(metricName="rmse")
     models = [
-        ("linear", LinearRegression(maxIter=25).fit(train)),
-        ("glm_gaussian", GeneralizedLinearRegression(family="gaussian").fit(train)),
+        ("linear", _strip_summary(LinearRegression(maxIter=25).fit(train))),
+        ("glm_gaussian", _strip_summary(GeneralizedLinearRegression(family="gaussian").fit(train))),
         ("decision_tree", DecisionTreeRegressor(seed=SEED, maxDepth=8).fit(train)),
         ("random_forest", RandomForestRegressor(seed=SEED, numTrees=20).fit(train)),
         ("gbt", GBTRegressor(seed=SEED, maxIter=15).fit(train)),
@@ -442,7 +444,7 @@ def ml_clustering(spark, sf_dir):
 
     vecs = _features(spark, sf_dir)
     out = []
-    km = KMeans(k=10, seed=SEED).fit(vecs)
+    km = _strip_summary(KMeans(k=10, seed=SEED).fit(vecs))
     km_pred = km.transform(vecs)
     sil = float(round(ClusteringEvaluator(metricName="silhouette").evaluate(km_pred), 4))
     # GMM: full covariance in 64-d is singular with few points per
@@ -456,8 +458,8 @@ def ml_clustering(spark, sf_dir):
     )
     for name, model, data in [
         ("kmeans", km, vecs),
-        ("bisecting", BisectingKMeans(k=10, seed=SEED).fit(vecs), vecs),
-        ("gmm_pca8", GaussianMixture(k=6, seed=SEED).fit(pca8), pca8),
+        ("bisecting", _strip_summary(BisectingKMeans(k=10, seed=SEED).fit(vecs)), vecs),
+        ("gmm_pca8", _strip_summary(GaussianMixture(k=6, seed=SEED).fit(pca8)), pca8),
     ]:
         out.append(
             model.transform(data)
@@ -725,7 +727,7 @@ def ml_pipeline_persist(spark, sf_dir):
 
     train, test = _train_test(_features(spark, sf_dir))
     pipe = Pipeline(stages=[LogisticRegression(maxIter=10, regParam=0.01)])
-    model = pipe.fit(train)
+    model = _strip_summary(pipe.fit(train))
     path = tempfile.mkdtemp(prefix="sparkml_pipe_", dir="/tmp")
     try:
         model.write().overwrite().save(path)
@@ -1188,7 +1190,7 @@ def ml_tree_regression_fit_bound(spark, sf_dir):
         .select("vec_id", F.col("n_chars").cast("double").alias("label"), "features")
     )
     rtrain, _ = _train_test(data)
-    lin = LinearRegression(maxIter=25).fit(rtrain)
+    lin = _strip_summary(LinearRegression(maxIter=25).fit(rtrain))
     reg = lin.transform(rtrain).agg(
         F.sqrt(F.avg((F.col("label") - F.col("prediction")) ** 2)).alias("rmse"),
         F.stddev_pop("label").alias("sd"),
@@ -1228,9 +1230,15 @@ def ml_mlp_linear_fit_bound(spark, sf_dir):
             F.avg((F.col("label") == F.col("prediction")).cast("double")).alias(name)
         )
 
-    mlp = MultilayerPerceptronClassifier(layers=[64, 32, 10], seed=SEED, maxIter=40).fit(train)
-    ovr = OneVsRest(classifier=LinearSVC(maxIter=15, regParam=0.05)).fit(train)
-    nb = NaiveBayes(modelType="gaussian").fit(train)
+    # Every fitted model transforms via a closure that serializes the
+    # model itself — strip training summaries (session references) or
+    # the task dies with `NotSerializableException: ObservationManager`
+    # once the suite's observe() query has run (see _strip_summary).
+    mlp = _strip_summary(
+        MultilayerPerceptronClassifier(layers=[64, 32, 10], seed=SEED, maxIter=40).fit(train)
+    )
+    ovr = _strip_summary(OneVsRest(classifier=LinearSVC(maxIter=15, regParam=0.05)).fit(train))
+    nb = _strip_summary(NaiveBayes(modelType="gaussian").fit(train))
     bin_train = train.withColumn("label", (F.col("label") < 5).cast("double"))
     fmc = _strip_summary(
         FMClassifier(factorSize=4, stepSize=0.1, maxIter=30, seed=SEED).fit(bin_train)

@@ -25,6 +25,18 @@ SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
 @pytest.fixture(scope="session")
 def spark():
     s = get_spark("sparkml_spark-tests")
+    # Serve one observe() query up front, so EVERY test runs against a
+    # session whose ObservationManager is live — the long-lived
+    # job-server environment where an ML model serialized with its
+    # training summary dies with `Task not serializable:
+    # ObservationManager` (see operators/ml.py `_strip_summary`). A
+    # fresh session hides that failure class; test order must not
+    # decide whether it's caught.
+    from pyspark.sql import Observation
+    from pyspark.sql import functions as F
+
+    obs = Observation("conftest_poison")
+    s.range(1).observe(obs, F.count(F.lit(1)).alias("n")).collect()
     yield s
 
 
