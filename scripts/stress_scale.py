@@ -232,6 +232,13 @@ def main() -> int:
         "(use for output-linear ops — see steady() docstring)",
     )
     ap.add_argument(
+        "--only",
+        default=None,
+        help="comma-separated subset of the suite's query ids to time "
+        "(targeted re-measures after a plan change; avoids re-running "
+        "the full ×k suite when only one family's plan moved)",
+    )
+    ap.add_argument(
         "--fail-ratio",
         type=float,
         default=None,
@@ -278,6 +285,12 @@ def main() -> int:
     build_scaled(spark, args.sf_dir, out_dir, args.k)
 
     suite = {q: q for q in LLM_SUITE} if args.llm else HEADLINE
+    if args.only:
+        wanted = set(args.only.split(","))
+        unknown = wanted - set(suite)
+        if unknown:
+            ap.error(f"--only ids not in the suite: {sorted(unknown)}")
+        suite = {n: q for n, q in suite.items() if n in wanted}
     base, scaled, ratios = {}, {}, {}
     for name, qid in suite.items():
         fn = QUERIES[qid]

@@ -178,6 +178,72 @@ def dedup_ngram_jaccard(spark, sf_dir):
     return jaccard_pairs(_corpus_with_near_dups(spark, sf_dir))
 
 
+def df_cut_kept(exploded, corpus):
+    """Document-frequency cut over a (doc_id, shingle) stream: drop
+    shingles present in more than half the corpus, via partial
+    aggregation + broadcast LEFT ANTI against the hot set.
+
+    Shape rationale (r8, measured at sf0.1 noop / ×100):
+    - NOT a window over the shingle (26 s base): a window computes df
+      on the same key the self-join shuffles on — zero extra shuffle,
+      the fastest fixture plan — but requires every occurrence of a
+      hot shingle in ONE task before the cut can drop it; at 100 TB a
+      boilerplate shingle on billions of docs is a straggler/OOM, and
+      AQE skew-splitting applies to joins, not windows.
+    - NOT a semi join against the surviving (cold) keys (78 s base,
+      354 s at ×100): shuffles the whole exploded stream a second
+      time and loses exchange reuse across the four kept consumers.
+    - The HOT set is provably tiny — each hot shingle occurs in more
+      than n_docs/2 docs, so #hot <= per-doc-distinct occurrences /
+      (n_docs/2) = 2 × avg shingles per doc (~100 rows at ANY corpus
+      size) — so the anti join is a broadcast map-side filter: the df
+      aggregation map-side-combines (skew-proof) and the stream is
+      never re-shuffled for the cut. Downstream, the self-join's keys
+      are df-bounded BY the cut itself, so no stage anywhere sees an
+      unbounded hot key.
+    Callers wrap the result in `_ckpt` (lazy DISK_ONLY local
+    checkpoint) so the shingling + cut compute ONCE for the four
+    consumers (sizes, both join sides, df agg) instead of once per
+    plan branch — measured 26 s vs 73 s warm at sf0.1. The checkpoint
+    materializes lazily at first action (plan construction stays
+    action-free), truncates lineage (same hygiene as
+    dedup_cc_clusters), and its executor blocks live until the RDD is
+    GC'd — bounded by the kept stream size, the same accumulation
+    class documented on sim_ann_recall_bound's cache. Repeat
+    executions of the SAME DataFrame reuse the blocks, so
+    steady-state re-timings exclude the shingling stage (cold-run
+    timings are the honest distributed cost — the bench/stress
+    protocols construct a fresh plan per run).
+
+    The corpus size rides along as a lazy broadcast 1-row aggregate
+    crossJoined onto the tiny per-shingle df aggregate — no eager
+    count() action and no baked-in literal to go stale (ADVICE r5);
+    that 1-row attach plans as a BroadcastNestedLoopJoin whose build
+    side is ONE row (test_plans pins any BNLJ to be exactly this)."""
+    n_docs = F.broadcast(corpus.agg(F.count(F.lit(1)).alias("n_docs")))
+    dfs = exploded.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    hot = (
+        dfs.crossJoin(n_docs)
+        .filter(2 * F.col("df") > F.col("n_docs"))
+        .select("shingle")
+    )
+    return exploded.join(F.broadcast(hot), "shingle", "left_anti")
+
+
+def _ckpt(df):
+    """Lazy DISK_ONLY local checkpoint for the df-cut stream: memory
+    levels put the whole materialized stream on the executor heap,
+    which at ×100 fixture scale (≈45M shingle rows) drove the JVM
+    into GCLocker allocation storms on a default-memory driver;
+    DISK_ONLY gives the checkpoint the same I/O profile as a shuffle
+    write — linear, off-heap, spill-free — at the cost of re-reading
+    from local disk, which is exactly what every shuffle consumer
+    does anyway."""
+    from pyspark.storagelevel import StorageLevel
+
+    return df.localCheckpoint(eager=False, storageLevel=StorageLevel.DISK_ONLY)
+
+
 def jaccard_pairs(corpus, threshold: float = 0.6):
     """Core of dedup_ngram_jaccard over any (doc_id, text) DataFrame —
     exposed so the hot-shingle stress test can drive it with injected
@@ -194,28 +260,7 @@ def jaccard_pairs(corpus, threshold: float = 0.6):
     )
     shingled = corpus.select("doc_id", shingles.alias("shingles"))
     exploded = shingled.select("doc_id", F.explode("shingles").alias("shingle"))
-    # Per-shingle df via partial aggregation + LEFT SEMI join (the
-    # dedup_exact_substring / dedup_containment pattern, unified
-    # family-wide in r8): the df count map-side-combines, so a hot
-    # boilerplate shingle collapses to one (shingle, count) row per
-    # map task instead of landing every occurrence in ONE window task
-    # — the window form computed df on the same key but required the
-    # whole hot partition in a single task BEFORE the cut could drop
-    # it. Corpus size rides along as a lazy broadcast 1-row aggregate
-    # crossJoined onto the (already tiny) per-shingle df aggregate —
-    # no eager count() action at construction and no baked-in literal
-    # to go stale (ADVICE r5). That 1-row attach plans as a
-    # BroadcastNestedLoopJoin whose build side is ONE row; test_plans
-    # pins that any BNLJ in this plan is exactly the n_docs attach and
-    # the candidate join stays equi-on-shingle.
-    n_docs = F.broadcast(corpus.agg(F.count(F.lit(1)).alias("n_docs")))
-    dfs = exploded.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
-    cold = (
-        dfs.crossJoin(n_docs)
-        .filter(2 * F.col("df") <= F.col("n_docs"))
-        .select("shingle")
-    )
-    kept = exploded.join(cold, "shingle", "left_semi")
+    kept = _ckpt(df_cut_kept(exploded, corpus))
     sizes = kept.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     a = kept.select(F.col("doc_id").alias("id_a"), "shingle")
     b = kept.select(F.col("doc_id").alias("id_b"), "shingle")
@@ -1555,14 +1600,10 @@ def dedup_containment(spark, sf_dir):
     exploded = full.select("doc_id", shingles.alias("shingles")).select(
         "doc_id", F.explode("shingles").alias("shingle")
     )
-    n_docs = F.broadcast(full.agg(F.count(F.lit(1)).alias("n_docs")))
-    dfs = exploded.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
-    cold = (
-        dfs.crossJoin(n_docs)
-        .filter(2 * F.col("df") <= F.col("n_docs"))
-        .select("shingle")
-    )
-    kept = exploded.join(cold, "shingle", "left_semi")
+    # df-cut via partial agg + broadcast LEFT ANTI against the hot
+    # set, computed once behind a lazy checkpoint — see df_cut_kept
+    # for the full shape rationale and measurements.
+    kept = _ckpt(df_cut_kept(exploded, full))
     sizes = kept.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     a = kept.select(F.col("doc_id").alias("id_a"), "shingle")
     b = kept.select(F.col("doc_id").alias("id_b"), "shingle")
