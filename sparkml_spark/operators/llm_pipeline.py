@@ -450,3 +450,249 @@ def pipeline_chunk_overlap(spark, sf_dir):
             F.md5(F.array_join(chunk, " ")).alias("chunk_md5"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Dataset split management: deterministic stratum-reported splits, and
+# duplicate-aware split repair (near-dups must not straddle train/test).
+# ---------------------------------------------------------------------------
+
+#: Split fractions over the 0..99 hash-bucket space: [0,90) train,
+#: [90,95) val, [95,100) test.
+_SPLIT_TRAIN, _SPLIT_VAL = 90, 95
+
+_BUCKET_SQL = (
+    "('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT % 100"
+)
+
+
+@query(
+    "pipeline_dataset_split",
+    section="2.I",
+    oracle=f"""
+WITH assigned AS (
+  SELECT lang, n_chars,
+         CASE WHEN {_BUCKET_SQL} < {_SPLIT_TRAIN} THEN 'train'
+              WHEN {_BUCKET_SQL} < {_SPLIT_VAL} THEN 'val'
+              ELSE 'test' END AS split
+  FROM documents
+)
+SELECT split, lang,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+FROM assigned GROUP BY split, lang
+""",
+)
+def pipeline_dataset_split(spark, sf_dir):
+    """Deterministic train/val/test assignment with per-stratum
+    accounting. The split key is a CONTENT hash of the doc id
+    (md5_chunk16 % 100 — the repo's cross-engine hash-parse
+    convention), never the engine's builtin hash() or an RNG: the
+    assignment must reproduce byte-identically across engines, Spark
+    versions, partitionings, and partial re-runs, because a training
+    job that re-materializes its corpus must not silently move
+    documents between train and test. Mod-100 over a 16-bit chunk
+    carries a <=0.06% bucket bias (65536 % 100 != 0) — irrelevant for
+    split proportions and stated here so nobody mistakes it for a
+    uniformity bug. Output is the per-(split, lang) census a curation
+    run reports: doc count and character mass.
+
+    Scale: one scan, a per-row hash, and a partial aggregation to
+    |splits|x|langs| rows — no joins, no windows, no data shuffle
+    beyond the few-row final agg exchange."""
+    d = load_table(spark, sf_dir, "documents")
+    bucket = md5_chunk16(F.col("doc_id").cast("string")) % 100
+    split = (
+        F.when(bucket < _SPLIT_TRAIN, "train")
+        .when(bucket < _SPLIT_VAL, "val")
+        .otherwise("test")
+    )
+    return (
+        d.select(split.alias("split"), "lang", "n_chars")
+        .groupBy("split", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("sum_chars"),
+        )
+    )
+
+
+@query(
+    "pipeline_split_leakage",
+    section="2.I",
+    oracle=f"""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, text
+  FROM documents WHERE doc_id % 10 = 0
+),
+assigned AS (
+  SELECT doc_id,
+         md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS content_hash,
+         CASE WHEN {_BUCKET_SQL} < {_SPLIT_TRAIN} THEN 'train'
+              WHEN {_BUCKET_SQL} < {_SPLIT_VAL} THEN 'val'
+              ELSE 'test' END AS split
+  FROM corpus
+)
+SELECT content_hash,
+       COUNT(*) AS n_members,
+       COUNT(DISTINCT split) AS n_splits_before,
+       arg_min(split, doc_id) AS repaired_split
+FROM assigned
+GROUP BY content_hash
+HAVING COUNT(DISTINCT split) > 1
+""",
+)
+def pipeline_split_leakage(spark, sf_dir):
+    """Duplicate-aware split repair: after pipeline_dataset_split's
+    hash assignment, byte-identical documents that hash to DIFFERENT
+    splits are train→test leakage — the model is evaluated on content
+    it trained on. This op finds every exact-duplicate group (the
+    dedup_exact_hash digest) whose members straddle more than one
+    split and repairs it by reassigning the whole group to the
+    canonical keeper's split (min doc_id — the same representative
+    rule dedup_exact_hash uses, so dedup and split repair agree on the
+    keeper). Splitting by CONTENT hash instead would avoid leakage by
+    construction but ties split identity to mutable text; production
+    pipelines split on the stable id and repair, which is the shape
+    here.
+
+    Scale: one scan of the duplicated corpus, then a single partial
+    aggregation on the digest — count, count-distinct-over-3-values
+    (collected as a bounded set), and min_by all map-side-combine, so
+    a billion-copy hot document collapses per map task; no window, no
+    join, no second shuffle. The straddle filter is a HAVING on the
+    aggregate, so output is bounded by the number of LEAKING groups,
+    not documents."""
+    from sparkml_spark.operators.llm_dedup import _corpus_with_dups, _norm
+
+    corpus = _corpus_with_dups(spark, sf_dir)
+    bucket = md5_chunk16(F.col("doc_id").cast("string")) % 100
+    split = (
+        F.when(bucket < _SPLIT_TRAIN, "train")
+        .when(bucket < _SPLIT_VAL, "val")
+        .otherwise("test")
+    )
+    assigned = corpus.select(
+        "doc_id", _norm().alias("content_hash"), split.alias("split")
+    )
+    return (
+        assigned.groupBy("content_hash")
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.size(F.collect_set("split")).cast("long").alias("n_splits_before"),
+            F.min_by("split", "doc_id").alias("repaired_split"),
+        )
+        .filter(F.col("n_splits_before") > 1)
+    )
+
+
+#: Filter-funnel gates, all INTEGER comparisons so the funnel counts
+#: are exact cross-engine (no float ratio ever materializes):
+#:   min_length       n_tokens >= 16
+#:   alpha_ratio      100 * alpha_chars >= 81 * n_chars    (>= 0.81)
+#:   stopword_floor   100 * stop_tokens >= 3 * n_tokens    (>= 0.03)
+#:   repetition_cap   25 * max_token_count <= 4 * n_tokens (<= 0.16)
+_FUNNEL_MIN_TOKENS = 16
+_STOPWORDS = ("a", "the", "of", "to", "and")
+
+
+@query(
+    "pipeline_filter_funnel",
+    section="2.I",
+    oracle=f"""
+WITH t AS (
+  SELECT string_split_regex(lower(trim(text)), '\\s+') AS toks,
+         length(text) AS nc,
+         length(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS alpha
+  FROM documents
+), flags AS (
+  SELECT len(toks) >= {_FUNNEL_MIN_TOKENS} AS p1,
+         100 * alpha >= 81 * nc AS p2,
+         100 * len(list_filter(toks, s -> s IN {str(_STOPWORDS)}))
+           >= 3 * len(toks) AS p3,
+         25 * list_max(list_transform(list_distinct(toks),
+                u -> len(list_filter(toks, x -> x = u))))
+           <= 4 * len(toks) AS p4
+  FROM t
+), agg AS (
+  SELECT COUNT(*) AS n0,
+         COUNT(*) FILTER (WHERE p1) AS n1,
+         COUNT(*) FILTER (WHERE p1 AND p2) AS n2,
+         COUNT(*) FILTER (WHERE p1 AND p2 AND p3) AS n3,
+         COUNT(*) FILTER (WHERE p1 AND p2 AND p3 AND p4) AS n4
+  FROM flags
+)
+SELECT 0 AS stage_idx, 'input' AS stage, n0 AS survivors,
+       CAST(0 AS BIGINT) AS rejected_here FROM agg
+UNION ALL SELECT 1, 'min_length', n1, n0 - n1 FROM agg
+UNION ALL SELECT 2, 'alpha_ratio', n2, n1 - n2 FROM agg
+UNION ALL SELECT 3, 'stopword_floor', n3, n2 - n3 FROM agg
+UNION ALL SELECT 4, 'repetition_cap', n4, n3 - n4 FROM agg
+""",
+)
+def pipeline_filter_funnel(spark, sf_dir):
+    """Quality-filter funnel with per-stage attrition accounting: the
+    four standard cheap gates (length floor, alphabetic ratio,
+    stopword floor, top-token repetition cap — the C4/Gopher-style
+    rule family) applied in sequence, reporting survivors and
+    rejections AT EACH STAGE. The funnel view is what a curation run
+    actually needs from its filters — "stage 3 suddenly rejects 40%"
+    is the signal that a threshold or an upstream corpus change broke,
+    and a single end-to-end keep rate cannot localize it. Gates are
+    deliberately integer cross-multiplications (no float ratio is
+    ever computed), so the counts are exact in both engines.
+
+    Scale: one scan; every gate — including the top-token count, a
+    nested higher-order expression over the (document-bounded) token
+    array — is per-row codegen with no explode, and the funnel
+    aggregation is five conditional counts that map-side-combine to a
+    single row; the 5-row stage table is built driver-free by
+    exploding a literal array over that one aggregate row. No joins,
+    no windows, no shuffle of document rows."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    nc = F.length("text")
+    alpha = F.length(F.regexp_replace(F.lower("text"), "[^a-z]", ""))
+    stops = F.size(F.filter(toks, lambda s: s.isin(*_STOPWORDS)))
+    maxtok = F.array_max(
+        F.transform(
+            F.array_distinct(toks),
+            lambda u: F.size(F.filter(toks, lambda x: x == u)),
+        )
+    )
+    flags = d.select(
+        (F.size(toks) >= _FUNNEL_MIN_TOKENS).alias("p1"),
+        (100 * alpha >= 81 * nc).alias("p2"),
+        (100 * stops >= 3 * F.size(toks)).alias("p3"),
+        (25 * maxtok <= 4 * F.size(toks)).alias("p4"),
+    )
+    agg = flags.agg(
+        F.count(F.lit(1)).alias("n0"),
+        F.count(F.when(F.col("p1"), 1)).alias("n1"),
+        F.count(F.when(F.col("p1") & F.col("p2"), 1)).alias("n2"),
+        F.count(F.when(F.col("p1") & F.col("p2") & F.col("p3"), 1)).alias("n3"),
+        F.count(
+            F.when(F.col("p1") & F.col("p2") & F.col("p3") & F.col("p4"), 1)
+        ).alias("n4"),
+    )
+
+    def row(idx, name, surv, prev):
+        return F.struct(
+            F.lit(idx).alias("stage_idx"),
+            F.lit(name).alias("stage"),
+            F.col(surv).alias("survivors"),
+            (F.col(prev) - F.col(surv) if prev else F.lit(0).cast("long")).alias(
+                "rejected_here"
+            ),
+        )
+
+    stages = F.array(
+        row(0, "input", "n0", None),
+        row(1, "min_length", "n1", "n0"),
+        row(2, "alpha_ratio", "n2", "n1"),
+        row(3, "stopword_floor", "n3", "n2"),
+        row(4, "repetition_cap", "n4", "n3"),
+    )
+    return agg.select(F.explode(stages).alias("s")).select("s.*")

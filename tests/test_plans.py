@@ -420,3 +420,24 @@ def test_dedup_family_no_hot_key_windows(spark):
             part_keys = m.group(1)
             bad = [k for k in hot_keys if re.search(rf"\b{k}#", part_keys)]
             assert not bad, f"{name}: window partitioned on hot key {bad}: {m.group(0)[:200]}"
+
+
+def test_split_family_scan_shapes(spark):
+    """The split-management ops must stay scan+partial-agg plans:
+    pipeline_dataset_split and pipeline_split_leakage are one pass
+    over documents into a map-side-combining aggregation (no Window,
+    no join — a billion-copy hot digest collapses per map task), and
+    pipeline_filter_funnel additionally must evaluate every gate
+    per-row (no Expand/explode of token arrays, no join) with its
+    5-row stage table exploded from the single aggregate row."""
+    for name in [
+        "pipeline_dataset_split",
+        "pipeline_split_leakage",
+        "pipeline_filter_funnel",
+    ]:
+        df = QUERIES[name](spark, SF_DIR)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "Window" not in plan, f"{name}: {plan[:1500]}"
+        assert "Join" not in plan, f"{name}: {plan[:1500]}"
+        assert "CartesianProduct" not in plan, f"{name}: {plan[:1500]}"
+        assert "partial" in plan, f"{name}: no partial aggregation: {plan[:1500]}"
