@@ -105,6 +105,13 @@ LLM_SUITE = [
     "pipeline_sequence_pack",
     "sim_lsh_ann",
     "win_sessionize_batch",
+    # r8 split-management / monitoring family — scan+partial-agg ops
+    # whose ratios pin the "histogram-first, never doc-shuffling" claim.
+    "pipeline_dataset_split",
+    "pipeline_split_leakage",
+    "pipeline_filter_funnel",
+    "pipeline_snapshot_diff",
+    "quality_drift_tvd",
 ]
 
 

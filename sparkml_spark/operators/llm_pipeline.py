@@ -696,3 +696,173 @@ def pipeline_filter_funnel(spark, sf_dir):
         row(4, "repetition_cap", "n4", "n3"),
     )
     return agg.select(F.explode(stages).alias("s")).select("s.*")
+
+
+# ---------------------------------------------------------------------------
+# Corpus-version monitoring: snapshot diff and distribution drift.
+# ---------------------------------------------------------------------------
+
+#: Synthetic "next corpus version" for the snapshot diff, derived
+#: deterministically from documents: every 17th doc removed, every
+#: 13th surviving doc edited, every 19th doc also republished under a
+#: new id. Churn rates chosen so all three change classes are non-empty
+#: at every fixture scale.
+_SNAP_REMOVED, _SNAP_CHANGED, _SNAP_ADDED = 17, 13, 19
+_SNAP_ADD_OFFSET = 2_000_000
+
+
+@query(
+    "pipeline_snapshot_diff",
+    section="2.I",
+    oracle=f"""
+WITH old AS (
+  SELECT doc_id, md5(text) AS digest FROM documents
+), new AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % {_SNAP_CHANGED} = 0 THEN md5(text || ' v2')
+              ELSE md5(text) END AS digest
+  FROM documents WHERE doc_id % {_SNAP_REMOVED} <> 0
+  UNION ALL
+  SELECT doc_id + {_SNAP_ADD_OFFSET} AS doc_id, md5(text || ' repub') AS digest
+  FROM documents WHERE doc_id % {_SNAP_ADDED} = 0
+)
+SELECT COALESCE(old.doc_id, new.doc_id) AS doc_id,
+       CASE WHEN old.doc_id IS NULL THEN 'added'
+            WHEN new.doc_id IS NULL THEN 'removed'
+            ELSE 'changed' END AS change_type
+FROM old FULL OUTER JOIN new ON old.doc_id = new.doc_id
+WHERE old.doc_id IS NULL OR new.doc_id IS NULL OR old.digest <> new.digest
+""",
+)
+def pipeline_snapshot_diff(spark, sf_dir):
+    """Corpus-version diff: which documents were added, removed, or
+    changed between two snapshots, by content digest. This is the
+    front door of every incremental pipeline at 100 TB — recomputing
+    dedup/quality/packing over an unchanged 99.9% of the corpus is
+    the single largest avoidable cost, and the diff is what scopes the
+    incremental work (dedup_incremental consumes exactly the 'added'
+    class). Unchanged documents are dropped by the digest comparison,
+    so output is bounded by churn, not corpus size.
+
+    Scale: one full outer join on doc_id — unique keys on both sides,
+    so no skew by construction; in production both snapshot tables are
+    bucketed by doc_id and the join is co-located, shuffle-free. The
+    digest is computed per-row at scan time (narrow), so the join
+    carries (id, 16-byte digest), never text."""
+    d = load_table(spark, sf_dir, "documents")
+    old = d.select("doc_id", F.md5("text").alias("digest"))
+    new = (
+        d.filter(F.col("doc_id") % _SNAP_REMOVED != 0)
+        .select(
+            "doc_id",
+            F.when(
+                F.col("doc_id") % _SNAP_CHANGED == 0,
+                F.md5(F.concat("text", F.lit(" v2"))),
+            )
+            .otherwise(F.md5("text"))
+            .alias("digest"),
+        )
+        .unionByName(
+            d.filter(F.col("doc_id") % _SNAP_ADDED == 0).select(
+                (F.col("doc_id") + _SNAP_ADD_OFFSET).alias("doc_id"),
+                F.md5(F.concat("text", F.lit(" repub"))).alias("digest"),
+            )
+        )
+    )
+    j = old.alias("o").join(
+        new.alias("n"), F.col("o.doc_id") == F.col("n.doc_id"), "full_outer"
+    )
+    return j.filter(
+        F.col("o.doc_id").isNull()
+        | F.col("n.doc_id").isNull()
+        | (F.col("o.digest") != F.col("n.digest"))
+    ).select(
+        F.coalesce(F.col("o.doc_id"), F.col("n.doc_id")).alias("doc_id"),
+        F.when(F.col("o.doc_id").isNull(), "added")
+        .when(F.col("n.doc_id").isNull(), "removed")
+        .otherwise("changed")
+        .alias("change_type"),
+    )
+
+
+@query(
+    "quality_drift_tvd",
+    section="2.I",
+    oracle="""
+WITH ref AS (
+  SELECT lang, n_chars // 50 AS b FROM documents WHERE source = 'src0'
+), cand AS (
+  SELECT lang, n_chars // 50 AS b FROM documents WHERE source <> 'src0'
+), rc AS (SELECT lang, b, COUNT(*) AS n FROM ref GROUP BY lang, b),
+   cc AS (SELECT lang, b, COUNT(*) AS n FROM cand GROUP BY lang, b),
+   rt AS (SELECT lang AS rlang, CAST(SUM(n) AS BIGINT) AS n_ref FROM rc GROUP BY lang),
+   ct AS (SELECT lang AS clang, CAST(SUM(n) AS BIGINT) AS n_cand FROM cc GROUP BY lang),
+   j AS (
+     SELECT COALESCE(rc.lang, cc.lang) AS lang, COALESCE(rc.b, cc.b) AS b,
+            COALESCE(rc.n, 0) AS rn, COALESCE(cc.n, 0) AS cn
+     FROM rc FULL OUTER JOIN cc ON rc.lang = cc.lang AND rc.b = cc.b
+   )
+SELECT lang, n_ref, n_cand,
+       CAST(SUM(ABS(rn * 1000000 // n_ref - cn * 1000000 // n_cand)) AS BIGINT)
+         AS tvd_ppm_x2
+FROM j JOIN rt ON lang = rlang JOIN ct ON lang = clang
+GROUP BY lang, n_ref, n_cand
+""",
+)
+def quality_drift_tvd(spark, sf_dir):
+    """Distribution-drift monitor between two corpus slices (here:
+    source 'src0' as the reference batch vs the rest as the candidate),
+    per language stratum: total-variation distance over fixed
+    50-char-wide document-length buckets, reported as an EXACT integer
+    — each bucket share is floored to parts-per-million (n_i * 1e6 DIV
+    n, integer division), and the statistic is the sum of absolute
+    ppm differences (2e6 * TVD, up to flooring). TVD instead of the
+    usual PSI/KL because those need ln(), whose last-ulp behavior is
+    engine- and libm-specific — a drift MONITOR whose own output
+    drifts across engines defeats its purpose. Flooring bias is < #
+    buckets ppm, far below any alerting threshold. Overflow-safe to
+    ~9e12 docs per bucket (n_i * 1e6 < 2^63).
+
+    Scale: two scans (or one with conditional aggs) into a (lang,
+    bucket) partial aggregation — bounded key space (#langs x
+    #buckets), so the histograms are tiny regardless of corpus size;
+    the outer-join + per-lang rollup runs on histogram rows, not
+    documents. This is the shape of every production drift check:
+    reduce to a fixed-size sketch first, compare second."""
+    d = load_table(spark, sf_dir, "documents")
+    b = F.expr("n_chars DIV 50").alias("b")
+    rc = (
+        d.filter(F.col("source") == "src0")
+        .select("lang", b)
+        .groupBy("lang", "b")
+        .agg(F.count(F.lit(1)).alias("rn"))
+    )
+    cc = (
+        d.filter(F.col("source") != "src0")
+        .select("lang", b)
+        .groupBy("lang", "b")
+        .agg(F.count(F.lit(1)).alias("cn"))
+    )
+    rt = rc.groupBy("lang").agg(F.sum("rn").alias("n_ref"))
+    ct = cc.groupBy("lang").agg(F.sum("cn").alias("n_cand"))
+    j = (
+        rc.withColumnRenamed("lang", "rlang")
+        .withColumnRenamed("b", "rb")
+        .join(
+            cc,
+            (F.col("rlang") == F.col("lang")) & (F.col("rb") == F.col("b")),
+            "full_outer",
+        )
+        .select(
+            F.coalesce(F.col("rlang"), F.col("lang")).alias("lang"),
+            F.coalesce("rn", F.lit(0)).alias("rn"),
+            F.coalesce("cn", F.lit(0)).alias("cn"),
+        )
+    )
+    ppm = F.expr("abs(rn * 1000000 DIV n_ref - cn * 1000000 DIV n_cand)")
+    return (
+        j.join(F.broadcast(rt), "lang")
+        .join(F.broadcast(ct), "lang")
+        .groupBy("lang", "n_ref", "n_cand")
+        .agg(F.sum(ppm).alias("tvd_ppm_x2"))
+    )

@@ -441,3 +441,35 @@ def test_split_family_scan_shapes(spark):
         assert "Join" not in plan, f"{name}: {plan[:1500]}"
         assert "CartesianProduct" not in plan, f"{name}: {plan[:1500]}"
         assert "partial" in plan, f"{name}: no partial aggregation: {plan[:1500]}"
+
+
+def test_monitoring_ops_plan_shapes(spark):
+    """pipeline_snapshot_diff: ONE equi full-outer join on the unique
+    doc_id (no skew by construction), digests computed at scan time —
+    no window, no cartesian. quality_drift_tvd: histograms first
+    (partial agg on the bounded (lang, bucket) key space), then joins
+    on HISTOGRAM rows only — the per-lang totals attach as broadcasts
+    and nothing windows or goes cartesian."""
+    import re
+
+    plan = (
+        QUERIES["pipeline_snapshot_diff"](spark, SF_DIR)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Window" not in plan and "CartesianProduct" not in plan, plan[:1500]
+    joins = re.findall(r"(?:SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)[^\n]*", plan)
+    assert len(joins) == 1 and "FullOuter" in joins[0], joins
+
+    plan = (
+        QUERIES["quality_drift_tvd"](spark, SF_DIR)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Window" not in plan and "CartesianProduct" not in plan, plan[:1500]
+    assert "BroadcastNestedLoopJoin" not in plan, plan[:1500]
+    # the corpus-side aggregation happens BEFORE any join: partial agg
+    # on (lang, b) must exist and every join key set is histogram-side.
+    assert re.search(r"HashAggregate\(keys=\[lang[^\]]*b[^\]]*\][^)]*partial_count", plan), plan[:2000]

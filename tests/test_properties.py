@@ -567,3 +567,169 @@ def test_semdedup_cap_noop_at_or_under_cap(spark):
         for r in semdedup_within_clusters(qz, cap=10**9).collect()
     }
     assert capped == uncapped
+
+
+def test_dataset_split_partitions_and_proportions(spark):
+    """The split is a PARTITION of the corpus (every doc in exactly one
+    split) with proportions near 90/5/5 (hash uniformity; wide
+    tolerance so draw variance can't flake), and re-running produces
+    the identical census (determinism — the whole point of hashing
+    the id instead of an RNG)."""
+    from sparkml_spark.operators.llm_pipeline import pipeline_dataset_split
+    from sparkml_spark.sources.loader import load_table
+
+    from .conftest import SF_DIR
+
+    rows = pipeline_dataset_split(spark, SF_DIR).collect()
+    total = sum(r.n_docs for r in rows)
+    n_all = load_table(spark, SF_DIR, "documents").count()
+    assert total == n_all  # partition: nothing dropped or duplicated
+    by_split = {}
+    for r in rows:
+        by_split[r.split] = by_split.get(r.split, 0) + r.n_docs
+    assert set(by_split) == {"train", "val", "test"}
+    assert 0.80 <= by_split["train"] / total <= 0.97
+    rows2 = pipeline_dataset_split(spark, SF_DIR).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, rows2))
+
+
+def test_split_leakage_repair_closes_leaks(spark):
+    """Every reported group genuinely straddles (n_splits_before > 1),
+    the repaired split is the canonical keeper's (min doc_id member's)
+    split, and applying the repair leaves ZERO straddling groups —
+    i.e. the op's fixpoint is leak-free."""
+    from pyspark.sql import functions as F
+
+    from sparkml_spark.operators.llm_dedup import _corpus_with_dups, _norm
+    from sparkml_spark.operators.llm_pipeline import (
+        _SPLIT_TRAIN,
+        _SPLIT_VAL,
+        pipeline_split_leakage,
+    )
+    from sparkml_spark.registry import md5_chunk16
+
+    from .conftest import SF_DIR
+
+    leaks = pipeline_split_leakage(spark, SF_DIR)
+    assert leaks.filter(F.col("n_splits_before") <= 1).count() == 0
+    # Recompute assignments, apply the repair, re-run the straddle
+    # detector on the repaired assignment: must be empty.
+    corpus = _corpus_with_dups(spark, SF_DIR)
+    bucket = md5_chunk16(F.col("doc_id").cast("string")) % 100
+    split = (
+        F.when(bucket < _SPLIT_TRAIN, "train")
+        .when(bucket < _SPLIT_VAL, "val")
+        .otherwise("test")
+    )
+    assigned = corpus.select(
+        "doc_id", _norm().alias("content_hash"), split.alias("split")
+    )
+    repaired = (
+        assigned.join(
+            leaks.select("content_hash", "repaired_split"), "content_hash", "left"
+        )
+        .select(
+            "content_hash",
+            F.coalesce("repaired_split", "split").alias("split"),
+            "doc_id",
+        )
+    )
+    still = (
+        repaired.groupBy("content_hash")
+        .agg(F.size(F.collect_set("split")).alias("ns"))
+        .filter(F.col("ns") > 1)
+    )
+    assert still.count() == 0
+    # Keeper rule: repaired split == split of the min doc_id member.
+    keeper = assigned.groupBy("content_hash").agg(
+        F.min_by("split", "doc_id").alias("keeper_split")
+    )
+    mismatch = leaks.join(keeper, "content_hash").filter(
+        F.col("repaired_split") != F.col("keeper_split")
+    )
+    assert mismatch.count() == 0
+
+
+def test_filter_funnel_is_monotone_and_conserves(spark):
+    """Funnel algebra: survivors are non-increasing stage to stage,
+    rejected_here == previous survivors - survivors (conservation),
+    and stage 0 equals the corpus size."""
+    from sparkml_spark.operators.llm_pipeline import pipeline_filter_funnel
+    from sparkml_spark.sources.loader import load_table
+
+    from .conftest import SF_DIR
+
+    rows = sorted(
+        pipeline_filter_funnel(spark, SF_DIR).collect(), key=lambda r: r.stage_idx
+    )
+    assert rows[0].survivors == load_table(spark, SF_DIR, "documents").count()
+    for prev, cur in zip(rows, rows[1:]):
+        assert cur.survivors <= prev.survivors
+        assert cur.rejected_here == prev.survivors - cur.survivors
+
+
+def test_snapshot_diff_classes_consistent(spark):
+    """Diff classes are disjoint by construction and consistent with
+    the snapshot derivation: removed == every-17th ids, added ==
+    offset republished ids, changed == every-13th survivors whose id
+    isn't also removed; nothing else appears."""
+    from sparkml_spark.operators.llm_pipeline import (
+        _SNAP_ADD_OFFSET,
+        _SNAP_ADDED,
+        _SNAP_CHANGED,
+        _SNAP_REMOVED,
+        pipeline_snapshot_diff,
+    )
+    from sparkml_spark.sources.loader import load_table
+
+    from .conftest import SF_DIR
+
+    out = pipeline_snapshot_diff(spark, SF_DIR).collect()
+    ids = {r.doc_id for r in load_table(spark, SF_DIR, "documents").collect()}
+    got = {(r.doc_id, r.change_type) for r in out}
+    want = set()
+    for i in ids:
+        if i % _SNAP_REMOVED == 0:
+            want.add((i, "removed"))
+        elif i % _SNAP_CHANGED == 0:
+            want.add((i, "changed"))
+        if i % _SNAP_ADDED == 0:
+            want.add((i + _SNAP_ADD_OFFSET, "added"))
+    assert got == want
+    for ct in ("added", "removed", "changed"):
+        assert any(c == ct for _, c in got), f"empty class {ct}"
+
+
+def test_drift_tvd_bounds_and_self_drift_zero(spark):
+    """0 <= tvd_ppm_x2 <= 2e6 for every stratum, and comparing a slice
+    against ITSELF yields exactly 0 (the monitor's null case) — run on
+    an identical ref/cand pair derived from the same slice."""
+    from pyspark.sql import functions as F
+
+    from sparkml_spark.operators.llm_pipeline import quality_drift_tvd
+    from sparkml_spark.sources.loader import load_table
+
+    from .conftest import SF_DIR
+
+    rows = quality_drift_tvd(spark, SF_DIR).collect()
+    assert rows, "no strata"
+    for r in rows:
+        assert 0 <= r.tvd_ppm_x2 <= 2_000_000
+    # Self-drift: identical histograms => every ppm term cancels.
+    d = load_table(spark, SF_DIR, "documents")
+    h = (
+        d.select("lang", F.expr("n_chars DIV 50").alias("b"))
+        .groupBy("lang", "b")
+        .agg(F.count(F.lit(1)).alias("rn"))
+    )
+    t = h.groupBy("lang").agg(F.sum("rn").alias("n_ref"))
+    self_tvd = (
+        h.join(t, "lang")
+        .groupBy("lang")
+        .agg(
+            F.sum(
+                F.expr("abs(rn * 1000000 DIV n_ref - rn * 1000000 DIV n_ref)")
+            ).alias("z")
+        )
+    )
+    assert self_tvd.filter(F.col("z") != 0).count() == 0
