@@ -848,3 +848,82 @@ def stream_source_kafka(spark, sf_dir):
         )
     )
     return _run_to_memory(hourly, "kafka_pipe", "complete")
+
+
+@query(
+    "stream_drift_monitor",
+    section="2.K",
+    oracle="""
+WITH hc AS (
+  SELECT date_trunc('hour', ts) AS h,
+         CAST(floor(value / 25.0) AS BIGINT) AS b,
+         COUNT(*) AS c
+  FROM events GROUP BY 1, 2
+), nh AS (SELECT h, CAST(SUM(c) AS BIGINT) AS n_hour FROM hc GROUP BY h),
+   g  AS (SELECT b, CAST(SUM(c) AS BIGINT) AS gn FROM hc GROUP BY b),
+   ng AS (SELECT CAST(SUM(c) AS BIGINT) AS n_g FROM hc),
+   grid AS (SELECT h, n_hour, b, gn, n_g FROM nh CROSS JOIN g CROSS JOIN ng),
+   j AS (
+     SELECT grid.h, grid.n_hour, COALESCE(hc.c, 0) AS c, grid.gn, grid.n_g
+     FROM grid LEFT JOIN hc ON grid.h = hc.h AND grid.b = hc.b
+   )
+SELECT h AS hour_start, n_hour,
+       CAST(SUM(ABS(c * 1000000 // n_hour - gn * 1000000 // n_g)) AS BIGINT)
+         AS tvd_ppm_x2
+FROM j GROUP BY h, n_hour
+""",
+)
+def stream_drift_monitor(spark, sf_dir):
+    """Streaming distribution-drift monitor: the STREAM maintains a
+    per-hour histogram of `value` over fixed 25-wide buckets (the only
+    stateful piece — bounded state: #open-windows x #buckets rows);
+    each hour's distribution is then scored against the corpus-
+    lifetime mixture as an integer-ppm total-variation distance — the
+    same engine-exact TVD contract as quality_drift_tvd (no ln(), no
+    float shares), so alert thresholds mean the same thing in the
+    batch and streaming monitors. The reference is the lifetime
+    mixture of the streamed histogram itself (self-referential
+    baseline), so no second source or scan exists anywhere.
+
+    Scale: the streamed state is a (window, bucket) count — 20-ish
+    rows per open hour regardless of event rate, the cheapest possible
+    stateful shape; the scoring pass runs on the HISTOGRAM (hours x
+    buckets, ~20 rows/hour), where the hour-grid cross join is
+    explicitly bounded (#hours x #buckets — linear in wall-clock time,
+    constant in data rate) and both global attachments are 1-row/
+    20-row broadcasts. Replay protocol: AvailableNow into a memory
+    sink (complete mode), like every 2.K oracle."""
+    s = _event_stream(spark, sf_dir)
+    hist = (
+        s.withWatermark("ts", "1 hour")
+        .groupBy(
+            F.window("ts", "1 hour").alias("win"),
+            F.floor(F.col("value") / 25.0).cast("long").alias("b"),
+        )
+        .agg(F.count(F.lit(1)).alias("c"))
+        .select(
+            F.col("win.start").cast("timestamp_ntz").alias("h"), "b", "c"
+        )
+    )
+    hc = _run_to_memory(hist, "drift", "complete")
+    nh = hc.groupBy("h").agg(F.sum("c").alias("n_hour"))
+    g = hc.groupBy("b").agg(F.sum("c").alias("gn"))
+    ng = g.agg(F.sum("gn").alias("n_g"))
+    grid = nh.crossJoin(F.broadcast(g)).crossJoin(F.broadcast(ng))
+    # grid and hc share lineage (nh/g are aggregates OF hc), so the
+    # equi keys are renamed on the probe side to keep resolution
+    # unambiguous in the self-join.
+    hc2 = hc.select(
+        F.col("h").alias("h2"), F.col("b").alias("b2"), F.col("c")
+    )
+    j = grid.join(
+        hc2,
+        (F.col("h") == F.col("h2")) & (F.col("b") == F.col("b2")),
+        "left",
+    ).select("h", "n_hour", F.coalesce("c", F.lit(0)).alias("c"), "gn", "n_g")
+    ppm = F.expr("abs(c * 1000000 DIV n_hour - gn * 1000000 DIV n_g)")
+    return (
+        j.groupBy("h", "n_hour")
+        .agg(F.sum(ppm).alias("tvd_ppm_x2"))
+        .select(F.col("h").alias("hour_start"), "n_hour", "tvd_ppm_x2")
+    )

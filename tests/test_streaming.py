@@ -238,3 +238,48 @@ def test_stateful_tws_parity_with_custom(spark):
         f"TWS drifted from applyInPandasWithState twin: "
         f"only_tws={sorted(tws - custom)[:3]} only_custom={sorted(custom - tws)[:3]}"
     )
+
+
+def test_stream_drift_matches_batch_recompute(spark):
+    """stream_drift_monitor's replayed per-hour TVD must equal a batch
+    Spark recompute of the same integer-ppm statistic from the raw
+    events (stream-replay == batch pin, like every 2.K twin), and the
+    lifetime mixture scored against itself must give small TVD for an
+    hour whose histogram IS the mixture — sanity: every value is
+    bounded by 2e6."""
+    from pyspark.sql import functions as F
+
+    from sparkml_spark.sources.loader import load_table
+
+    out = {
+        (r["hour_start"], r["n_hour"]): r["tvd_ppm_x2"]
+        for r in QUERIES["stream_drift_monitor"](spark, SF_DIR).collect()
+    }
+    assert out and all(0 <= v <= 2_000_000 for v in out.values())
+    ev = load_table(spark, SF_DIR, "events").select(
+        F.date_trunc("hour", "ts").cast("timestamp_ntz").alias("h"),
+        F.floor(F.col("value") / 25.0).cast("long").alias("b"),
+    )
+    hc = ev.groupBy("h", "b").agg(F.count(F.lit(1)).alias("c"))
+    nh = hc.groupBy("h").agg(F.sum("c").alias("n_hour"))
+    g = hc.groupBy("b").agg(F.sum("c").alias("gn"))
+    ng = g.agg(F.sum("gn").alias("n_g"))
+    hc2 = hc.select(F.col("h").alias("h2"), F.col("b").alias("b2"), "c")
+    j = (
+        nh.crossJoin(F.broadcast(g))
+        .crossJoin(F.broadcast(ng))
+        .join(
+            hc2,
+            (F.col("h") == F.col("h2")) & (F.col("b") == F.col("b2")),
+            "left",
+        )
+        .select("h", "n_hour", F.coalesce("c", F.lit(0)).alias("c"), "gn", "n_g")
+    )
+    ppm = F.expr("abs(c * 1000000 DIV n_hour - gn * 1000000 DIV n_g)")
+    batch = {
+        (r["h"], r["n_hour"]): r["tvd_ppm_x2"]
+        for r in j.groupBy("h", "n_hour")
+        .agg(F.sum(ppm).alias("tvd_ppm_x2"))
+        .collect()
+    }
+    assert out == batch
