@@ -112,6 +112,8 @@ LLM_SUITE = [
     "pipeline_filter_funnel",
     "pipeline_snapshot_diff",
     "quality_drift_tvd",
+    "pipeline_incremental_agg",
+    "pipeline_stratified_sample_k",
 ]
 
 

@@ -866,3 +866,128 @@ def quality_drift_tvd(spark, sf_dir):
         .groupBy("lang", "n_ref", "n_cand")
         .agg(F.sum(ppm).alias("tvd_ppm_x2"))
     )
+
+
+@query(
+    "pipeline_incremental_agg",
+    section="2.I",
+    oracle=f"""
+WITH new AS (
+  SELECT lang,
+         CASE WHEN doc_id % {_SNAP_CHANGED} = 0 THEN length(text || ' v2')
+              ELSE length(text) END AS m
+  FROM documents WHERE doc_id % {_SNAP_REMOVED} <> 0
+  UNION ALL
+  SELECT lang, length(text || ' repub') AS m
+  FROM documents WHERE doc_id % {_SNAP_ADDED} = 0
+)
+SELECT lang, COUNT(*) AS n_docs, CAST(SUM(m) AS BIGINT) AS sum_chars
+FROM new GROUP BY lang
+""",
+)
+def pipeline_incremental_agg(spark, sf_dir):
+    """Incremental aggregate maintenance: the per-lang corpus census
+    (doc count, character mass) for the NEW snapshot is produced by
+    MERGING the old snapshot's aggregate with deltas computed ONLY
+    from the churn classes (added / removed / changed, the
+    pipeline_snapshot_diff derivation) — while the ORACLE recomputes
+    the same census from the new snapshot outright. Hash equality is
+    therefore a proof of the delta algebra itself: for abelian-group
+    aggregates (count, sum — anything with a subtraction), a
+    materialized aggregate over 100 TB is maintained by scanning the
+    0.1% churn, never the unchanged corpus. (Non-subtractable
+    aggregates — min/max/distinct — need the full group re-scanned on
+    eviction; this op deliberately pins the subtractable family.)
+
+    Scale: the base aggregate stands in for the stored materialized
+    view (one pass here, zero passes in production); each delta class
+    is a modular filter pushed to the scan, aggregated to |langs|
+    rows map-side; the merge is a full outer join of two few-row
+    aggregates with a vanished-group filter (n_docs > 0) — no stage
+    anywhere is proportional to the unchanged corpus."""
+    d = load_table(spark, sf_dir, "documents")
+    m = F.length("text")
+    base = (
+        d.select("lang", m.alias("m"))
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("m").alias("s"))
+    )
+    removed = d.filter(F.col("doc_id") % _SNAP_REMOVED == 0).select(
+        "lang", F.lit(-1).alias("dn"), (-m).alias("dm")
+    )
+    changed = d.filter(
+        (F.col("doc_id") % _SNAP_REMOVED != 0)
+        & (F.col("doc_id") % _SNAP_CHANGED == 0)
+    ).select(
+        "lang",
+        F.lit(0).alias("dn"),
+        (F.length(F.concat("text", F.lit(" v2"))) - m).alias("dm"),
+    )
+    added = d.filter(F.col("doc_id") % _SNAP_ADDED == 0).select(
+        "lang",
+        F.lit(1).alias("dn"),
+        F.length(F.concat("text", F.lit(" repub"))).alias("dm"),
+    )
+    deltas = (
+        removed.unionByName(changed)
+        .unionByName(added)
+        .groupBy("lang")
+        .agg(F.sum("dn").alias("dn"), F.sum("dm").alias("dm"))
+    )
+    merged = (
+        base.join(deltas, "lang", "full_outer")
+        .select(
+            "lang",
+            (F.coalesce("n", F.lit(0)) + F.coalesce("dn", F.lit(0))).alias(
+                "n_docs"
+            ),
+            (F.coalesce("s", F.lit(0)) + F.coalesce("dm", F.lit(0))).alias(
+                "sum_chars"
+            ),
+        )
+        .filter(F.col("n_docs") > 0)
+    )
+    return merged
+
+
+_STRAT_K = 20
+
+
+@query(
+    "pipeline_stratified_sample_k",
+    section="2.I",
+    oracle=f"""
+WITH ranked AS (
+  SELECT doc_id, lang,
+         row_number() OVER (
+           PARTITION BY lang
+           ORDER BY md5(CAST(doc_id AS VARCHAR)) ASC, doc_id ASC) AS rk
+  FROM documents
+)
+SELECT doc_id, lang, rk FROM ranked WHERE rk <= {_STRAT_K}
+""",
+)
+def pipeline_stratified_sample_k(spark, sf_dir):
+    """Exact-k-per-stratum deterministic sample: the {_STRAT_K} docs
+    per language whose id-md5 sorts first — "give me exactly k eval
+    docs per lang" with no RNG, so the sample is stable across
+    engines, re-runs, and corpus REORDERING, and adding new documents
+    only evicts existing members if a new hash sorts earlier (bounded
+    churn, unlike fraction sampling where every membership is
+    re-drawn). Tie-break on doc_id is unreachable for distinct ids
+    (md5 collision) but stated so the order is total by construction.
+
+    Scale: rank-over-stratum with an immediate rk <= k filter is the
+    one window shape that does NOT hold a full partition per task —
+    Spark's WindowGroupLimit pushes the limit below the shuffle, so
+    each map task keeps a k-row heap per stratum and only k rows per
+    (stratum, task) ever cross the exchange. The plan assertion pins
+    WindowGroupLimit present, same as win_topk_per_group."""
+    d = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")).asc(), F.col("doc_id").asc()
+    )
+    return (
+        d.select("doc_id", "lang", F.row_number().over(w).alias("rk"))
+        .filter(F.col("rk") <= _STRAT_K)
+    )

@@ -473,3 +473,34 @@ def test_monitoring_ops_plan_shapes(spark):
     # the corpus-side aggregation happens BEFORE any join: partial agg
     # on (lang, b) must exist and every join key set is histogram-side.
     assert re.search(r"HashAggregate\(keys=\[lang[^\]]*b[^\]]*\][^)]*partial_count", plan), plan[:2000]
+
+
+def test_incremental_agg_merge_shape(spark):
+    """pipeline_incremental_agg's merge must be a full-outer join of
+    two FEW-ROW aggregates (base census x delta census) — partial
+    aggregation present on both sides, no window, no cartesian; the
+    churn classes reach the join only AFTER aggregation (no
+    document-proportional rows cross the merge)."""
+    plan = (
+        QUERIES["pipeline_incremental_agg"](spark, SF_DIR)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Window" not in plan and "CartesianProduct" not in plan, plan[:1500]
+    assert "FullOuter" in plan, plan[:1500]
+    assert "partial_count" in plan, plan[:1500]
+
+
+def test_stratified_sample_pushes_group_limit(spark):
+    """pipeline_stratified_sample_k must plan as WindowGroupLimit
+    (partial below the exchange), so only k rows per (stratum, map
+    task) cross the shuffle — the documented reason this window shape
+    is allowed where dedup hot-key windows are not."""
+    plan = (
+        QUERIES["pipeline_stratified_sample_k"](spark, SF_DIR)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "WindowGroupLimit" in plan, plan[:1500]

@@ -733,3 +733,48 @@ def test_drift_tvd_bounds_and_self_drift_zero(spark):
         )
     )
     assert self_tvd.filter(F.col("z") != 0).count() == 0
+
+
+def test_incremental_agg_equals_direct_recompute(spark):
+    """The delta-maintained census must equal a direct Spark recompute
+    over the new snapshot (Spark-vs-Spark pin; the driver already pins
+    Spark-vs-DuckDB) — i.e. the subtractable-aggregate delta algebra
+    loses nothing, including on the changed class where only the
+    character mass moves."""
+    from pyspark.sql import functions as F
+
+    from sparkml_spark.operators.llm_pipeline import (
+        _SNAP_ADDED,
+        _SNAP_CHANGED,
+        _SNAP_REMOVED,
+        pipeline_incremental_agg,
+    )
+    from sparkml_spark.sources.loader import load_table
+
+    from .conftest import SF_DIR
+
+    inc = {
+        r.lang: (r.n_docs, r.sum_chars)
+        for r in pipeline_incremental_agg(spark, SF_DIR).collect()
+    }
+    d = load_table(spark, SF_DIR, "documents")
+    survivors = d.filter(F.col("doc_id") % _SNAP_REMOVED != 0).select(
+        "lang",
+        F.when(
+            F.col("doc_id") % _SNAP_CHANGED == 0,
+            F.length(F.concat("text", F.lit(" v2"))),
+        )
+        .otherwise(F.length("text"))
+        .alias("m"),
+    )
+    republished = d.filter(F.col("doc_id") % _SNAP_ADDED == 0).select(
+        "lang", F.length(F.concat("text", F.lit(" repub"))).alias("m")
+    )
+    direct = {
+        r.lang: (r.n_docs, r.sum_chars)
+        for r in survivors.unionByName(republished)
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("m").alias("sum_chars"))
+        .collect()
+    }
+    assert inc == direct
