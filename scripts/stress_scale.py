@@ -114,6 +114,7 @@ LLM_SUITE = [
     "quality_drift_tvd",
     "pipeline_incremental_agg",
     "pipeline_stratified_sample_k",
+    "pipeline_pack_bins_nextfit",
 ]
 
 

@@ -991,3 +991,88 @@ def pipeline_stratified_sample_k(spark, sf_dir):
         d.select("doc_id", "lang", F.row_number().over(w).alias("rk"))
         .filter(F.col("rk") <= _STRAT_K)
     )
+
+
+@query(
+    "pipeline_pack_bins_nextfit",
+    section="2.I",
+    oracle=f"""
+WITH RECURSIVE toks AS (
+  SELECT doc_id, doc_id // {_BUCKET} AS shard,
+         CAST(len(string_split_regex(lower(trim(text)), '\\s+')) AS BIGINT) AS t
+  FROM documents
+), ordered AS (
+  SELECT doc_id, shard, t,
+         row_number() OVER (PARTITION BY shard ORDER BY doc_id) AS rn
+  FROM toks
+), rec AS (
+  SELECT doc_id, shard, t, rn, CAST(0 AS BIGINT) AS bin_id, t AS fill
+  FROM ordered WHERE rn = 1
+  UNION ALL
+  SELECT o.doc_id, o.shard, o.t, o.rn,
+         CASE WHEN r.fill + o.t <= {_SEQ_TOKENS} THEN r.bin_id
+              ELSE r.bin_id + 1 END,
+         CASE WHEN r.fill + o.t <= {_SEQ_TOKENS} THEN r.fill + o.t
+              ELSE o.t END
+  FROM ordered o JOIN rec r ON o.shard = r.shard AND o.rn = r.rn + 1
+)
+SELECT doc_id, shard, t AS n_tokens, bin_id FROM rec
+""",
+)
+def pipeline_pack_bins_nextfit(spark, sf_dir):
+    """Document-boundary-respecting bin packing: docs in id order are
+    packed NEXT-FIT into {_SEQ_TOKENS}-token bins — a doc goes into
+    the current bin if it fits, else opens a new one; no document is
+    ever split (the "no cross-document attention" packing recipe, the
+    complement of pipeline_sequence_pack's concat-and-chunk). An
+    oversize doc (> budget) gets a bin of its own. Next-fit is a
+    stateful recurrence ((bin, fill) carried row to row), NOT a prefix
+    sum — no window frame expresses the reset — so this is the
+    §2.L-style escape hatch applied to corpus assembly: the sequential
+    unit is the SHARD ({_BUCKET} consecutive doc ids), shards pack
+    independently in parallel via applyInPandas, and the oracle
+    replays the identical recurrence as a recursive CTE. All-integer
+    state ⇒ exact cross-engine hash.
+
+    Scale: sequential work is bounded by shard size (a constant),
+    never corpus size; one hash exchange on shard, O(1) state per
+    group inside Arrow batches — the same sharded-recurrence shape as
+    udaf_ewma_apply_in_pandas, and the deliberate trade vs global
+    next-fit is stated: bins never span shards, costing at most one
+    underfilled bin per shard (bounded waste, embarrassingly
+    parallel)."""
+    import pandas as pd
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    sized = d.select(
+        "doc_id",
+        F.expr(f"doc_id DIV {_BUCKET}").alias("shard"),
+        F.size(toks).cast("long").alias("t"),
+    )
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("doc_id")
+        bins = []
+        bin_id, fill, first = 0, 0, True
+        for t in pdf["t"]:
+            if first:
+                fill, first = t, False
+            elif fill + t <= _SEQ_TOKENS:
+                fill += t
+            else:
+                bin_id += 1
+                fill = t
+            bins.append(bin_id)
+        return pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "shard": pdf["shard"],
+                "n_tokens": pdf["t"],
+                "bin_id": bins,
+            }
+        )
+
+    return sized.groupBy("shard").applyInPandas(
+        pack, "doc_id long, shard long, n_tokens long, bin_id long"
+    )

@@ -778,3 +778,40 @@ def test_incremental_agg_equals_direct_recompute(spark):
         .collect()
     }
     assert inc == direct
+
+
+def test_pack_bins_nextfit_invariants(spark):
+    """Packing invariants: every doc assigned exactly once; within a
+    shard, bin ids are contiguous from 0; every bin's token total fits
+    the budget UNLESS it holds exactly one oversize doc; and no
+    document is split (its whole token count sits in one bin)."""
+    from collections import defaultdict
+
+    from sparkml_spark.operators.llm_pipeline import (
+        _SEQ_TOKENS,
+        pipeline_pack_bins_nextfit,
+    )
+    from sparkml_spark.sources.loader import load_table
+
+    from .conftest import SF_DIR
+
+    rows = pipeline_pack_bins_nextfit(spark, SF_DIR).collect()
+    n_docs = load_table(spark, SF_DIR, "documents").count()
+    assert len(rows) == n_docs
+    assert len({r.doc_id for r in rows}) == n_docs
+    fills = defaultdict(int)
+    members = defaultdict(list)
+    for r in rows:
+        fills[(r.shard, r.bin_id)] += r.n_tokens
+        members[(r.shard, r.bin_id)].append(r.n_tokens)
+    shard_bins = defaultdict(set)
+    for shard, bin_id in fills:
+        shard_bins[shard].add(bin_id)
+    for shard, bins in shard_bins.items():
+        assert bins == set(range(len(bins))), (shard, sorted(bins))
+    for key, total in fills.items():
+        if total > _SEQ_TOKENS:
+            assert len(members[key]) == 1 and members[key][0] > _SEQ_TOKENS, (
+                key,
+                members[key],
+            )
