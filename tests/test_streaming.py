@@ -283,3 +283,41 @@ def test_stream_drift_matches_batch_recompute(spark):
         .collect()
     }
     assert out == batch
+
+
+def test_streaming_state_rocksdb_provider_swap(spark):
+    """README/SCALE.md claim the RocksDB state store is a CONFIG swap,
+    not a code change — prove it: run the stateful tumbling
+    aggregation under
+    spark.sql.streaming.stateStore.providerClass=RocksDBStateStoreProvider
+    and require results identical to the ORACLE batch twin. A missing
+    or broken provider fails the stream outright (the conf is read at
+    query start), so this passing means the engine's stateful ops run
+    unmodified on the provider a production cluster would use."""
+    key = "spark.sql.streaming.stateStore.providerClass"
+    rocks = (
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider"
+    )
+    try:
+        old = spark.conf.get(key)
+    except Exception:
+        old = None
+    spark.conf.set(key, rocks)
+    try:
+        stream = QUERIES["stream_tumbling_agg"](spark, SF_DIR)
+        s = {
+            (r["hour_start"], r["event_type"]): (r["n_events"], r["sum_value"])
+            for r in stream.collect()
+        }
+    finally:
+        if old is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, old)
+    batch = QUERIES["events_hourly_batch"](spark, SF_DIR)
+    b = {
+        (r["hour_start"], r["event_type"]): (r["n_events"], r["sum_value"])
+        for r in batch.collect()
+    }
+    assert s == b
