@@ -6,6 +6,14 @@ back with an EXPLICIT schema (schema inference is a second full scan —
 never at 100 TB), and oracle-check the round-trip against the original
 table. Writes are partitioned by a low-cardinality key and never
 coalesce(1) (SURVEY §4.3 rule 6).
+
+Format boundary, stated honestly: parquet / ORC / CSV / JSON / text /
+XML / binaryFile / the Python DataSource API are exercised below.
+Avro is NOT — `format("avro")` lives in the external spark-avro
+module jar, absent from this sandbox (probed r8: "Failed to find
+data source: avro"); on a real cluster it is a --packages config
+swap with the same reader/writer call shape as scan_orc, no code
+change here.
 """
 
 from __future__ import annotations

@@ -815,3 +815,56 @@ def test_pack_bins_nextfit_invariants(spark):
                 key,
                 members[key],
             )
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 5), st.integers(0, 50), st.integers(0, 50)),
+        min_size=1,
+        max_size=30,
+    )
+)
+@settings(max_examples=30, deadline=None)
+def test_drift_tvd_formula_invariants(spark, table):
+    """Hypothesis pin on the integer-ppm TVD formula itself (random
+    bucket tables, Spark vs pure-python recompute): bounds hold, a
+    slice compared with itself is 0, and DOUBLING every count leaves
+    the statistic exactly unchanged — floor((2n_i*1e6)/(2n)) ==
+    floor((n_i*1e6)/n), the scale invariance that makes the monitor
+    comparable across corpus sizes."""
+    rows = [
+        (f"b{b}", int(rn), int(cn)) for b, rn, cn in table if rn + cn > 0
+    ]
+    if not rows or sum(r[1] for r in rows) == 0 or sum(r[2] for r in rows) == 0:
+        return
+    n_ref = sum(r[1] for r in rows)
+    n_cand = sum(r[2] for r in rows)
+
+    def tvd(scale):
+        return sum(
+            abs(
+                (rn * scale * 1_000_000) // (n_ref * scale)
+                - (cn * scale * 1_000_000) // (n_cand * scale)
+            )
+            for _, rn, cn in rows
+        )
+
+    expected = tvd(1)
+    assert 0 <= expected <= 2_000_000
+    assert tvd(2) == expected  # doubling-invariance
+    # self-drift is exactly zero
+    assert all(
+        (rn * 1_000_000) // n_ref - (rn * 1_000_000) // n_ref == 0
+        for _, rn, _ in rows
+    )
+    # Spark evaluates the identical expression to the python recompute
+    df = spark.createDataFrame(rows, "b string, rn long, cn long")
+    got = (
+        df.selectExpr(
+            f"abs(rn * 1000000 DIV {n_ref} - cn * 1000000 DIV {n_cand}) AS d"
+        )
+        .groupBy()
+        .sum("d")
+        .collect()[0][0]
+    )
+    assert got == expected
