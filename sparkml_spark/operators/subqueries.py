@@ -312,3 +312,32 @@ def sql_recursive_cte(spark, sf_dir):
     register_views(spark, sf_dir)
     spark.conf.set("spark.sql.cteRecursionLevelLimit", "2400")
     return spark.sql(_RECURSIVE_MONTH_SPINE)
+
+
+_DIALECT_GROUP_BY_ALL = """
+SELECT lang,
+       source,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+       MIN(doc_id) AS first_doc
+FROM documents
+GROUP BY ALL
+"""
+
+
+@query(
+    "sql_dialect_group_by_all",
+    section="3.EP3",
+    oracle=_DIALECT_GROUP_BY_ALL,
+)
+def sql_dialect_group_by_all(spark, sf_dir):
+    """EP3 dialect overlap, modern-extension edition: GROUP BY ALL
+    (group on every non-aggregate select item) is a post-ANSI
+    convenience both engines accepted independently — the same SQL
+    text runs verbatim through spark.sql and as the DuckDB oracle,
+    extending the proven overlap beyond the ANSI core. Probed r8:
+    QUALIFY and DISTINCT ON remain DuckDB-only (PARSE_SYNTAX_ERROR /
+    UNRESOLVED_ROUTINE in Spark 4.1), so those stay OUT of the
+    shared-dialect family — the boundary is stated, not guessed."""
+    register_views(spark, sf_dir)
+    return spark.sql(_DIALECT_GROUP_BY_ALL)
