@@ -1,1 +1,1 @@
-from sparkml_spark.functions import scalar  # noqa: F401
+from sparkml_spark.functions import scalar, subword  # noqa: F401

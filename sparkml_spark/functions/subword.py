@@ -1,0 +1,402 @@
+"""Subword (BPE) tokenization — the real token unit for the corpus
+pipeline (VERDICT r8 #1).
+
+Every other token-denominated operator in the repo counts whitespace
+tokens; a production LLM pipeline budgets SUBWORD tokens, because
+that is what the trainer pays for. This module implements greedy
+byte-pair-encoding inference against a committed merge table
+(`BPE_MERGES`, trained offline by scripts/train_bpe.py — classic
+Sennrich-style most-frequent-pair training over the sf0.001 word
+frequencies with a deterministic tie-break; no RNG, no seed), and
+rewires the packing/mix family to budget by BPE tokens.
+
+Algorithm (identical on both engines, proven equivalent to the
+greedy min-rank BPE loop by the trainer's self-check): a word starts
+as its character sequence; merge rules apply SEQUENTIALLY in rank
+order, each rule replacing its (left, right) pair left-to-right,
+non-overlapping. Rank-order application is exact BPE here because a
+rule's operand tokens are only ever produced by strictly earlier
+rules — later merges can never create a new occurrence of an earlier
+rule's pair (merging only ever combines adjacent tokens, so it
+cannot make two previously non-adjacent tokens adjacent).
+
+Engine shapes:
+- Spark: a PURE CATALYST expression — `F.aggregate` over the literal
+  rules array whose accumulator is the token array, with an inner
+  `F.aggregate` fold implementing one rule's left-to-right merge via
+  a (acc, carry) state struct. No Python UDF anywhere: the fold is
+  JVM-evaluated per row, and it only ever runs over the DISTINCT
+  word table (the vocabulary), never the corpus.
+- DuckDB oracle: a recursive CTE over (word, rule_idx, seq) where
+  `seq` is the space-delimited token string; each step replaces the
+  FIRST occurrence of rule r's ' a b ' pattern (staying on rule r)
+  or advances to rule r+1. Repeated first-occurrence replacement is
+  equivalent to the left-to-right non-overlapping pass because the
+  text before the first match never contains a match, and a
+  replacement cannot create a match that starts before its own end
+  (tokens never contain the separator).
+
+Scale: tokenization cost is VOCABULARY-sized, not corpus-sized —
+the same trick production tokenizers use (word-level caches). The
+corpus pass is explode → groupBy(doc, word) count → broadcast-join
+the tokenized vocab → per-doc weighted sum; at 100 TB the vocab
+table is ~10^5-10^6 rows (trivially broadcastable) while the fold
+itself is O(word_len × n_rules) per DISTINCT word, embarrassingly
+parallel, and runs exactly once per word regardless of corpus size.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, Window
+from pyspark.sql import functions as F
+
+from sparkml_spark.operators.llm_pipeline import _BUCKET, _SEQ_TOKENS, pack_next_fit
+from sparkml_spark.registry import md5_chunk16, query
+from sparkml_spark.sources.loader import load_table
+
+#: Committed merge table — output of `python scripts/train_bpe.py 24`.
+#: Rank = list position; each rule's operands are single characters or
+#: the outputs of strictly earlier rules (BPE training invariant).
+BPE_MERGES: list[tuple[str, str]] = [
+    ("e", "r"),
+    ("o", "r"),
+    ("i", "n"),
+    ("o", "w"),
+    ("s", "t"),
+    ("l", "u"),
+    ("a", "r"),
+    ("p", "ar"),
+    ("m", "er"),
+    ("a", "t"),
+    ("a", "n"),
+    ("c", "an"),
+    ("s", "can"),
+    ("c", "o"),
+    ("co", "lu"),
+    ("colu", "m"),
+    ("colum", "n"),
+    ("d", "ow"),
+    ("in", "dow"),
+    ("w", "indow"),
+    ("d", "er"),
+    ("or", "der"),
+    ("or", "t"),
+    ("s", "ort"),
+]
+
+BPE_N = len(BPE_MERGES)
+
+def _rules() -> Column:
+    """Literal rules array for the Catalyst fold — built lazily because
+    classic-mode Column literals need an active SparkContext, and this
+    module is imported at registry time before any session exists."""
+    return F.array(
+        *[
+            F.struct(F.lit(a).alias("a"), F.lit(b).alias("b"), F.lit(a + b).alias("m"))
+            for a, b in BPE_MERGES
+        ]
+    )
+
+
+def bpe_tokens(word: Column) -> Column:
+    """array<string> of BPE tokens for a word column — pure Catalyst.
+
+    Outer fold: rules in rank order, accumulator = token array.
+    Inner fold: one rule's left-to-right non-overlapping merge as an
+    (acc: array, carry: string) state machine — carry holds the last
+    unemitted token; (carry, tok) == (a, b) emits the merged token
+    and clears the carry, so an output token never re-matches the
+    same rule (its spelling differs from both operands). The ''
+    carry sentinel is unambiguous: real tokens are never empty
+    (words are \\s+ splits; chars are non-empty)."""
+
+    def apply_rule(seq, r):
+        init = F.struct(
+            F.array().cast("array<string>").alias("acc"), F.lit("").alias("carry")
+        )
+
+        def step(st, tok):
+            acc, carry = st.getField("acc"), st.getField("carry")
+            return (
+                F.when(carry == F.lit(""), F.struct(acc.alias("acc"), tok.alias("carry")))
+                .when(
+                    (carry == r.getField("a")) & (tok == r.getField("b")),
+                    F.struct(
+                        F.concat(acc, F.array(r.getField("m"))).alias("acc"),
+                        F.lit("").alias("carry"),
+                    ),
+                )
+                .otherwise(
+                    F.struct(
+                        F.concat(acc, F.array(carry)).alias("acc"), tok.alias("carry")
+                    )
+                )
+            )
+
+        def fin(st):
+            acc, carry = st.getField("acc"), st.getField("carry")
+            return F.when(carry == F.lit(""), acc).otherwise(
+                F.concat(acc, F.array(carry))
+            )
+
+        return F.aggregate(seq, init, step, fin)
+
+    return F.aggregate(_rules(), F.split(word, ""), apply_rule)
+
+
+# ---------------------------------------------------------------------------
+# DuckDB oracle twin — recursive CTE shared by every query below
+# ---------------------------------------------------------------------------
+
+_RULES_VALUES = ", ".join(
+    f"({i + 1}, '{a}', '{b}')" for i, (a, b) in enumerate(BPE_MERGES)
+)
+
+#: CTE block (for a WITH RECURSIVE preamble): tokenizes every distinct
+#: corpus word and lands `vocab(word, n_bpe, bpe)`. seq carries the
+#: space-delimited token string with leading/trailing separators so
+#: the ' a b ' pattern match is token-exact (tokens never contain
+#: spaces). Each recursion step either replaces rule r's first
+#: occurrence (substring surgery at strpos) or advances to rule r+1;
+#: a word finishes at r = N+1.
+BPE_VOCAB_CTE = f"""
+rules(r, a, b) AS (VALUES {_RULES_VALUES}),
+bpe_words AS (
+  SELECT DISTINCT unnest(string_split_regex(lower(trim(text)), '\\s+')) AS word
+  FROM documents
+),
+bpe_rec AS (
+  SELECT word, 1 AS r, ' ' || regexp_replace(word, '(.)', '\\1 ', 'g') AS seq
+  FROM bpe_words
+  UNION ALL
+  SELECT word,
+         CASE WHEN pos > 0 THEN r ELSE r + 1 END AS r,
+         CASE WHEN pos > 0
+              THEN substr(seq, 1, pos - 1) || ' ' || a || b || ' '
+                   || substr(seq, pos + len(a) + len(b) + 3)
+              ELSE seq END AS seq
+  FROM (SELECT word, bpe_rec.r AS r, seq, a, b,
+               strpos(seq, ' ' || a || ' ' || b || ' ') AS pos
+        FROM bpe_rec JOIN rules ON rules.r = bpe_rec.r)
+),
+vocab AS (
+  SELECT word,
+         CAST(len(string_split(trim(seq), ' ')) AS BIGINT) AS n_bpe,
+         trim(seq) AS bpe
+  FROM bpe_rec WHERE r = {BPE_N + 1}
+)
+""".strip()
+
+
+def bpe_vocab(docs):
+    """(word, n_bpe, bpe) over the DISTINCT words of a (…, text) frame —
+    the Spark twin of BPE_VOCAB_CTE. Vocabulary-sized output, meant to
+    be broadcast back onto the corpus."""
+    w = F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("word")
+    toks = bpe_tokens(F.col("word"))
+    return (
+        docs.select(w)
+        .distinct()
+        .select(
+            "word",
+            F.size(toks).cast("long").alias("n_bpe"),
+            F.concat_ws(" ", toks).alias("bpe"),
+        )
+    )
+
+
+def bpe_doc_token_counts(docs):
+    """(doc_id, n_tok) — per-document BPE token totals: explode words,
+    count per (doc, word) (map-side combinable), broadcast-join the
+    tokenized vocab, weighted sum. The corpus text itself is never
+    shuffled and the fold never touches corpus-sized data."""
+    words = docs.select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("word"),
+    )
+    wc = words.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("c"))
+    vocab = bpe_vocab(docs).select("word", "n_bpe")
+    return (
+        wc.join(F.broadcast(vocab), "word")
+        .groupBy("doc_id")
+        .agg(F.sum(F.col("c") * F.col("n_bpe")).alias("n_tok"))
+    )
+
+
+_DOC_BPE_TOKS_SQL = """
+doc_words AS (
+  SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS word
+  FROM documents
+),
+doc_toks AS (
+  SELECT doc_id, CAST(SUM(n_bpe) AS BIGINT) AS n_tok
+  FROM doc_words JOIN vocab USING (word)
+  GROUP BY doc_id
+)
+""".strip()
+
+
+@query(
+    "pipeline_tokenize_bpe",
+    section="2.I",
+    oracle=f"""
+WITH RECURSIVE
+{BPE_VOCAB_CTE},
+freq AS (
+  SELECT word, COUNT(*) AS n_occ
+  FROM (SELECT unnest(string_split_regex(lower(trim(text)), '\\s+')) AS word
+        FROM documents)
+  GROUP BY word
+)
+SELECT v.word,
+       CAST(len(v.word) AS INTEGER) AS n_chars,
+       CAST(v.n_bpe AS INTEGER) AS n_bpe,
+       v.bpe,
+       CAST(f.n_occ AS BIGINT) AS n_occ
+FROM vocab v JOIN freq f USING (word)
+""",
+)
+def pipeline_tokenize_bpe(spark, sf_dir):
+    """Subword tokenization manifest: every distinct corpus word with
+    its BPE split (committed merge table, see module docstring), token
+    count, and corpus frequency — the vocabulary cache a production
+    tokenizer materializes once and broadcasts.
+
+    The hash pin covers the exact token SEQUENCE per word (space-
+    joined string), not just counts, so any drift in merge order,
+    tie-breaking, or overlap handling between the Catalyst fold and
+    the recursive-CTE replay fails the driver gate.
+
+    Scale: the fold runs once per DISTINCT word (vocabulary-sized);
+    the only corpus-sized work is the explode + count needed for
+    n_occ, which is a map-side-combinable groupBy."""
+    d = load_table(spark, sf_dir, "documents")
+    freq = (
+        d.select(
+            F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("word")
+        )
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n_occ"))
+    )
+    return bpe_vocab(d).join(freq, "word").select(
+        "word",
+        F.length("word").cast("int").alias("n_chars"),
+        F.col("n_bpe").cast("int").alias("n_bpe"),
+        "bpe",
+        F.col("n_occ").cast("long").alias("n_occ"),
+    )
+
+
+@query(
+    "pipeline_token_budget_mix_bpe",
+    section="2.I",
+    oracle=f"""
+WITH RECURSIVE
+{BPE_VOCAB_CTE},
+{_DOC_BPE_TOKS_SQL},
+docs AS (
+  SELECT d.doc_id, d.lang, d.source, t.n_tok
+  FROM documents d JOIN doc_toks t USING (doc_id)
+), budgets AS (
+  SELECT lang,
+         CAST(floor(least(CAST(1.0 AS DOUBLE),
+                          CAST(0.2 AS DOUBLE)
+                            * CAST(SUM(SUM(n_tok)) OVER () AS DOUBLE)
+                            / SUM(n_tok))
+                    * 65536) AS INTEGER) AS thr
+  FROM docs GROUP BY lang
+)
+SELECT d.doc_id, d.lang, d.source, CAST(d.n_tok AS BIGINT) AS n_tok
+FROM docs d JOIN budgets b ON d.lang = b.lang
+WHERE ('0x' || substr(md5('bpemix' || CAST(d.doc_id AS VARCHAR)), 1, 4))::INTEGER
+      < b.thr
+""",
+)
+def pipeline_token_budget_mix_bpe(spark, sf_dir):
+    """pipeline_token_budget_mix with the REAL token unit: each
+    language is downsampled toward a 20% share of total BPE tokens —
+    the budget a trainer actually pays — instead of whitespace tokens.
+    Identical mix shape (tiny per-lang aggregate, broadcast
+    thresholds, per-row salted-hash keep filter); only the per-doc
+    cost function changes, supplied by bpe_doc_token_counts' broadcast
+    vocab join. Hash salt 'bpemix' keeps this keep-set statistically
+    independent of the whitespace twin's."""
+    d = load_table(spark, sf_dir, "documents")
+    docs = (
+        d.select("doc_id", "lang", "source")
+        .join(bpe_doc_token_counts(d), "doc_id")
+    )
+    w_tot = Window.partitionBy()
+    budgets = (
+        docs.groupBy("lang")
+        .agg(F.sum("n_tok").alias("lang_tok"))
+        .select(
+            "lang",
+            F.floor(
+                F.least(
+                    F.lit(1.0),
+                    0.2 * F.sum("lang_tok").over(w_tot) / F.col("lang_tok"),
+                )
+                * 65536
+            )
+            .cast("int")
+            .alias("thr"),
+        )
+    )
+    h16 = md5_chunk16(F.concat(F.lit("bpemix"), F.col("doc_id").cast("string")))
+    return (
+        docs.join(F.broadcast(budgets), "lang")
+        .filter(h16 < F.col("thr"))
+        .select(
+            "doc_id", "lang", "source", F.col("n_tok").cast("bigint").alias("n_tok")
+        )
+    )
+
+
+@query(
+    "pipeline_pack_bins_bpe",
+    section="2.I",
+    oracle=f"""
+WITH RECURSIVE
+{BPE_VOCAB_CTE},
+{_DOC_BPE_TOKS_SQL},
+toks AS (
+  SELECT doc_id, doc_id // {_BUCKET} AS shard, n_tok AS t FROM doc_toks
+), ordered AS (
+  SELECT doc_id, shard, t,
+         row_number() OVER (PARTITION BY shard ORDER BY doc_id) AS rn
+  FROM toks
+), rec AS (
+  SELECT doc_id, shard, t, rn, CAST(0 AS BIGINT) AS bin_id, t AS fill
+  FROM ordered WHERE rn = 1
+  UNION ALL
+  SELECT o.doc_id, o.shard, o.t, o.rn,
+         CASE WHEN r.fill + o.t <= {_SEQ_TOKENS} THEN r.bin_id
+              ELSE r.bin_id + 1 END,
+         CASE WHEN r.fill + o.t <= {_SEQ_TOKENS} THEN r.fill + o.t
+              ELSE o.t END
+  FROM ordered o JOIN rec r ON o.shard = r.shard AND o.rn = r.rn + 1
+)
+SELECT doc_id, shard, t AS n_tokens, bin_id FROM rec
+""",
+)
+def pipeline_pack_bins_bpe(spark, sf_dir):
+    """Next-fit bin packing budgeted in BPE tokens: the
+    pipeline_pack_bins_nextfit recurrence (same shared packer, same
+    {_SEQ_TOKENS}-token budget, same shard unit) driven by the
+    subword cost from bpe_doc_token_counts — so the packed manifest
+    reflects what the sequences actually cost a trainer. The oracle
+    chains TWO recurrences in one WITH RECURSIVE: the BPE merge
+    replay producing the vocab, then the per-shard next-fit CTE over
+    the BPE-costed docs; all-integer state end to end keeps the
+    cross-engine hash exact.
+
+    Scale: vocab broadcast + one hash exchange on shard; sequential
+    work bounded by shard size, as in the whitespace twin."""
+    d = load_table(spark, sf_dir, "documents")
+    sized = bpe_doc_token_counts(d).select(
+        "doc_id",
+        F.expr(f"doc_id DIV {_BUCKET}").alias("shard"),
+        F.col("n_tok").cast("long").alias("t"),
+    )
+    return pack_next_fit(sized)

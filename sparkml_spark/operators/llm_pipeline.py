@@ -1041,8 +1041,6 @@ def pipeline_pack_bins_nextfit(spark, sf_dir):
     next-fit is stated: bins never span shards, costing at most one
     underfilled bin per shard (bounded waste, embarrassingly
     parallel)."""
-    import pandas as pd
-
     d = load_table(spark, sf_dir, "documents")
     toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
     sized = d.select(
@@ -1050,6 +1048,15 @@ def pipeline_pack_bins_nextfit(spark, sf_dir):
         F.expr(f"doc_id DIV {_BUCKET}").alias("shard"),
         F.size(toks).cast("long").alias("t"),
     )
+    return pack_next_fit(sized)
+
+
+def pack_next_fit(sized):
+    """Shared next-fit packer over any (doc_id, shard, t) frame —
+    the sharded applyInPandas recurrence of pipeline_pack_bins_nextfit,
+    factored out so the BPE-token twin (functions/subword.py) packs by
+    subword counts through the identical code path."""
+    import pandas as pd
 
     def pack(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values("doc_id")

@@ -504,3 +504,35 @@ def test_stratified_sample_pushes_group_limit(spark):
         .toString()
     )
     assert "WindowGroupLimit" in plan, plan[:1500]
+
+
+def test_bpe_family_plan_shapes(spark):
+    """The BPE token unit must stay JVM-side and vocabulary-sized:
+    tokenize/mix plans contain NO Python eval node (the fold is pure
+    Catalyst — the packer twin is the only applyInPandas, and only
+    for the next-fit recurrence), the vocab join back onto the corpus
+    is a broadcast, and nothing degenerates to a cartesian."""
+    for qid in ("pipeline_tokenize_bpe", "pipeline_token_budget_mix_bpe"):
+        plan = (
+            QUERIES[qid](spark, SF_DIR)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "EvalPython" not in plan, f"{qid}: {plan[:1500]}"
+        assert "CartesianProduct" not in plan, f"{qid}: {plan[:1500]}"
+    mix = (
+        QUERIES["pipeline_token_budget_mix_bpe"](spark, SF_DIR)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in mix, mix[:1500]
+    pack = (
+        QUERIES["pipeline_pack_bins_bpe"](spark, SF_DIR)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "FlatMapGroupsInPandas" in pack, pack[:1500]
+    assert "BroadcastHashJoin" in pack, pack[:1500]

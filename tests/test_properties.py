@@ -868,3 +868,42 @@ def test_drift_tvd_formula_invariants(spark, table):
         .collect()[0][0]
     )
     assert got == expected
+
+
+def test_bpe_fold_invariants(spark):
+    """BPE laws over the real vocabulary: tokenization is LOSSLESS
+    (concatenating a word's tokens reproduces the word), every token
+    is a character or a committed merge output, and the Catalyst fold
+    agrees with an independent Python replay of rank-order sequential
+    merging (the trainer's inference contract)."""
+    from sparkml_spark.functions.subword import BPE_MERGES, bpe_vocab
+    from sparkml_spark.sources.loader import load_table
+
+    from .conftest import SF_DIR
+
+    d = load_table(spark, SF_DIR, "documents")
+    rows = bpe_vocab(d).collect()
+    assert rows, "empty vocabulary"
+    closure = {m[0] + m[1] for m in BPE_MERGES}
+
+    def replay(word):
+        seq = list(word)
+        for a, b in BPE_MERGES:
+            out, i = [], 0
+            while i < len(seq):
+                if i + 1 < len(seq) and seq[i] == a and seq[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(seq[i])
+                    i += 1
+            seq = out
+        return seq
+
+    for r in rows:
+        toks = r.bpe.split(" ")
+        assert "".join(toks) == r.word, (r.word, toks)
+        assert len(toks) == r.n_bpe
+        assert 1 <= r.n_bpe <= len(r.word)
+        assert all(len(t) == 1 or t in closure for t in toks), (r.word, toks)
+        assert toks == replay(r.word), (r.word, toks, replay(r.word))
