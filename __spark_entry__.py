@@ -33,14 +33,28 @@ def entry(spark: SparkSession) -> DataFrame:
     return QUERIES["agg_groupby_multi"](spark, "/root/testdata/sf0.001")
 
 
-def _prior_evidence() -> tuple[set, set, set]:
+def _scan_evidence() -> tuple[set, set, set, dict]:
     """(hash-verified ids, rows-verified ids, ids with any prior driver
-    row) from every CORRECTNESS_r*.json committed at the repo root.
-    Drives the slot rotation below; self-updating as rounds accumulate."""
+    row, last-seen round per id) from every CORRECTNESS_r*.json
+    committed at the repo root. Drives the slot rotation below;
+    self-updating as rounds accumulate.
+
+    `last_seen[qid]` is the ordinal of the LATEST committed round whose
+    slate contained qid — the evidence-freshness ledger. Ordering the
+    verified tail by this ledger (ADVICE r9) instead of a stride ×
+    n_rounds ring offset makes coverage monotone BY CONSTRUCTION: each
+    round re-checks the stalest ids, those become the freshest and
+    drop to the back, and no front-size history can ever skip a tail
+    id (the old formula derived the stride from the CURRENT front but
+    multiplied it by ALL past rounds, so a shrinking front jumped the
+    offset past unre-checked ids)."""
     verified: set = set()
     rows_ok: set = set()
     seen: set = set()
-    for path in sorted(glob.glob(os.path.join(_HERE, "CORRECTNESS_r*.json"))):
+    last_seen: dict = {}
+    for rnd, path in enumerate(
+        sorted(glob.glob(os.path.join(_HERE, "CORRECTNESS_r*.json"))), start=1
+    ):
         try:
             with open(path) as f:
                 data = json.load(f)
@@ -50,6 +64,7 @@ def _prior_evidence() -> tuple[set, set, set]:
             if not isinstance(row, dict):
                 continue
             seen.add(qid)
+            last_seen[qid] = rnd
             if row.get("hash_match") is True:
                 verified.add(qid)
             if row.get("rows_match") is True:
@@ -61,6 +76,12 @@ def _prior_evidence() -> tuple[set, set, set]:
             # the first rotation slots every round).
             if row.get("err") == "no_oracle" and row.get("spark_rows") is not None:
                 rows_ok.add(qid)
+    return verified, rows_ok, seen, last_seen
+
+
+def _prior_evidence() -> tuple[set, set, set]:
+    """Evidence sets only — the shape the contract tests consume."""
+    verified, rows_ok, seen, _ = _scan_evidence()
     return verified, rows_ok, seen
 
 
@@ -84,19 +105,25 @@ def _priority_order(n_rounds: int | None = None) -> list:
     ledger), then the already-verified tail as a ROTATING regression
     guard.
 
-    The tail rotation (VERDICT r7 #1): once every id is verified the
-    three priority buckets are empty and, without rotation, the same
-    first-50 verified ids in registration order would absorb the
-    driver's slots every round forever while the other ~240 never get
-    re-checked against evolving code. The tail rotates by the number
-    of TAIL slots the driver actually consumes per round —
-    ``50 - len(front)`` while unverified ids occupy the front of the
-    window (a fixed 50-stride would skip ``len(front)`` tail ids per
-    cycle whenever new ids are pending) — so any
-    ceil(len(tail)/stride) consecutive rounds cover the entire
-    verified surface. Unverified ids still preempt the rotation —
-    they sit in front of the tail regardless of offset."""
-    verified, rows_ok, seen = _prior_evidence()
+    The tail rotation (VERDICT r7 #1, reworked per ADVICE r9): once
+    every id is verified the three priority buckets are empty and,
+    without rotation, the same first-50 verified ids in registration
+    order would absorb the driver's slots every round forever while
+    the other ~240 never get re-checked against evolving code. The
+    tail is ordered by EVIDENCE STALENESS — ids whose latest driver
+    check is oldest first (ties broken by the bucket-then-registration
+    order, via stable sort) — so each round re-checks the stalest
+    ids, which then drop to the back of the queue. Coverage is
+    monotone by construction (no ring-offset arithmetic to drift when
+    the unverified front shrinks between rounds), and every id's
+    evidence age is bounded by ceil(len(tail)/stride) rounds. For
+    SIMULATED future rounds (the cycle tests pass n_rounds), each
+    simulated round rotates the staleness queue by the current
+    per-round stride ``50 - len(front)`` — exactly what re-checking
+    the first `stride` ids and marking them fresh does. Unverified
+    ids still preempt the rotation — they sit in front of the tail
+    regardless of staleness."""
+    verified, rows_ok, seen, last_seen = _scan_evidence()
     order = list(QUERIES)
     rows_retry = [q for q in order if q not in ORACLES and q in seen and q not in rows_ok]
     oracle_new = [q for q in order if q in ORACLES and q not in verified]
@@ -108,8 +135,9 @@ def _priority_order(n_rounds: int | None = None) -> list:
     if tail:
         if n_rounds is None:
             n_rounds = _n_rounds()
+        tail.sort(key=lambda q: last_seen.get(q, 0))  # stable on ties
         stride = max(1, _DRIVER_SLOTS - min(len(front), _DRIVER_SLOTS - 1))
-        off = (stride * n_rounds) % len(tail)
+        off = (stride * (n_rounds - _n_rounds())) % len(tail)
         tail = tail[off:] + tail[:off]
     return front + tail
 

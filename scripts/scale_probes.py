@@ -213,10 +213,103 @@ def probe_hotgram(spark, k: int, sf_dir: str) -> dict:
     }
 
 
+def probe_semdedup(spark, k: int, sf_dir: str) -> dict:
+    """Degenerate-clustering probe for dedup_semantic_semdedup
+    (VERDICT r8 #7): every vector in ONE cluster — the clustering
+    failure mode the enforced cap exists for — with STRIDED vec_ids
+    (id*8+3) so the probe also exercises the id-HASH sub-cell salt
+    (ADVICE r9: raw id-mod salting collapses residue-correlated ids
+    into few cells). Replicates the sf embeddings xj for j in the
+    ladder, reports candidate-pair count (sum over realized hash
+    cells of c*(c-1)/2), max cell size, and warm best-of-2 wall for
+    capped vs uncapped runs. Expected: uncapped pairs grow ~n^2
+    (x10 => x100 pairs); capped pairs grow ~n (cells multiply, cell
+    size stays <= cap), which is the whole point of the cap."""
+    from pyspark.sql import functions as F
+
+    from sparkml_spark.operators.llm_dedup import (
+        _SEM_MAX_CLUSTER,
+        semdedup_within_clusters,
+    )
+    from sparkml_spark.registry import md5_chunk16
+    from sparkml_spark.sources.formats import load_table
+
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    n_base = e.count()
+
+    def giant(j: int):
+        reps = spark.range(j).select(F.col("id").alias("rep"))
+        return (
+            e.crossJoin(reps)
+            .select(
+                ((F.col("vec_id") + F.col("rep") * n_base) * 8 + 3).alias("vec_id"),
+                F.lit(0).alias("label"),
+                F.transform(
+                    "embedding",
+                    lambda x: F.floor(
+                        x.cast("double") * F.lit(127.0) + F.lit(0.5)
+                    ).cast("long"),
+                ).alias("q8"),
+            )
+            .repartition(32)
+        )
+
+    def cell_stats(df, cap: int) -> tuple[int, int]:
+        sizes = df.groupBy("label").agg(F.count(F.lit(1)).alias("c_size"))
+        cells = (
+            df.join(F.broadcast(sizes), "label")
+            .withColumn("n_cells", F.ceil(F.col("c_size") / F.lit(cap)).cast("int"))
+            .withColumn(
+                "cell",
+                F.pmod(md5_chunk16(F.col("vec_id").cast("string")), F.col("n_cells")),
+            )
+            .groupBy("label", "cell")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        row = cells.agg(
+            F.sum(F.expr("c * (c - 1) DIV 2")).alias("pairs"),
+            F.max("c").alias("max_cell"),
+        ).first()
+        return int(row.pairs), int(row.max_cell)
+
+    # uncapped contrast stops at x3: pair cost is quadratic by
+    # construction (that IS the finding) and x10 uncapped alone is
+    # ~2e8 pair-dot evaluations — unpayable in probe time, which is
+    # precisely what the cap prevents.
+    ladder = [
+        ("uncapped_x1", 1, 10**9),
+        ("uncapped_x3", 3, 10**9),
+        ("capped_x10", 10, _SEM_MAX_CLUSTER),
+        (f"capped_x{k}", k, _SEM_MAX_CLUSTER),
+    ]
+    out = {}
+    for name, j, cap in ladder:
+        df = giant(j)
+        pairs, max_cell = cell_stats(df, cap)
+        res = semdedup_within_clusters(df, cap=cap)
+        best = float("inf")
+        for _ in range(2):  # first run doubles as the warm-up
+            t0 = time.time()
+            res.write.format("noop").mode("overwrite").save()
+            best = min(best, time.time() - t0)
+        out[name] = {
+            "vectors": n_base * j,
+            "candidate_pairs": pairs,
+            "max_cell": max_cell,
+            "seconds": round(best, 2),
+        }
+    return {
+        "metric": "semdedup_degenerate_cluster_probe",
+        "k": k,
+        "cap": _SEM_MAX_CLUSTER,
+        **out,
+    }
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument(
-        "probe", choices=["cc", "stream", "bucket", "hotgram", "all"], nargs="?", default="all"
+        "probe", choices=["cc", "stream", "bucket", "hotgram", "semdedup", "all"], nargs="?", default="all"
     )
     ap.add_argument("--k", type=int, default=100)
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.1")
@@ -235,6 +328,7 @@ def main() -> int:
         "stream": probe_stream,
         "bucket": probe_bucket,
         "hotgram": probe_hotgram,
+        "semdedup": probe_semdedup,
     }
     names = list(probes) if args.probe == "all" else [args.probe]
     for name in names:

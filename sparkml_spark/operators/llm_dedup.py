@@ -238,7 +238,18 @@ def _ckpt(df):
     DISK_ONLY gives the checkpoint the same I/O profile as a shuffle
     write — linear, off-heap, spill-free — at the cost of re-reading
     from local disk, which is exactly what every shuffle consumer
-    does anyway."""
+    does anyway.
+
+    Fault-tolerance caveat (ADVICE r9): localCheckpoint TRUNCATES
+    lineage into executor-local blocks — on a real cluster, losing
+    any executor that holds blocks (crash, spot preemption, or a
+    dynamic-allocation decommission) makes the checkpointed stream
+    unrecoverable and fails the query, because the cut lineage can't
+    recompute them. Fine on local[k] and on static on-demand
+    clusters; production 100 TB runs should use a RELIABLE
+    checkpoint dir (spark.checkpoint after setCheckpointDir on
+    HDFS/object storage) or persist + shuffle-reuse instead, and
+    must disable executor decommissioning of storage blocks."""
     from pyspark.storagelevel import StorageLevel
 
     return df.localCheckpoint(eager=False, storageLevel=StorageLevel.DISK_ONLY)
@@ -1052,7 +1063,9 @@ def dedup_semantic_semdedup(spark, sf_dir):
     known failure mode, and the cap is ENFORCED, not advisory: a
     broadcast of per-cluster counts assigns each member of a cluster
     larger than {_SEM_MAX_CLUSTER} to one of ceil(size/cap)
-    deterministic sub-cells (vec_id mod n_cells — stable under
+    deterministic sub-cells (pmod(md5_chunk16(vec_id), n_cells) — an
+    id HASH, so balance is independent of id arithmetic even for the
+    strided id families this corpus manufactures; stable under
     re-partitioning, no RNG), and the pair join keys on
     (label, cell), so a degenerate one-giant-cluster assignment costs
     ~n*cap pairs instead of n^2. This is the standard SemDeDup
@@ -1084,15 +1097,27 @@ def semdedup_within_clusters(qz, cap: int = _SEM_MAX_CLUSTER):
     frame — the core of dedup_semantic_semdedup, shared with the
     giant-cluster property test. Per-cluster counts are tiny (one row
     per cluster id) and broadcast; members of clusters larger than
-    ``cap`` are salted into ceil(size/cap) sub-cells by vec_id mod
-    (deterministic), and the pair join keys on (label, cell). At or
-    under the cap every cluster gets a single cell, making the capped
-    plan semantically identical to the uncapped join."""
+    ``cap`` are salted into ceil(size/cap) sub-cells by a HASH of the
+    id — pmod(md5_chunk16(vec_id), n_cells), the repo's cross-engine
+    hash convention — and the pair join keys on (label, cell).
+    Hashing (ADVICE r9) rather than raw id-mod matters because cell
+    balance must be independent of id arithmetic: the corpus's own
+    duplicate families are strided (every-Nth-doc + offset), and
+    residue-correlated ids under a raw mod would all land in one cell,
+    putting the pair join back at ~n^2. Deterministic (no RNG), stable
+    under re-partitioning. At or under the cap every cluster gets a
+    single cell, making the capped plan semantically identical to the
+    uncapped join."""
     sizes = qz.groupBy("label").agg(F.count(F.lit(1)).alias("c_size"))
     cells = (
         qz.join(F.broadcast(sizes), "label")
         .withColumn("n_cells", F.ceil(F.col("c_size") / F.lit(cap)).cast("int"))
-        .withColumn("cell", F.pmod(F.col("vec_id"), F.col("n_cells")).cast("int"))
+        .withColumn(
+            "cell",
+            F.pmod(
+                md5_chunk16(F.col("vec_id").cast("string")), F.col("n_cells")
+            ).cast("int"),
+        )
     )
     a = cells.select(
         F.col("vec_id").alias("id_a"),

@@ -876,8 +876,14 @@ FROM j GROUP BY h, n_hour
 def stream_drift_monitor(spark, sf_dir):
     """Streaming distribution-drift monitor: the STREAM maintains a
     per-hour histogram of `value` over fixed 25-wide buckets (the only
-    stateful piece — bounded state: #open-windows x #buckets rows);
-    each hour's distribution is then scored against the corpus-
+    stateful piece). State bound (ADVICE r9 correction): this query
+    replays in COMPLETE output mode, where the watermark never evicts
+    aggregation state — so the precise bound is ALL-hours x #buckets
+    (~20 rows/hour), which is finite here because the replay fixture
+    is finite. A genuinely continuous production run would use
+    append/update mode, where the 1-hour watermark does evict closed
+    windows and state really is #open-windows x #buckets.
+    Each hour's distribution is then scored against the corpus-
     lifetime mixture as an integer-ppm total-variation distance — the
     same engine-exact TVD contract as quality_drift_tvd (no ln(), no
     float shares), so alert thresholds mean the same thing in the

@@ -238,3 +238,42 @@ def test_every_evidenced_id_stays_registered():
     # hash-green id to ROWS weakens verification strength invisibly.
     demoted = verified - set(entrymod.oracle_sql())
     assert not demoted, f"hash-verified ids demoted out of ORACLE tier: {sorted(demoted)}"
+
+
+def test_evidence_freshness_bounded():
+    """VERDICT r8 #6: ledger staleness is a CI failure, not a judge
+    observation. Every registered id with ANY driver evidence must
+    have been in a driver slate within the last ceil(N/50)+1 committed
+    rounds — the bound the staleness-ordered tail guarantees once the
+    queue has cycled. Deliberately trips if a future round registers
+    50+ new ids without the cycle widening to re-cover the tail, or if
+    the rotation ever stops advancing. Ids with no evidence yet are
+    exempt (they hold front slots and get checked next round)."""
+    import math
+
+    n_committed = entrymod._n_rounds()
+    _, _, _, last_seen = entrymod._scan_evidence()
+    n_ids = len(entrymod.queries())
+    max_age = math.ceil(n_ids / entrymod._DRIVER_SLOTS) + 1
+    stale = {
+        q: n_committed - rnd
+        for q, rnd in last_seen.items()
+        if q in entrymod.queries() and n_committed - rnd > max_age
+    }
+    assert not stale, (
+        f"ids with driver evidence older than {max_age} rounds: "
+        f"{sorted(stale.items(), key=lambda kv: -kv[1])[:10]}"
+    )
+
+
+def test_tail_orders_by_staleness():
+    """ADVICE r9: the verified tail must lead with the STALEST ids —
+    the slate for the real next round (n_rounds = committed count)
+    starts, after the unverified front, at the minimum last-seen
+    round, and its tail segment is non-decreasing in last-seen."""
+    verified, rows_ok, _ = entrymod._prior_evidence()
+    _, _, _, last_seen = entrymod._scan_evidence()
+    order = entrymod._priority_order()
+    tail = [q for q in order if q in verified or q in rows_ok]
+    ages = [last_seen.get(q, 0) for q in tail]
+    assert ages == sorted(ages), "tail not staleness-ordered"

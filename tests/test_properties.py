@@ -488,22 +488,31 @@ def test_stress_replicas_preserve_dedup_structure(spark, tmp_path):
         )
 
 
+def _hash_cell(vec_id: int, n_cells: int) -> int:
+    """Python replay of the engine's cell assignment:
+    pmod(md5_chunk16(vec_id), n_cells)."""
+    import hashlib
+
+    h16 = int(hashlib.md5(str(vec_id).encode()).hexdigest()[:4], 16)
+    return h16 % n_cells
+
+
 def test_semdedup_cap_bounds_giant_cluster(spark):
-    """VERDICT r7 #3: a degenerate clustering (one giant cluster) must
-    not go quadratic — the enforced cap salts members of any cluster
-    over `cap` into ceil(size/cap) sub-cells, so the pair join's
-    candidate count collapses from n*(n-1)/2 to ~sum per-cell c^2/2.
-    Checked on a synthetic 400-member single-label cluster with cap=50
-    (8 cells): candidate pairs are exactly the within-cell pairs, and
-    the dedup verdicts the cap CAN still see (same-cell duplicate
-    pairs) are preserved."""
+    """VERDICT r7 #3 + ADVICE r9: a degenerate clustering (one giant
+    cluster) must not go quadratic — the enforced cap salts members of
+    any cluster over `cap` into ceil(size/cap) sub-cells BY ID HASH,
+    so the pair join's candidate count collapses from n*(n-1)/2 to
+    ~sum per-cell c^2/2. Checked on a synthetic 400-member single-label
+    cluster with cap=50 (8 cells): dedup behaves exactly like running
+    it independently within each hash cell (keeper = cell-min id), and
+    the realized cell sizes bound the pair count far under n^2/2."""
     from sparkml_spark.operators.llm_dedup import semdedup_within_clusters
 
     n, cap = 400, 50
     n_cells = -(-n // cap)
     # 200 base ids and one exact copy of each (id + n), all in one
-    # cluster; copy i shares vec_id parity structure so some pairs
-    # land same-cell, some cross-cell — both regimes exercised.
+    # cluster — every pair is a semantic duplicate, so cell structure
+    # fully determines the output.
     base = spark.range(n // 2).select(
         F.col("id").alias("vec_id"),
         F.lit(0).alias("label"),
@@ -522,23 +531,56 @@ def test_semdedup_cap_bounds_giant_cluster(spark):
     # every member of the giant cluster is identical (q8 = e1*127,
     # qdot = 16129 >= threshold), so the UNcapped join would drop all
     # but vec_id 0. The capped join must behave exactly like running
-    # dedup independently within each vec_id-mod-8 cell: the keeper of
-    # cell c is min id in cell c (= c for these ids), everything else
-    # in the cell is dropped with keeper_id == its cell's min.
+    # dedup independently within each hash cell: the keeper of cell c
+    # is the min id hashing to c, everything else in the cell is
+    # dropped with keeper_id == its cell's min.
+    cells = {}
     for r in res:
-        cell = r.vec_id % n_cells
-        if r.vec_id == cell:  # the cell-minimum survives
+        cells.setdefault(_hash_cell(r.vec_id, n_cells), []).append(r.vec_id)
+    cell_min = {c: min(ids) for c, ids in cells.items()}
+    for r in res:
+        c = _hash_cell(r.vec_id, n_cells)
+        if r.vec_id == cell_min[c]:
             assert r.is_kept and r.keeper_id is None, r
         else:
-            assert (not r.is_kept) and r.keeper_id == cell, r
+            assert (not r.is_kept) and r.keeper_id == cell_min[c], r
 
-    # pair-count bound: exactly sum over cells of c*(c-1)/2, far under
+    # pair-count bound from the REALIZED hash-cell sizes: far under
     # the uncapped n*(n-1)/2
-    sizes = [n // n_cells + (1 if c < n % n_cells else 0) for c in range(n_cells)]
-    expected_pairs = sum(c * (c - 1) // 2 for c in sizes)
+    expected_pairs = sum(len(ids) * (len(ids) - 1) // 2 for ids in cells.values())
     dropped = sum(0 if r.is_kept else 1 for r in res)
-    assert dropped == n - n_cells
+    assert dropped == n - len(cells)
     assert expected_pairs < 0.2 * n * (n - 1) // 2
+
+
+def test_semdedup_cells_balance_strided_ids(spark):
+    """ADVICE r9 regression: the sub-cell salt must spread ids whose
+    ARITHMETIC is residue-correlated. This corpus's own duplicate
+    families are strided (every-Nth-doc + offset); under the old raw
+    vec_id-mod salt, ids that are all ≡ offset (mod n_cells) landed in
+    ONE cell and the pair join went back to ~n^2. With the id-hash
+    salt the realized max cell stays near n/n_cells."""
+    from sparkml_spark.operators.llm_dedup import semdedup_within_clusters
+
+    n, cap, stride = 400, 50, 8  # stride == n_cells: worst case for raw mod
+    n_cells = -(-n // cap)
+    assert stride == n_cells
+    qz = spark.range(n).select(
+        (F.col("id") * stride).alias("vec_id"),  # all ≡ 0 (mod n_cells)
+        F.lit(0).alias("label"),
+        F.array(F.lit(127), F.lit(0)).alias("q8"),
+    )
+    res = semdedup_within_clusters(qz, cap=cap).collect()
+    sizes = {}
+    for r in res:
+        c = _hash_cell(r.vec_id, n_cells)
+        sizes[c] = sizes.get(c, 0) + 1
+    # raw mod would give one cell of 400; hash must use >1 cell and
+    # keep the max well under half the cluster (observed ~n/n_cells).
+    assert len(sizes) == n_cells, sizes
+    assert max(sizes.values()) < n // 2, sizes
+    # survivors = one keeper per realized cell
+    assert sum(1 for r in res if r.is_kept) == len(sizes)
 
 
 def test_semdedup_cap_noop_at_or_under_cap(spark):
