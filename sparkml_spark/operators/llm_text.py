@@ -671,6 +671,268 @@ def pipeline_training_corpus(spark, sf_dir):
 
 
 @query(
+    "pipeline_training_corpus_full",
+    section="2.I",
+    oracle=None,  # assembled below (needs the BPE recursive CTE)
+)
+def pipeline_training_corpus_full(spark, sf_dir):
+    """The WHOLE production corpus path as ONE Catalyst plan
+    (VERDICT r8 #5): dedup -> quality -> BPE-token mix -> pack ->
+    split -> stratified sample -> deterministic training order. Every
+    stage is an already-pinned inventory operator, composed:
+
+      corpus    documents + the 10% duplicate injection
+                (pipeline_training_corpus's fixture contract)
+      dedup     content-hash keep-lowest-id (dedup_exact_hash shape;
+                rn=1 plans as WindowGroupLimit, never a full
+                partition materialization)
+      quality   whitespace-token count in [5,1000] and distinct-token
+                ratio > 0.3 (text_repetition_score gate)
+      mix       per-lang 20%-of-total-BPE-token budgets, broadcast
+                back, salted-hash keep filter — the REAL token unit
+                via the r9 subword vocab broadcast
+                (pipeline_token_budget_mix_bpe shape, salt 'full')
+      pack      {llm_pipeline._SEQ_TOKENS}-BPE-token sequence ids by
+                global prefix sum — the two-phase form (per-bucket
+                totals, offsets over the 1000x-smaller bucket table,
+                within-bucket running sums), so the only
+                single-partition windows in the plan run on few-row
+                tables (pipeline_sequence_pack shape)
+      split     deterministic train/val/test by id-hash bucket
+                (pipeline_dataset_split shape)
+      sample    exactly {llm_pipeline._STRAT_K} docs per (split,
+                lang) by hash order — WindowGroupLimit again
+                (pipeline_stratified_sample_k shape)
+      order     repartitionByRange + sortWithinPartitions on the
+                content shuffle key (pipeline_global_shuffle shape)
+                — the range exchange that makes shard N of the
+                manifest globally ordered after shard N-1.
+
+    Scale notes: the meta/BPE-count attach is broadcast-hinted at
+    fixture scale; on a real corpus that side is corpus-sized and the
+    hint is dropped — it becomes a doc_id-keyed shuffle join, which
+    is the right plan there. Everything else keeps its proven shape:
+    the thresholds broadcast is always a |langs|-row table, the
+    sample output is bounded at splits x langs x k rows regardless of
+    corpus size, and no stage leaves Catalyst (the BPE fold runs on
+    the broadcast vocabulary only). The plan-shape test pins
+    BroadcastHashJoin + WindowGroupLimit + RangePartitioning together
+    in THIS one plan."""
+    from sparkml_spark.functions.subword import bpe_doc_token_counts
+    from sparkml_spark.operators.llm_pipeline import (
+        _BUCKET,
+        _SEQ_TOKENS,
+        _SPLIT_TRAIN,
+        _SPLIT_VAL,
+        _STRAT_K,
+    )
+    from sparkml_spark.registry import md5_chunk16
+
+    d = load_table(spark, sf_dir, "documents")
+    corpus = d.select("doc_id", "text").unionByName(
+        d.filter(F.col("doc_id") % 10 == 0).select(
+            (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+        )
+    )
+    # dedup: content hash, keep lowest doc_id
+    h = F.md5(F.lower(F.trim(F.regexp_replace("text", r"\s+", " "))))
+    w_h = Window.partitionBy("h").orderBy("doc_id")
+    deduped = (
+        corpus.select("doc_id", "text", h.alias("h"))
+        .withColumn("rn", F.row_number().over(w_h))
+        .filter(F.col("rn") == 1)
+        .drop("rn", "h")
+    )
+    # quality gate
+    toks = _tokens()
+    kept = deduped.select(
+        "doc_id",
+        F.size(toks).alias("n_ws"),
+        (F.size(F.array_distinct(toks)).cast("double") / F.size(toks)).alias("dr"),
+    ).filter(F.col("n_ws").between(5, 1000) & (F.col("dr") > 0.3)).select("doc_id")
+    # attach lang + BPE token cost (dup ids map back to their source)
+    info = (
+        d.select("doc_id", "lang")
+        .join(bpe_doc_token_counts(d), "doc_id")
+        .select(F.col("doc_id").alias("src_id"), "lang", "n_tok")
+    )
+    enriched = kept.join(
+        F.broadcast(info), kept.doc_id % 1000000 == F.col("src_id")
+    ).select("doc_id", "lang", "n_tok")
+    # mix: 20% of total BPE tokens per lang, salted keep filter
+    w_tot = Window.partitionBy()
+    budgets = (
+        enriched.groupBy("lang")
+        .agg(F.sum("n_tok").alias("lang_tok"))
+        .select(
+            "lang",
+            F.floor(
+                F.least(
+                    F.lit(1.0),
+                    0.2 * F.sum("lang_tok").over(w_tot) / F.col("lang_tok"),
+                )
+                * 65536
+            )
+            .cast("int")
+            .alias("thr"),
+        )
+    )
+    h16 = md5_chunk16(F.concat(F.lit("full"), F.col("doc_id").cast("string")))
+    mixed = (
+        enriched.join(F.broadcast(budgets), "lang")
+        .filter(h16 < F.col("thr"))
+        .select("doc_id", "lang", F.col("n_tok").cast("long").alias("n_tok"))
+    )
+    # pack: two-phase global prefix sum -> sequence id
+    bucketed = mixed.withColumn("bucket", F.expr(f"doc_id DIV {_BUCKET}"))
+    w_off = Window.orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    offsets = (
+        bucketed.groupBy("bucket")
+        .agg(F.sum("n_tok").alias("b_tokens"))
+        .select(
+            "bucket",
+            (F.sum("b_tokens").over(w_off) - F.col("b_tokens")).alias("offset"),
+        )
+    )
+    w_in = Window.partitionBy("bucket").orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    packed = (
+        bucketed.withColumn("run_in", F.sum("n_tok").over(w_in))
+        .join(F.broadcast(offsets), "bucket")
+        .select(
+            "doc_id",
+            "lang",
+            "n_tok",
+            F.expr(f"(offset + run_in - 1) DIV {_SEQ_TOKENS}").alias("seq_id"),
+        )
+    )
+    # split assignment + exact-k stratified sample per (split, lang)
+    bucket100 = md5_chunk16(F.col("doc_id").cast("string")) % 100
+    split = (
+        F.when(bucket100 < _SPLIT_TRAIN, "train")
+        .when(bucket100 < _SPLIT_VAL, "val")
+        .otherwise("test")
+    )
+    assigned = packed.withColumn("split", split)
+    w_s = Window.partitionBy("split", "lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")).asc(), F.col("doc_id").asc()
+    )
+    sampled = (
+        assigned.withColumn("rk", F.row_number().over(w_s))
+        .filter(F.col("rk") <= _STRAT_K)
+        .select("split", "lang", "doc_id", "n_tok", "seq_id", F.col("rk").cast("int").alias("rk"))
+    )
+    # deterministic training order: range exchange on the content key
+    return sampled.withColumn(
+        "shuffle_key", F.md5(F.col("doc_id").cast("string"))
+    ).repartitionByRange("shuffle_key").sortWithinPartitions("shuffle_key")
+
+
+def _training_corpus_full_oracle() -> str:
+    from sparkml_spark.functions.subword import _DOC_BPE_TOKS_SQL, BPE_VOCAB_CTE
+    from sparkml_spark.operators.llm_pipeline import (
+        _BUCKET_SQL,
+        _SEQ_TOKENS,
+        _SPLIT_TRAIN,
+        _SPLIT_VAL,
+        _STRAT_K,
+    )
+
+    return f"""
+WITH RECURSIVE
+{BPE_VOCAB_CTE},
+{_DOC_BPE_TOKS_SQL},
+corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 10 = 0
+),
+hashed AS (
+  SELECT doc_id, text,
+         md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS h
+  FROM corpus
+),
+deduped AS (
+  SELECT doc_id, text FROM (
+    SELECT doc_id, text,
+           ROW_NUMBER() OVER (PARTITION BY h ORDER BY doc_id) AS rn
+    FROM hashed
+  ) WHERE rn = 1
+),
+kept AS (
+  SELECT doc_id FROM (
+    SELECT doc_id,
+           len({_TOKENS_SQL}) AS n_ws,
+           CAST(len(list_distinct({_TOKENS_SQL})) AS DOUBLE)
+             / len({_TOKENS_SQL}) AS dr
+    FROM deduped
+  ) WHERE n_ws BETWEEN 5 AND 1000 AND dr > 0.3
+),
+enriched AS (
+  SELECT k.doc_id, doc.lang, t.n_tok
+  FROM kept k
+  JOIN documents doc ON doc.doc_id = k.doc_id % 1000000
+  JOIN doc_toks t ON t.doc_id = k.doc_id % 1000000
+),
+budgets AS (
+  SELECT lang,
+         CAST(floor(least(CAST(1.0 AS DOUBLE),
+                          CAST(0.2 AS DOUBLE)
+                            * CAST(SUM(SUM(n_tok)) OVER () AS DOUBLE)
+                            / SUM(n_tok))
+                    * 65536) AS INTEGER) AS thr
+  FROM enriched GROUP BY lang
+),
+mixed AS (
+  SELECT e.doc_id, e.lang, CAST(e.n_tok AS BIGINT) AS n_tok
+  FROM enriched e JOIN budgets b ON e.lang = b.lang
+  WHERE ('0x' || substr(md5('full' || CAST(e.doc_id AS VARCHAR)), 1, 4))::INTEGER
+        < b.thr
+),
+packed AS (
+  SELECT doc_id, lang, n_tok,
+         CAST((SUM(n_tok) OVER (ORDER BY doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1)
+              // {_SEQ_TOKENS} AS BIGINT) AS seq_id
+  FROM mixed
+),
+assigned AS (
+  SELECT *,
+         CASE WHEN {_BUCKET_SQL} < {_SPLIT_TRAIN} THEN 'train'
+              WHEN {_BUCKET_SQL} < {_SPLIT_VAL} THEN 'val'
+              ELSE 'test' END AS split
+  FROM packed
+),
+sampled AS (
+  SELECT split, lang, doc_id, n_tok, seq_id,
+         CAST(row_number() OVER (
+           PARTITION BY split, lang
+           ORDER BY md5(CAST(doc_id AS VARCHAR)) ASC, doc_id ASC) AS INTEGER)
+           AS rk
+  FROM assigned
+)
+SELECT split, lang, doc_id, n_tok, seq_id, rk,
+       md5(CAST(doc_id AS VARCHAR)) AS shuffle_key
+FROM sampled WHERE rk <= {_STRAT_K}
+"""
+
+
+# Register the oracle after the fact: it needs the subword CTE, whose
+# module imports THIS module's sibling (llm_pipeline) — assembling it
+# lazily at import-bottom keeps the decorator-literal convention
+# everywhere else intact.
+from sparkml_spark import registry as _registry  # noqa: E402
+
+_registry.ORACLES["pipeline_training_corpus_full"] = (
+    _training_corpus_full_oracle().strip()
+)
+_registry.META["pipeline_training_corpus_full"]["tier"] = "ORACLE"
+
+
+@query(
     "text_token_entropy",
     section="2.I",
     oracle=f"""

@@ -536,3 +536,25 @@ def test_bpe_family_plan_shapes(spark):
     )
     assert "FlatMapGroupsInPandas" in pack, pack[:1500]
     assert "BroadcastHashJoin" in pack, pack[:1500]
+
+
+def test_training_corpus_full_one_plan_shapes(spark):
+    """VERDICT r8 #5: the end-to-end corpus chain must keep every
+    stage's proven shape in ONE plan — broadcast parameter tables
+    (mix thresholds / vocab / offsets), WindowGroupLimit for both the
+    dedup rn=1 and the exact-k sample, and the RangePartitioning
+    exchange for the deterministic training order — with no
+    cartesian, no Python eval node, and the only single-partition
+    windows running on few-row tables (bucket offsets + lang
+    budgets)."""
+    plan = (
+        QUERIES["pipeline_training_corpus_full"](spark, SF_DIR)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan, plan[:2000]
+    assert "WindowGroupLimit" in plan, plan[:2000]
+    assert "rangepartitioning" in plan.lower(), plan[:2000]
+    assert "CartesianProduct" not in plan and "EvalPython" not in plan, plan[:2000]
+    assert plan.count("SinglePartition") <= 3, plan[:2000]
