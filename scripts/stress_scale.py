@@ -115,6 +115,14 @@ LLM_SUITE = [
     "pipeline_incremental_agg",
     "pipeline_stratified_sample_k",
     "pipeline_pack_bins_nextfit",
+    # r9 BPE subword family — the fold is vocabulary-sized by design
+    # (the permuted replicas grow the vocab x k, still tiny), so the
+    # corpus-side cost is the explode + broadcast-join; these ratios
+    # pin that tokenization never becomes corpus-shuffling work.
+    "pipeline_tokenize_bpe",
+    "pipeline_token_budget_mix_bpe",
+    "pipeline_pack_bins_bpe",
+    "pipeline_training_corpus_full",
 ]
 
 
