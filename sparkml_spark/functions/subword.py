@@ -400,3 +400,73 @@ def pipeline_pack_bins_bpe(spark, sf_dir):
         F.col("n_tok").cast("long").alias("t"),
     )
     return pack_next_fit(sized)
+
+
+@query(
+    "quality_bpe_fertility",
+    section="2.I",
+    oracle=f"""
+WITH RECURSIVE
+{BPE_VOCAB_CTE},
+words AS (
+  SELECT lang, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS word
+  FROM documents
+),
+wc AS (SELECT lang, word, COUNT(*) AS c FROM words GROUP BY lang, word)
+SELECT lang,
+       CAST(SUM(c) AS BIGINT) AS n_words,
+       CAST(SUM(c * n_bpe) AS BIGINT) AS n_bpe_tokens,
+       CAST(SUM(c * n_bpe) * 1000000 // SUM(c) AS BIGINT) AS fertility_ppm,
+       CAST(SUM(CASE WHEN n_bpe = 1 THEN c ELSE 0 END) AS BIGINT)
+         AS n_single_token,
+       CAST(SUM(CASE WHEN n_bpe = len(word) AND len(word) > 1
+                     THEN c ELSE 0 END) AS BIGINT) AS n_char_fallback
+FROM wc JOIN vocab USING (word)
+GROUP BY lang
+""",
+)
+def quality_bpe_fertility(spark, sf_dir):
+    """Tokenizer fertility monitor — THE standard tokenizer-quality /
+    domain-drift signal a production pipeline tracks per domain:
+    fertility = BPE tokens per word (reported as an exact integer
+    ppm, engine-identical: sum_tokens * 1e6 DIV sum_words — same
+    integer-ratio discipline as quality_drift_tvd), plus the coverage
+    tails: word occurrences that tokenize to a SINGLE token (fully
+    in-vocab) and occurrences that fall all the way back to
+    characters (n_bpe == n_chars for multi-char words — the
+    vocabulary-miss signal; rising char-fallback on a new domain
+    means the committed merge table no longer fits the data and the
+    tokenizer needs retraining).
+
+    Scale: per-(lang, word) counts are map-side combinable and
+    vocabulary-bounded after the combine; the fold again runs only on
+    the broadcast distinct-word vocab. No corpus-sized shuffle."""
+    d = load_table(spark, sf_dir, "documents")
+    wc = (
+        d.select(
+            "lang",
+            F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("word"),
+        )
+        .groupBy("lang", "word")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    vocab = bpe_vocab(d).select("word", "n_bpe")
+    joined = wc.join(F.broadcast(vocab), "word")
+    return joined.groupBy("lang").agg(
+        F.sum("c").cast("long").alias("n_words"),
+        F.sum(F.col("c") * F.col("n_bpe")).cast("long").alias("n_bpe_tokens"),
+        F.expr("sum(c * n_bpe) * 1000000 DIV sum(c)")
+        .cast("long")
+        .alias("fertility_ppm"),
+        F.sum(F.when(F.col("n_bpe") == 1, F.col("c")).otherwise(F.lit(0)))
+        .cast("long")
+        .alias("n_single_token"),
+        F.sum(
+            F.when(
+                (F.col("n_bpe") == F.length("word")) & (F.length("word") > 1),
+                F.col("c"),
+            ).otherwise(F.lit(0))
+        )
+        .cast("long")
+        .alias("n_char_fallback"),
+    )
