@@ -229,9 +229,9 @@ def probe_semdedup(spark, k: int, sf_dir: str) -> dict:
 
     from sparkml_spark.operators.llm_dedup import (
         _SEM_MAX_CLUSTER,
+        sem_cells,
         semdedup_within_clusters,
     )
-    from sparkml_spark.registry import md5_chunk16
     from sparkml_spark.sources.formats import load_table
 
     e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
@@ -255,14 +255,11 @@ def probe_semdedup(spark, k: int, sf_dir: str) -> dict:
         )
 
     def cell_stats(df, cap: int) -> tuple[int, int]:
-        sizes = df.groupBy("label").agg(F.count(F.lit(1)).alias("c_size"))
+        # pair accounting over the ENGINE's own cell assignment
+        # (llm_dedup.sem_cells), so a future salt change can never
+        # desynchronize this probe from the real partitioning
         cells = (
-            df.join(F.broadcast(sizes), "label")
-            .withColumn("n_cells", F.ceil(F.col("c_size") / F.lit(cap)).cast("int"))
-            .withColumn(
-                "cell",
-                F.pmod(md5_chunk16(F.col("vec_id").cast("string")), F.col("n_cells")),
-            )
+            sem_cells(df, cap)
             .groupBy("label", "cell")
             .agg(F.count(F.lit(1)).alias("c"))
         )

@@ -50,7 +50,12 @@ from __future__ import annotations
 from pyspark.sql import Column, Window
 from pyspark.sql import functions as F
 
-from sparkml_spark.operators.llm_pipeline import _BUCKET, _SEQ_TOKENS, pack_next_fit
+from sparkml_spark.operators.llm_pipeline import (
+    _BUCKET,
+    _SEQ_TOKENS,
+    pack_next_fit,
+    token_budget_thresholds,
+)
 from sparkml_spark.registry import md5_chunk16, query
 from sparkml_spark.sources.loader import load_table
 
@@ -162,8 +167,10 @@ _RULES_VALUES = ", ".join(
 BPE_VOCAB_CTE = f"""
 rules(r, a, b) AS (VALUES {_RULES_VALUES}),
 bpe_words AS (
-  SELECT DISTINCT unnest(string_split_regex(lower(trim(text)), '\\s+')) AS word
-  FROM documents
+  SELECT word FROM (
+    SELECT DISTINCT unnest(string_split_regex(lower(trim(text)), '\\s+')) AS word
+    FROM documents
+  ) WHERE word <> ''
 ),
 bpe_rec AS (
   SELECT word, 1 AS r, ' ' || regexp_replace(word, '(.)', '\\1 ', 'g') AS seq
@@ -197,6 +204,12 @@ def bpe_vocab(docs):
     return (
         docs.select(w)
         .distinct()
+        # a whitespace-only text splits to [''] — exclude it here so the
+        # '' carry sentinel in the fold is never a real token; every
+        # consumer inner-joins this vocab, so the exclusion propagates
+        # to both engines identically (round-9 code review #2: Spark's
+        # fold yields 0 tokens for '' while the CTE yields 1)
+        .filter(F.col("word") != "")
         .select(
             "word",
             F.size(toks).cast("long").alias("n_bpe"),
@@ -326,23 +339,7 @@ def pipeline_token_budget_mix_bpe(spark, sf_dir):
         d.select("doc_id", "lang", "source")
         .join(bpe_doc_token_counts(d), "doc_id")
     )
-    w_tot = Window.partitionBy()
-    budgets = (
-        docs.groupBy("lang")
-        .agg(F.sum("n_tok").alias("lang_tok"))
-        .select(
-            "lang",
-            F.floor(
-                F.least(
-                    F.lit(1.0),
-                    0.2 * F.sum("lang_tok").over(w_tot) / F.col("lang_tok"),
-                )
-                * 65536
-            )
-            .cast("int")
-            .alias("thr"),
-        )
-    )
+    budgets = token_budget_thresholds(docs)
     h16 = md5_chunk16(F.concat(F.lit("bpemix"), F.col("doc_id").cast("string")))
     return (
         docs.join(F.broadcast(budgets), "lang")
@@ -455,7 +452,14 @@ def quality_bpe_fertility(spark, sf_dir):
     return joined.groupBy("lang").agg(
         F.sum("c").cast("long").alias("n_words"),
         F.sum(F.col("c") * F.col("n_bpe")).cast("long").alias("n_bpe_tokens"),
-        F.expr("sum(c * n_bpe) * 1000000 DIV sum(c)")
+        # decimal(38,0) keeps the *1e6 scaling exact far past the
+        # 2^63 bound a LONG sum would hit at ~9.2e12 tokens per lang
+        # (the registry.lsum overflow analysis, applied here; DuckDB's
+        # twin sums in HUGEINT) — round-9 code review #3
+        F.expr(
+            "sum(CAST(c * n_bpe AS DECIMAL(38,0))) * 1000000"
+            " DIV sum(CAST(c AS DECIMAL(38,0)))"
+        )
         .cast("long")
         .alias("fertility_ppm"),
         F.sum(F.when(F.col("n_bpe") == 1, F.col("c")).otherwise(F.lit(0)))
@@ -470,3 +474,110 @@ def quality_bpe_fertility(spark, sf_dir):
         .cast("long")
         .alias("n_char_fallback"),
     )
+
+
+def _training_corpus_full_oracle() -> str:
+    from sparkml_spark.operators.llm_text import _TOKENS_SQL
+    from sparkml_spark.operators.llm_pipeline import (
+        _BUCKET_SQL,
+        _SEQ_TOKENS,
+        _SPLIT_TRAIN,
+        _SPLIT_VAL,
+        _STRAT_K,
+    )
+
+    return f"""
+WITH RECURSIVE
+{BPE_VOCAB_CTE},
+{_DOC_BPE_TOKS_SQL},
+corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 10 = 0
+),
+hashed AS (
+  SELECT doc_id, text,
+         md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS h
+  FROM corpus
+),
+deduped AS (
+  SELECT doc_id, text FROM (
+    SELECT doc_id, text,
+           ROW_NUMBER() OVER (PARTITION BY h ORDER BY doc_id) AS rn
+    FROM hashed
+  ) WHERE rn = 1
+),
+kept AS (
+  SELECT doc_id FROM (
+    SELECT doc_id,
+           len({_TOKENS_SQL}) AS n_ws,
+           CAST(len(list_distinct({_TOKENS_SQL})) AS DOUBLE)
+             / len({_TOKENS_SQL}) AS dr
+    FROM deduped
+  ) WHERE n_ws BETWEEN 5 AND 1000 AND dr > 0.3
+),
+enriched AS (
+  SELECT k.doc_id, doc.lang, t.n_tok
+  FROM kept k
+  JOIN documents doc ON doc.doc_id = k.doc_id % 1000000
+  JOIN doc_toks t ON t.doc_id = k.doc_id % 1000000
+),
+budgets AS (
+  SELECT lang,
+         CAST(floor(least(CAST(1.0 AS DOUBLE),
+                          CAST(0.2 AS DOUBLE)
+                            * CAST(SUM(SUM(n_tok)) OVER () AS DOUBLE)
+                            / SUM(n_tok))
+                    * 65536) AS INTEGER) AS thr
+  FROM enriched GROUP BY lang
+),
+mixed AS (
+  SELECT e.doc_id, e.lang, CAST(e.n_tok AS BIGINT) AS n_tok
+  FROM enriched e JOIN budgets b ON e.lang = b.lang
+  WHERE ('0x' || substr(md5('full' || CAST(e.doc_id AS VARCHAR)), 1, 4))::INTEGER
+        < b.thr
+),
+packed AS (
+  SELECT doc_id, lang, n_tok,
+         CAST((SUM(n_tok) OVER (ORDER BY doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1)
+              // {_SEQ_TOKENS} AS BIGINT) AS seq_id
+  FROM mixed
+),
+assigned AS (
+  SELECT *,
+         CASE WHEN {_BUCKET_SQL} < {_SPLIT_TRAIN} THEN 'train'
+              WHEN {_BUCKET_SQL} < {_SPLIT_VAL} THEN 'val'
+              ELSE 'test' END AS split
+  FROM packed
+),
+sampled AS (
+  SELECT split, lang, doc_id, n_tok, seq_id,
+         CAST(row_number() OVER (
+           PARTITION BY split, lang
+           ORDER BY md5(CAST(doc_id AS VARCHAR)) ASC, doc_id ASC) AS INTEGER)
+           AS rk
+  FROM assigned
+)
+SELECT split, lang, doc_id, n_tok, seq_id, rk,
+       md5(CAST(doc_id AS VARCHAR)) AS shuffle_key
+FROM sampled WHERE rk <= {_STRAT_K}
+"""
+
+
+# Register pipeline_training_corpus_full's oracle (the query function
+# lives in operators/llm_text.py with oracle=None): the SQL needs this
+# module's recursive CTE, and assembling it here — at the bottom of
+# subword, which in EVERY import order finishes after both llm_pipeline
+# and llm_text — is the one cycle-free spot (round-9 code review #1:
+# registering at llm_text's bottom crashed `import
+# sparkml_spark.functions` by re-entering this module mid-init). The
+# oracle becomes visible once sparkml_spark.operators (or this module)
+# is imported, which is how every consumer — __spark_entry__, tests,
+# driver — loads the registry.
+from sparkml_spark import registry as _registry  # noqa: E402
+
+_registry.ORACLES["pipeline_training_corpus_full"] = (
+    _training_corpus_full_oracle().strip()
+)
+_registry.META["pipeline_training_corpus_full"]["tier"] = "ORACLE"

@@ -1092,6 +1092,26 @@ def dedup_semantic_semdedup(spark, sf_dir):
     return semdedup_within_clusters(qz)
 
 
+def sem_cells(qz, cap: int = _SEM_MAX_CLUSTER):
+    """The capped sub-cell assignment frame (vec_id, label, q8,
+    n_cells, cell) — THE single definition of SemDeDup's salt, shared
+    by the pair join below and by the scale probe's pair accounting
+    (round-9 code review #6: the probe previously re-implemented this
+    formula, so a salt change could silently desynchronize SCALE.md's
+    measured table from the engine's real partitioning)."""
+    sizes = qz.groupBy("label").agg(F.count(F.lit(1)).alias("c_size"))
+    return (
+        qz.join(F.broadcast(sizes), "label")
+        .withColumn("n_cells", F.ceil(F.col("c_size") / F.lit(cap)).cast("int"))
+        .withColumn(
+            "cell",
+            F.pmod(
+                md5_chunk16(F.col("vec_id").cast("string")), F.col("n_cells")
+            ).cast("int"),
+        )
+    )
+
+
 def semdedup_within_clusters(qz, cap: int = _SEM_MAX_CLUSTER):
     """Capped within-cluster pair join over a (vec_id, label, q8)
     frame — the core of dedup_semantic_semdedup, shared with the
@@ -1108,17 +1128,7 @@ def semdedup_within_clusters(qz, cap: int = _SEM_MAX_CLUSTER):
     under re-partitioning. At or under the cap every cluster gets a
     single cell, making the capped plan semantically identical to the
     uncapped join."""
-    sizes = qz.groupBy("label").agg(F.count(F.lit(1)).alias("c_size"))
-    cells = (
-        qz.join(F.broadcast(sizes), "label")
-        .withColumn("n_cells", F.ceil(F.col("c_size") / F.lit(cap)).cast("int"))
-        .withColumn(
-            "cell",
-            F.pmod(
-                md5_chunk16(F.col("vec_id").cast("string")), F.col("n_cells")
-            ).cast("int"),
-        )
-    )
+    cells = sem_cells(qz, cap)
     a = cells.select(
         F.col("vec_id").alias("id_a"),
         F.col("label").alias("label_a"),

@@ -263,6 +263,32 @@ _CHUNK = 64  # tokens per training/RAG chunk
 _STRIDE = 48  # chunk stride (16-token overlap)
 
 
+def token_budget_thresholds(docs, share: float = 0.2):
+    """(lang, thr) 16-bit keep thresholds steering every language
+    toward `share` of TOTAL tokens, from any (lang, n_tok) frame —
+    the ONE definition behind pipeline_token_budget_mix, its BPE twin,
+    and the end-to-end corpus chain (round-9 code review #5: the
+    formula was triplicated; a drift here must now hit all three).
+    Tiny per-lang aggregate -> meant to be broadcast back."""
+    w_tot = Window.partitionBy()
+    return (
+        docs.groupBy("lang")
+        .agg(F.sum("n_tok").alias("lang_tok"))
+        .select(
+            "lang",
+            F.floor(
+                F.least(
+                    F.lit(1.0),
+                    share * F.sum("lang_tok").over(w_tot) / F.col("lang_tok"),
+                )
+                * 65536
+            )
+            .cast("int")
+            .alias("thr"),
+        )
+    )
+
+
 @query(
     "pipeline_token_budget_mix",
     section="2.I",
@@ -309,23 +335,7 @@ def pipeline_token_budget_mix(spark, sf_dir):
         "source",
         F.size(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("n_tok"),
     )
-    w_tot = Window.partitionBy()
-    budgets = (
-        docs.groupBy("lang")
-        .agg(F.sum("n_tok").alias("lang_tok"))
-        .select(
-            "lang",
-            F.floor(
-                F.least(
-                    F.lit(1.0),
-                    0.2 * F.sum("lang_tok").over(w_tot) / F.col("lang_tok"),
-                )
-                * 65536
-            )
-            .cast("int")
-            .alias("thr"),
-        )
-    )
+    budgets = token_budget_thresholds(docs)
     h16 = md5_chunk16(F.concat(F.lit("mix"), F.col("doc_id").cast("string")))
     return (
         docs.join(F.broadcast(budgets), "lang")

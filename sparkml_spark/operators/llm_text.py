@@ -725,6 +725,7 @@ def pipeline_training_corpus_full(spark, sf_dir):
         _SPLIT_TRAIN,
         _SPLIT_VAL,
         _STRAT_K,
+        token_budget_thresholds,
     )
     from sparkml_spark.registry import md5_chunk16
 
@@ -760,23 +761,7 @@ def pipeline_training_corpus_full(spark, sf_dir):
         F.broadcast(info), kept.doc_id % 1000000 == F.col("src_id")
     ).select("doc_id", "lang", "n_tok")
     # mix: 20% of total BPE tokens per lang, salted keep filter
-    w_tot = Window.partitionBy()
-    budgets = (
-        enriched.groupBy("lang")
-        .agg(F.sum("n_tok").alias("lang_tok"))
-        .select(
-            "lang",
-            F.floor(
-                F.least(
-                    F.lit(1.0),
-                    0.2 * F.sum("lang_tok").over(w_tot) / F.col("lang_tok"),
-                )
-                * 65536
-            )
-            .cast("int")
-            .alias("thr"),
-        )
-    )
+    budgets = token_budget_thresholds(enriched)
     h16 = md5_chunk16(F.concat(F.lit("full"), F.col("doc_id").cast("string")))
     mixed = (
         enriched.join(F.broadcast(budgets), "lang")
@@ -831,105 +816,10 @@ def pipeline_training_corpus_full(spark, sf_dir):
     ).repartitionByRange("shuffle_key").sortWithinPartitions("shuffle_key")
 
 
-def _training_corpus_full_oracle() -> str:
-    from sparkml_spark.functions.subword import _DOC_BPE_TOKS_SQL, BPE_VOCAB_CTE
-    from sparkml_spark.operators.llm_pipeline import (
-        _BUCKET_SQL,
-        _SEQ_TOKENS,
-        _SPLIT_TRAIN,
-        _SPLIT_VAL,
-        _STRAT_K,
-    )
-
-    return f"""
-WITH RECURSIVE
-{BPE_VOCAB_CTE},
-{_DOC_BPE_TOKS_SQL},
-corpus AS (
-  SELECT doc_id, text FROM documents
-  UNION ALL
-  SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 10 = 0
-),
-hashed AS (
-  SELECT doc_id, text,
-         md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS h
-  FROM corpus
-),
-deduped AS (
-  SELECT doc_id, text FROM (
-    SELECT doc_id, text,
-           ROW_NUMBER() OVER (PARTITION BY h ORDER BY doc_id) AS rn
-    FROM hashed
-  ) WHERE rn = 1
-),
-kept AS (
-  SELECT doc_id FROM (
-    SELECT doc_id,
-           len({_TOKENS_SQL}) AS n_ws,
-           CAST(len(list_distinct({_TOKENS_SQL})) AS DOUBLE)
-             / len({_TOKENS_SQL}) AS dr
-    FROM deduped
-  ) WHERE n_ws BETWEEN 5 AND 1000 AND dr > 0.3
-),
-enriched AS (
-  SELECT k.doc_id, doc.lang, t.n_tok
-  FROM kept k
-  JOIN documents doc ON doc.doc_id = k.doc_id % 1000000
-  JOIN doc_toks t ON t.doc_id = k.doc_id % 1000000
-),
-budgets AS (
-  SELECT lang,
-         CAST(floor(least(CAST(1.0 AS DOUBLE),
-                          CAST(0.2 AS DOUBLE)
-                            * CAST(SUM(SUM(n_tok)) OVER () AS DOUBLE)
-                            / SUM(n_tok))
-                    * 65536) AS INTEGER) AS thr
-  FROM enriched GROUP BY lang
-),
-mixed AS (
-  SELECT e.doc_id, e.lang, CAST(e.n_tok AS BIGINT) AS n_tok
-  FROM enriched e JOIN budgets b ON e.lang = b.lang
-  WHERE ('0x' || substr(md5('full' || CAST(e.doc_id AS VARCHAR)), 1, 4))::INTEGER
-        < b.thr
-),
-packed AS (
-  SELECT doc_id, lang, n_tok,
-         CAST((SUM(n_tok) OVER (ORDER BY doc_id
-                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1)
-              // {_SEQ_TOKENS} AS BIGINT) AS seq_id
-  FROM mixed
-),
-assigned AS (
-  SELECT *,
-         CASE WHEN {_BUCKET_SQL} < {_SPLIT_TRAIN} THEN 'train'
-              WHEN {_BUCKET_SQL} < {_SPLIT_VAL} THEN 'val'
-              ELSE 'test' END AS split
-  FROM packed
-),
-sampled AS (
-  SELECT split, lang, doc_id, n_tok, seq_id,
-         CAST(row_number() OVER (
-           PARTITION BY split, lang
-           ORDER BY md5(CAST(doc_id AS VARCHAR)) ASC, doc_id ASC) AS INTEGER)
-           AS rk
-  FROM assigned
-)
-SELECT split, lang, doc_id, n_tok, seq_id, rk,
-       md5(CAST(doc_id AS VARCHAR)) AS shuffle_key
-FROM sampled WHERE rk <= {_STRAT_K}
-"""
-
-
-# Register the oracle after the fact: it needs the subword CTE, whose
-# module imports THIS module's sibling (llm_pipeline) — assembling it
-# lazily at import-bottom keeps the decorator-literal convention
-# everywhere else intact.
-from sparkml_spark import registry as _registry  # noqa: E402
-
-_registry.ORACLES["pipeline_training_corpus_full"] = (
-    _training_corpus_full_oracle().strip()
-)
-_registry.META["pipeline_training_corpus_full"]["tier"] = "ORACLE"
+# NOTE: this query's oracle needs the BPE recursive CTE and is
+# assembled at the bottom of sparkml_spark/functions/subword.py —
+# registering it HERE would import the functions package mid-init and
+# crash any functions-first import order (round-9 code review #1).
 
 
 @query(

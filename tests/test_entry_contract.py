@@ -273,7 +273,17 @@ def test_tail_orders_by_staleness():
     round, and its tail segment is non-decreasing in last-seen."""
     verified, rows_ok, _ = entrymod._prior_evidence()
     _, _, _, last_seen = entrymod._scan_evidence()
+    oracles = entrymod.oracle_sql()
     order = entrymod._priority_order()
-    tail = [q for q in order if q in verified or q in rows_ok]
+    # reconstruct the TAIL with _priority_order's own bucket rule —
+    # "verified or rows_ok" alone would wrongly include an ORACLE id
+    # whose rowcount matched but whose hash never did (it belongs to
+    # the front, correctly preempting rotation with fresh last_seen,
+    # and would spuriously break the monotonicity assertion)
+    tail = [
+        q for q in order
+        if (q in oracles and q in verified)
+        or (q not in oracles and q in rows_ok)
+    ]
     ages = [last_seen.get(q, 0) for q in tail]
     assert ages == sorted(ages), "tail not staleness-ordered"
