@@ -949,3 +949,43 @@ def test_bpe_fold_invariants(spark):
         assert 1 <= r.n_bpe <= len(r.word)
         assert all(len(t) == 1 or t in closure for t in toks), (r.word, toks)
         assert toks == replay(r.word), (r.word, toks, replay(r.word))
+
+
+@given(
+    st.lists(
+        st.text(alphabet="abcdefghijklmnopqrstuvwxyz", min_size=1, max_size=12),
+        min_size=1,
+        max_size=15,
+        unique=True,
+    )
+)
+@settings(max_examples=15, deadline=None)
+def test_bpe_fold_matches_replay_on_arbitrary_words(spark, words):
+    """The Catalyst BPE fold must agree with the Python rank-order
+    replay for ANY lowercase word, not just the fixture vocabulary —
+    including adversarial shapes the corpus never produces (overlap
+    runs like 'aaaa', merge-output spellings like 'sortsort', chars
+    outside every rule). Lossless reconstruction holds everywhere."""
+    from pyspark.sql import functions as F
+
+    from sparkml_spark.functions.subword import BPE_MERGES, bpe_tokens
+
+    def replay(word):
+        seq = list(word)
+        for a, b in BPE_MERGES:
+            out, i = [], 0
+            while i < len(seq):
+                if i + 1 < len(seq) and seq[i] == a and seq[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(seq[i])
+                    i += 1
+            seq = out
+        return seq
+
+    df = spark.createDataFrame([(w,) for w in words], "word string")
+    got = {r.word: r.t for r in df.select("word", bpe_tokens(F.col("word")).alias("t")).collect()}
+    for w in words:
+        assert got[w] == replay(w), (w, got[w], replay(w))
+        assert "".join(got[w]) == w
