@@ -47,7 +47,7 @@ parallel, and runs exactly once per word regardless of corpus size.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, Window
+from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 from sparkml_spark.operators.llm_pipeline import (

@@ -1061,27 +1061,36 @@ def pipeline_pack_bins_nextfit(spark, sf_dir):
     return pack_next_fit(sized)
 
 
-def pack_next_fit(sized):
+def pack_next_fit(sized, manifest: bool = False):
     """Shared next-fit packer over any (doc_id, shard, t) frame —
     the sharded applyInPandas recurrence of pipeline_pack_bins_nextfit,
     factored out so the BPE-token twin (functions/subword.py) packs by
-    subword counts through the identical code path."""
+    subword counts through the identical code path.
+
+    With ``manifest=True`` each row also carries its token OFFSET
+    inside its bin and the bin's member count — computed INSIDE the
+    recurrence (the loop already tracks the running fill), so the
+    dataloader manifest costs zero exchanges beyond the packer's own
+    shard exchange."""
     import pandas as pd
 
     def pack(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values("doc_id")
-        bins = []
+        bins, offs = [], []
         bin_id, fill, first = 0, 0, True
         for t in pdf["t"]:
             if first:
                 fill, first = t, False
+                offs.append(0)
             elif fill + t <= _SEQ_TOKENS:
+                offs.append(fill)
                 fill += t
             else:
                 bin_id += 1
+                offs.append(0)
                 fill = t
             bins.append(bin_id)
-        return pd.DataFrame(
+        out = pd.DataFrame(
             {
                 "doc_id": pdf["doc_id"],
                 "shard": pdf["shard"],
@@ -1089,7 +1098,71 @@ def pack_next_fit(sized):
                 "bin_id": bins,
             }
         )
+        if manifest:
+            out["offset_in_bin"] = offs
+            counts = out["bin_id"].value_counts()
+            out["bin_docs"] = out["bin_id"].map(counts)
+        return out
 
-    return sized.groupBy("shard").applyInPandas(
-        pack, "doc_id long, shard long, n_tokens long, bin_id long"
+    schema = "doc_id long, shard long, n_tokens long, bin_id long"
+    if manifest:
+        schema += ", offset_in_bin long, bin_docs long"
+    return sized.groupBy("shard").applyInPandas(pack, schema)
+
+
+@query(
+    "pipeline_pack_manifest",
+    section="2.I",
+    oracle=f"""
+WITH RECURSIVE toks AS (
+  SELECT doc_id, doc_id // {_BUCKET} AS shard,
+         CAST(len(string_split_regex(lower(trim(text)), '\\s+')) AS BIGINT) AS t
+  FROM documents
+), ordered AS (
+  SELECT doc_id, shard, t,
+         row_number() OVER (PARTITION BY shard ORDER BY doc_id) AS rn
+  FROM toks
+), rec AS (
+  SELECT doc_id, shard, t, rn, CAST(0 AS BIGINT) AS bin_id, t AS fill
+  FROM ordered WHERE rn = 1
+  UNION ALL
+  SELECT o.doc_id, o.shard, o.t, o.rn,
+         CASE WHEN r.fill + o.t <= {_SEQ_TOKENS} THEN r.bin_id
+              ELSE r.bin_id + 1 END,
+         CASE WHEN r.fill + o.t <= {_SEQ_TOKENS} THEN r.fill + o.t
+              ELSE o.t END
+  FROM ordered o JOIN rec r ON o.shard = r.shard AND o.rn = r.rn + 1
+)
+SELECT doc_id, shard, bin_id, t AS n_tokens,
+       CAST(COALESCE(SUM(t) OVER (
+         PARTITION BY shard, bin_id ORDER BY doc_id
+         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+         AS offset_in_bin,
+       CAST(COUNT(*) OVER (PARTITION BY shard, bin_id) AS BIGINT)
+         AS bin_docs
+FROM rec
+""",
+)
+def pipeline_pack_manifest(spark, sf_dir):
+    """The dataloader contract for no-cross-attention packing: for
+    every document of pipeline_pack_bins_nextfit's packing, its TOKEN
+    OFFSET inside its bin (exclusive prefix sum over the bin's docs in
+    id order) and the bin's member count — exactly what a trainer
+    needs to build position ids and attention-mask segment boundaries
+    for each packed sequence without re-tokenizing anything.
+
+    Scale: computed inside the packer's sharded recurrence (the loop
+    already tracks the running fill), so the manifest costs ZERO
+    exchanges beyond the packer's single shard hash exchange — a
+    window keyed on (shard, bin_id) would have re-shuffled the
+    corpus-sized manifest a second time."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    sized = d.select(
+        "doc_id",
+        F.expr(f"doc_id DIV {_BUCKET}").alias("shard"),
+        F.size(toks).cast("long").alias("t"),
+    )
+    return pack_next_fit(sized, manifest=True).select(
+        "doc_id", "shard", "bin_id", "n_tokens", "offset_in_bin", "bin_docs"
     )
