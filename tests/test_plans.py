@@ -275,10 +275,18 @@ def test_pipeline_mix_ops_broadcast_thresholds(spark):
 
 def test_chunk_overlap_is_shuffle_free(spark):
     """Chunking is tokenize+explode+slice — a narrow map pipeline; any
-    Exchange in the plan means something regressed into a shuffle."""
+    Exchange in the plan means something regressed into a shuffle.
+    The BPE twin is allowed EXACTLY its two documented exchanges (the
+    tiny vocab distinct + the doc_id reassembly) and must broadcast
+    the vocab — the in-row-fold alternative was measured 250x slower
+    (see the op's docstring)."""
     from sparkml_spark.plans import shuffle_count
     df = QUERIES["pipeline_chunk_overlap"](spark, SF_DIR)
     assert shuffle_count(df) == 0, df._jdf.queryExecution().executedPlan().toString()[:1500]
+    bpe = QUERIES["pipeline_chunk_overlap_bpe"](spark, SF_DIR)
+    plan = bpe._jdf.queryExecution().executedPlan().toString()
+    assert shuffle_count(bpe) <= 2, plan[:1500]
+    assert "BroadcastHashJoin" in plan, plan[:1500]
 
 
 def test_decontaminate_broadcasts_eval_side(spark):
