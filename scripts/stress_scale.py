@@ -123,6 +123,8 @@ LLM_SUITE = [
     "pipeline_token_budget_mix_bpe",
     "pipeline_pack_bins_bpe",
     "pipeline_training_corpus_full",
+    "pipeline_pack_manifest",
+    "pipeline_chunk_overlap_bpe",
 ]
 
 
