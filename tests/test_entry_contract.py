@@ -14,15 +14,15 @@ def test_oracle_keys_subset_of_queries():
 
 
 def test_oracle_tier_never_shrinks():
-    """Round-8 floor: 264 of 296 queries are hash-checkable (the
+    """Round-9 floor: 284 of 316 queries are hash-checkable (the
     32-id ROWS-tier remainder is exactly the engine-private surface — model
     fits, hash families, RNG samplers, sketches, streaming state
-    machines, file layout; as of r8 EVERY one of those families has an
+    machines, file layout; every one of those families has an
     ORACLE-tier *_bound invariant pin). A tier demotion is a
     verification-strength regression and must be a conscious decision,
     not a side effect."""
-    assert len(entrymod.oracle_sql()) >= 267
-    assert len(entrymod.queries()) >= 299
+    assert len(entrymod.oracle_sql()) >= 284
+    assert len(entrymod.queries()) >= 316
 
 
 def test_query_callables_arity():
