@@ -665,3 +665,79 @@ def pipeline_chunk_overlap_bpe(spark, sf_dir):
         F.size(chunk).cast("int").alias("n_chunk_tokens"),
         F.md5(F.array_join(chunk, " ")).alias("chunk_md5"),
     )
+
+
+@query(
+    "pipeline_sequence_pack_bpe",
+    section="2.I",
+    oracle=f"""
+WITH RECURSIVE
+{BPE_VOCAB_CTE},
+{_DOC_BPE_TOKS_SQL},
+ordered AS (
+  SELECT doc_id, n_tok,
+         SUM(n_tok) OVER (ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM doc_toks
+), assigned AS (
+  SELECT doc_id, n_tok, CAST((cum - 1) // {_SEQ_TOKENS} AS BIGINT) AS seq_id
+  FROM ordered
+)
+SELECT seq_id,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_tok) AS BIGINT) AS seq_tokens,
+       MIN(doc_id) AS first_doc,
+       MAX(doc_id) AS last_doc
+FROM assigned GROUP BY seq_id
+""",
+)
+def pipeline_sequence_pack_bpe(spark, sf_dir):
+    """pipeline_sequence_pack with the REAL token unit: documents in
+    id order concat-and-chunked into {_SEQ_TOKENS}-BPE-token training
+    sequences — so a sequence holds {_SEQ_TOKENS} tokens as the
+    TRAINER counts them, not as whitespace counts them. Completes the
+    BPE family: every token-denominated operator (budget mix, both
+    packers, chunker, sequence manifest) now has a subword twin.
+
+    Scale: bpe_doc_token_counts' vocab-broadcast costing followed by
+    the identical two-phase global prefix sum as the whitespace twin
+    (per-bucket totals, offsets over the 1000x-smaller bucket table,
+    within-bucket running sums) — exact integer arithmetic end to
+    end, bit-identical to the oracle's one-shot cumsum."""
+    d = load_table(spark, sf_dir, "documents")
+    bucketed = bpe_doc_token_counts(d).select(
+        "doc_id",
+        F.col("n_tok").alias("n_tokens"),
+        F.expr(f"doc_id DIV {_BUCKET}").alias("bucket"),
+    )
+    from pyspark.sql import Window
+
+    w_off = Window.orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    offsets = (
+        bucketed.groupBy("bucket")
+        .agg(F.sum("n_tokens").alias("b_tokens"))
+        .select(
+            "bucket",
+            (F.sum("b_tokens").over(w_off) - F.col("b_tokens")).alias("offset"),
+        )
+    )
+    w_in = Window.partitionBy("bucket").orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    assigned = (
+        bucketed.withColumn("run_in", F.sum("n_tokens").over(w_in))
+        .join(F.broadcast(offsets), "bucket")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.expr(f"(offset + run_in - 1) DIV {_SEQ_TOKENS}").alias("seq_id"),
+        )
+    )
+    return assigned.groupBy("seq_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("seq_tokens"),
+        F.min("doc_id").alias("first_doc"),
+        F.max("doc_id").alias("last_doc"),
+    )
