@@ -13,6 +13,7 @@ from __future__ import annotations
 import glob
 import json
 import os
+import re
 import sys
 from collections.abc import Callable
 
@@ -31,6 +32,16 @@ from sparkml_spark.registry import ORACLES, QUERIES  # noqa: E402
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query (TPC-H Q1 shape) on /root/testdata/sf0.001."""
     return QUERIES["agg_groupby_multi"](spark, "/root/testdata/sf0.001")
+
+
+def _round_files() -> list:
+    """CORRECTNESS_r*.json paths in ascending PARSED round order."""
+    rounds = []
+    for path in glob.glob(os.path.join(_HERE, "CORRECTNESS_r*.json")):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        if m:
+            rounds.append((int(m.group(1)), path))
+    return [p for _, p in sorted(rounds)]
 
 
 def _scan_evidence() -> tuple[set, set, set, dict]:
@@ -52,9 +63,11 @@ def _scan_evidence() -> tuple[set, set, set, dict]:
     rows_ok: set = set()
     seen: set = set()
     last_seen: dict = {}
-    for rnd, path in enumerate(
-        sorted(glob.glob(os.path.join(_HERE, "CORRECTNESS_r*.json"))), start=1
-    ):
+    # Order by the PARSED round integer, not the raw filename: with
+    # lexicographic sort 'CORRECTNESS_r100' would precede '..._r99'
+    # and an unpadded round would land arbitrarily, scrambling the
+    # last_seen ages and the staleness rotation (ADVICE r9 #3).
+    for rnd, path in enumerate(_round_files(), start=1):
         try:
             with open(path) as f:
                 data = json.load(f)
@@ -92,7 +105,7 @@ _DRIVER_SLOTS = 50
 
 def _n_rounds() -> int:
     """Completed driver rounds = committed CORRECTNESS files."""
-    return len(glob.glob(os.path.join(_HERE, "CORRECTNESS_r*.json")))
+    return len(_round_files())
 
 
 def _priority_order(n_rounds: int | None = None) -> list:
@@ -117,12 +130,18 @@ def _priority_order(n_rounds: int | None = None) -> list:
     monotone by construction (no ring-offset arithmetic to drift when
     the unverified front shrinks between rounds), and every id's
     evidence age is bounded by ceil(len(tail)/stride) rounds. For
-    SIMULATED future rounds (the cycle tests pass n_rounds), each
-    simulated round rotates the staleness queue by the current
-    per-round stride ``50 - len(front)`` — exactly what re-checking
-    the first `stride` ids and marking them fresh does. Unverified
-    ids still preempt the rotation — they sit in front of the tail
-    regardless of staleness."""
+    SIMULATED future rounds (the cycle tests pass n_rounds =
+    committed + k), each simulated round is replayed separately
+    (ADVICE r9 #4): the round's stride of stalest tail ids is
+    re-checked and drops to the back as freshest, and the front ids
+    — which the driver checks first — are assumed to verify and
+    join the back of the tail, so the NEXT simulated round's front
+    is empty and its stride is the full slot count. This matches the
+    live rotation (where the front shrinks as ids verify) instead of
+    freezing round-one's stride for every simulated round, which
+    under-rotated and proved a weaker coverage bound than the live
+    behavior provides. Unverified ids still preempt the rotation —
+    they sit in front of the tail regardless of staleness."""
     verified, rows_ok, seen, last_seen = _scan_evidence()
     order = list(QUERIES)
     rows_retry = [q for q in order if q not in ORACLES and q in seen and q not in rows_ok]
@@ -132,13 +151,16 @@ def _priority_order(n_rounds: int | None = None) -> list:
     rows_seen = [q for q in order if q not in ORACLES and q in rows_ok]
     front = rows_retry + oracle_new + rows_new
     tail = oracle_done + rows_seen
-    if tail:
-        if n_rounds is None:
-            n_rounds = _n_rounds()
-        tail.sort(key=lambda q: last_seen.get(q, 0))  # stable on ties
+    if not tail:
+        return front
+    tail.sort(key=lambda q: last_seen.get(q, 0))  # stable on ties
+    if n_rounds is None:
+        n_rounds = _n_rounds()
+    for _ in range(max(0, n_rounds - _n_rounds())):
         stride = max(1, _DRIVER_SLOTS - min(len(front), _DRIVER_SLOTS - 1))
-        off = (stride * (n_rounds - _n_rounds())) % len(tail)
-        tail = tail[off:] + tail[:off]
+        checked, tail = tail[:stride], tail[stride:]
+        tail = tail + checked + front
+        front = []
     return front + tail
 
 

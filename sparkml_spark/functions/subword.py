@@ -114,8 +114,12 @@ def bpe_tokens(word: Column) -> Column:
     unemitted token; (carry, tok) == (a, b) emits the merged token
     and clears the carry, so an output token never re-matches the
     same rule (its spelling differs from both operands). The ''
-    carry sentinel is unambiguous: real tokens are never empty
-    (words are \\s+ splits; chars are non-empty)."""
+    carry sentinel is unambiguous because the fold input is
+    explicitly stripped of empty strings below — F.split(word, "")
+    yields a trailing '' element (split limit -1 keeps trailing
+    empties), which the first rule pass used to absorb by accident;
+    with the filter the invariant "real tokens are never empty"
+    holds by construction, not by rule-pass luck (ADVICE r9 #1)."""
 
     def apply_rule(seq, r):
         init = F.struct(
@@ -148,7 +152,8 @@ def bpe_tokens(word: Column) -> Column:
 
         return F.aggregate(seq, init, step, fin)
 
-    return F.aggregate(_rules(), F.split(word, ""), apply_rule)
+    chars = F.filter(F.split(word, ""), lambda x: x != F.lit(""))
+    return F.aggregate(_rules(), chars, apply_rule)
 
 
 # ---------------------------------------------------------------------------

@@ -708,10 +708,14 @@ def pipeline_training_corpus_full(spark, sf_dir):
                 — the range exchange that makes shard N of the
                 manifest globally ordered after shard N-1.
 
-    Scale notes: the meta/BPE-count attach is broadcast-hinted at
-    fixture scale; on a real corpus that side is corpus-sized and the
-    hint is dropped — it becomes a doc_id-keyed shuffle join, which
-    is the right plan there. Everything else keeps its proven shape:
+    Scale notes: the meta/BPE-count attach carries NO broadcast hint
+    — that side is corpus-sized (one row per document), and Spark
+    honors an explicit broadcast hint regardless of
+    autoBroadcastJoinThreshold, so hinting it would pin a
+    driver-OOM plan at 100 TB (ADVICE r9 #2). Unhinted, Catalyst /
+    AQE picks broadcast only while the size estimate is under the
+    threshold and falls back to the doc_id-keyed shuffle join —
+    the right plan at scale. Everything else keeps its proven shape:
     the thresholds broadcast is always a |langs|-row table, the
     sample output is bounded at splits x langs x k rows regardless of
     corpus size, and no stage leaves Catalyst (the BPE fold runs on
@@ -758,7 +762,7 @@ def pipeline_training_corpus_full(spark, sf_dir):
         .select(F.col("doc_id").alias("src_id"), "lang", "n_tok")
     )
     enriched = kept.join(
-        F.broadcast(info), kept.doc_id % 1000000 == F.col("src_id")
+        info, kept.doc_id % 1000000 == F.col("src_id")
     ).select("doc_id", "lang", "n_tok")
     # mix: 20% of total BPE tokens per lang, salted keep filter
     budgets = token_budget_thresholds(enriched)

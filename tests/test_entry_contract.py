@@ -87,9 +87,13 @@ def test_slot_rotation_cycles_every_id(monkeypatch):
     n_front = sum(1 for q in entrymod.queries() if q not in verified and q not in rows_ok)
     stride = max(1, entrymod._DRIVER_SLOTS - min(n_front, entrymod._DRIVER_SLOTS - 1))
     n_windows = math.ceil(max(n_ids - n_front, 1) / stride)
+    # simulated rounds are committed + k (ADVICE r9 #4: the sim
+    # replays each future round with the front shrinking as it
+    # verifies, so only future ordinals are meaningful)
+    base = entrymod._n_rounds()
     for start in range(0, n_windows + 1):  # any starting round works
         covered: set = set()
-        for r in range(start, start + n_windows):
+        for r in range(base + start, base + start + n_windows):
             covered.update(entrymod._priority_order(n_rounds=r)[: entrymod._DRIVER_SLOTS])
         missing = set(entrymod.queries()) - covered
         assert not missing, (
@@ -113,8 +117,9 @@ def test_consecutive_rounds_actually_advance():
         if (q in oracles and q not in verified)
         or (q not in oracles and q not in rows_ok)
     }
-    a = set(entrymod._priority_order(n_rounds=7)[: entrymod._DRIVER_SLOTS])
-    b = set(entrymod._priority_order(n_rounds=8)[: entrymod._DRIVER_SLOTS])
+    base = entrymod._n_rounds()
+    a = set(entrymod._priority_order(n_rounds=base)[: entrymod._DRIVER_SLOTS])
+    b = set(entrymod._priority_order(n_rounds=base + 1)[: entrymod._DRIVER_SLOTS])
     shared_tail = (a & b) - front
     assert len(shared_tail) <= 10, f"rotation stalled: {len(shared_tail)} shared tail slots"
 
@@ -125,7 +130,9 @@ def test_unverified_ids_preempt_rotation(monkeypatch):
     regression guard, never a reason a new id waits 6 rounds for its
     first hash check. Registers a fake unverified ORACLE id and a fake
     never-seen ROWS id, asserts both land ahead of every verified id
-    at an arbitrary rotation offset."""
+    in the live next-round slate (simulated FUTURE rounds assume the
+    front verifies and rejoins the tail, so preemption is a property
+    of the live slate — ADVICE r9 #4)."""
     from sparkml_spark import registry
 
     fake_oracle = "zz_fake_unverified_oracle"
@@ -134,7 +141,7 @@ def test_unverified_ids_preempt_rotation(monkeypatch):
     monkeypatch.setitem(registry.ORACLES, fake_oracle, "SELECT 1 AS x FROM region")
     monkeypatch.setitem(registry.QUERIES, fake_rows, lambda spark, sf: None)
     try:
-        order = entrymod._priority_order(n_rounds=11)
+        order = entrymod._priority_order(n_rounds=entrymod._n_rounds())
         verified, rows_ok, _ = entrymod._prior_evidence()
         first_verified = min(
             i for i, q in enumerate(order) if q in verified or q in rows_ok
