@@ -9,18 +9,31 @@ warmup, which BASELINE.md's "second execution" protocol still partly
 absorbs: the flagship measures ~1.0 s on run 2 but ~0.07 s steady). Keep `spark.sql.shuffle.partitions` small at
 this scale (BASELINE used 8) — AQE coalesces anyway, but the initial
 number still costs task-launch overhead locally.
+
+Cross-round A/B control (VERDICT r9 #1): after the main protocol, the
+previous round's committed code runs in a subprocess (temp git
+worktree at the commit that added the latest BENCH_r*.json) and the
+two versions' prepared plans execute INTERLEAVED query-by-query —
+the `ab` field carries both series plus per-query head/prev ratios,
+which scripts/bench_gate.py gates at 1.25. Set SPARK_GRAFT_NO_AB=1
+to skip (e.g. when benching a detached export without git history).
 """
 
 from __future__ import annotations
 
+import glob
 import json
 import os
+import re
+import subprocess
 import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from sparkml_spark.session import get_spark
+
+_HERE = os.path.dirname(os.path.abspath(__file__))
 
 #: bench name -> registry query id (shapes match BASELINE.md rows).
 #: Round-2 shape alignment: q_window_rank uses win_topk_per_group_100
@@ -39,6 +52,117 @@ HEADLINE = {
 }
 
 
+def _prev_round_commit() -> tuple[str, str] | tuple[None, None]:
+    """(sha, round-label) of the previous round's end-of-round commit
+    = the commit that ADDED the highest-numbered BENCH_r*.json. That
+    commit is the driver's own round boundary, so the code there is
+    exactly what produced last round's committed numbers."""
+    rounds = []
+    for path in glob.glob(os.path.join(_HERE, "BENCH_r*.json")):
+        m = re.search(r"BENCH_r(\d+)\.json$", path)
+        if m:
+            rounds.append((int(m.group(1)), os.path.basename(path)))
+    if not rounds:
+        return None, None
+    _, fname = max(rounds)
+    try:
+        sha = subprocess.run(
+            ["git", "log", "--diff-filter=A", "--format=%H", "-n1", "--", fname],
+            cwd=_HERE,
+            capture_output=True,
+            text=True,
+            timeout=60,
+            check=True,
+        ).stdout.strip()
+    except (subprocess.SubprocessError, OSError):
+        return None, None
+    return (sha, fname) if sha else (None, None)
+
+
+def _ab_control(spark, dfs: dict) -> dict | None:
+    """Cross-round A/B steady control (VERDICT r9 #1): measure HEAD's
+    prepared plans and the PREVIOUS round's code interleaved
+    query-by-query in one wall-clock session, so machine-level drift
+    hits both series identically and the per-query head/prev ratio
+    isolates code regressions. Returns
+    {prev_commit, head: {q: s}, prev: {q: s}, ratio: {q: r}} or None
+    when no prior round / git history is available (round 1, export).
+
+    The prev side runs in a subprocess (its own SparkSession over a
+    temp `git worktree` at the prev commit); parent and worker
+    execute strictly alternately, never concurrently, so the two
+    JVMs don't contend for the 32 cores."""
+    sha, fname = _prev_round_commit()
+    if sha is None:
+        return None
+    wt = os.path.join("/tmp", f"bench_ab_{sha[:12]}")
+    worker = None
+    try:
+        subprocess.run(
+            ["git", "worktree", "remove", "--force", wt],
+            cwd=_HERE, capture_output=True, timeout=60,
+        )
+        subprocess.run(
+            ["git", "worktree", "add", "--force", "--detach", wt, sha],
+            cwd=_HERE, capture_output=True, text=True, timeout=120, check=True,
+        )
+        worker = subprocess.Popen(
+            [sys.executable, os.path.join(_HERE, "scripts", "bench_worker.py"), wt],
+            stdin=subprocess.PIPE,
+            stdout=subprocess.PIPE,
+            text=True,
+            cwd="/tmp",
+        )
+        # the JVM occasionally writes banner lines to stdout — skip
+        # anything that isn't ours until READY / TIME shows up
+        def _read(prefix: str) -> str:
+            while True:
+                line = worker.stdout.readline()
+                if not line:
+                    raise RuntimeError(f"worker died before {prefix}")
+                if line.startswith(prefix):
+                    return line.strip()
+
+        ready = _read("READY")
+        prev_names = set(json.loads(ready[len("READY "):])["queries"])
+
+        head_t: dict[str, float] = {}
+        prev_t: dict[str, float] = {}
+        for _rep in range(3):
+            for name, df in dfs.items():
+                t0 = time.time()
+                df.collect()
+                head_t[name] = min(head_t.get(name, float("inf")), time.time() - t0)
+                if name in prev_names:
+                    worker.stdin.write(name + "\n")
+                    worker.stdin.flush()
+                    parts = _read("TIME").split()
+                    assert parts[1] == name, parts
+                    prev_t[name] = min(prev_t.get(name, float("inf")), float(parts[2]))
+        worker.stdin.write("exit\n")
+        worker.stdin.flush()
+        worker.wait(timeout=120)
+        return {
+            "prev_commit": sha,
+            "prev_bench": fname,
+            "head": {q: round(s, 3) for q, s in head_t.items()},
+            "prev": {q: round(s, 3) for q, s in prev_t.items()},
+            "ratio": {
+                q: round(head_t[q] / prev_t[q], 3) for q in prev_t if prev_t[q] > 0
+            },
+        }
+    except Exception as exc:  # noqa: BLE001 — A/B is evidence, not a gate here
+        print(f"# ab_control unavailable: {exc}", file=sys.stderr)
+        return None
+    finally:
+        if worker is not None and worker.poll() is None:
+            worker.kill()
+        subprocess.run(
+            ["git", "worktree", "remove", "--force", wt],
+            cwd=_HERE, capture_output=True, timeout=60,
+        )
+
+
 def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
@@ -53,6 +177,7 @@ def main() -> int:
     times: dict[str, float] = {}
     times_e2e: dict[str, float] = {}
     times_plan: dict[str, float] = {}
+    dfs: dict = {}
     total = 0.0
     total_e2e = 0.0
     for bench_name, qid in HEADLINE.items():
@@ -94,11 +219,21 @@ def main() -> int:
         times[bench_name] = round(best, 3)
         times_e2e[bench_name] = round(e2e, 3)
         times_plan[bench_name] = round(plan_s, 3)
+        dfs[bench_name] = df
         total += best
         total_e2e += e2e
         print(
             f"# {bench_name} ({qid}): steady {best:.3f}s / e2e {e2e:.3f}s"
             f" (plan {plan_s:.3f}s), {rows} rows",
+            file=sys.stderr,
+        )
+
+    ab = None if os.environ.get("SPARK_GRAFT_NO_AB") else _ab_control(spark, dfs)
+    if ab is not None:
+        worst = max(ab["ratio"].values()) if ab["ratio"] else None
+        print(
+            f"# ab_control vs {ab['prev_bench']} @ {ab['prev_commit'][:12]}: "
+            f"worst head/prev ratio {worst}",
             file=sys.stderr,
         )
 
@@ -113,6 +248,7 @@ def main() -> int:
                 "value_e2e_run2": round(total_e2e, 3),
                 "queries_e2e_run2": times_e2e,
                 "queries_plan": times_plan,
+                "ab": ab,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )
