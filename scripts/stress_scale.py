@@ -125,6 +125,12 @@ LLM_SUITE = [
     "pipeline_training_corpus_full",
     "pipeline_pack_manifest",
     "pipeline_chunk_overlap_bpe",
+    # r10: OOV-drift monitor. The permuted replicas are EXACTLY the
+    # drift scenario (disjoint vocab vs. the sf0.001-trained merges),
+    # so at large k the violation flags must FIRE on the scaled copy
+    # while runtime stays vocabulary-bounded — both halves of the
+    # contract (see SCALE.md "BPE fertility at x100").
+    "quality_bpe_fertility_bound",
 ]
 
 

@@ -54,10 +54,17 @@ if [ $quick -eq 0 ]; then
   run "stress x10" timeout 900 python scripts/stress_scale.py --k 10 \
     --sf-dir /root/testdata/sf0.01 --fail-ratio 10
 fi
-# bench + cross-round steady regression gate (VERDICT r7 #4): runs
-# bench.py once and fails when any per-query steady time regresses
-# >1.5x AND >+150ms vs the last committed BENCH_r{N}.json.
-run "bench" timeout 960 python scripts/bench_gate.py
+# BPE OOV-drift contract at the LARGE scale (VERDICT r9 #4): the
+# fertility/char-fallback ceilings must hold at sf0.1 — x100 the
+# vocabulary the merge table was trained on. Runs in quick mode too:
+# it is the cheapest large-scale canary in the suite (~25s).
+run "bpe fertility bound sf0.1" timeout 300 python scripts/driver_sim.py \
+  --sf-dir /root/testdata/sf0.1 quality_bpe_fertility_bound
+# bench + cross-round A/B steady regression gate (VERDICT r9 #1):
+# bench.py measures HEAD interleaved with the previous round's
+# committed code; the gate fails any query whose head/prev ratio
+# exceeds 1.25 (30ms delta floor).
+run "bench" timeout 1500 python scripts/bench_gate.py
 
 finish
 exit 0

@@ -483,6 +483,110 @@ def quality_bpe_fertility(spark, sf_dir):
     )
 
 
+#: Fertility / OOV-drift ceilings for quality_bpe_fertility_bound
+#: (VERDICT r9 #4). Measured per-lang values are stationary across
+#: every fixture scale — fertility 3.10–3.17 tokens/word and
+#: char-fallback 257–271k ppm of word occurrences at sf0.001 / sf0.01
+#: / sf0.1 alike (the synthetic corpus draws words from the same
+#: distribution at every SF, so the sf0.001-trained merge table keeps
+#: its coverage) — giving the ceilings ~7% / ~18% headroom. If a
+#: future fixture regen or a real domain shift pushes char-fallback
+#: past the ceiling, the violation count goes nonzero at the LARGE
+#: scale first: exactly the silent-OOV-drift alarm the bound exists
+#: to ring (the merge table then needs retraining via
+#: scripts/train_bpe.py).
+FERTILITY_CEIL_PPM = 3_400_000
+CHAR_FALLBACK_CEIL_PPM = 320_000
+
+
+@query(
+    "quality_bpe_fertility_bound",
+    section="2.I",
+    oracle=f"""
+WITH RECURSIVE
+{BPE_VOCAB_CTE},
+words AS (
+  SELECT lang, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS word
+  FROM documents
+),
+wc AS (SELECT lang, word, COUNT(*) AS c FROM words GROUP BY lang, word),
+fert AS (
+  SELECT lang,
+         CAST(SUM(c * n_bpe) * 1000000 // SUM(c) AS BIGINT) AS fertility_ppm,
+         CAST(SUM(CASE WHEN n_bpe = len(word) AND len(word) > 1
+                       THEN c ELSE 0 END) * 1000000 // SUM(c) AS BIGINT)
+           AS char_fallback_ppm
+  FROM wc JOIN vocab USING (word)
+  GROUP BY lang
+)
+SELECT lang, fertility_ppm, char_fallback_ppm,
+       CAST(CASE WHEN fertility_ppm > {FERTILITY_CEIL_PPM} THEN 1 ELSE 0 END
+            AS INTEGER) AS fert_violation,
+       CAST(CASE WHEN char_fallback_ppm > {CHAR_FALLBACK_CEIL_PPM} THEN 1 ELSE 0 END
+            AS INTEGER) AS fallback_violation
+FROM fert
+""",
+)
+def quality_bpe_fertility_bound(spark, sf_dir):
+    """OOV-drift contract on the committed merge table (VERDICT r9
+    #4): per-lang fertility and char-fallback rates with explicit
+    ceiling-violation flags. The production failure mode this guards:
+    BPE_MERGES is trained on one snapshot's vocabulary; on drifted
+    data unseen words fall back to character-level tokens and
+    fertility rises SILENTLY — every downstream token budget (mix,
+    packing, manifest) then under-counts real training cost. The
+    contract is that both violation columns are all-zero at EVERY
+    fixture scale; tests/test_operators.py asserts exactly that at
+    sf0.001 AND sf0.1 (the large scale is where drift would surface
+    first), and verify_all drives this id through the sf0.1 sim.
+
+    Scale: identical shape to quality_bpe_fertility — map-side
+    combinable (lang, word) counts, broadcast vocab join, 5-row
+    output. The integer-ppm ratios keep the cross-engine hash exact;
+    DECIMAL(38,0) sums keep the *1e6 scaling exact past the LONG
+    bound (registry.lsum analysis)."""
+    d = load_table(spark, sf_dir, "documents")
+    wc = (
+        d.select(
+            "lang",
+            F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("word"),
+        )
+        .groupBy("lang", "word")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    vocab = bpe_vocab(d).select("word", "n_bpe")
+    fert = (
+        wc.join(F.broadcast(vocab), "word")
+        .groupBy("lang")
+        .agg(
+            F.expr(
+                "sum(CAST(c * n_bpe AS DECIMAL(38,0))) * 1000000"
+                " DIV sum(CAST(c AS DECIMAL(38,0)))"
+            )
+            .cast("long")
+            .alias("fertility_ppm"),
+            F.expr(
+                "sum(CAST(CASE WHEN n_bpe = length(word) AND length(word) > 1"
+                "              THEN c ELSE 0 END AS DECIMAL(38,0))) * 1000000"
+                " DIV sum(CAST(c AS DECIMAL(38,0)))"
+            )
+            .cast("long")
+            .alias("char_fallback_ppm"),
+        )
+    )
+    return fert.select(
+        "lang",
+        "fertility_ppm",
+        "char_fallback_ppm",
+        (F.col("fertility_ppm") > FERTILITY_CEIL_PPM)
+        .cast("int")
+        .alias("fert_violation"),
+        (F.col("char_fallback_ppm") > CHAR_FALLBACK_CEIL_PPM)
+        .cast("int")
+        .alias("fallback_violation"),
+    )
+
+
 def _training_corpus_full_oracle() -> str:
     from sparkml_spark.operators.llm_text import _TOKENS_SQL
     from sparkml_spark.operators.llm_pipeline import (

@@ -408,3 +408,22 @@ def test_compaction_preserves_rows_and_bounds_file_count(spark):
     assert rows["before"]["total_rows"] == rows["after"]["total_rows"]
     assert rows["before"]["n_files"] > rows["after"]["n_files"]
     assert rows["after"]["n_files"] <= 4
+
+
+def test_bpe_fertility_bound_zero_violations_across_scales(spark):
+    """VERDICT r9 #4: the committed merge table's coverage contract —
+    fertility and char-fallback ceilings hold at the SMALL scale the
+    table was trained on AND at sf0.1 (x100 the training corpus),
+    where OOV drift would surface first. A nonzero violation here
+    means the vocabulary no longer fits the data and BPE_MERGES needs
+    retraining (scripts/train_bpe.py); every BPE-budgeted pipeline op
+    would silently under-count training cost past this point."""
+    for sf_dir in ("/root/testdata/sf0.001", "/root/testdata/sf0.1"):
+        rows = QUERIES["quality_bpe_fertility_bound"](spark, sf_dir).collect()
+        assert len(rows) == 5, (sf_dir, rows)  # one per lang
+        bad = [
+            (sf_dir, r["lang"], r["fertility_ppm"], r["char_fallback_ppm"])
+            for r in rows
+            if r["fert_violation"] or r["fallback_violation"]
+        ]
+        assert not bad, f"BPE coverage drifted past ceiling: {bad}"
