@@ -481,3 +481,123 @@ def sim_ann_recall_bound(spark, sf_dir):
     return lsh.crossJoin(ivf).select(
         (F.col("v_lsh") + F.col("v_ivf")).alias("n_violations")
     )
+
+
+_RRF_K = 60
+_RRF_TOPN = 100
+
+
+def _rrf_contrib_sql(rank: str) -> str:
+    return f"CAST(round(1000000.0 / ({_RRF_K} + {rank})) AS BIGINT)"
+
+
+@query(
+    "sim_rrf_fusion",
+    section="2.I",
+    oracle=None,  # set below — needs llm_text's shared BM25 CTE
+)
+def sim_rrf_fusion(spark, sf_dir):
+    """Hybrid retrieval with reciprocal-rank fusion [Cormack et al.
+    2009]: the lexical arm ranks documents by BM25 against the fixed
+    query-term set (shared definition with text_bm25_score), the
+    dense arm ranks embeddings by cosine to a fixed query vector
+    (vec_id 0 — doc and vector ids share one key space, see
+    join_multimodal), each arm keeps its top-100, and the fused score
+    is sum over arms of 1/(60 + rank) — in exact integer MICRO units,
+    so the cross-engine hash never rides on float sum order. Absent
+    ranks contribute 0 and report rank 0 (standard RRF over
+    heterogeneous retrievers; a doc can chart on either arm alone).
+
+    Scale: each arm is a global top-k — Spark compiles
+    orderBy().limit(k) to TakeOrderedAndProject, a per-partition
+    partial top-k + driver merge of k*partitions rows, never a global
+    sort — and the rank windows then run on <= 100-row parameter-
+    sized sets (the budgets/offsets pattern, not a corpus window).
+    The fusion join is a <=200-row full outer. At 100 TB the dense
+    arm's linear scan is replaced by the ANN twins (sim_lsh_ann /
+    sim_ivf_ann) feeding the same fusion shape."""
+    from sparkml_spark.operators.llm_text import bm25_scores
+
+    d = load_table(spark, sf_dir, "documents")
+    e = load_table(spark, sf_dir, "embeddings")
+
+    lex = (
+        bm25_scores(d)
+        .orderBy(F.desc("bm25_micro"), F.asc("doc_id"))
+        .limit(_RRF_TOPN)
+        .withColumn(
+            "lex_rank",
+            F.row_number().over(
+                Window.orderBy(F.desc("bm25_micro"), F.asc("doc_id"))
+            ),
+        )
+        .select("doc_id", "lex_rank")
+    )
+    q = F.broadcast(
+        e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("q_emb"))
+    )
+    vec = (
+        e.filter(F.col("vec_id") != 0)
+        .select("vec_id", "embedding")
+        .crossJoin(q)
+        .withColumn("dot", _dot("embedding", "q_emb"))
+        .orderBy(F.desc("dot"), F.asc("vec_id"))
+        .limit(_RRF_TOPN)
+        .withColumn(
+            "vec_rank",
+            F.row_number().over(Window.orderBy(F.desc("dot"), F.asc("vec_id"))),
+        )
+        .select("vec_id", "vec_rank")
+    )
+    fused = lex.join(vec, lex.doc_id == vec.vec_id, "full_outer")
+    contrib = lambda r: F.coalesce(  # noqa: E731
+        F.round(F.lit(1000000.0) / (_RRF_K + F.col(r))).cast("bigint"), F.lit(0)
+    )
+    return fused.select(
+        F.coalesce(F.col("doc_id"), F.col("vec_id")).alias("id"),
+        F.coalesce(F.col("lex_rank"), F.lit(0)).cast("int").alias("lex_rank"),
+        F.coalesce(F.col("vec_rank"), F.lit(0)).cast("int").alias("vec_rank"),
+        (contrib("lex_rank") + contrib("vec_rank")).alias("rrf_micro"),
+    )
+
+
+def _rrf_oracle() -> str:
+    from sparkml_spark.operators.llm_text import BM25_CTE
+
+    return f"""
+WITH {BM25_CTE},
+lex_lim AS (
+  SELECT doc_id, bm25_micro FROM bm25
+  ORDER BY bm25_micro DESC, doc_id ASC LIMIT {_RRF_TOPN}
+),
+lex_top AS (
+  SELECT doc_id,
+         row_number() OVER (ORDER BY bm25_micro DESC, doc_id ASC) AS lex_rank
+  FROM lex_lim
+),
+qv AS (SELECT embedding FROM embeddings WHERE vec_id = 0),
+vec_scored AS (
+  SELECT c.vec_id, {_DOT_SQL.format(a='c.embedding', b='qv.embedding')} AS dot
+  FROM embeddings c CROSS JOIN qv WHERE c.vec_id <> 0
+),
+vec_lim AS (
+  SELECT vec_id, dot FROM vec_scored ORDER BY dot DESC, vec_id ASC LIMIT {_RRF_TOPN}
+),
+vec_top AS (
+  SELECT vec_id,
+         row_number() OVER (ORDER BY dot DESC, vec_id ASC) AS vec_rank
+  FROM vec_lim
+)
+SELECT COALESCE(l.doc_id, v.vec_id) AS id,
+       CAST(COALESCE(l.lex_rank, 0) AS INTEGER) AS lex_rank,
+       CAST(COALESCE(v.vec_rank, 0) AS INTEGER) AS vec_rank,
+       CAST(COALESCE({_rrf_contrib_sql('l.lex_rank')}, 0)
+          + COALESCE({_rrf_contrib_sql('v.vec_rank')}, 0) AS BIGINT) AS rrf_micro
+FROM lex_top l FULL OUTER JOIN vec_top v ON l.doc_id = v.vec_id
+""".strip()
+
+
+from sparkml_spark import registry as _registry  # noqa: E402
+
+_registry.ORACLES["sim_rrf_fusion"] = _rrf_oracle()
+_registry.META["sim_rrf_fusion"]["tier"] = "ORACLE"

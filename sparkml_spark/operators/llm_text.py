@@ -987,3 +987,123 @@ def text_perplexity_proxy(spark, sf_dir):
         F.col("n_doc").cast("bigint").alias("n_tokens"),
         F.round(-F.col("sum_lnp") / F.col("n_doc"), 6).alias("cross_entropy"),
     )
+
+
+#: Fixed retrieval query for text_bm25_score / sim_rrf_fusion — terms
+#: drawn from the fixture's real token pool (module docstring).
+BM25_QUERY_TERMS = ("table", "hash", "merge", "window")
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+
+
+#: Shared BM25 CTE chain (lands `bm25(doc_id, n_terms_matched,
+#: bm25_micro)`) — embedded by text_bm25_score's oracle and reused by
+#: sim_rrf_fusion's (llm_similarity.py) so the two engines' lexical
+#: arms are one definition.
+BM25_CTE = f"""
+bm25_toks AS (
+  SELECT doc_id, unnest({_TOKENS_SQL}) AS token FROM documents
+), bm25_dl AS (
+  SELECT doc_id, COUNT(*) AS dl FROM bm25_toks GROUP BY doc_id
+), bm25_stats AS (
+  SELECT COUNT(*) AS n_docs, CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl
+  FROM bm25_dl
+), bm25_tf AS (
+  SELECT doc_id, token, COUNT(*) AS tf FROM bm25_toks
+  WHERE token IN {tuple(BM25_QUERY_TERMS)}
+  GROUP BY doc_id, token
+), bm25_df AS (
+  SELECT token, COUNT(DISTINCT doc_id) AS df FROM bm25_toks
+  WHERE token IN {tuple(BM25_QUERY_TERMS)}
+  GROUP BY token
+), bm25 AS (
+  SELECT tf.doc_id,
+         CAST(COUNT(*) AS INTEGER) AS n_terms_matched,
+         CAST(SUM(CAST(round(
+           ln(1.0 + (s.n_docs - df.df + 0.5) / (df.df + 0.5))
+             * (tf.tf * ({_BM25_K1} + 1.0))
+             / (tf.tf + {_BM25_K1} * (1.0 - {_BM25_B}
+                  + {_BM25_B} * dl.dl / s.avgdl))
+           * 1000000) AS BIGINT)) AS BIGINT) AS bm25_micro
+  FROM bm25_tf tf
+  JOIN bm25_df df ON tf.token = df.token
+  JOIN bm25_dl dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN bm25_stats s
+  GROUP BY tf.doc_id
+)
+""".strip()
+
+
+def bm25_scores(d):
+    """(doc_id, n_terms_matched, bm25_micro) for docs matching >= 1
+    query term — the Spark twin of BM25_CTE; see text_bm25_score for
+    the formula and float discipline."""
+    toks = d.select("doc_id", F.explode(_tokens()).alias("token"))
+    terms = F.array(*[F.lit(t) for t in BM25_QUERY_TERMS])
+    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    stats = F.broadcast(
+        dl.agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
+        )
+    )
+    matched = toks.filter(F.array_contains(terms, F.col("token")))
+    tf = matched.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    df = F.broadcast(
+        matched.groupBy("token").agg(F.countDistinct("doc_id").alias("df"))
+    )
+    idf = F.log(
+        1.0 + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    score = (
+        idf
+        * (F.col("tf") * (_BM25_K1 + 1.0))
+        / (
+            F.col("tf")
+            + _BM25_K1
+            * (1.0 - _BM25_B + _BM25_B * F.col("dl") / F.col("avgdl"))
+        )
+    )
+    return (
+        tf.join(df, "token")
+        .join(dl, "doc_id")
+        .crossJoin(stats)
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_terms_matched"),
+            F.sum(F.round(score * 1000000).cast("bigint"))
+            .cast("bigint")
+            .alias("bm25_micro"),
+        )
+    )
+
+
+@query(
+    "text_bm25_score",
+    section="2.I",
+    oracle=f"""
+WITH {BM25_CTE}
+SELECT doc_id, n_terms_matched, bm25_micro FROM bm25
+""",
+)
+def text_bm25_score(spark, sf_dir):
+    """Okapi BM25 document scoring against a fixed query-term set —
+    the lexical-retrieval half of a hybrid search stack (k1=1.2,
+    b=0.75, idf = ln(1 + (N-df+0.5)/(df+0.5)) [Robertson & Zaragoza
+    2009]). tfidf ranks terms within a corpus; BM25 ranks DOCUMENTS
+    for a query, with tf saturation and length normalization — the
+    operator a retrieval/dedup-audit pipeline actually calls.
+
+    Cross-engine float discipline: each (doc, term) partial score is
+    quantized to integer MICRO units before the per-doc sum, so the
+    result is an exact bigint regardless of either engine's addition
+    order (the registry dsum lesson applied to libm outputs; plain
+    round-after-sum would expose DuckDB-vs-JVM sum-order ulps).
+
+    Scale: tf is filtered to the query terms AT THE EXPLODE (pushdown
+    — the per-doc state is |query| counters, not the vocabulary); df
+    and the (n_docs, avgdl) scalar are tiny broadcasts; one shuffle
+    on doc_id. Per-query cost at 100 TB is the one corpus scan every
+    retrieval system pays without an inverted index; building that
+    index IS dedup_containment's df-cut posting-list shape."""
+    return bm25_scores(load_table(spark, sf_dir, "documents"))

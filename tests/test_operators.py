@@ -427,3 +427,13 @@ def test_bpe_fertility_bound_zero_violations_across_scales(spark):
             if r["fert_violation"] or r["fallback_violation"]
         ]
         assert not bad, f"BPE coverage drifted past ceiling: {bad}"
+
+
+def test_bpe_roundtrip_lossless(spark):
+    """r10: concat(BPE tokens) must reproduce every vocab word exactly
+    and token counts must sit in [1, len(word)] — the invariant that
+    breaks first if the Catalyst fold ever emits a phantom/dropped
+    token (ADVICE r9 #1's empty-split hazard class)."""
+    row = QUERIES["quality_bpe_roundtrip"](spark, SF_DIR).collect()[0]
+    assert row["n_violations"] == 0, row
+    assert row["n_words"] > 0 and row["n_subword_units"] > 0, row

@@ -566,3 +566,27 @@ def test_training_corpus_full_one_plan_shapes(spark):
     assert "rangepartitioning" in plan.lower(), plan[:2000]
     assert "CartesianProduct" not in plan and "EvalPython" not in plan, plan[:2000]
     assert plan.count("SinglePartition") <= 3, plan[:2000]
+
+
+def test_hybrid_retrieval_plan_shapes(spark):
+    """r10 retrieval family: BM25's df/corpus-stats sides broadcast
+    (the per-doc side is the only shuffled key), and RRF's two arms
+    compile to TakeOrderedAndProject — per-partition partial top-k +
+    driver merge of k*partitions rows, never a global Sort that
+    materializes the corpus order. No cartesian, no Python eval."""
+    bm25 = (
+        QUERIES["text_bm25_score"](spark, SF_DIR)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in bm25, bm25[:2000]
+    assert "CartesianProduct" not in bm25 and "EvalPython" not in bm25, bm25[:2000]
+    rrf = (
+        QUERIES["sim_rrf_fusion"](spark, SF_DIR)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert rrf.count("TakeOrderedAndProject") >= 2, rrf[:2000]
+    assert "CartesianProduct" not in rrf and "EvalPython" not in rrf, rrf[:2000]
