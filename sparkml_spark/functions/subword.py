@@ -901,3 +901,142 @@ def quality_bpe_roundtrip(spark, sf_dir):
     return agg.crossJoin(
         F.broadcast(units.agg(F.count(F.lit(1)).cast("long").alias("n_subword_units")))
     ).select("n_words", "n_violations", "n_subword_units", "max_n_bpe")
+
+
+#: Fixed per-image patch-token cost for the interleaved VLM manifest —
+#: stands in for (H/14)*(W/14) ViT patches; a real pipeline reads it
+#: from image metadata (multimodal.binary_meta), but the packing math
+#: is identical.
+IMG_TOKENS = 64
+
+
+@query(
+    "multimodal_interleave_manifest",
+    section="2.I",
+    oracle=f"""
+WITH RECURSIVE
+{BPE_VOCAB_CTE},
+{_DOC_BPE_TOKS_SQL},
+imgd AS (
+  SELECT t.doc_id, t.n_tok,
+         CASE WHEN t.doc_id % 3 = 0 AND e.vec_id IS NOT NULL
+              THEN 1 ELSE 0 END AS has_img
+  FROM doc_toks t LEFT JOIN embeddings e ON e.vec_id = t.doc_id
+),
+sized AS (
+  SELECT doc_id, doc_id // {_BUCKET} AS shard,
+         n_tok + has_img * {IMG_TOKENS} AS t, n_tok, has_img
+  FROM imgd
+),
+ordered AS (
+  SELECT doc_id, shard, t, n_tok, has_img,
+         row_number() OVER (PARTITION BY shard ORDER BY doc_id) AS rn
+  FROM sized
+),
+rec AS (
+  SELECT doc_id, shard, t, n_tok, has_img, rn,
+         CAST(0 AS BIGINT) AS bin_id, t AS fill
+  FROM ordered WHERE rn = 1
+  UNION ALL
+  SELECT o.doc_id, o.shard, o.t, o.n_tok, o.has_img, o.rn,
+         CASE WHEN r.fill + o.t <= {_SEQ_TOKENS} THEN r.bin_id
+              ELSE r.bin_id + 1 END,
+         CASE WHEN r.fill + o.t <= {_SEQ_TOKENS} THEN r.fill + o.t
+              ELSE o.t END
+  FROM ordered o JOIN rec r ON o.shard = r.shard AND o.rn = r.rn + 1
+),
+manifest AS (
+  SELECT doc_id, shard, bin_id, t, n_tok, has_img,
+         CAST(COALESCE(SUM(t) OVER (
+           PARTITION BY shard, bin_id ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+           AS offset_in_bin
+  FROM rec
+)
+SELECT doc_id, shard, bin_id, 'image' AS modality,
+       offset_in_bin AS slot_offset,
+       CAST({IMG_TOKENS} AS BIGINT) AS n_tokens
+FROM manifest WHERE has_img = 1
+UNION ALL
+SELECT doc_id, shard, bin_id, 'text' AS modality,
+       offset_in_bin + has_img * {IMG_TOKENS} AS slot_offset,
+       CAST(n_tok AS BIGINT) AS n_tokens
+FROM manifest
+""",
+)
+def multimodal_interleave_manifest(spark, sf_dir):
+    """Interleaved vision-language packing manifest — the dataloader
+    contract for VLM training: each document is an (image?, text)
+    slot pair (image = the doc's paired embeddings row, standing in
+    for a decoded image, costing {IMG_TOKENS} fixed patch tokens;
+    text costs its REAL BPE token count), packed document-atomically
+    into {_SEQ_TOKENS}-token contexts by the shared next-fit packer.
+    The output gives every modality slot its bin and intra-bin token
+    offset — position ids and cross-attention segment boundaries fall
+    straight out, no re-tokenization.
+
+    Docs keep their pair ATOMIC (image + text pack as one unit — a
+    context never holds an image whose caption lives in the next
+    context), which is why packing runs at doc granularity with the
+    combined cost and slots are expanded afterward from the offsets
+    the recurrence already tracked.
+
+    Scale: bpe_doc_token_counts' broadcast-vocab costing + one LEFT
+    join to the (vec_id)-keyed media table + the packer's single
+    shard exchange; slot expansion is a narrow explode. The oracle
+    chains the BPE replay and the next-fit recurrence in one
+    WITH RECURSIVE, all-integer state."""
+    d = load_table(spark, sf_dir, "documents")
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id")
+    imgd = (
+        bpe_doc_token_counts(d)
+        .join(e, F.col("doc_id") == F.col("vec_id"), "left")
+        .select(
+            "doc_id",
+            "n_tok",
+            F.when(
+                (F.col("doc_id") % 3 == 0) & F.col("vec_id").isNotNull(), 1
+            )
+            .otherwise(0)
+            .alias("has_img"),
+        )
+    )
+    sized = imgd.select(
+        "doc_id",
+        F.expr(f"doc_id DIV {_BUCKET}").alias("shard"),
+        (F.col("n_tok") + F.col("has_img") * IMG_TOKENS).cast("long").alias("t"),
+    )
+    packed = pack_next_fit(sized, manifest=True).join(imgd, "doc_id")
+    slots = F.when(
+        F.col("has_img") == 1,
+        F.array(
+            F.struct(
+                F.lit("image").alias("modality"),
+                F.col("offset_in_bin").alias("slot_offset"),
+                F.lit(IMG_TOKENS).cast("long").alias("n"),
+            ),
+            F.struct(
+                F.lit("text").alias("modality"),
+                (F.col("offset_in_bin") + IMG_TOKENS).alias("slot_offset"),
+                F.col("n_tok").cast("long").alias("n"),
+            ),
+        ),
+    ).otherwise(
+        F.array(
+            F.struct(
+                F.lit("text").alias("modality"),
+                F.col("offset_in_bin").alias("slot_offset"),
+                F.col("n_tok").cast("long").alias("n"),
+            )
+        )
+    )
+    return packed.select(
+        "doc_id", "shard", "bin_id", F.explode(slots).alias("slot")
+    ).select(
+        "doc_id",
+        "shard",
+        "bin_id",
+        F.col("slot.modality").alias("modality"),
+        F.col("slot.slot_offset").cast("long").alias("slot_offset"),
+        F.col("slot.n").alias("n_tokens"),
+    )

@@ -1166,3 +1166,80 @@ def pipeline_pack_manifest(spark, sf_dir):
     return pack_next_fit(sized, manifest=True).select(
         "doc_id", "shard", "bin_id", "n_tokens", "offset_in_bin", "bin_docs"
     )
+
+
+@query(
+    "pipeline_curriculum_order",
+    section="2.I",
+    oracle="""
+WITH q AS (
+  SELECT doc_id,
+         md5(CAST(doc_id AS VARCHAR)) AS h,
+         3 - ((CASE WHEN n_chars BETWEEN 100 AND 500 THEN 1 ELSE 0 END)
+            + (CASE WHEN len(string_split_regex(lower(trim(text)), '\\s+')) >= 20
+                    THEN 1 ELSE 0 END)
+            + (CASE WHEN len(regexp_extract_all(text, '[^a-z0-9 ]')) = 0
+                    THEN 1 ELSE 0 END)) AS stage
+  FROM documents
+)
+SELECT doc_id,
+       CAST(stage AS INTEGER) AS stage,
+       CAST(row_number() OVER (ORDER BY stage, h, doc_id) - 1 AS BIGINT)
+         AS global_pos
+FROM q
+""",
+)
+def pipeline_curriculum_order(spark, sf_dir):
+    """Curriculum-learning manifest: every document's GLOBAL training
+    position under a quality curriculum — stage 0 (docs passing all
+    three text_quality_score rubric checks) streams first, stage 3
+    (passing none) last, deterministic content-hash order within a
+    stage so re-runs and retries reproduce the identical curriculum.
+
+    Scale shape — the oracle's `row_number() OVER (ORDER BY ...)` is
+    exactly the corpus-wide single-partition window this repo BANS, so
+    the Spark side computes the same total order as a TWO-PHASE
+    prefix sum (the pipeline_sequence_pack pattern, keyed by
+    curriculum position instead of token count): docs group into
+    (stage, first-2-hex-of-md5) cells — 4 x 256 cells, contiguous
+    under the (stage, h) total order because the cell key is a PREFIX
+    of the sort key — a cell-count aggregate + tiny cumulative window
+    assigns each cell its global offset, and a cell-partitioned
+    row_number (hash-balanced, max cell ~ N/1024) adds the position
+    within the cell. One corpus exchange on the cell key, one ~1k-row
+    broadcast back."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    n_punct = F.size(F.regexp_extract_all(F.col("text"), F.lit("[^a-z0-9 ]"), 0))
+    score = (
+        F.when(F.col("n_chars").between(100, 500), 1).otherwise(0)
+        + F.when(F.size(toks) >= 20, 1).otherwise(0)
+        + F.when(n_punct == 0, 1).otherwise(0)
+    )
+    staged = d.select(
+        "doc_id",
+        F.md5(F.col("doc_id").cast("string")).alias("h"),
+        (F.lit(3) - score).cast("int").alias("stage"),
+    ).withColumn("cell", F.substring("h", 1, 2))
+    w_off = Window.orderBy("stage", "cell").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    offsets = (
+        staged.groupBy("stage", "cell")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            "stage",
+            "cell",
+            (F.sum("n").over(w_off) - F.col("n")).alias("cell_off"),
+        )
+    )
+    w_in = Window.partitionBy("stage", "cell").orderBy("h", "doc_id")
+    return (
+        staged.withColumn("rn", F.row_number().over(w_in))
+        .join(F.broadcast(offsets), ["stage", "cell"])
+        .select(
+            "doc_id",
+            "stage",
+            (F.col("cell_off") + F.col("rn") - 1).cast("long").alias("global_pos"),
+        )
+    )

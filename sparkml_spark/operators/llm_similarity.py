@@ -601,3 +601,213 @@ from sparkml_spark import registry as _registry  # noqa: E402
 
 _registry.ORACLES["sim_rrf_fusion"] = _rrf_oracle()
 _registry.META["sim_rrf_fusion"]["tier"] = "ORACLE"
+
+
+_MMR_POOL = 50
+_MMR_K = 10
+
+
+def _micro(col):
+    """Exact integer micro-units of a double score — F.round is
+    half-away-from-zero; the numpy twin in _mmr_result matches it
+    explicitly so greedy and verifier quantize identically."""
+    return F.round(col * 1000000).cast("bigint")
+
+
+def _mmr_candidates(e):
+    """Top-{pool} candidates by exact cosine to query vec 0, with
+    integer-micro relevance and the embedding kept for pairwise
+    sims."""
+    q = F.broadcast(
+        e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("q_emb"))
+    )
+    return (
+        e.filter(F.col("vec_id") != 0)
+        .select("vec_id", "embedding")
+        .crossJoin(q)
+        .withColumn("rel_micro", _micro(_dot("embedding", "q_emb")))
+        .orderBy(F.desc("rel_micro"), F.asc("vec_id"))
+        .limit(_MMR_POOL)
+        .select("vec_id", "embedding", "rel_micro")
+    )
+
+
+def _mmr_result(spark, sf_dir):
+    """Greedy MMR selection (lambda = 0.5, objective rel - maxsim in
+    integer micros — the 0.5 scaling cancels in the argmax) over the
+    candidate pool, as ONE applyInPandas group: the pool is
+    query-bounded ({pool} rows), so the sequential greedy is
+    parameter-sized work — the packer-recurrence escape hatch, not a
+    corpus-sized Python path."""
+    import numpy as np
+    import pandas as pd
+
+    def greedy(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("vec_id").reset_index(drop=True)
+        V = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+        # Pairwise dots with the SAME left-to-right sequential fold as
+        # _dot's F.aggregate — BLAS (V @ V.T) sums in blocked order and
+        # its last-ulp differences flip integer micros at rounding
+        # boundaries, which sim_mmr_bound then flags (measured: 8
+        # boundary flips on the sf0.01 pool before this fix).
+        n_ = len(pdf)
+        raw = np.zeros((n_, n_), dtype=np.float64)
+        for k in range(V.shape[1]):
+            raw += V[:, k][:, None] * V[None, :, k]
+        raw *= 1e6
+        # half-away-from-zero, matching F.round / DuckDB round
+        sims = np.where(raw >= 0, np.floor(raw + 0.5), np.ceil(raw - 0.5)).astype(
+            "int64"
+        )
+        rel = pdf["rel_micro"].to_numpy(dtype="int64")
+        n = len(pdf)
+        picked: list[int] = []
+        # -inf sentinel, NOT zeros: sims can be negative, and a zero
+        # floor silently clips max-sim-to-selected at 0 — the verifier
+        # (sim_mmr_bound) caught exactly this as 8 greedy-optimality
+        # violations on the sf0.01 pool.
+        maxsim = np.full(n, -(2**62), dtype="int64")
+        out = []
+        for step in range(min(_MMR_K, n)):
+            obj = rel.copy() if step == 0 else rel - maxsim
+            mask = np.ones(n, dtype=bool)
+            mask[picked] = False
+            best = int(np.flatnonzero(mask & (obj == obj[mask].max()))[0])
+            out.append(
+                (
+                    step + 1,
+                    int(pdf["vec_id"][best]),
+                    int(rel[best]),
+                    0 if step == 0 else int(maxsim[best]),
+                    int(obj[best]),
+                )
+            )
+            picked.append(best)
+            maxsim = np.maximum(maxsim, sims[:, best])
+        return pd.DataFrame(
+            out,
+            columns=["mmr_rank", "vec_id", "rel_micro", "maxsim_micro", "obj_micro"],
+        )
+
+    e = load_table(spark, sf_dir, "embeddings")
+    return (
+        _mmr_candidates(e)
+        .withColumn("g", F.lit(0))
+        .groupBy("g")
+        .applyInPandas(
+            greedy,
+            "mmr_rank int, vec_id long, rel_micro long, maxsim_micro long, "
+            "obj_micro long",
+        )
+    )
+
+
+@query("sim_mmr_rerank", section="2.I")
+def sim_mmr_rerank(spark, sf_dir):
+    """Maximal Marginal Relevance re-ranking [Carbonell & Goldstein
+    1998] of the dense top-{pool}: greedily pick the candidate
+    maximizing relevance-to-query minus max-similarity-to-already-
+    selected (lambda = 0.5), 10 picks — the diversity-aware rerank a
+    retrieval stack runs on top of sim_rrf_fusion's fused list.
+    ROWS tier (iterative greedy is not SQL-expressible); every
+    structural property of the selection is hash-pinned by
+    sim_mmr_bound, including per-step greedy OPTIMALITY — a stronger
+    pin than output replication, since it verifies the algorithm's
+    defining invariant rather than one trace of it.
+
+    Scale: candidate generation is the TakeOrderedAndProject top-k
+    arm (ANN twins replace it at scale); the greedy itself is
+    O(pool * k) on a parameter-sized set in one Arrow batch."""
+    return _mmr_result(spark, sf_dir)
+
+
+@query("sim_mmr_bound", section="2.I", oracle=ZERO_VIOLATIONS)
+def sim_mmr_bound(spark, sf_dir):
+    """ORACLE pin for sim_mmr_rerank: recomputes, RELATIONALLY and in
+    exact integer micros, the greedy invariant at every step —
+      (a) exactly {k} rows, ranks 1..{k}, no duplicate picks;
+      (b) rank 1 maximizes relevance (ties -> smallest vec_id);
+      (c) for every later rank r, no unselected candidate beats the
+          pick's objective rel - max(sim to the rank<r prefix), and
+          no equal-objective candidate has a smaller vec_id.
+    Any nonzero count means the Python greedy and the declarative
+    semantics diverged (quantization drift, tie-break bug, prefix
+    tracking bug)."""
+    res = _mmr_result(spark, sf_dir)
+    e = load_table(spark, sf_dir, "embeddings")
+    cand = _mmr_candidates(e)
+
+    n_rows = res.agg(
+        (
+            F.sum(F.when(F.col("mmr_rank").between(1, _MMR_K), 0).otherwise(1))
+            + F.when(F.count(F.lit(1)) == _MMR_K, 0).otherwise(1)
+            + F.when(F.count_distinct(F.col("vec_id")) == _MMR_K, 0).otherwise(1)
+        ).alias("v_shape")
+    )
+
+    best_rel = cand.orderBy(F.desc("rel_micro"), F.asc("vec_id")).limit(1)
+    first = res.filter(F.col("mmr_rank") == 1).select(
+        F.col("vec_id").alias("first_id")
+    )
+    v_first = (
+        best_rel.crossJoin(first)
+        .agg(
+            F.sum(F.when(F.col("vec_id") == F.col("first_id"), 0).otherwise(1))
+            .alias("v_first")
+        )
+    )
+
+    # pairwise candidate sims in integer micros (same quantization as
+    # the numpy greedy — F.round is half-away-from-zero)
+    sel = res.select(
+        F.col("mmr_rank").alias("p_rank"),
+        F.col("vec_id").alias("p_id"),
+    ).join(cand.select(F.col("vec_id").alias("p_id"),
+                       F.col("embedding").alias("p_emb")), "p_id")
+    ps = (
+        cand.select(F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_emb"))
+        .crossJoin(F.broadcast(sel))
+        .select("c_id", "p_rank", _micro(_dot("c_emb", "p_emb")).alias("sim_micro"))
+    )
+    steps = res.filter(F.col("mmr_rank") >= 2).select(
+        F.col("mmr_rank").alias("r"),
+        F.col("vec_id").alias("sel_id"),
+        F.col("obj_micro").alias("sel_obj"),
+    )
+    scored = (
+        F.broadcast(steps)
+        .join(ps, F.col("p_rank") < F.col("r"))
+        .groupBy("r", "sel_id", "sel_obj", "c_id")
+        .agg(F.max("sim_micro").alias("maxsim"))
+        .join(
+            cand.select(F.col("vec_id").alias("c_id"), "rel_micro"), "c_id"
+        )
+        .withColumn("obj", F.col("rel_micro") - F.col("maxsim"))
+    )
+    # drop candidates already selected before step r
+    prior = res.select(
+        F.col("mmr_rank").alias("q_rank"), F.col("vec_id").alias("q_id")
+    )
+    eligible = scored.join(
+        F.broadcast(prior),
+        (F.col("c_id") == F.col("q_id")) & (F.col("q_rank") < F.col("r")),
+        "left_anti",
+    )
+    v_greedy = eligible.agg(
+        F.sum(
+            F.when(
+                (F.col("obj") > F.col("sel_obj"))
+                | ((F.col("obj") == F.col("sel_obj")) & (F.col("c_id") < F.col("sel_id"))),
+                1,
+            ).otherwise(0)
+        ).alias("v_greedy")
+    )
+    return (
+        n_rows.crossJoin(v_first)
+        .crossJoin(v_greedy)
+        .select(
+            (F.col("v_shape") + F.col("v_first") + F.col("v_greedy"))
+            .cast("bigint")
+            .alias("n_violations")
+        )
+    )

@@ -437,3 +437,53 @@ def test_bpe_roundtrip_lossless(spark):
     row = QUERIES["quality_bpe_roundtrip"](spark, SF_DIR).collect()[0]
     assert row["n_violations"] == 0, row
     assert row["n_words"] > 0 and row["n_subword_units"] > 0, row
+
+
+def test_interleave_manifest_invariants(spark):
+    """r10 VLM packing contract: every context's slot tokens fit the
+    512 budget, slots never overlap (offset = running sum within the
+    bin), image slots appear exactly on the doc_id%3==0 docs that
+    have a paired media row, and a doc's (image, text) pair is ATOMIC
+    — same bin, image immediately before its text."""
+    rows = QUERIES["multimodal_interleave_manifest"](spark, SF_DIR).collect()
+    by_bin: dict = {}
+    by_doc: dict = {}
+    for r in rows:
+        by_bin.setdefault((r["shard"], r["bin_id"]), []).append(r)
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    for key, slots in by_bin.items():
+        assert sum(s["n_tokens"] for s in slots) <= 512, (key, slots)
+        slots = sorted(slots, key=lambda s: s["slot_offset"])
+        pos = slots[0]["slot_offset"]
+        for s in slots:
+            assert s["slot_offset"] == pos, (key, s)
+            pos += s["n_tokens"]
+    for doc_id, slots in by_doc.items():
+        mods = {s["modality"] for s in slots}
+        if doc_id % 3 != 0:
+            assert mods == {"text"}, (doc_id, slots)
+        if mods == {"image", "text"}:
+            img = next(s for s in slots if s["modality"] == "image")
+            txt = next(s for s in slots if s["modality"] == "text")
+            assert img["bin_id"] == txt["bin_id"], (doc_id, slots)
+            assert txt["slot_offset"] == img["slot_offset"] + img["n_tokens"]
+
+
+def test_curriculum_order_is_permutation(spark):
+    """r10: global_pos must be exactly 0..N-1 with stages contiguous
+    and ascending — the property that makes the two-phase cell
+    decomposition equal to the oracle's corpus-wide rank window."""
+    rows = QUERIES["pipeline_curriculum_order"](spark, SF_DIR).collect()
+    pos = sorted(r["global_pos"] for r in rows)
+    assert pos == list(range(len(rows)))
+    by_pos = sorted(rows, key=lambda r: r["global_pos"])
+    stages = [r["stage"] for r in by_pos]
+    assert stages == sorted(stages), "stages must be contiguous ascending"
+
+
+def test_mmr_bound_zero_violations(spark):
+    """r10: the relational replay of MMR's greedy invariant must hold
+    (this bound caught a zero-floored-negative-sims greedy bug before
+    it shipped — keep it in local CI, not just the driver gate)."""
+    row = QUERIES["sim_mmr_bound"](spark, SF_DIR).collect()[0]
+    assert row["n_violations"] == 0, row
