@@ -131,6 +131,14 @@ LLM_SUITE = [
     # while runtime stays vocabulary-bounded — both halves of the
     # contract (see SCALE.md "BPE fertility at x100").
     "quality_bpe_fertility_bound",
+    # r10 retrieval + curriculum + VLM packing family: BM25 is a
+    # corpus scan with broadcast stats; RRF is two bounded top-k arms;
+    # curriculum is the two-phase prefix sum; the interleave manifest
+    # rides the sharded packer. None may grow super-linearly.
+    "text_bm25_score",
+    "sim_rrf_fusion",
+    "pipeline_curriculum_order",
+    "multimodal_interleave_manifest",
 ]
 
 

@@ -314,7 +314,12 @@ def text_quality_score(spark, sf_dir):
     stop = F.array(*[F.lit(s) for s in STOPWORDS])
     n_tokens = F.size(toks)
     n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop, t)))
-    n_punct = F.size(F.regexp_extract_all(F.col("text"), F.lit("[^a-z0-9 ]"), 0))
+    # char-map translate, not regexp_extract_all: same count (chars
+    # outside [a-z0-9 ]), 41x faster at x100 — see
+    # pipeline_curriculum_order's stress attribution
+    n_punct = F.length(
+        F.translate(F.col("text"), "abcdefghijklmnopqrstuvwxyz0123456789 ", "")
+    )
     return d.select(
         "doc_id",
         "n_chars",
