@@ -139,6 +139,7 @@ LLM_SUITE = [
     "sim_rrf_fusion",
     "pipeline_curriculum_order",
     "multimodal_interleave_manifest",
+    "pipeline_pack_ffd_bound",
 ]
 
 

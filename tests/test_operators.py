@@ -487,3 +487,22 @@ def test_mmr_bound_zero_violations(spark):
     it shipped — keep it in local CI, not just the driver gate)."""
     row = QUERIES["sim_mmr_bound"](spark, SF_DIR).collect()[0]
     assert row["n_violations"] == 0, row
+
+
+def test_ffd_packing_bound_and_dominance(spark):
+    """r10: the FFD bound's four invariants must hold, and FFD must
+    actually SAVE bins vs next-fit on the fixture (not merely tie —
+    the measured gap is 57 -> 54 at sf0.01; a tie would mean the
+    decreasing sort or first-fit scan silently degenerated)."""
+    from sparkml_spark.operators.llm_pipeline import (
+        _sized_ws,
+        pack_first_fit_decreasing,
+        pack_next_fit,
+    )
+
+    row = QUERIES["pipeline_pack_ffd_bound"](spark, SF_DIR).collect()[0]
+    assert row["n_violations"] == 0, row
+    s = _sized_ws(spark, SF_DIR)
+    n_ffd = pack_first_fit_decreasing(s).select("shard", "bin_id").distinct().count()
+    n_nf = pack_next_fit(s).select("shard", "bin_id").distinct().count()
+    assert n_ffd < n_nf, (n_ffd, n_nf)
