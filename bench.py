@@ -228,6 +228,26 @@ def main() -> int:
             file=sys.stderr,
         )
 
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    record = {
+        "metric": "headline_suite_wall",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": times,
+        "value_e2e_run2": round(total_e2e, 3),
+        "queries_e2e_run2": times_e2e,
+        "queries_plan": times_plan,
+        "ab": None,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    # Print the record BEFORE the A/B phase, then again with `ab`
+    # filled in: consumers take the LAST metric line, so they get the
+    # richer record — but if an outer timeout kills the process
+    # mid-A/B (the phase costs an extra JVM + worktree), the headline
+    # numbers are already on stdout and the round still has a bench
+    # record.
+    print(json.dumps(record), flush=True)
+
     ab = None if os.environ.get("SPARK_GRAFT_NO_AB") else _ab_control(spark, dfs)
     if ab is not None:
         worst = max(ab["ratio"].values()) if ab["ratio"] else None
@@ -236,23 +256,8 @@ def main() -> int:
             f"worst head/prev ratio {worst}",
             file=sys.stderr,
         )
-
-    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    print(
-        json.dumps(
-            {
-                "metric": "headline_suite_wall",
-                "value": round(total, 3),
-                "unit": "sec",
-                "queries": times,
-                "value_e2e_run2": round(total_e2e, 3),
-                "queries_e2e_run2": times_e2e,
-                "queries_plan": times_plan,
-                "ab": ab,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
-    )
+        record["ab"] = ab
+        print(json.dumps(record))
     return 0
 
 
