@@ -336,6 +336,96 @@ def join_asof(spark, sf_dir):
 
 
 @query(
+    "join_asof_directions",
+    section="2.C",
+    oracle="""
+SELECT event_id, user_id, ts,
+       back_ts AS asof_backward,
+       fwd_ts AS asof_forward,
+       CASE
+         WHEN back_ts IS NULL AND fwd_ts IS NULL THEN NULL
+         WHEN fwd_ts IS NULL THEN back_ts
+         WHEN back_ts IS NULL THEN fwd_ts
+         WHEN epoch_us(ts) - epoch_us(back_ts)
+              <= epoch_us(fwd_ts) - epoch_us(ts) THEN back_ts
+         ELSE fwd_ts
+       END AS asof_nearest,
+       CASE WHEN back_ts IS NOT NULL
+             AND epoch_us(ts) - epoch_us(back_ts) <= 3600000000
+            THEN back_ts END AS asof_backward_1h
+FROM (
+  SELECT event_id, user_id, ts, event_type,
+         last_value(CASE WHEN event_type = 'click' THEN ts END IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS back_ts,
+         first_value(CASE WHEN event_type = 'click' THEN ts END IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS fwd_ts
+  FROM events
+  WHERE event_type IN ('click', 'purchase')
+)
+WHERE event_type = 'purchase'
+""",
+)
+def join_asof_directions(spark, sf_dir):
+    """The full merge_asof direction surface (pandas/DuckDB ASOF API
+    parity): backward (latest click at-or-before), forward (earliest
+    click at-or-after), nearest (smaller absolute gap, ties ->
+    backward), and backward with a 1-hour tolerance (NULL when the
+    match is staler than the tolerance — the real-world guard against
+    joining against ancient state).
+
+    Same union + carry-window shape as join_asof — ONE shuffle on
+    user_id covers all four directions (the forward carry is just the
+    mirrored frame over the same sorted partition), where four
+    theta-joins would each be quadratic in per-user density. Gap
+    arithmetic in epoch microseconds (unix_micros == epoch_us under
+    the pinned UTC/ntz session, timeseries.py:15)."""
+    e = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "purchase")
+    )
+    ord_cols = [F.col("ts"), F.col("event_id")]
+    w_back = (
+        Window.partitionBy("user_id")
+        .orderBy(*ord_cols)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_fwd = (
+        Window.partitionBy("user_id")
+        .orderBy(*ord_cols)
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    click_ts = F.when(F.col("event_type") == "click", F.col("ts"))
+    us = lambda c: F.expr(f"unix_micros(cast({c} as timestamp))")  # noqa: E731
+    out = (
+        e.withColumn("back_ts", F.last(click_ts, ignorenulls=True).over(w_back))
+        .withColumn("fwd_ts", F.first(click_ts, ignorenulls=True).over(w_fwd))
+        .filter(F.col("event_type") == "purchase")
+    )
+    back_gap = us("ts") - us("back_ts")
+    fwd_gap = us("fwd_ts") - us("ts")
+    nearest = (
+        F.when(F.col("back_ts").isNull() & F.col("fwd_ts").isNull(), F.lit(None))
+        .when(F.col("fwd_ts").isNull(), F.col("back_ts"))
+        .when(F.col("back_ts").isNull(), F.col("fwd_ts"))
+        .when(back_gap <= fwd_gap, F.col("back_ts"))
+        .otherwise(F.col("fwd_ts"))
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.col("back_ts").alias("asof_backward"),
+        F.col("fwd_ts").alias("asof_forward"),
+        nearest.cast("timestamp_ntz").alias("asof_nearest"),
+        F.when(
+            F.col("back_ts").isNotNull() & (back_gap <= 3600000000),
+            F.col("back_ts"),
+        ).alias("asof_backward_1h"),
+    )
+
+
+@query(
     "join_interval",
     section="2.C",
     oracle="""

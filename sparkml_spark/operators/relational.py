@@ -654,3 +654,75 @@ def union_by_name_missing(spark, sf_dir):
         "doc_id", F.lit("slim").alias("src"), "lang"  # different order + missing col
     )
     return full.unionByName(slim, allowMissingColumns=True)
+
+
+@query(
+    "merge_upsert_batch",
+    section="2.B",
+    oracle="""
+WITH batch AS (
+  SELECT doc_id, 'upsert' AS op, n_chars + 1000 AS n_chars
+  FROM documents WHERE doc_id % 7 = 0
+  UNION ALL
+  SELECT doc_id, 'delete' AS op, n_chars
+  FROM documents WHERE doc_id % 13 = 0 AND doc_id % 7 <> 0
+  UNION ALL
+  SELECT doc_id + 2000000 AS doc_id, 'upsert' AS op, n_chars
+  FROM documents WHERE doc_id % 11 = 0
+)
+SELECT COALESCE(c.doc_id, b.doc_id) AS doc_id,
+       COALESCE(b.n_chars, c.n_chars) AS n_chars,
+       CASE WHEN b.doc_id IS NULL THEN 'kept'
+            WHEN c.doc_id IS NULL THEN 'inserted'
+            ELSE 'updated' END AS action
+FROM documents c FULL OUTER JOIN batch b ON c.doc_id = b.doc_id
+WHERE b.op IS NULL OR b.op <> 'delete'
+""",
+)
+def merge_upsert_batch(spark, sf_dir):
+    """MERGE INTO semantics (the lakehouse upsert: WHEN MATCHED AND
+    op='delete' THEN DELETE / WHEN MATCHED THEN UPDATE / WHEN NOT
+    MATCHED AND op<>'delete' THEN INSERT) emulated relationally over a
+    deterministic arriving batch — updates for doc_id%7, deletes for
+    doc_id%13 (non-overlapping), inserts at doc_id+2M for doc_id%11.
+    Spark 4's SQL MERGE needs a v2 table provider (Delta/Iceberg);
+    this is the identical row algebra as ONE full-outer equi join, so
+    the semantics are portable to any sink and hash-checkable here.
+
+    Scale: a single key-partitioned full-outer join (both sides
+    shuffle once on doc_id) + a narrow action projection — the same
+    shape Delta's MERGE executes after file pruning; deletes drop
+    map-side, never materializing a tombstone table."""
+    c = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    d = load_table(spark, sf_dir, "documents")
+    batch = (
+        d.filter(F.col("doc_id") % 7 == 0)
+        .select("doc_id", F.lit("upsert").alias("op"),
+                (F.col("n_chars") + 1000).alias("b_chars"))
+        .unionByName(
+            d.filter((F.col("doc_id") % 13 == 0) & (F.col("doc_id") % 7 != 0))
+            .select("doc_id", F.lit("delete").alias("op"),
+                    F.col("n_chars").alias("b_chars"))
+        )
+        .unionByName(
+            d.filter(F.col("doc_id") % 11 == 0)
+            .select((F.col("doc_id") + 2000000).alias("doc_id"),
+                    F.lit("upsert").alias("op"),
+                    F.col("n_chars").alias("b_chars"))
+        )
+        .select(F.col("doc_id").alias("b_id"), "op", "b_chars")
+    )
+    joined = c.join(batch, c.doc_id == batch.b_id, "full_outer")
+    action = (
+        F.when(F.col("b_id").isNull(), "kept")
+        .when(F.col("doc_id").isNull(), "inserted")
+        .otherwise("updated")
+    )
+    return (
+        joined.filter(F.col("op").isNull() | (F.col("op") != "delete"))
+        .select(
+            F.coalesce(F.col("doc_id"), F.col("b_id")).alias("doc_id"),
+            F.coalesce(F.col("b_chars"), F.col("n_chars")).alias("n_chars"),
+            action.alias("action"),
+        )
+    )
