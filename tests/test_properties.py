@@ -989,3 +989,122 @@ def test_bpe_fold_matches_replay_on_arbitrary_words(spark, words):
     for w in words:
         assert got[w] == replay(w), (w, got[w], replay(w))
         assert "".join(got[w]) == w
+
+
+# ---------------------------------------------------------------------------
+# r10 family laws: FFD packing quality, MERGE row algebra
+# ---------------------------------------------------------------------------
+
+_sizes_strategy = st.lists(
+    st.integers(min_value=1, max_value=512), min_size=1, max_size=12
+)
+
+
+def _opt_bins(sizes: list, cap: int = 512) -> int:
+    """Exact optimal bin count by DFS with best-fit pruning — fine for
+    <= 12 items (the strategy bound)."""
+    best = [len(sizes)]
+    sizes = sorted(sizes, reverse=True)
+
+    def go(i, bins):
+        if len(bins) >= best[0]:
+            return
+        if i == len(sizes):
+            best[0] = min(best[0], len(bins))
+            return
+        seen = set()
+        for b in range(len(bins)):
+            room = cap - bins[b]
+            if sizes[i] <= room and room not in seen:
+                seen.add(room)
+                bins[b] += sizes[i]
+                go(i + 1, bins)
+                bins[b] -= sizes[i]
+        bins.append(sizes[i])
+        go(i + 1, bins)
+        bins.pop()
+
+    go(0, [])
+    return best[0]
+
+
+@given(sizes=_sizes_strategy)
+@_SETTINGS
+def test_ffd_within_johnson_bound_of_optimal(spark, sizes):
+    """pipeline_pack_bins_ffd's packer must respect first-fit-
+    decreasing's guarantees on ANY sizes: never beats the exact
+    optimum (that would mean an overflowing bin) and never exceeds
+    Johnson's 11/9*OPT + 1 bound; per-bin fill <= the budget."""
+    import math
+
+    from sparkml_spark.operators.llm_pipeline import (
+        _SEQ_TOKENS,
+        pack_first_fit_decreasing,
+    )
+
+    rows = [(i, 0, s) for i, s in enumerate(sizes)]
+    sized = spark.createDataFrame(rows, "doc_id long, shard long, t long")
+    packed = pack_first_fit_decreasing(sized).collect()
+    fills: dict = {}
+    for r in packed:
+        fills[r["bin_id"]] = fills.get(r["bin_id"], 0) + r["n_tokens"]
+    assert all(f <= _SEQ_TOKENS for f in fills.values()), fills
+    opt = _opt_bins(sizes, _SEQ_TOKENS)
+    n_ffd = len(fills)
+    assert opt <= n_ffd <= math.floor(11 * opt / 9) + 1, (sizes, opt, n_ffd)
+    assert len(packed) == len(sizes)
+
+
+_merge_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=9),   # key
+        st.sampled_from(["upsert", "delete"]),
+        st.integers(min_value=0, max_value=99),  # payload
+    ),
+    min_size=0,
+    max_size=10,
+    unique_by=lambda t: t[0],
+)
+
+
+@given(corpus_keys=st.sets(st.integers(0, 9), max_size=8), batch=_merge_strategy)
+@_SETTINGS
+def test_merge_row_algebra_matches_dict_semantics(spark, corpus_keys, batch):
+    """merge_upsert_batch's full-outer row algebra must equal the
+    dictionary semantics of MERGE for ANY (corpus, batch): delete
+    removes matched keys (and drops unmatched deletes), upsert
+    updates matched and inserts unmatched, untouched rows keep."""
+    corpus_rows = [(k, k * 10) for k in sorted(corpus_keys)]
+    c = spark.createDataFrame(corpus_rows, "doc_id long, n_chars long") \
+        if corpus_rows else spark.createDataFrame([], "doc_id long, n_chars long")
+    b = spark.createDataFrame(batch, "b_id long, op string, b_chars long") \
+        if batch else spark.createDataFrame([], "b_id long, op string, b_chars long")
+
+    joined = c.join(b, c.doc_id == b.b_id, "full_outer")
+    action = (
+        F.when(F.col("b_id").isNull(), "kept")
+        .when(F.col("doc_id").isNull(), "inserted")
+        .otherwise("updated")
+    )
+    got = sorted(
+        map(
+            tuple,
+            joined.filter(F.col("op").isNull() | (F.col("op") != "delete"))
+            .select(
+                F.coalesce(F.col("doc_id"), F.col("b_id")).alias("doc_id"),
+                F.coalesce(F.col("b_chars"), F.col("n_chars")).alias("n_chars"),
+                action.alias("action"),
+            )
+            .collect(),
+        )
+    )
+    table = {k: (k * 10, "kept") for k in corpus_keys}
+    for k, op, payload in batch:
+        if op == "delete":
+            table.pop(k, None)
+        elif k in corpus_keys:
+            table[k] = (payload, "updated")
+        else:
+            table[k] = (payload, "inserted")
+    want = sorted((k, v[0], v[1]) for k, v in table.items())
+    assert got == want, (corpus_rows, batch)
