@@ -1112,3 +1112,85 @@ def text_bm25_score(spark, sf_dir):
     retrieval system pays without an inverted index; building that
     index IS dedup_containment's df-cut posting-list shape."""
     return bm25_scores(load_table(spark, sf_dir, "documents"))
+
+
+@query(
+    "quality_gopher_filter",
+    section="2.I",
+    oracle=f"""
+WITH feats AS (
+  SELECT doc_id,
+         n_chars,
+         len({_TOKENS_SQL}) AS n,
+         len(regexp_replace(lower(trim(text)), '\\s', '', 'g')) AS sum_len,
+         len(translate(text, 'abcdefghijklmnopqrstuvwxyz0123456789 ', ''))
+           AS n_punct,
+         len(list_distinct({_TOKENS_SQL})) AS n_distinct,
+         len(list_intersect({_TOKENS_SQL},
+             ['the', 'a', 'data', 'value'])) AS n_stop
+  FROM documents
+)
+SELECT doc_id,
+       CASE
+         WHEN n < 5 OR n > 1000 THEN 'word_count'
+         WHEN sum_len < 2 * n OR sum_len > 12 * n THEN 'word_length'
+         WHEN 10 * n_punct > n_chars THEN 'symbol_ratio'
+         WHEN n_stop = 0 THEN 'no_stopword'
+         WHEN 5 * n_distinct <= n THEN 'repetition'
+         ELSE 'ok'
+       END AS first_fail,
+       CAST(CASE
+         WHEN n < 5 OR n > 1000 THEN 0
+         WHEN sum_len < 2 * n OR sum_len > 12 * n THEN 0
+         WHEN 10 * n_punct > n_chars THEN 0
+         WHEN n_stop = 0 THEN 0
+         WHEN 5 * n_distinct <= n THEN 0
+         ELSE 1
+       END AS INTEGER) AS keep
+FROM feats
+""",
+)
+def quality_gopher_filter(spark, sf_dir):
+    """The canonical Gopher-rules quality DECISION per document [Rae
+    et al. 2021 §A1.1, adapted to the fixture's scale]: word-count
+    window, mean-word-length window, symbol ratio, mandatory-stopword
+    presence, and a distinct-token repetition floor — evaluated in a
+    FIXED rule order with the first failing rule reported, which is
+    what a filter-debugging pipeline actually needs (the funnel op
+    reports stage attrition; this reports each doc's verdict).
+
+    Every gate is an integer cross-multiplication (mean length 2-12
+    ⟺ 2n <= Σlen <= 12n; symbol ratio <= 0.1 ⟺ 10·punct <= chars;
+    distinct ratio > 0.2 ⟺ 5·distinct > n) — the filter_funnel
+    float-free discipline, so the cross-engine hash is exact. Σlen
+    of words = length of the whitespace-stripped text (regexp_replace
+    — measured UNaffected by the extract-all/rlike regex tax,
+    SCALE.md r10); punct count via the 41x char-map translate.
+
+    Scale: one narrow projection, no shuffle at all — the decision
+    column feeds whatever downstream filter/groupBy consumes it."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = _tokens()
+    stop = F.array(*[F.lit(s) for s in STOPWORDS])
+    n = F.size(toks)
+    sum_len = F.length(
+        F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s", "")
+    )
+    n_punct = F.length(
+        F.translate(F.col("text"), "abcdefghijklmnopqrstuvwxyz0123456789 ", "")
+    )
+    n_distinct = F.size(F.array_distinct(toks))
+    n_stop = F.size(F.array_intersect(toks, stop))
+    first_fail = (
+        F.when((n < 5) | (n > 1000), "word_count")
+        .when((sum_len < 2 * n) | (sum_len > 12 * n), "word_length")
+        .when(10 * n_punct > F.col("n_chars"), "symbol_ratio")
+        .when(n_stop == 0, "no_stopword")
+        .when(5 * n_distinct <= n, "repetition")
+        .otherwise("ok")
+    )
+    return d.select(
+        "doc_id",
+        first_fail.alias("first_fail"),
+        (first_fail == "ok").cast("int").alias("keep"),
+    )

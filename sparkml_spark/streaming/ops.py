@@ -950,3 +950,73 @@ def stream_drift_monitor(spark, sf_dir):
         .agg(F.sum(ppm).alias("tvd_ppm_x2"))
         .select(F.col("h").alias("hour_start"), "n_hour", "tvd_ppm_x2")
     )
+
+
+@query(
+    "stream_observe_metrics",
+    section="2.K",
+    oracle="""
+SELECT CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(27,6))) AS DOUBLE) AS sum_value,
+       CAST(MIN(user_id) AS BIGINT) AS min_user,
+       CAST(MAX(user_id) AS BIGINT) AS max_user
+FROM events
+""",
+)
+def stream_observe_metrics(spark, sf_dir):
+    """Streaming pipeline observability via Dataset.observe(): exact
+    per-micro-batch metrics (row count, decimal-exact value sum,
+    user-id extrema) collected from the query's progress events and
+    merged across batches — the zero-extra-pass canary a production
+    stream exports to its metrics system (an extra aggregation query
+    would re-read the stream; observe rides the existing plan).
+
+    ORACLE tier, deliberately: observed metrics are EXACT aggregates,
+    so the merged totals must hash-match the batch SQL — any drift
+    means the observation missed rows or a batch's metrics were
+    dropped. Counts/sums merge by addition, extrema by min/max; the
+    decimal(27,6) sum keeps the merge order-independent (registry
+    dsum discipline), cast to double only at output.
+
+    Scale: observe() is a streaming-safe accumulator on the existing
+    plan — no second scan, no state store, constant memory per
+    metric. The noop sink isolates the cost to the metrics
+    themselves."""
+    import decimal
+
+    s = _event_stream(spark, sf_dir)
+    obs = s.observe(
+        "canary",
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("value").cast("decimal(27,6)")).alias("sum_value"),
+        F.min("user_id").alias("min_user"),
+        F.max("user_id").alias("max_user"),
+    )
+    q = (
+        obs.writeStream.format("noop")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    n, sv, mn, mx = 0, decimal.Decimal(0), None, None
+    for prog in q.recentProgress:
+        row = (prog.get("observedMetrics") or {}).get("canary")
+        if row is None:
+            continue
+        n += row["n_events"]
+        if row["sum_value"] is not None:
+            sv += decimal.Decimal(str(row["sum_value"]))
+        if row["min_user"] is not None:
+            mn = row["min_user"] if mn is None else min(mn, row["min_user"])
+        if row["max_user"] is not None:
+            mx = row["max_user"] if mx is None else max(mx, row["max_user"])
+    out = spark.createDataFrame(
+        [(n, sv, mn, mx)],
+        "n_events long, sum_value decimal(27,6), min_user long, max_user long",
+    )
+    return out.select(
+        "n_events",
+        F.col("sum_value").cast("double").alias("sum_value"),
+        "min_user",
+        "max_user",
+    )
