@@ -350,7 +350,7 @@ SELECT event_type,
        MIN({_z16_expr(_Z_A, "((epoch_us(ts) // 86400000000) & 65535)")}) AS min_z,
        MAX({_z16_expr(_Z_A, "((epoch_us(ts) // 86400000000) & 65535)")}) AS max_z
 FROM events
-WHERE user_id BETWEEN 100 AND 299
+WHERE user_id BETWEEN 3 AND 99
   AND ts >= TIMESTAMP '2024-01-05' AND ts < TIMESTAMP '2024-01-12'
 GROUP BY event_type
 """,
@@ -396,7 +396,7 @@ def sink_zorder_skipping(spark, sf_dir):
     back = spark.read.parquet(path)
     return (
         back.filter(
-            F.col("user_id").between(100, 299)
+            F.col("user_id").between(3, 99)
             & (F.col("ts") >= F.lit("2024-01-05").cast("timestamp_ntz"))
             & (F.col("ts") < F.lit("2024-01-12").cast("timestamp_ntz"))
         )
