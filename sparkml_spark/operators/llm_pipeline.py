@@ -1390,3 +1390,108 @@ def pipeline_pack_ffd_bound(spark, sf_dir):
             .alias("n_violations")
         )
     )
+
+
+@query(
+    "quality_drift_chi2",
+    section="2.I",
+    oracle="""
+WITH ref AS (
+  SELECT lang, n_chars // 50 AS b FROM documents WHERE source = 'src0'
+), cand AS (
+  SELECT lang, n_chars // 50 AS b FROM documents WHERE source <> 'src0'
+), rc AS (SELECT lang, b, COUNT(*) AS n FROM ref GROUP BY lang, b),
+   cc AS (SELECT lang, b, COUNT(*) AS n FROM cand GROUP BY lang, b),
+   rt AS (SELECT lang AS rlang, CAST(SUM(n) AS BIGINT) AS n_ref FROM rc GROUP BY lang),
+   ct AS (SELECT lang AS clang, CAST(SUM(n) AS BIGINT) AS n_cand FROM cc GROUP BY lang),
+   j AS (
+     SELECT COALESCE(rc.lang, cc.lang) AS lang, COALESCE(rc.b, cc.b) AS b,
+            COALESCE(rc.n, 0) AS rn, COALESCE(cc.n, 0) AS cn
+     FROM rc FULL OUTER JOIN cc ON rc.lang = cc.lang AND rc.b = cc.b
+   ),
+   pp AS (
+     SELECT lang, n_ref, n_cand, rn, cn,
+            rn * 1000000 // n_ref AS q_ppm,
+            cn * 1000000 // n_cand AS p_ppm
+     FROM j JOIN rt ON lang = rlang JOIN ct ON lang = clang
+   )
+SELECT lang, n_ref, n_cand,
+       CAST(SUM(CASE WHEN rn > 0
+                     THEN (p_ppm - q_ppm) * (p_ppm - q_ppm) // q_ppm
+                     ELSE 0 END) AS BIGINT) AS chi2_ppm,
+       CAST(SUM(CASE WHEN rn = 0 AND cn > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_novel_buckets
+FROM pp GROUP BY lang, n_ref, n_cand
+""",
+)
+def quality_drift_chi2(spark, sf_dir):
+    """Pearson-style chi-square drift statistic per language — the
+    second standard drift monitor next to quality_drift_tvd (TVD is
+    L1 and treats all buckets equally; chi-square up-weights
+    divergence in RARE reference buckets, which is where quality
+    regressions hide). Same doc-length histogram (50-char buckets,
+    reference = src0 vs candidate = the rest).
+
+    Exactness discipline: the textbook sum((o-e)^2/e) squares raw
+    counts (overflows int64 at corpus scale and floats are
+    engine-ambiguous), so the statistic is computed on integer PPM
+    PROPORTIONS: chi2_ppm = sum over ref-supported buckets of
+    (p_ppm - q_ppm)^2 DIV q_ppm — diff^2 <= 1e12 fits int64 at ANY
+    corpus size, every op is integer, both engines bit-identical.
+    Buckets unseen in the reference (q=0, chi-square undefined) are
+    excluded from the sum and REPORTED as n_novel_buckets — a
+    nonzero there is its own drift alarm (new length regime).
+
+    Scale: two map-side-combinable histograms + a bucket-keyed full
+    outer join of ~|langs x buckets| rows; the corpus is never
+    shuffled."""
+    d = load_table(spark, sf_dir, "documents")
+    b = F.expr("n_chars DIV 50").alias("b")
+    rc = (
+        d.filter(F.col("source") == "src0")
+        .select("lang", b)
+        .groupBy("lang", "b")
+        .agg(F.count(F.lit(1)).alias("rn"))
+    )
+    cc = (
+        d.filter(F.col("source") != "src0")
+        .select("lang", b)
+        .groupBy("lang", "b")
+        .agg(F.count(F.lit(1)).alias("cn"))
+    )
+    rt = rc.groupBy(F.col("lang").alias("rlang")).agg(
+        F.sum("rn").cast("long").alias("n_ref")
+    )
+    ct = cc.groupBy(F.col("lang").alias("clang")).agg(
+        F.sum("cn").cast("long").alias("n_cand")
+    )
+    j = (
+        rc.join(cc, ["lang", "b"], "full_outer")
+        .select(
+            "lang",
+            "b",
+            F.coalesce("rn", F.lit(0)).alias("rn"),
+            F.coalesce("cn", F.lit(0)).alias("cn"),
+        )
+        .join(F.broadcast(rt), F.col("lang") == F.col("rlang"))
+        .join(F.broadcast(ct), F.col("lang") == F.col("clang"))
+    )
+    q_ppm = F.expr("rn * 1000000 DIV n_ref")
+    p_ppm = F.expr("cn * 1000000 DIV n_cand")
+    pp = j.select(
+        "lang", "n_ref", "n_cand", "rn", "cn",
+        q_ppm.alias("q_ppm"), p_ppm.alias("p_ppm"),
+    )
+    return pp.groupBy("lang", "n_ref", "n_cand").agg(
+        F.sum(
+            F.when(
+                F.col("rn") > 0,
+                F.expr("(p_ppm - q_ppm) * (p_ppm - q_ppm) DIV q_ppm"),
+            ).otherwise(F.lit(0))
+        )
+        .cast("long")
+        .alias("chi2_ppm"),
+        F.sum(F.when((F.col("rn") == 0) & (F.col("cn") > 0), 1).otherwise(0))
+        .cast("long")
+        .alias("n_novel_buckets"),
+    )
