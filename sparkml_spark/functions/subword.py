@@ -1040,3 +1040,87 @@ def multimodal_interleave_manifest(spark, sf_dir):
         F.col("slot.slot_offset").cast("long").alias("slot_offset"),
         F.col("slot.n").alias("n_tokens"),
     )
+
+
+@query(
+    "pipeline_dataset_card",
+    section="2.I",
+    oracle=f"""
+WITH RECURSIVE
+{BPE_VOCAB_CTE},
+{_DOC_BPE_TOKS_SQL},
+feats AS (
+  SELECT doc_id, lang, source, n_chars,
+         md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS h,
+         len(string_split_regex(lower(trim(text)), '\\s+')) AS n,
+         len(regexp_replace(lower(trim(text)), '\\s', '', 'g')) AS sum_len,
+         len(translate(text, 'abcdefghijklmnopqrstuvwxyz0123456789 ', ''))
+           AS n_punct,
+         len(list_distinct(string_split_regex(lower(trim(text)), '\\s+')))
+           AS n_distinct,
+         len(list_intersect(string_split_regex(lower(trim(text)), '\\s+'),
+             ['the', 'a', 'data', 'value'])) AS n_stop
+  FROM documents
+)
+SELECT lang, source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(COUNT(DISTINCT h) AS BIGINT) AS n_unique,
+       CAST(SUM(n) AS BIGINT) AS n_ws_tokens,
+       CAST(SUM(COALESCE(t.n_tok, 0)) AS BIGINT) AS n_bpe_tokens,
+       CAST(SUM(CASE WHEN n BETWEEN 5 AND 1000
+                      AND sum_len BETWEEN 2 * n AND 12 * n
+                      AND 10 * n_punct <= n_chars
+                      AND n_stop > 0
+                      AND 5 * n_distinct > n
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_quality_keep
+FROM feats LEFT JOIN doc_toks t USING (doc_id)
+GROUP BY lang, source
+""",
+)
+def pipeline_dataset_card(spark, sf_dir):
+    """The corpus DATASHEET in one pass — per (lang, source): doc
+    count, exact-dedup uniqueness (distinct normalized content
+    hashes), whitespace AND real-BPE token totals, and the
+    Gopher-rules keep count — i.e. the summary table a dataset card /
+    release note publishes, composed from the same hash-green
+    definitions the individual operators pin (dedup_exact_hash's
+    normalizer, quality_gopher_filter's integer gates,
+    bpe_doc_token_counts' broadcast-vocab costing).
+
+    Scale: ONE corpus scan computes every per-doc feature as narrow
+    expressions; the BPE cost arrives via the vocabulary-sized
+    broadcast join; the only exchange is the (lang, source) partial
+    aggregation (count_distinct(h) shuffles (group, h) pairs after
+    map-side dedup). 25-row output regardless of corpus size."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    stop = F.array(*[F.lit(s) for s in ("the", "a", "data", "value")])
+    n = F.size(toks)
+    sum_len = F.length(
+        F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s", "")
+    )
+    n_punct = F.length(
+        F.translate(F.col("text"), "abcdefghijklmnopqrstuvwxyz0123456789 ", "")
+    )
+    keep = (
+        n.between(5, 1000)
+        & sum_len.between(2 * n, 12 * n)
+        & (10 * n_punct <= F.col("n_chars"))
+        & (F.size(F.array_intersect(toks, stop)) > 0)
+        & (5 * F.size(F.array_distinct(toks)) > n)
+    )
+    feats = d.select(
+        "doc_id",
+        "lang",
+        "source",
+        F.md5(F.lower(F.trim(F.regexp_replace("text", r"\s+", " ")))).alias("h"),
+        n.alias("n_ws"),
+        keep.cast("int").alias("keep"),
+    ).join(bpe_doc_token_counts(d), "doc_id", "left")
+    return feats.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.count_distinct("h").cast("long").alias("n_unique"),
+        F.sum("n_ws").cast("long").alias("n_ws_tokens"),
+        F.sum(F.coalesce(F.col("n_tok"), F.lit(0))).cast("long").alias("n_bpe_tokens"),
+        F.sum("keep").cast("long").alias("n_quality_keep"),
+    )
