@@ -140,6 +140,9 @@ LLM_SUITE = [
     "pipeline_curriculum_order",
     "multimodal_interleave_manifest",
     "pipeline_pack_ffd_bound",
+    "quality_gopher_filter",
+    "quality_drift_chi2",
+    "pipeline_dataset_card",
 ]
 
 
