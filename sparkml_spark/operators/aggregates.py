@@ -1088,3 +1088,53 @@ def agg_grouping_id(spark, sf_dir):
             "n_customers",
         )
     )
+
+
+@query(
+    "agg_bitmap_rollup_merge",
+    section="2.D",
+    oracle="""
+SELECT event_type, COUNT(DISTINCT user_id) AS n_users
+FROM events GROUP BY event_type
+UNION ALL
+SELECT '__all__' AS event_type, COUNT(DISTINCT user_id) AS n_users
+FROM events
+""",
+)
+def agg_bitmap_rollup_merge(spark, sf_dir):
+    """The bitmap ROLLUP-MERGE property demonstrated end to end (r10;
+    agg_bitmap_distinct pins the per-group counts themselves): the
+    per-(event_type, bucket) bitmaps are built ONCE, then the
+    '__all__' rollup row is answered by bitmap_or_agg over those
+    stored bitmaps — the raw data is never touched a second time.
+    That is the 100 TB warehouse pattern for repeated exact-distinct
+    questions: maintain per-segment bitmaps, answer ANY segment
+    union's distinct count by pure bitmap OR (HLL's merge property,
+    but exact).
+
+    Oracle pins BOTH levels to exact COUNT(DISTINCT) — the bitmap
+    path is exact by construction, so any drift is a broken
+    bucket/position mapping (e.g. the off-by-one a naive id DIV 32768
+    bucketing produces: bitmap_bit_position is 1-based-id oriented
+    and collides two ids per hand-rolled bucket — measured 149 vs 150
+    before switching to the canonical
+    bitmap_bucket_number/bitmap_bit_position pairing)."""
+    e = load_table(spark, sf_dir, "events")
+    part = e.select(
+        "event_type",
+        F.expr("bitmap_bucket_number(user_id)").alias("bkt"),
+        F.expr("bitmap_bit_position(user_id)").alias("pos"),
+    )
+    bm = part.groupBy("event_type", "bkt").agg(
+        F.expr("bitmap_construct_agg(pos)").alias("bm")
+    )
+    per_type = bm.groupBy("event_type").agg(
+        F.expr("sum(bitmap_count(bm))").cast("long").alias("n_users")
+    )
+    merged = (
+        bm.groupBy("bkt")
+        .agg(F.expr("bitmap_or_agg(bm)").alias("bm"))
+        .agg(F.expr("sum(bitmap_count(bm))").cast("long").alias("n_users"))
+        .select(F.lit("__all__").alias("event_type"), "n_users")
+    )
+    return per_type.unionByName(merged)

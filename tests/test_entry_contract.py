@@ -14,15 +14,15 @@ def test_oracle_keys_subset_of_queries():
 
 
 def test_oracle_tier_never_shrinks():
-    """Round-10 floor: 300 of 334 queries are hash-checkable (the
+    """Round-10 floor: 301 of 335 queries are hash-checkable (the
     32-id ROWS-tier remainder is exactly the engine-private surface — model
     fits, hash families, RNG samplers, sketches, streaming state
     machines, file layout; every one of those families has an
     ORACLE-tier *_bound invariant pin). A tier demotion is a
     verification-strength regression and must be a conscious decision,
     not a side effect."""
-    assert len(entrymod.oracle_sql()) >= 300
-    assert len(entrymod.queries()) >= 334
+    assert len(entrymod.oracle_sql()) >= 301
+    assert len(entrymod.queries()) >= 335
 
 
 def test_query_callables_arity():
