@@ -64,7 +64,11 @@ def build_layout(spark, base_dir: str, out_dir: str) -> None:
             spark.read.parquet(os.path.join(base_dir, f"{t}.parquet")) \
                 .repartition(8).write.parquet(dst)
         else:
-            shutil.copy(os.path.join(base_dir, f"{t}.parquet"), dst)
+            src = os.path.join(base_dir, f"{t}.parquet")
+            if os.path.isdir(src):
+                shutil.copytree(src, dst)
+            else:
+                shutil.copy(src, dst)
     with open(done, "w") as f:
         f.write("ok\n")
 

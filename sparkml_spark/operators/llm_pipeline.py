@@ -1312,10 +1312,12 @@ def pipeline_pack_bins_ffd(spark, sf_dir):
     = directly less compute per epoch — measured on the fixtures:
     533 vs next-fit's 566 bins at sf0.1 (5.8% fewer sequences) with
     the ceil(tokens/512) lower bound at 529, i.e. FFD lands within
-    0.76% of unattainable-optimal. ROWS tier (first-fit's open-bin
-    state machine is not SQL-expressible); every structural property
-    — and the bin-count DOMINANCE over the hash-green next-fit
-    packer — is pinned by pipeline_pack_ffd_bound.
+    0.76% of unattainable-optimal. (FFD beating next-fit is typical
+    but NOT guaranteed — FFD anomalies exist; see the ffd_bound
+    docstring.) ROWS tier (first-fit's open-bin state machine is not
+    SQL-expressible); every structural property — including the
+    sound 11/9 Johnson bound against the hash-green next-fit packer
+    — is pinned by pipeline_pack_ffd_bound.
 
     Scale: same single shard exchange as pack_next_fit; the
     sequential fit scan is bounded by the shard's own bin count."""
@@ -1327,9 +1329,15 @@ def pipeline_pack_ffd_bound(spark, sf_dir):
     """ORACLE pin for pipeline_pack_bins_ffd, all in exact integers:
       (a) every sized doc appears EXACTLY once with its own size;
       (b) no bin's token total exceeds {_SEQ_TOKENS};
-      (c) per shard, FFD's bin count <= next-fit's (dominance over
-          the hash-verified pipeline_pack_bins_nextfit recurrence —
-          FFD that ever packs WORSE than next-fit is a broken FFD);
+      (c) per shard, n_ffd <= (11*n_nf + 9) DIV 9 — the SOUND form
+          of Johnson's guarantee: FFD <= 11/9*OPT + 6/9 [Johnson
+          1973/Dosa 2007] and OPT <= n_nf because next-fit is itself
+          a feasible packing, so FFD <= 11/9*n_nf + 1. The naive
+          'FFD <= NF' dominance is NOT a theorem — FFD anomalies
+          exist (budget 512, arrival order 256,256,205,153,153,205,
+          153,153: next-fit closes 3 bins, FFD opens 4) — so the
+          naive check could flag legitimately ordered data; the
+          anomaly instance is pinned in tests/test_properties.py;
       (d) per shard, FFD's bin count >= ceil(total_tokens / budget)
           (the information-theoretic lower bound — beating it means
           an overflowing or dropped bin, not brilliance)."""
@@ -1371,7 +1379,11 @@ def pipeline_pack_ffd_bound(spark, sf_dir):
         ffd_bins.join(nf_bins, "shard")
         .agg(
             F.sum(
-                F.when(F.col("n_ffd") > F.col("n_nf"), 1)
+                F.when(
+                    F.col("n_ffd")
+                    > F.expr("(11 * n_nf + 9) DIV 9"),
+                    1,
+                )
                 .when(
                     F.col("n_ffd")
                     < F.ceil(F.col("tok") / F.lit(_SEQ_TOKENS)),
@@ -1416,11 +1428,13 @@ WITH ref AS (
      FROM j JOIN rt ON lang = rlang JOIN ct ON lang = clang
    )
 SELECT lang, n_ref, n_cand,
-       CAST(SUM(CASE WHEN rn > 0
+       CAST(SUM(CASE WHEN q_ppm > 0
                      THEN (p_ppm - q_ppm) * (p_ppm - q_ppm) // q_ppm
                      ELSE 0 END) AS BIGINT) AS chi2_ppm,
        CAST(SUM(CASE WHEN rn = 0 AND cn > 0 THEN 1 ELSE 0 END) AS BIGINT)
-         AS n_novel_buckets
+         AS n_novel_buckets,
+       CAST(SUM(CASE WHEN rn > 0 AND q_ppm = 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_subppm_buckets
 FROM pp GROUP BY lang, n_ref, n_cand
 """,
 )
@@ -1441,6 +1455,13 @@ def quality_drift_chi2(spark, sf_dir):
     Buckets unseen in the reference (q=0, chi-square undefined) are
     excluded from the sum and REPORTED as n_novel_buckets — a
     nonzero there is its own drift alarm (new length regime).
+    Buckets PRESENT in the reference but whose proportion rounds to
+    0 ppm (rn > 0 yet rn*1e6 DIV n_ref = 0 — any bucket rarer than
+    one-in-a-million, routine when n_ref > 1e6 per language at
+    corpus scale) would divide by zero: Spark DIV yields NULL
+    (silently dropped from SUM) while DuckDB // errors, so the term
+    is gated on q_ppm > 0 in BOTH engines and those buckets are
+    counted as n_subppm_buckets — visible, never silently skipped.
 
     Scale: two map-side-combinable histograms + a bucket-keyed full
     outer join of ~|langs x buckets| rows; the corpus is never
@@ -1485,7 +1506,7 @@ def quality_drift_chi2(spark, sf_dir):
     return pp.groupBy("lang", "n_ref", "n_cand").agg(
         F.sum(
             F.when(
-                F.col("rn") > 0,
+                F.col("q_ppm") > 0,
                 F.expr("(p_ppm - q_ppm) * (p_ppm - q_ppm) DIV q_ppm"),
             ).otherwise(F.lit(0))
         )
@@ -1494,4 +1515,7 @@ def quality_drift_chi2(spark, sf_dir):
         F.sum(F.when((F.col("rn") == 0) & (F.col("cn") > 0), 1).otherwise(0))
         .cast("long")
         .alias("n_novel_buckets"),
+        F.sum(F.when((F.col("rn") > 0) & (F.col("q_ppm") == 0), 1).otherwise(0))
+        .cast("long")
+        .alias("n_subppm_buckets"),
     )

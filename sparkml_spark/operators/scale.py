@@ -385,7 +385,13 @@ def sink_zorder_skipping(spark, sf_dir):
             "((unix_micros(cast(ts as timestamp)) div 86400000000) & 65535)",
         )
     )
-    path = os.path.join(_WAREHOUSE, "..", "events_zorder")
+    # Keyed by sf_dir so concurrent sessions at different scales never
+    # race on one directory (one overwrite mid-read of the other).
+    path = os.path.join(
+        _WAREHOUSE,
+        "..",
+        f"events_zorder_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
     (
         e.withColumn("zval", z)
         .repartitionByRange(8, "zval")

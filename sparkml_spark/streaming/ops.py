@@ -992,14 +992,35 @@ def stream_observe_metrics(spark, sf_dir):
         F.min("user_id").alias("min_user"),
         F.max("user_id").alias("max_user"),
     )
-    q = (
-        obs.writeStream.format("noop")
-        .trigger(availableNow=True)
-        .start()
+    # recentProgress is a RING BUFFER of the last
+    # spark.sql.streaming.numRecentProgressUpdates entries (default
+    # 100): a >100-micro-batch run would silently drop early batches'
+    # observed metrics and break the exactness claim. Raise the
+    # retention for this query and HARD-FAIL if the run ever reaches
+    # it — a wrong answer must be an error, never a quiet undercount.
+    _retention = 100_000
+    prev = spark.conf.get("spark.sql.streaming.numRecentProgressUpdates")
+    spark.conf.set(
+        "spark.sql.streaming.numRecentProgressUpdates", str(_retention)
     )
-    q.awaitTermination()
+    try:
+        q = (
+            obs.writeStream.format("noop")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        progress = list(q.recentProgress)
+    finally:
+        spark.conf.set("spark.sql.streaming.numRecentProgressUpdates", prev)
+    if len(progress) >= _retention:
+        raise RuntimeError(
+            "stream_observe_metrics: progress buffer saturated "
+            f"({len(progress)} >= {_retention}); early batches' observed "
+            "metrics may have been evicted — raise the retention"
+        )
     n, sv, mn, mx = 0, decimal.Decimal(0), None, None
-    for prog in q.recentProgress:
+    for prog in progress:
         row = (prog.get("observedMetrics") or {}).get("canary")
         if row is None:
             continue

@@ -1055,6 +1055,33 @@ def test_ffd_within_johnson_bound_of_optimal(spark, sizes):
     assert len(packed) == len(sizes)
 
 
+def test_ffd_anomaly_instance_beats_naive_dominance(spark):
+    """The FFD anomaly that makes 'FFD <= next-fit' UNSOUND as an
+    invariant, pinned as a concrete instance: budget 512, arrival
+    order 256,256,205,153,153,205,153,153. Next-fit (which never
+    reopens a bin) happens to close exactly 3 full bins; FFD sorts
+    descending (256,256,205,205,153,153,153,153) and strands the
+    last 153 in a 4th bin. pipeline_pack_ffd_bound therefore checks
+    the SOUND n_ffd <= (11*n_nf + 9) DIV 9 (FFD <= 11/9*OPT + 6/9
+    and OPT <= n_nf), which this instance satisfies with equality
+    (4 <= (11*3+9) DIV 9 = 4)."""
+    from sparkml_spark.operators.llm_pipeline import (
+        pack_first_fit_decreasing,
+        pack_next_fit,
+    )
+
+    sizes = [256, 256, 205, 153, 153, 205, 153, 153]
+    rows = [(i, 0, s) for i, s in enumerate(sizes)]
+    sized = spark.createDataFrame(rows, "doc_id long, shard long, t long")
+    n_nf = len({r["bin_id"] for r in pack_next_fit(sized).collect()})
+    n_ffd = len(
+        {r["bin_id"] for r in pack_first_fit_decreasing(sized).collect()}
+    )
+    assert n_nf == 3 and n_ffd == 4, (n_nf, n_ffd)
+    assert n_ffd > n_nf  # the naive dominance check WOULD have fired
+    assert n_ffd <= (11 * n_nf + 9) // 9  # the sound bound does not
+
+
 _merge_strategy = st.lists(
     st.tuples(
         st.integers(min_value=0, max_value=9),   # key
