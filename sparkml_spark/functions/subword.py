@@ -120,40 +120,44 @@ def bpe_tokens(word: Column) -> Column:
     empties), which the first rule pass used to absorb by accident;
     with the filter the invariant "real tokens are never empty"
     holds by construction, not by rule-pass luck (ADVICE r9 #1)."""
+    chars = F.filter(F.split(word, ""), lambda x: x != F.lit(""))
+    return F.aggregate(_rules(), chars, _apply_rule)
 
-    def apply_rule(seq, r):
-        init = F.struct(
-            F.array().cast("array<string>").alias("acc"), F.lit("").alias("carry")
+
+def _apply_rule(seq: Column, r: Column) -> Column:
+    """One merge rule's left-to-right non-overlapping pass over a token
+    array — the (acc, carry) state machine documented in bpe_tokens,
+    shared by inference (folded over the committed rules) and by the
+    in-engine trainer (applied once per learned rule)."""
+    init = F.struct(
+        F.array().cast("array<string>").alias("acc"), F.lit("").alias("carry")
+    )
+
+    def step(st, tok):
+        acc, carry = st.getField("acc"), st.getField("carry")
+        return (
+            F.when(carry == F.lit(""), F.struct(acc.alias("acc"), tok.alias("carry")))
+            .when(
+                (carry == r.getField("a")) & (tok == r.getField("b")),
+                F.struct(
+                    F.concat(acc, F.array(r.getField("m"))).alias("acc"),
+                    F.lit("").alias("carry"),
+                ),
+            )
+            .otherwise(
+                F.struct(
+                    F.concat(acc, F.array(carry)).alias("acc"), tok.alias("carry")
+                )
+            )
         )
 
-        def step(st, tok):
-            acc, carry = st.getField("acc"), st.getField("carry")
-            return (
-                F.when(carry == F.lit(""), F.struct(acc.alias("acc"), tok.alias("carry")))
-                .when(
-                    (carry == r.getField("a")) & (tok == r.getField("b")),
-                    F.struct(
-                        F.concat(acc, F.array(r.getField("m"))).alias("acc"),
-                        F.lit("").alias("carry"),
-                    ),
-                )
-                .otherwise(
-                    F.struct(
-                        F.concat(acc, F.array(carry)).alias("acc"), tok.alias("carry")
-                    )
-                )
-            )
+    def fin(st):
+        acc, carry = st.getField("acc"), st.getField("carry")
+        return F.when(carry == F.lit(""), acc).otherwise(
+            F.concat(acc, F.array(carry))
+        )
 
-        def fin(st):
-            acc, carry = st.getField("acc"), st.getField("carry")
-            return F.when(carry == F.lit(""), acc).otherwise(
-                F.concat(acc, F.array(carry))
-            )
-
-        return F.aggregate(seq, init, step, fin)
-
-    chars = F.filter(F.split(word, ""), lambda x: x != F.lit(""))
-    return F.aggregate(_rules(), chars, apply_rule)
+    return F.aggregate(seq, init, step, fin)
 
 
 # ---------------------------------------------------------------------------
@@ -1123,4 +1127,177 @@ def pipeline_dataset_card(spark, sf_dir):
         F.sum("n_ws").cast("long").alias("n_ws_tokens"),
         F.sum(F.coalesce(F.col("n_tok"), F.lit(0))).cast("long").alias("n_bpe_tokens"),
         F.sum("keep").cast("long").alias("n_quality_keep"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# In-engine BPE TRAINING (round 11) — the engine learns the merge table
+# ---------------------------------------------------------------------------
+
+def train_bpe_merges(spark, sf_dir, n_merges: int = BPE_N):
+    """Learn a BPE merge table FROM the corpus, in-engine — classic
+    Sennrich-style training (most-frequent adjacent pair, merge,
+    repeat) with the deterministic tie-break (max count, then
+    lexicographically smallest (lhs, rhs) pair; no RNG, no seed).
+    Returns [(rank, lhs, rhs, pair_count), ...].
+
+    Shape (the 100 TB posture): the corpus is read EXACTLY ONCE — a
+    map-side-combinable word-frequency aggregation whose output is
+    VOCABULARY-sized. Every training iteration then runs on that
+    cached vocabulary table only: explode adjacent token pairs
+    (O(sum word lengths) rows), one partial-aggregated groupBy, a
+    1-row argmax collect, and one Catalyst merge-pass fold — the
+    driver loop is bounded by the n_merges constant, exactly the
+    coordinator role a production tokenizer trainer
+    (SentencePiece/HF) gives the driver. localCheckpoint() after
+    each merge truncates the 24-deep lineage so no iteration replays
+    its predecessors.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    words = (
+        d.select(
+            F.explode(
+                F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+            ).alias("word")
+        )
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("f"))
+        .select(
+            "word",
+            "f",
+            F.filter(F.split("word", ""), lambda x: x != F.lit("")).alias(
+                "toks"
+            ),
+        )
+        .localCheckpoint()
+    )
+    merges: list[tuple[int, str, str, int]] = []
+    for rank in range(1, n_merges + 1):
+        best = (
+            words.select(
+                "f",
+                F.explode(
+                    F.expr(
+                        "transform(slice(toks, 1, size(toks) - 1),"
+                        " (x, i) -> struct(x AS a, element_at(toks, i + 2) AS b))"
+                    )
+                ).alias("p"),
+            )
+            .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+            .agg(F.sum("f").alias("cnt"))
+            .orderBy(F.desc("cnt"), "a", "b")
+            .limit(1)
+            .collect()
+        )
+        if not best:
+            break
+        a, b, cnt = best[0]["a"], best[0]["b"], int(best[0]["cnt"])
+        merges.append((rank, a, b, cnt))
+        rule = F.struct(
+            F.lit(a).alias("a"), F.lit(b).alias("b"), F.lit(a + b).alias("m")
+        )
+        words = words.withColumn(
+            "toks", _apply_rule(F.col("toks"), rule)
+        ).localCheckpoint()
+    return merges
+
+
+#: One left-to-right non-overlapping merge pass as a DuckDB list_reduce
+#: carry machine — the oracle twin of _apply_rule. Accumulator protocol:
+#: 'emitted-tokens|carry' ('|' never appears in corpus tokens: words are
+#: whitespace-split text). The sentinel first element '|' plays the
+#: empty (acc, carry) init.
+_DUCK_MERGE_FOLD = (
+    "list_reduce(list_prepend('|', ws.toks), (acc, t) -> "
+    "CASE WHEN split_part(acc, '|', 2) = '' "
+    "THEN split_part(acc, '|', 1) || '|' || t "
+    "WHEN split_part(acc, '|', 2) = ba AND t = bb "
+    "THEN split_part(acc, '|', 1) || ' ' || ba || bb || '|' "
+    "ELSE split_part(acc, '|', 1) || ' ' || split_part(acc, '|', 2) "
+    "|| '|' || t END)"
+)
+
+_TRAIN_BPE_ORACLE = f"""
+WITH RECURSIVE
+w0 AS (
+  SELECT word, CAST(COUNT(*) AS BIGINT) AS f
+  FROM (SELECT unnest(string_split_regex(lower(trim(text)), '\\s+')) AS word
+        FROM documents)
+  WHERE word <> '' GROUP BY word
+),
+tr(r, lhs, rhs, n_pair, words) AS (
+  SELECT 0, '', '', CAST(0 AS BIGINT),
+         (SELECT list({{'w': word, 'f': f,
+            'toks': string_split(trim(regexp_replace(word, '(.)', '\\1 ', 'g')), ' ')}}
+            ORDER BY word)
+          FROM w0)
+  UNION ALL
+  SELECT r + 1, ba, bb,
+         100000000000000000 - CAST(split_part(best, ' ', 1) AS BIGINT),
+         list_transform(words, ws -> {{'w': ws.w, 'f': ws.f,
+           'toks': string_split(ltrim(
+             CASE WHEN split_part(({_DUCK_MERGE_FOLD}), '|', 2) = ''
+                  THEN split_part(({_DUCK_MERGE_FOLD}), '|', 1)
+                  ELSE split_part(({_DUCK_MERGE_FOLD}), '|', 1) || ' '
+                       || split_part(({_DUCK_MERGE_FOLD}), '|', 2)
+             END, ' '), ' ')}})
+  FROM (
+    SELECT r, words, best,
+           split_part(best, ' ', 2) AS ba, split_part(best, ' ', 3) AS bb
+    FROM (
+      SELECT r, words,
+             list_min(list_transform(
+               list_transform(list_distinct(list_transform(wpairs, x -> x.p)), p ->
+                 {{'p': p, 'c': list_sum(list_transform(wpairs,
+                     x -> CASE WHEN x.p = p THEN x.f ELSE CAST(0 AS BIGINT) END))}}),
+               y -> lpad(CAST(100000000000000000 - y.c AS VARCHAR), 18, '0')
+                    || ' ' || y.p)) AS best
+      FROM (
+        SELECT r, words,
+               flatten(list_transform(words, ws ->
+                 list_transform(
+                   list_filter(list_zip(ws.toks, ws.toks[2:]), z -> z[2] IS NOT NULL),
+                   z -> {{'p': z[1] || ' ' || z[2], 'f': ws.f}}))) AS wpairs
+        FROM tr WHERE r < {BPE_N}
+      )
+    )
+  ) st
+  WHERE best IS NOT NULL
+)
+SELECT CAST(r AS BIGINT) AS merge_rank, lhs, rhs, n_pair
+FROM tr WHERE r >= 1
+"""
+
+
+@query("pipeline_train_bpe", section="2.I", oracle=_TRAIN_BPE_ORACLE)
+def pipeline_train_bpe(spark, sf_dir):
+    """TRAIN the BPE tokenizer in the engine (VERDICT r10 #1): learn
+    {BPE_N} merge rules from the corpus by iterative most-frequent-
+    pair aggregation and return the merge table itself — closing the
+    one gap in the tokenizer family: the engine previously only ran
+    INFERENCE against a merge table trained offline
+    (scripts/train_bpe.py); now it can produce that artifact.
+
+    Hash pin, both directions: the DuckDB twin replays the SAME
+    greedy recurrence (a recursive CTE whose per-level state is the
+    whole vocabulary-sized word table as one LIST<STRUCT> row: pure
+    list-lambda pair counting, a zero-padded-count || pair string
+    argmin implementing the (max count, then lexicographically
+    smallest pair) tie-break exactly, and a list_reduce carry
+    machine replaying _apply_rule's left-to-right non-overlapping
+    merge). Each output row carries (rank, lhs, rhs, PAIR COUNT) —
+    the count pin means both engines agree not only on WHICH pair
+    won each round but on the exact corpus statistics behind it.
+    tests/test_operators.py additionally pins that training on the
+    sf0.001 fixture reproduces the committed BPE_MERGES table
+    row-for-row, so every downstream BPE operator (fertility and
+    round-trip bounds included) is exercising a table this trainer
+    derives, not an unreproducible artifact.
+
+    Scale: one corpus pass (map-side-combinable word counts), then
+    n_merges vocabulary-sized iterations — see train_bpe_merges."""
+    rows = train_bpe_merges(spark, sf_dir, BPE_N)
+    return spark.createDataFrame(
+        rows, "merge_rank long, lhs string, rhs string, n_pair long"
     )

@@ -506,3 +506,18 @@ def test_ffd_packing_bound_and_dominance(spark):
     n_ffd = pack_first_fit_decreasing(s).select("shard", "bin_id").distinct().count()
     n_nf = pack_next_fit(s).select("shard", "bin_id").distinct().count()
     assert n_ffd < n_nf, (n_ffd, n_nf)
+
+
+def test_train_bpe_reproduces_committed_merge_table(spark):
+    """pipeline_train_bpe trained on the sf0.001 fixture must reproduce
+    the committed BPE_MERGES table row-for-row — the committed artifact
+    is thereby DERIVABLE in-engine, so every downstream BPE operator
+    (fertility/round-trip bounds included) runs against a table the
+    engine itself can produce, not an unreproducible fixture."""
+    from sparkml_spark.functions.subword import BPE_MERGES, train_bpe_merges
+
+    trained = train_bpe_merges(spark, SF_DIR)
+    assert [(a, b) for (_, a, b, _) in trained] == BPE_MERGES
+    # ranks are 1..N and pair counts strictly positive
+    assert [r for (r, *_ ) in trained] == list(range(1, len(BPE_MERGES) + 1))
+    assert all(c > 0 for (*_, c) in trained)
