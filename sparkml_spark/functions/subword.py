@@ -1301,3 +1301,196 @@ def pipeline_train_bpe(spark, sf_dir):
     return spark.createDataFrame(
         rows, "merge_rank long, lhs string, rhs string, n_pair long"
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental corpus refresh (round 11) — the production daily-append
+# ---------------------------------------------------------------------------
+
+def _incremental_refresh_oracle() -> str:
+    from sparkml_spark.operators.llm_dedup import _INCR_SQL, _NORM_SQL
+    from sparkml_spark.operators.llm_text import _TOKENS_SQL
+
+    return f"""
+WITH RECURSIVE
+{BPE_VOCAB_CTE},
+corpus AS (
+  SELECT doc_id, text FROM documents WHERE doc_id % 10 != 3
+), incr AS ({_INCR_SQL}),
+ih AS (SELECT doc_id, text, {_NORM_SQL} AS h FROM incr),
+ci AS (SELECT DISTINCT {_NORM_SQL} AS h FROM corpus),
+new_docs AS (
+  SELECT ih.doc_id, ih.text, ih.h
+  FROM ih LEFT JOIN ci ON ci.h = ih.h WHERE ci.h IS NULL
+),
+bk AS (SELECT h, MIN(doc_id) AS keeper FROM new_docs GROUP BY h),
+kept0 AS (
+  SELECT n.doc_id, n.text FROM new_docs n
+  JOIN bk ON bk.h = n.h WHERE n.doc_id = bk.keeper
+),
+quality AS (
+  SELECT doc_id, text FROM (
+    SELECT doc_id, text, len({_TOKENS_SQL}) AS n_ws,
+           CAST(len(list_distinct({_TOKENS_SQL})) AS DOUBLE)
+             / len({_TOKENS_SQL}) AS dr
+    FROM kept0
+  ) WHERE n_ws BETWEEN 5 AND 1000 AND dr > 0.3
+),
+bw AS (
+  SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS word
+  FROM quality
+),
+btoks AS (
+  SELECT doc_id, CAST(SUM(n_bpe) AS BIGINT) AS n_tok
+  FROM bw JOIN vocab USING (word) GROUP BY doc_id
+),
+enriched AS (
+  SELECT q.doc_id, doc.lang, t.n_tok
+  FROM quality q
+  JOIN documents doc ON doc.doc_id = q.doc_id % 1000000
+  JOIN btoks t ON t.doc_id = q.doc_id
+),
+budgets AS (
+  SELECT lang,
+         CAST(floor(least(CAST(1.0 AS DOUBLE),
+                          CAST(0.2 AS DOUBLE)
+                            * CAST(SUM(SUM(n_tok)) OVER () AS DOUBLE)
+                            / SUM(n_tok))
+                    * 65536) AS INTEGER) AS thr
+  FROM enriched GROUP BY lang
+),
+mixed AS (
+  SELECT e.doc_id, e.lang, CAST(e.n_tok AS BIGINT) AS n_tok
+  FROM enriched e JOIN budgets b ON e.lang = b.lang
+  WHERE ('0x' || substr(md5('incrmix' || CAST(e.doc_id AS VARCHAR)), 1, 4))::INTEGER
+        < b.thr
+),
+toks2 AS (
+  SELECT doc_id, lang, doc_id // {_BUCKET} AS shard, n_tok AS t FROM mixed
+),
+ordered AS (
+  SELECT *, row_number() OVER (PARTITION BY shard ORDER BY doc_id) AS rn
+  FROM toks2
+),
+rec AS (
+  SELECT doc_id, lang, shard, t, rn, CAST(0 AS BIGINT) AS bin_id, t AS fill
+  FROM ordered WHERE rn = 1
+  UNION ALL
+  SELECT o.doc_id, o.lang, o.shard, o.t, o.rn,
+         CASE WHEN r.fill + o.t <= {_SEQ_TOKENS} THEN r.bin_id
+              ELSE r.bin_id + 1 END,
+         CASE WHEN r.fill + o.t <= {_SEQ_TOKENS} THEN r.fill + o.t
+              ELSE o.t END
+  FROM ordered o JOIN rec r ON o.shard = r.shard AND o.rn = r.rn + 1
+)
+SELECT doc_id, lang, shard, t AS n_tokens, bin_id FROM rec
+"""
+
+
+@query("pipeline_incremental_refresh", section="2.I", oracle=None)
+def pipeline_incremental_refresh(spark, sf_dir):
+    """The production DAILY-APPEND, end to end in ONE plan (VERDICT
+    r10 #3): an arriving micro-batch (dedup_incremental's fixture
+    batch — new docs + corpus replays + within-batch dups) flows
+    through incremental dedup against the STANDING corpus's digest
+    index → the corpus quality gates (5..1000 words, distinct-ratio
+    > 0.3) → the per-lang 20%-of-BPE-tokens budget mix (salt
+    'incrmix') → next-fit packing into {_SEQ_TOKENS}-token bins.
+    Output: the refresh manifest (doc_id, lang, shard, n_tokens,
+    bin_id) a trainer would append.
+
+    Rerun determinism (pinned in tests/test_operators.py): the chain
+    is hash-keyed end to end — digest dedup, salted-hash mix keep,
+    doc_id-ordered packing — so replaying the SAME batch yields
+    byte-identical keeps and bin ids, the idempotence a daily job
+    needs to be safely retried.
+
+    Scale posture (plan-gated in tests/test_plans.py): the standing
+    corpus index is NEVER moved — the batch's distinct digests are
+    broadcast INTO the index scan (inner join, batch-sized output),
+    then the batch anti-joins the HITS; every subsequent join
+    operand (keepers, thresholds, lang re-attach) is batch-sized and
+    broadcast. No corpus-wide window anywhere; the packer's
+    sequential state is shard-bounded. At 100 TB the digest index is
+    a maintained bucketed table and this plan touches it with one
+    broadcast-probed scan."""
+    from sparkml_spark.operators.llm_dedup import _DUP_OFFSET, _norm
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = d.filter(F.col("doc_id") % 10 != 3)
+    incr = (
+        d.filter(F.col("doc_id") % 10 == 3)
+        .unionByName(
+            corpus.filter(F.col("doc_id") % 20 == 0).select(
+                (F.col("doc_id") + _DUP_OFFSET).alias("doc_id"), "text"
+            )
+        )
+        .unionByName(
+            d.filter(F.col("doc_id") % 50 == 3).select(
+                (F.col("doc_id") + 2 * _DUP_OFFSET).alias("doc_id"), "text"
+            )
+        )
+    )
+    ih = incr.select("doc_id", "text", _norm().alias("h"))
+    # Probe the standing index WITHOUT moving it: broadcast the batch's
+    # distinct digests into the corpus scan; hit set is batch-bounded.
+    batch_digests = ih.select("h").distinct()
+    hits = (
+        corpus.select(_norm().alias("h"))
+        .join(F.broadcast(batch_digests), "h")
+        .distinct()
+    )
+    new_docs = ih.join(F.broadcast(hits), "h", "left_anti")
+    bk = new_docs.groupBy("h").agg(F.min("doc_id").alias("keeper"))
+    kept0 = (
+        new_docs.join(F.broadcast(bk), "h")
+        .filter(F.col("doc_id") == F.col("keeper"))
+        .select("doc_id", "text")
+    )
+    toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    quality = (
+        kept0.select(
+            "doc_id",
+            "text",
+            F.size(toks).alias("n_ws"),
+            (F.size(F.array_distinct(toks)).cast("double") / F.size(toks)).alias(
+                "dr"
+            ),
+        )
+        .filter(F.col("n_ws").between(5, 1000) & (F.col("dr") > 0.3))
+        .select("doc_id", "text")
+    )
+    lang_map = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("base_id"), "lang"
+    )
+    enriched = (
+        quality.join(bpe_doc_token_counts(quality), "doc_id")
+        .withColumn("base_id", F.expr(f"doc_id % {_DUP_OFFSET}"))
+        .join(lang_map, "base_id")
+        .select("doc_id", "lang", "n_tok")
+    )
+    budgets = token_budget_thresholds(enriched)
+    h16 = md5_chunk16(
+        F.concat(F.lit("incrmix"), F.col("doc_id").cast("string"))
+    )
+    mixed = (
+        enriched.join(F.broadcast(budgets), "lang")
+        .filter(h16 < F.col("thr"))
+        .select("doc_id", "lang", F.col("n_tok").cast("long").alias("n_tok"))
+    )
+    sized = mixed.select(
+        "doc_id",
+        F.expr(f"doc_id DIV {_BUCKET}").alias("shard"),
+        F.col("n_tok").alias("t"),
+    )
+    return (
+        pack_next_fit(sized)
+        .join(F.broadcast(mixed.select("doc_id", "lang")), "doc_id")
+        .select("doc_id", "lang", "shard", "n_tokens", "bin_id")
+    )
+
+
+_registry.ORACLES["pipeline_incremental_refresh"] = (
+    _incremental_refresh_oracle().strip()
+)
+_registry.META["pipeline_incremental_refresh"]["tier"] = "ORACLE"

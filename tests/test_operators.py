@@ -521,3 +521,17 @@ def test_train_bpe_reproduces_committed_merge_table(spark):
     # ranks are 1..N and pair counts strictly positive
     assert [r for (r, *_ ) in trained] == list(range(1, len(BPE_MERGES) + 1))
     assert all(c > 0 for (*_, c) in trained)
+
+
+def test_incremental_refresh_rerun_determinism(spark):
+    """Replaying the SAME arriving batch must yield byte-identical
+    keeps and bin assignments (safe-retry idempotence for the daily
+    job): the chain is hash-keyed end to end — digest dedup, salted
+    mix keep, doc_id-ordered packing — with no RNG and no
+    partition-order dependence."""
+    run = lambda: sorted(
+        (r["doc_id"], r["lang"], r["shard"], r["n_tokens"], r["bin_id"])
+        for r in QUERIES["pipeline_incremental_refresh"](spark, SF_DIR).collect()
+    )
+    first, second = run(), run()
+    assert first and first == second

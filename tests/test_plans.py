@@ -590,3 +590,26 @@ def test_hybrid_retrieval_plan_shapes(spark):
     )
     assert rrf.count("TakeOrderedAndProject") >= 2, rrf[:2000]
     assert "CartesianProduct" not in rrf and "EvalPython" not in rrf, rrf[:2000]
+
+
+def test_incremental_refresh_plan_shape(spark):
+    """VERDICT r10 #3 plan gate: the daily-append chain must probe the
+    standing corpus digest index via BROADCAST joins (batch digests
+    broadcast into the index scan; every later operand batch-sized and
+    broadcast), with NO corpus-wide window — the only window allowed
+    is token_budget_thresholds' few-row global over the per-lang
+    aggregate — and no cartesian. ArrowEvalPython appears exactly for
+    the sharded packer (applyInPandas), never a row-at-a-time
+    PythonUDF."""
+    plan = (
+        QUERIES["pipeline_incremental_refresh"](spark, SF_DIR)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan, plan[:2000]
+    assert "CartesianProduct" not in plan, plan[:2000]
+    assert "BatchEvalPython" not in plan, plan[:2000]
+    # windows: the lang-budget global agg only (SinglePartition on a
+    # <=n_langs-row table), never a corpus-wide ordering window
+    assert plan.count("SinglePartition") <= 2, plan[:2000]
