@@ -143,6 +143,15 @@ LLM_SUITE = [
     "quality_gopher_filter",
     "quality_drift_chi2",
     "pipeline_dataset_card",
+    # r11: in-engine tokenizer training (corpus pass + vocabulary-sized
+    # iterations — the permuted replicas grow the vocab xk, still
+    # tiny), the daily-append refresh chain (batch-sized broadcasts
+    # against the standing index), the persisted-index ANN fusion, and
+    # the unigram-LM surprise filter (vocabulary-sized LM broadcast).
+    "pipeline_train_bpe",
+    "pipeline_incremental_refresh",
+    "sim_rrf_fusion_ann",
+    "quality_surprise_filter",
 ]
 
 

@@ -1194,3 +1194,120 @@ def quality_gopher_filter(spark, sf_dir):
         first_fail.alias("first_fail"),
         (first_fail == "ok").cast("int").alias("keep"),
     )
+
+
+# ---------------------------------------------------------------------------
+# quality_surprise_filter (round 11) — perplexity-style LM filtering,
+# exact-integer
+# ---------------------------------------------------------------------------
+
+#: keep threshold in milli-bits/word — set between the fixture corpus's
+#: median (~5.4-5.6 bits/word) and its tail (max 6.0-6.25), so the
+#: filter keeps the bulk and drops the rare-word-heavy tail at every
+#: fixture scale.
+_SURPRISE_KEEP = 5600
+
+#: surprisal assigned to words ABSENT from the reference LM — strictly
+#: above the in-vocab maximum (ppm >= 1 -> bucket <= 20), so OOV text
+#: is always the most surprising.
+_SURPRISE_OOV = 24
+
+
+@query(
+    "quality_surprise_filter",
+    section="2.I",
+    oracle=f"""
+WITH ref AS (
+  SELECT unnest(string_split_regex(lower(trim(text)), '\\s+')) AS w
+  FROM documents WHERE source = 'src0'
+), rc AS (SELECT w, COUNT(*) AS c FROM ref WHERE w <> '' GROUP BY w),
+tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM rc),
+lm AS (
+  SELECT w, 21 - length(bin(c * 1000000 // (SELECT n FROM tot))) AS s
+  FROM rc
+),
+dw AS (
+  SELECT doc_id, lang, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS w
+  FROM documents
+), dwc AS (
+  SELECT doc_id, lang, w, COUNT(*) AS c FROM dw WHERE w <> ''
+  GROUP BY doc_id, lang, w
+)
+SELECT doc_id, lang,
+       CAST(SUM(c) AS BIGINT) AS n_words,
+       CAST(SUM(c * COALESCE(lm.s, {_SURPRISE_OOV})) * 1000 // SUM(c) AS BIGINT)
+         AS surprise_milli,
+       CAST(SUM(CASE WHEN lm.s IS NULL THEN c ELSE 0 END) AS BIGINT) AS n_oov,
+       CAST(CASE WHEN SUM(c * COALESCE(lm.s, {_SURPRISE_OOV})) * 1000 // SUM(c)
+                 <= {_SURPRISE_KEEP} THEN 1 ELSE 0 END AS INTEGER) AS keep
+FROM dwc LEFT JOIN lm USING (w)
+GROUP BY doc_id, lang
+""",
+)
+def quality_surprise_filter(spark, sf_dir):
+    """Perplexity-style LM quality filtering (CCNet's third gate next
+    to quality_gopher_filter's heuristics and quality_drift_*'s
+    monitors): train a unigram LM on the REFERENCE slice (source =
+    'src0'), score every document by its mean per-word surprisal, and
+    keep documents under {_SURPRISE_KEEP} milli-bits/word — the
+    standard "drop what the reference LM finds perplexing" filter
+    [Wenzek et al. 2020, CCNet].
+
+    Exactness discipline — why this hashes cross-engine where true
+    perplexity cannot: -log2 P(w) is a transcendental, and JVM
+    Math.log vs libm log differ in last ulps, so the surprisal is
+    quantized to INTEGER BIT BUCKETS computed without any float:
+    surprisal(w) = 21 - bitlen(freq_ppm(w)) where bitlen is the
+    binary-string length (Spark length(conv(x,10,2)), DuckDB
+    length(bin(x))) — i.e. floor(log2) in pure integer ops. The
+    bucket score is monotone in true unigram perplexity at bucket
+    granularity (each bucket = one doubling of word probability).
+    Sub-ppm words floor at the max in-vocab bucket (20); OOV words
+    score {_SURPRISE_OOV}, strictly above every in-vocab word, and
+    are reported per doc as n_oov. The doc score is an integer
+    milli-bits/word ratio (sum * 1000 DIV n) — bit-identical on both
+    engines at any corpus size.
+
+    Scale: the LM is VOCABULARY-sized (one map-side-combinable agg
+    over the reference slice, broadcast back); scoring is the BPE-
+    costing shape — explode → (doc, word) partial-agg counts →
+    broadcast LM join → one doc_id agg. The corpus text is never
+    shuffled."""
+    d = load_table(spark, sf_dir, "documents")
+    words = F.explode(
+        F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    ).alias("w")
+    rc = (
+        d.filter(F.col("source") == "src0")
+        .select(words)
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    tot = rc.agg(F.sum("c").cast("long").alias("n"))
+    lm = rc.crossJoin(F.broadcast(tot)).select(
+        "w",
+        (
+            F.lit(21)
+            - F.length(F.conv(F.expr("c * 1000000 DIV n"), 10, 2))
+        ).alias("s"),
+    )
+    dwc = (
+        d.select("doc_id", "lang", words)
+        .filter(F.col("w") != "")
+        .groupBy("doc_id", "lang", "w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    score = F.expr(f"sum(c * coalesce(s, {_SURPRISE_OOV})) * 1000 DIV sum(c)")
+    return (
+        dwc.join(F.broadcast(lm), "w", "left")
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.sum("c").cast("long").alias("n_words"),
+            score.cast("long").alias("surprise_milli"),
+            F.sum(F.when(F.col("s").isNull(), F.col("c")).otherwise(0))
+            .cast("long")
+            .alias("n_oov"),
+            (score <= _SURPRISE_KEEP).cast("int").alias("keep"),
+        )
+    )

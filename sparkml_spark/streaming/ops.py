@@ -65,19 +65,40 @@ def _event_stream(spark, sf_dir):
     return stream.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
+#: State-store partition count for every streaming query in this
+#: module. A streaming job's state partitioning is a DELIBERATE,
+#: checkpoint-baked choice (Spark freezes it at the first batch) —
+#: inheriting whatever batch shuffle setting the session happens to
+#: run (8 in our configs, 200 in a stock cluster session) is wrong in
+#: both directions: too few caps stream parallelism at scale, too many
+#: drowns small-state jobs in per-partition store overhead (the r11
+#: cluster-config canary measured stream_stream_join at 59.6 s under
+#: shuffle.partitions=200 vs well under the 30 s smoke budget pinned
+#: here). Sized for the fixture streams; a production deployment sets
+#: this to its own state-scale choice ONCE and keeps it for the
+#: checkpoint's lifetime.
+_STATE_PARTITIONS = "8"
+
+
 def _run_to_memory(df, name_prefix: str, output_mode: str = "append"):
     """Execute with AvailableNow into a memory sink; return the result
-    as a (batch) DataFrame."""
+    as a (batch) DataFrame. The state partition count is pinned (see
+    _STATE_PARTITIONS) for the duration of the run."""
     name = f"{name_prefix}_{uuid.uuid4().hex[:8]}"
-    q = (
-        df.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(output_mode)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
     spark = df.sparkSession
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", _STATE_PARTITIONS)
+    try:
+        q = (
+            df.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(output_mode)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
     return spark.table(name)
 
 

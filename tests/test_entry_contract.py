@@ -26,9 +26,19 @@ def test_oracle_tier_never_shrinks():
 
 
 def test_query_callables_arity():
+    """The driver calls every queries() entry as fn(spark, sf_dir):
+    exactly two REQUIRED parameters; extra parameters are allowed only
+    with defaults (e.g. sim_rrf_fusion's ann= variant switch)."""
     for name, fn in entrymod.queries().items():
-        params = inspect.signature(fn).parameters
-        assert len(params) == 2, f"{name} must take (spark, sf_dir)"
+        params = list(inspect.signature(fn).parameters.values())
+        assert len(params) >= 2, f"{name} must take (spark, sf_dir)"
+        required = [
+            p for p in params if p.default is inspect.Parameter.empty
+        ]
+        assert len(required) == 2, (
+            f"{name}: extra parameters beyond (spark, sf_dir) must have "
+            f"defaults — driver calls fn(spark, sf_dir)"
+        )
 
 
 def test_oracle_sql_mentions_known_views():
