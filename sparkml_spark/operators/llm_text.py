@@ -1311,3 +1311,117 @@ def quality_surprise_filter(spark, sf_dir):
             (score <= _SURPRISE_KEEP).cast("int").alias("keep"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# text_pii_redact (round 11) — PII scrubbing with exact counts
+# ---------------------------------------------------------------------------
+
+#: Redaction patterns, applied IN ORDER (email first: its domain part
+#: contains dots that the IP pattern must never see; placeholders are
+#: digit-free so later patterns cannot match inside earlier
+#: redactions). Both engines run the same patterns — the syntax subset
+#: used ([..] classes, {m,n}, \\b, literal dots) parses identically in
+#: java.util.regex and RE2.
+_PII_PATTERNS: list[tuple[str, str, str]] = [
+    ("email", r"[a-z0-9._%-]+@[a-z0-9.-]+\.[a-z]{2,}", "<EMAIL>"),
+    ("phone", r"\b555-[0-9]{4}\b", "<PHONE>"),
+    ("ip", r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b", "<IP>"),
+]
+
+_PII_INJECT_SQL = """
+  SELECT doc_id, lang,
+         text ||
+         CASE WHEN doc_id % 7 = 0
+              THEN ' contact u' || CAST(doc_id AS VARCHAR) || '@mail.example.com'
+              ELSE '' END ||
+         CASE WHEN doc_id % 11 = 0
+              THEN ' call 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+              ELSE '' END ||
+         CASE WHEN doc_id % 13 = 0
+              THEN ' from 10.' || CAST(doc_id % 256 AS VARCHAR)
+                   || '.0.' || CAST(doc_id % 100 AS VARCHAR)
+              ELSE '' END AS t
+  FROM documents
+""".strip()
+
+
+@query(
+    "text_pii_redact",
+    section="2.I",
+    oracle=f"""
+WITH pii AS ({_PII_INJECT_SQL})
+SELECT doc_id, lang,
+       CAST(len(regexp_extract_all(t, '{_PII_PATTERNS[0][1]}')) AS BIGINT) AS n_email,
+       CAST(len(regexp_extract_all(t, '{_PII_PATTERNS[1][1]}')) AS BIGINT) AS n_phone,
+       CAST(len(regexp_extract_all(t, '{_PII_PATTERNS[2][1]}')) AS BIGINT) AS n_ip,
+       regexp_replace(regexp_replace(regexp_replace(t,
+          '{_PII_PATTERNS[0][1]}', '{_PII_PATTERNS[0][2]}', 'g'),
+          '{_PII_PATTERNS[1][1]}', '{_PII_PATTERNS[1][2]}', 'g'),
+          '{_PII_PATTERNS[2][1]}', '{_PII_PATTERNS[2][2]}', 'g') AS clean_text
+FROM pii
+""",
+)
+def text_pii_redact(spark, sf_dir):
+    """PII scrubbing — the compliance pass every production training
+    corpus runs before anything else (emails, phone numbers, IP
+    addresses → typed placeholders), with per-document match COUNTS
+    so the redaction rate is monitorable per source/lang. The fixture
+    text carries no PII, so a deterministic synthetic layer is
+    injected first (every 7th doc an email, 11th a phone, 13th an IP
+    — same arithmetic in both engines), making the redaction
+    verifiable end to end: counts AND the full redacted text are
+    hash-pinned cross-engine.
+
+    Regex-dialect discipline: patterns use only the syntax subset
+    that java.util.regex (Spark) and RE2 (DuckDB) parse identically —
+    character classes, bounded repetition, word boundaries, literal
+    dots; no lookaround, no backreferences. Replacement ORDER is part
+    of the contract (emails first — their dotted domains must never
+    reach the IP pattern; placeholders are digit-free so redactions
+    never cascade).
+
+    Scale: one narrow projection — per-row regex work, zero shuffle,
+    zero UDF (Spark's regexp_replace/regexp_count are codegen'd JVM
+    ops). At 100 TB this is the classic embarrassingly parallel scan;
+    the only design decision that matters is keeping it OFF the
+    driver and UDF-free, which this is."""
+    d = load_table(spark, sf_dir, "documents")
+    t = F.concat(
+        F.col("text"),
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(
+                F.lit(" contact u"),
+                F.col("doc_id").cast("string"),
+                F.lit("@mail.example.com"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 11 == 0,
+            F.concat(
+                F.lit(" call 555-"),
+                F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 13 == 0,
+            F.concat(
+                F.lit(" from 10."),
+                (F.col("doc_id") % 256).cast("string"),
+                F.lit(".0."),
+                (F.col("doc_id") % 100).cast("string"),
+            ),
+        ).otherwise(F.lit("")),
+    )
+    clean = F.col("t")
+    for _, pat, repl in _PII_PATTERNS:
+        clean = F.regexp_replace(clean, pat, repl)
+    return d.select("doc_id", "lang", t.alias("t")).select(
+        "doc_id",
+        "lang",
+        F.regexp_count("t", F.lit(_PII_PATTERNS[0][1])).cast("long").alias("n_email"),
+        F.regexp_count("t", F.lit(_PII_PATTERNS[1][1])).cast("long").alias("n_phone"),
+        F.regexp_count("t", F.lit(_PII_PATTERNS[2][1])).cast("long").alias("n_ip"),
+        clean.alias("clean_text"),
+    )
