@@ -1519,3 +1519,93 @@ def quality_drift_chi2(spark, sf_dir):
         .cast("long")
         .alias("n_subppm_buckets"),
     )
+
+
+# ---------------------------------------------------------------------------
+# pipeline_span_corruption (round 11) — T5-style masking manifest
+# ---------------------------------------------------------------------------
+
+_SPAN_LEN = 3
+_SPAN_RATE16 = 9830  # ~15% of 65536 — the T5 default corruption rate
+
+
+@query(
+    "pipeline_span_corruption",
+    section="2.I",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, CAST(len(string_split_regex(lower(trim(text)), '\\s+')) AS BIGINT) AS n_ws
+  FROM documents
+), blocks AS (
+  SELECT doc_id, n_ws, unnest(range(0, n_ws // {_SPAN_LEN})) AS b FROM toks
+), sel AS (
+  SELECT doc_id, n_ws, b
+  FROM blocks
+  WHERE ('0x' || substr(md5('span' || CAST(doc_id AS VARCHAR) || ':'
+          || CAST(b AS VARCHAR)), 1, 4))::INTEGER < {_SPAN_RATE16}
+)
+SELECT doc_id, n_ws,
+       CAST(row_number() OVER (PARTITION BY doc_id ORDER BY b) - 1 AS BIGINT)
+         AS sentinel_id,
+       CAST(b * {_SPAN_LEN} AS BIGINT) AS span_start,
+       CAST({_SPAN_LEN} AS BIGINT) AS span_len
+FROM sel
+""",
+)
+def pipeline_span_corruption(spark, sf_dir):
+    """Span-corruption manifest for T5/UL2-style denoising pretraining:
+    for every document, select ~15% of its tokens as fixed-length mask
+    spans and emit one row per span — (sentinel ordinal, start, len) —
+    the exact structure a dataloader needs to build the corrupted
+    input / target pair (sentinel tokens replace each span in the
+    input; targets are sentinel + original span).
+
+    Determinism discipline: spans are BLOCK-ALIGNED — positions
+    partition into {_SPAN_LEN}-token blocks and a block masks iff
+    md5_chunk16('span'||doc_id||':'||block) < {_SPAN_RATE16}/65536
+    (measured 15.02% of tokens at sf0.001). Block alignment makes
+    non-overlap TRUE BY CONSTRUCTION (no sequential greedy state, so
+    the whole manifest is relational and engine-exact), reproducible
+    across retries, and O(1) decidable per block — the practical
+    trade production pipelines make against i.i.d. span starts.
+    Sentinel ids are per-doc ordinals (row_number over the doc's own
+    selected blocks — a PARTITIONED window, never corpus-wide).
+
+    Scale: explode is n_tok/{_SPAN_LEN} rows per doc (strictly less
+    than the tokenize explode every BPE op already pays), the hash
+    filter is map-side, and the one shuffle is the doc_id window
+    partition."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    blocks = (
+        d.select(
+            "doc_id",
+            F.size(toks).cast("long").alias("n_ws"),
+        )
+        # guard BEFORE the explode: Spark's sequence(0, -1) DESCENDS
+        # ([0, -1]) instead of returning empty like DuckDB's range —
+        # a sub-{_SPAN_LEN}-token doc must yield no blocks, not two
+        # phantom ones (the fixture has no such docs; real data will)
+        .filter(F.col("n_ws") >= _SPAN_LEN)
+        .select(
+            "doc_id",
+            "n_ws",
+            F.explode(
+                F.sequence(F.lit(0), F.expr(f"n_ws DIV {_SPAN_LEN} - 1"))
+            ).alias("b"),
+        )
+    )
+    h16 = md5_chunk16(
+        F.concat(F.lit("span"), F.col("doc_id").cast("string"), F.lit(":"), F.col("b").cast("string"))
+    )
+    w = Window.partitionBy("doc_id").orderBy("b")
+    return (
+        blocks.filter(h16 < _SPAN_RATE16)
+        .select(
+            "doc_id",
+            "n_ws",
+            (F.row_number().over(w) - 1).cast("long").alias("sentinel_id"),
+            (F.col("b") * _SPAN_LEN).cast("long").alias("span_start"),
+            F.lit(_SPAN_LEN).cast("long").alias("span_len"),
+        )
+    )
