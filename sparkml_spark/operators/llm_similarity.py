@@ -1149,3 +1149,100 @@ def sim_rrf_fusion_ann_bound(spark, sf_dir):
             .alias("n_violations")
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# multimodal_caption_alignment (round 11) — CLIP-score-style pair filter
+# ---------------------------------------------------------------------------
+
+@query(
+    "multimodal_caption_alignment",
+    section="2.I",
+    oracle="""
+WITH de AS (
+  SELECT d.doc_id, d.lang, e.embedding
+  FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id
+), comp AS (
+  SELECT lang, unnest(list_transform(embedding, (x, i) -> {'p': i, 'v': x})) AS u
+  FROM de
+), cent AS (
+  SELECT lang, u.p AS pos,
+         round(CAST(SUM(CAST(CAST(u.v AS DOUBLE) AS DECIMAL(27,6))) AS DOUBLE)
+               / COUNT(*), 6) AS c
+  FROM comp GROUP BY lang, u.p
+), cent_arr AS (
+  SELECT lang, list(c ORDER BY pos) AS centroid FROM cent GROUP BY lang
+), scored AS (
+  SELECT de.doc_id, de.lang,
+         CAST(round(list_sum(list_transform(list_zip(de.embedding, ca.centroid),
+              p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))) * 1e6) AS BIGINT)
+           AS align_micro
+  FROM de JOIN cent_arr ca ON de.lang = ca.lang
+), thr AS (
+  SELECT lang, quantile_disc(align_micro, 0.5) AS t FROM scored GROUP BY lang
+)
+SELECT s.doc_id, s.lang, s.align_micro,
+       CAST(CASE WHEN s.align_micro >= t.t THEN 1 ELSE 0 END AS INTEGER) AS keep
+FROM scored s JOIN thr t ON s.lang = t.lang
+""",
+)
+def multimodal_caption_alignment(spark, sf_dir):
+    """CLIP-score-style pair filtering (the LAION recipe, relational):
+    score every (text doc, embedding) pair by its alignment to the
+    language's OWN centroid direction and keep the top half per
+    language — the standard "drop weakly aligned caption/image pairs"
+    gate, with the per-lang centroid standing in for the cross-modal
+    dual encoder this container cannot run (the plumbing — per-group
+    reference direction, exact scoring, per-group discrete threshold —
+    is the real operator; swap the centroid table for real dual-
+    encoder outputs and nothing else changes).
+
+    Exactness: centroid components are exact decimal-grid means
+    (dsum discipline) rounded to the 1e-6 grid; the score is the
+    per-row left-to-right IEEE dot (identical op sequence in both
+    engines — no aggregation-order dependence) quantized to integer
+    micros; the keep threshold is percentile_disc(0.5) — a DISCRETE
+    order statistic on bigint micros (quantile_disc in DuckDB), so
+    no interpolation float ever exists.
+
+    Scale: one doc↔vector equi join, a (lang × 64)-row centroid agg
+    (map-side combinable) broadcast back, a 5-row threshold table
+    broadcast back — the corpus is shuffled ONCE (the join); no
+    corpus-wide window anywhere."""
+    from sparkml_spark.registry import dsum
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    de = d.join(e, F.col("vec_id") == F.col("doc_id")).select(
+        "doc_id", "lang", "embedding"
+    )
+    comp = de.select("lang", F.posexplode("embedding").alias("pos", "v"))
+    cent = comp.groupBy("lang", "pos").agg(
+        F.round(
+            dsum(F.col("v").cast("double")) / F.count(F.lit(1)), 6
+        ).alias("c")
+    )
+    cent_arr = cent.groupBy("lang").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "c"))),
+            lambda x: x.getField("c"),
+        ).alias("centroid")
+    )
+    scored = de.join(F.broadcast(cent_arr), "lang").select(
+        "doc_id",
+        "lang",
+        F.round(_dot("embedding", "centroid") * 1e6)
+        .cast("bigint")
+        .alias("align_micro"),
+    )
+    thr = scored.groupBy("lang").agg(
+        F.expr(
+            "percentile_disc(0.5) WITHIN GROUP (ORDER BY align_micro)"
+        ).alias("t")
+    )
+    return scored.join(F.broadcast(thr), "lang").select(
+        "doc_id",
+        "lang",
+        "align_micro",
+        (F.col("align_micro") >= F.col("t")).cast("int").alias("keep"),
+    )
