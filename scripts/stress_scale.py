@@ -152,6 +152,9 @@ LLM_SUITE = [
     "pipeline_incremental_refresh",
     "sim_rrf_fusion_ann",
     "quality_surprise_filter",
+    "text_pii_redact",
+    "pipeline_span_corruption",
+    "multimodal_caption_alignment",
 ]
 
 

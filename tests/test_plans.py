@@ -613,3 +613,41 @@ def test_incremental_refresh_plan_shape(spark):
     # windows: the lang-budget global agg only (SinglePartition on a
     # <=n_langs-row table), never a corpus-wide ordering window
     assert plan.count("SinglePartition") <= 2, plan[:2000]
+
+
+def test_r11_quality_ops_plan_shapes(spark):
+    """r11 quality/manifold family plan gates:
+    - text_pii_redact is a PURE PROJECTION: no shuffle Exchange, no
+      join, no Python eval — per-row regex only;
+    - pipeline_span_corruption pays exactly one hash Exchange (the
+      doc_id window partition) and no cartesian;
+    - quality_surprise_filter and multimodal_caption_alignment keep
+      their parameter tables (LM / centroids / thresholds) broadcast
+      and never cartesian."""
+    pii = (
+        QUERIES["text_pii_redact"](spark, SF_DIR)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in pii, pii[:2000]
+    assert "Join" not in pii and "EvalPython" not in pii, pii[:2000]
+
+    span = (
+        QUERIES["pipeline_span_corruption"](spark, SF_DIR)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert span.count("Exchange hashpartitioning") == 1, span[:2000]
+    assert "CartesianProduct" not in span, span[:2000]
+
+    for qid in ("quality_surprise_filter", "multimodal_caption_alignment"):
+        plan = (
+            QUERIES[qid](spark, SF_DIR)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "BroadcastHashJoin" in plan, (qid, plan[:2000])
+        assert "CartesianProduct" not in plan, (qid, plan[:2000])
