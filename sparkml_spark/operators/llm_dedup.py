@@ -1662,3 +1662,253 @@ def dedup_containment(spark, sf_dir):
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# dedup_incremental_minhash (round 11) — NEAR-dup incremental dedup
+# ---------------------------------------------------------------------------
+
+#: Arriving batch for the near-dup incremental scenario: the %10==3
+#: originals, plus TRUNCATED copies (last 3 tokens dropped) of corpus
+#: docs and of batch docs — near-duplicates an exact digest can NEVER
+#: catch (dedup_incremental's miss case, by construction).
+_INCR_NEAR_SQL = f"""
+  SELECT doc_id, text FROM documents WHERE doc_id % 10 = 3
+  UNION ALL
+  SELECT doc_id + {_DUP_OFFSET} AS doc_id,
+         array_to_string({_TOKS}[1:len({_TOKS}) - 3], ' ') AS text
+  FROM documents WHERE doc_id % 10 != 3 AND doc_id % 20 = 0
+  UNION ALL
+  SELECT doc_id + {2 * _DUP_OFFSET} AS doc_id,
+         array_to_string({_TOKS}[1:len({_TOKS}) - 3], ' ') AS text
+  FROM documents WHERE doc_id % 50 = 3
+"""
+
+_MINHASH_SIG_SQL = """
+  SELECT doc_id, h, MIN(md5(CAST(h AS VARCHAR) || '|' || shingle)) AS mh
+  FROM {src} CROSS JOIN range(0, {k}) t(h)
+  GROUP BY doc_id, h
+"""
+
+_MINHASH_BANDS_SQL = """
+  SELECT doc_id, h // 2 AS band,
+         MIN(CASE WHEN h % 2 = 0 THEN mh END) || '#'
+           || MIN(CASE WHEN h % 2 = 1 THEN mh END) AS band_key
+  FROM {src} GROUP BY doc_id, h // 2
+"""
+
+
+def _minhash_parts(docs):
+    """(sig, bands) for a (doc_id, text) frame — the dedup_minhash_sql
+    pipeline factored for reuse by the incremental variant."""
+    toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    sh = F.array_distinct(
+        F.transform(
+            _gram4_idx(toks),
+            lambda i: F.concat_ws(
+                " ",
+                F.element_at(toks, i),
+                F.element_at(toks, i + 1),
+                F.element_at(toks, i + 2),
+            ),
+        )
+    )
+    shingled = docs.select("doc_id", F.explode(sh).alias("shingle"))
+    hs = F.explode(F.sequence(F.lit(0), F.lit(_K_HASHES - 1))).alias("h")
+    sig = (
+        shingled.select("doc_id", "shingle", hs)
+        .select(
+            "doc_id",
+            "h",
+            F.md5(
+                F.concat(F.col("h").cast("string"), F.lit("|"), F.col("shingle"))
+            ).alias("mh"),
+        )
+        .groupBy("doc_id", "h")
+        .agg(F.min("mh").alias("mh"))
+    )
+    bands = sig.groupBy("doc_id", F.expr("h DIV 2").alias("band")).agg(
+        F.concat(
+            F.min(F.when(F.col("h") % 2 == 0, F.col("mh"))),
+            F.lit("#"),
+            F.min(F.when(F.col("h") % 2 == 1, F.col("mh"))),
+        ).alias("band_key")
+    )
+    return sig, bands
+
+
+@query(
+    "dedup_incremental_minhash",
+    section="2.I",
+    oracle=f"""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents WHERE doc_id % 10 != 3
+), incr AS ({_INCR_NEAR_SQL}),
+c_shingled AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_transform(range(1, len({_TOKS}) - 2),
+             i -> {_TOKS}[i] || ' ' || {_TOKS}[i+1] || ' ' || {_TOKS}[i+2]))) AS shingle
+  FROM corpus
+),
+i_shingled AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_transform(range(1, len({_TOKS}) - 2),
+             i -> {_TOKS}[i] || ' ' || {_TOKS}[i+1] || ' ' || {_TOKS}[i+2]))) AS shingle
+  FROM incr
+),
+c_sig AS ({_MINHASH_SIG_SQL.format(src="c_shingled", k=_K_HASHES)}),
+i_sig AS ({_MINHASH_SIG_SQL.format(src="i_shingled", k=_K_HASHES)}),
+c_bands AS ({_MINHASH_BANDS_SQL.format(src="c_sig")}),
+i_bands AS ({_MINHASH_BANDS_SQL.format(src="i_sig")}),
+vs_corpus AS (
+  SELECT DISTINCT i.doc_id AS batch_id, c.doc_id AS corpus_id
+  FROM i_bands i JOIN c_bands c
+    ON i.band = c.band AND i.band_key = c.band_key
+),
+vs_corpus_ok AS (
+  SELECT batch_id, corpus_id
+  FROM vs_corpus
+  JOIN i_sig si ON si.doc_id = batch_id
+  JOIN c_sig sc ON sc.doc_id = corpus_id AND sc.h = si.h
+  GROUP BY batch_id, corpus_id
+  HAVING SUM(CASE WHEN si.mh = sc.mh THEN 1 ELSE 0 END) >= {_K_HASHES} / 2
+),
+corpus_keeper AS (
+  SELECT batch_id, MIN(corpus_id) AS keeper FROM vs_corpus_ok GROUP BY batch_id
+),
+within AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM i_bands a JOIN i_bands b
+    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+),
+within_ok AS (
+  SELECT id_a, id_b
+  FROM within
+  JOIN i_sig sa ON sa.doc_id = id_a
+  JOIN i_sig sb ON sb.doc_id = id_b AND sb.h = sa.h
+  GROUP BY id_a, id_b
+  HAVING SUM(CASE WHEN sa.mh = sb.mh THEN 1 ELSE 0 END) >= {_K_HASHES} / 2
+),
+batch_keeper AS (
+  SELECT id_b AS batch_id, MIN(id_a) AS keeper FROM within_ok GROUP BY id_b
+)
+SELECT i.doc_id,
+       CASE WHEN ck.keeper IS NOT NULL THEN 'near_dup_of_corpus'
+            WHEN bk.keeper IS NOT NULL THEN 'near_dup_within_batch'
+            ELSE 'new' END AS status,
+       COALESCE(ck.keeper, bk.keeper) AS keeper_id
+FROM incr i
+LEFT JOIN corpus_keeper ck ON ck.batch_id = i.doc_id
+LEFT JOIN batch_keeper bk ON bk.batch_id = i.doc_id
+""",
+)
+def dedup_incremental_minhash(spark, sf_dir):
+    """NEAR-duplicate incremental dedup — what dedup_incremental's
+    exact digest can NEVER catch: the arriving batch carries
+    TRUNCATED copies (3 tokens dropped) of standing-corpus docs and
+    of batch docs, invisible to any content hash but ~0.9 Jaccard.
+    The standing corpus's MinHash BAND INDEX (4 bands × 2 rows, the
+    same md5 permutation family as dedup_minhash_sql) is the
+    maintained artifact; the batch's bands probe it, band-collision
+    candidates are verified at signature agreement >= 1/2, and each
+    batch doc is classified: near_dup_of_corpus (keeper = min
+    verified corpus match), near_dup_within_batch (keeper = min
+    verified smaller-id batch partner; PAIRWISE, by design —
+    transitive clustering is dedup_cc_clusters' job), or new.
+
+    Scale: the corpus band index is a maintained bucketed table at
+    100 TB — this plan touches it with one equi join keyed (band,
+    band_key), never all-pairs and never a corpus rescan; the
+    signature-verify joins are candidate-pair-sized. The within-batch
+    side is batch² only through band collisions."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    trunc = F.array_join(F.slice(toks, 1, F.size(toks) - 3), " ")
+    corpus = d.filter(F.col("doc_id") % 10 != 3)
+    incr = (
+        d.filter(F.col("doc_id") % 10 == 3)
+        .unionByName(
+            corpus.filter(F.col("doc_id") % 20 == 0).select(
+                (F.col("doc_id") + _DUP_OFFSET).alias("doc_id"),
+                trunc.alias("text"),
+            )
+        )
+        .unionByName(
+            d.filter(F.col("doc_id") % 50 == 3).select(
+                (F.col("doc_id") + 2 * _DUP_OFFSET).alias("doc_id"),
+                trunc.alias("text"),
+            )
+        )
+    )
+    c_sig, c_bands = _minhash_parts(corpus)
+    i_sig, i_bands = _minhash_parts(incr)
+
+    def verified(cand, left_sig, right_sig, lid, rid):
+        sa = left_sig.select(F.col("doc_id").alias(lid), "h", F.col("mh").alias("mh_a"))
+        sb = right_sig.select(F.col("doc_id").alias(rid), "h", F.col("mh").alias("mh_b"))
+        return (
+            cand.join(sa, lid)
+            .join(sb, [rid, "h"])
+            .groupBy(lid, rid)
+            .agg(
+                F.sum(F.when(F.col("mh_a") == F.col("mh_b"), 1).otherwise(0)).alias(
+                    "n_match"
+                )
+            )
+            .filter(F.col("n_match") >= _K_HASHES // 2)
+            .select(lid, rid)
+        )
+
+    vs_corpus = (
+        i_bands.select(F.col("doc_id").alias("batch_id"), "band", "band_key")
+        .join(
+            c_bands.select(F.col("doc_id").alias("corpus_id"), "band", "band_key"),
+            ["band", "band_key"],
+        )
+        .select("batch_id", "corpus_id")
+        .distinct()
+    )
+    corpus_keeper = (
+        verified(vs_corpus, i_sig, c_sig, "batch_id", "corpus_id")
+        .groupBy("batch_id")
+        .agg(F.min("corpus_id").alias("c_keeper"))
+    )
+    within = (
+        i_bands.select(F.col("doc_id").alias("id_a"), "band", "band_key")
+        .join(
+            i_bands.select(F.col("doc_id").alias("id_b"), "band", "band_key"),
+            ["band", "band_key"],
+        )
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    batch_keeper = (
+        verified(within, i_sig, i_sig, "id_a", "id_b")
+        .groupBy("id_b")
+        .agg(F.min("id_a").alias("b_keeper"))
+        .withColumnRenamed("id_b", "batch_id")
+    )
+    return (
+        incr.select("doc_id")
+        .join(
+            F.broadcast(corpus_keeper),
+            F.col("doc_id") == F.col("batch_id"),
+            "left",
+        )
+        .drop("batch_id")
+        .join(
+            F.broadcast(batch_keeper),
+            F.col("doc_id") == F.col("batch_id"),
+            "left",
+        )
+        .drop("batch_id")
+        .select(
+            "doc_id",
+            F.when(F.col("c_keeper").isNotNull(), F.lit("near_dup_of_corpus"))
+            .when(F.col("b_keeper").isNotNull(), F.lit("near_dup_within_batch"))
+            .otherwise(F.lit("new"))
+            .alias("status"),
+            F.coalesce(F.col("c_keeper"), F.col("b_keeper")).alias("keeper_id"),
+        )
+    )

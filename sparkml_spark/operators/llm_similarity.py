@@ -1246,3 +1246,151 @@ def multimodal_caption_alignment(spark, sf_dir):
         "align_micro",
         (F.col("align_micro") >= F.col("t")).cast("int").alias("keep"),
     )
+
+
+# ---------------------------------------------------------------------------
+# sim_retrieval_metrics (round 11) — retrieval-quality evaluation
+# ---------------------------------------------------------------------------
+
+#: round(1e6 / log2(rank+1)) for ranks 1..10 — the nDCG discount as a
+#: LITERAL integer table, identical in both engines by construction
+#: (the transcendental is evaluated once, here, not per-engine).
+_NDCG_DISCOUNT_MICRO = [
+    1000000, 630930, 500000, 430677, 386853,
+    356207, 333333, 315465, 301030, 289065,
+]
+_EVAL_K = 10
+
+
+@query(
+    "sim_retrieval_metrics",
+    section="2.I",
+    oracle=f"""
+WITH disc(rank, d) AS (VALUES {", ".join(f"({i+1}, {d})" for i, d in enumerate(_NDCG_DISCOUNT_MICRO))}),
+q AS (SELECT vec_id, embedding, label FROM embeddings WHERE vec_id < {_N_QUERIES}),
+scored AS (
+  SELECT q.vec_id AS query_id, q.label AS q_label,
+         c.vec_id AS neighbor_id, c.label AS c_label,
+         row_number() OVER (
+           PARTITION BY q.vec_id
+           ORDER BY {_DOT_SQL.format(a='q.embedding', b='c.embedding')} DESC,
+                    c.vec_id ASC) AS rank
+  FROM q JOIN embeddings c ON c.vec_id <> q.vec_id
+),
+nrel AS (
+  SELECT q.vec_id AS query_id, COUNT(*) AS n_rel
+  FROM q JOIN embeddings c
+    ON c.vec_id <> q.vec_id AND c.label = q.label
+  GROUP BY q.vec_id
+),
+topk AS (SELECT * FROM scored WHERE rank <= {_EVAL_K}),
+per_q AS (
+  SELECT query_id,
+         MIN(CASE WHEN c_label = q_label THEN rank END) AS first_rel_rank,
+         CAST(SUM(CASE WHEN c_label = q_label THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_rel_topk,
+         CAST(SUM(CASE WHEN c_label = q_label THEN d ELSE 0 END) AS BIGINT)
+           AS dcg_micro
+  FROM topk JOIN disc USING (rank)
+  GROUP BY query_id
+)
+SELECT p.query_id,
+       CAST(COALESCE(p.first_rel_rank, 0) AS BIGINT) AS first_rel_rank,
+       p.n_rel_topk,
+       CAST(CASE WHEN p.first_rel_rank IS NULL THEN 0
+                 ELSE 1000000 // p.first_rel_rank END AS BIGINT) AS mrr_micro,
+       p.dcg_micro,
+       CAST((SELECT SUM(d) FROM disc
+             WHERE rank <= LEAST(n.n_rel, {_EVAL_K})) AS BIGINT) AS idcg_micro,
+       CAST(p.dcg_micro * 1000000
+            // (SELECT SUM(d) FROM disc
+                WHERE rank <= LEAST(n.n_rel, {_EVAL_K})) AS BIGINT) AS ndcg_ppm
+FROM per_q p JOIN nrel n USING (query_id)
+""",
+)
+def sim_retrieval_metrics(spark, sf_dir):
+    """Retrieval-quality evaluation over the labeled embedding corpus
+    — the metrics an ANN/RAG deployment tracks per release: for each
+    of the {_N_QUERIES} standard queries, rank ALL candidates by
+    exact cosine (the sim_topk_bruteforce ordering, ties → smaller
+    id), treat same-label candidates as relevant, and report
+    first-relevant rank, MRR, precision-numerator (relevant in
+    top-{_EVAL_K}), DCG@{_EVAL_K}, IDCG@{_EVAL_K}, and nDCG — ALL in
+    exact integers: the log2 discount table is a literal evaluated
+    ONCE (see _NDCG_DISCOUNT_MICRO), never a per-engine
+    transcendental, and every division is integer DIV on micro/ppm
+    grids.
+
+    Scale: the eval query set is small by definition (this is the
+    sim_topk_bruteforce O(q·n·d) path — one linear pass, documented
+    cutoff); metrics aggregate over the per-query top-k only. The
+    relevant-count side is a broadcast-query equi count."""
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("label").alias("q_label"),
+    )
+    c = e.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("c_emb"),
+        F.col("label").alias("c_label"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("dot").desc(), F.col("neighbor_id").asc()
+    )
+    disc = F.array(*[F.lit(d) for d in _NDCG_DISCOUNT_MICRO])
+    topk = (
+        F.broadcast(q)
+        .join(c, F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("dot", _dot("q_emb", "c_emb"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _EVAL_K)
+        .withColumn("d", F.element_at(disc, F.col("rank")))
+    )
+    rel = F.col("c_label") == F.col("q_label")
+    per_q = topk.groupBy("query_id").agg(
+        F.min(F.when(rel, F.col("rank"))).alias("first_rel_rank"),
+        F.sum(rel.cast("int")).cast("long").alias("n_rel_topk"),
+        F.sum(F.when(rel, F.col("d")).otherwise(0)).cast("long").alias("dcg_micro"),
+    )
+    nrel = (
+        F.broadcast(q.select("query_id", "q_label"))
+        .join(
+            c.select("neighbor_id", "c_label"),
+            F.col("neighbor_id") != F.col("query_id"),
+        )
+        .filter(rel)
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n_rel"))
+    )
+    # cumulative discount sums for IDCG: prefix[i] = sum d_1..d_i
+    prefix = [0]
+    for d in _NDCG_DISCOUNT_MICRO:
+        prefix.append(prefix[-1] + d)
+    idcg = F.element_at(
+        F.array(*[F.lit(p) for p in prefix[1:]]),
+        F.least(F.col("n_rel"), F.lit(_EVAL_K)).cast("int"),
+    )
+    return (
+        per_q.join(nrel, "query_id")
+        .withColumn("idcg_micro", idcg.cast("long"))
+        .select(
+            "query_id",
+            F.coalesce(F.col("first_rel_rank"), F.lit(0))
+            .cast("long")
+            .alias("first_rel_rank"),
+            "n_rel_topk",
+            F.when(
+                F.col("first_rel_rank").isNull(), F.lit(0)
+            )
+            .otherwise(F.expr("1000000 DIV first_rel_rank"))
+            .cast("long")
+            .alias("mrr_micro"),
+            "dcg_micro",
+            "idcg_micro",
+            F.expr("dcg_micro * 1000000 DIV idcg_micro")
+            .cast("long")
+            .alias("ndcg_ppm"),
+        )
+    )
