@@ -155,6 +155,8 @@ LLM_SUITE = [
     "text_pii_redact",
     "pipeline_span_corruption",
     "multimodal_caption_alignment",
+    "sim_retrieval_metrics",
+    "dedup_incremental_minhash",
 ]
 
 

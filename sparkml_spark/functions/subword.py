@@ -1414,9 +1414,21 @@ def pipeline_incremental_refresh(spark, sf_dir):
     sequential state is shard-bounded. At 100 TB the digest index is
     a maintained bucketed table and this plan touches it with one
     broadcast-probed scan."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    lang_map = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("base_id"), "lang"
+    )
+    return refresh_manifest(d, lang_map)
+
+
+def refresh_manifest(d, lang_map):
+    """The daily-append chain over a (doc_id, text) documents frame —
+    shared by the batch query above and its streaming twin
+    (streaming/ops.py stream_incremental_refresh, which feeds each
+    micro-batch through this exact function). See
+    pipeline_incremental_refresh for semantics and scale posture."""
     from sparkml_spark.operators.llm_dedup import _DUP_OFFSET, _norm
 
-    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     corpus = d.filter(F.col("doc_id") % 10 != 3)
     incr = (
         d.filter(F.col("doc_id") % 10 == 3)
@@ -1459,9 +1471,6 @@ def pipeline_incremental_refresh(spark, sf_dir):
         )
         .filter(F.col("n_ws").between(5, 1000) & (F.col("dr") > 0.3))
         .select("doc_id", "text")
-    )
-    lang_map = load_table(spark, sf_dir, "documents").select(
-        F.col("doc_id").alias("base_id"), "lang"
     )
     enriched = (
         quality.join(bpe_doc_token_counts(quality), "doc_id")

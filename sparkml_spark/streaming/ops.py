@@ -1062,3 +1062,91 @@ def stream_observe_metrics(spark, sf_dir):
         "min_user",
         "max_user",
     )
+
+
+# ---------------------------------------------------------------------------
+# stream_incremental_refresh (round 11) — the daily-append as a stream
+# ---------------------------------------------------------------------------
+
+@query("stream_incremental_refresh", section="2.K", oracle=None)
+def stream_incremental_refresh(spark, sf_dir):
+    """pipeline_incremental_refresh executed as an ACTUAL Structured
+    Streaming job — the deployment shape of the daily append: the
+    documents feed replays through the streaming file source, and
+    each micro-batch runs the IDENTICAL refresh chain (shared
+    refresh_manifest: digest dedup vs the standing index → quality
+    gates → BPE budget mix → next-fit pack) inside foreachBatch,
+    appending its manifest. ORACLE tier with the batch twin's exact
+    SQL: the availableNow file source delivers the fixture in one
+    micro-batch, so the streamed manifest must hash-match the batch
+    chain — any drift means the foreachBatch path diverged from the
+    batch path (the bug this query exists to catch). A multi-batch
+    feed is the production semantics (each batch = one day's
+    arrivals); the single-batch fixture is what makes the equality an
+    oracle rather than a rows check, and a >1-batch run fails loudly
+    instead of comparing apples to oranges.
+
+    Scale: foreachBatch gives every micro-batch the full batch
+    engine — the same broadcast-probed digest lookups and sharded
+    packer, state-free across batches because the standing index is
+    the persistent artifact, not stream state."""
+    import os
+
+    from sparkml_spark.functions.subword import refresh_manifest
+    from sparkml_spark.sources.loader import load_table as _lt
+
+    path = f"{sf_dir}/documents.parquet"
+    schema = spark.read.parquet(path).schema
+    if os.path.isdir(path):
+        stream = spark.readStream.schema(schema).parquet(path)
+    else:
+        stream = (
+            spark.readStream.schema(schema)
+            .option("pathGlobFilter", "documents.parquet")
+            .parquet(sf_dir)
+        )
+    lang_map = _lt(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("base_id"), "lang"
+    )
+    out_rows: list = []
+    n_batches = [0]
+
+    def handle(batch_df, _bid):
+        n_batches[0] += 1
+        out_rows.extend(
+            refresh_manifest(
+                batch_df.select("doc_id", "text"), lang_map
+            ).collect()
+        )
+
+    q = (
+        stream.writeStream.foreachBatch(handle)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    if n_batches[0] != 1:
+        raise RuntimeError(
+            f"stream_incremental_refresh: fixture replay produced "
+            f"{n_batches[0]} micro-batches; the batch-twin oracle is only "
+            "valid for a single-batch feed"
+        )
+    return spark.createDataFrame(
+        [(r["doc_id"], r["lang"], r["shard"], r["n_tokens"], r["bin_id"]) for r in out_rows],
+        "doc_id long, lang string, shard long, n_tokens long, bin_id long",
+    )
+
+
+from sparkml_spark import registry as _registry2  # noqa: E402
+
+def _wire_stream_refresh_oracle():
+    # Import the batch twin's module first so its oracle registration
+    # (subword.py bottom) has run even when this module is imported
+    # standalone; subword never imports streaming, so no cycle.
+    import sparkml_spark.functions.subword  # noqa: F401
+    from sparkml_spark.registry import ORACLES as _O
+
+    _O["stream_incremental_refresh"] = _O["pipeline_incremental_refresh"]
+    _registry2.META["stream_incremental_refresh"]["tier"] = "ORACLE"
+
+_wire_stream_refresh_oracle()
