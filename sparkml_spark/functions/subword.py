@@ -1218,8 +1218,9 @@ _DUCK_MERGE_FOLD = (
     "|| '|' || t END)"
 )
 
-_TRAIN_BPE_ORACLE = f"""
-WITH RECURSIVE
+#: Training recursion CTE block (w0 + tr) — shared by the train-table
+#: oracle and the train-then-APPLY end-to-end oracle below.
+_TRAIN_BPE_CTES = f"""
 w0 AS (
   SELECT word, CAST(COUNT(*) AS BIGINT) AS f
   FROM (SELECT unnest(string_split_regex(lower(trim(text)), '\\s+')) AS word
@@ -1265,6 +1266,11 @@ tr(r, lhs, rhs, n_pair, words) AS (
   ) st
   WHERE best IS NOT NULL
 )
+"""
+
+_TRAIN_BPE_ORACLE = f"""
+WITH RECURSIVE
+{_TRAIN_BPE_CTES}
 SELECT CAST(r AS BIGINT) AS merge_rank, lhs, rhs, n_pair
 FROM tr WHERE r >= 1
 """
@@ -1503,3 +1509,116 @@ _registry.ORACLES["pipeline_incremental_refresh"] = (
     _incremental_refresh_oracle().strip()
 )
 _registry.META["pipeline_incremental_refresh"]["tier"] = "ORACLE"
+
+
+def bpe_tokens_with(word: Column, merges: list[tuple[str, str]]) -> Column:
+    """bpe_tokens against an ARBITRARY merge table (e.g. one the engine
+    just trained) instead of the committed BPE_MERGES literal."""
+    rules = F.array(
+        *[
+            F.struct(
+                F.lit(a).alias("a"), F.lit(b).alias("b"), F.lit(a + b).alias("m")
+            )
+            for a, b in merges
+        ]
+    )
+    chars = F.filter(F.split(word, ""), lambda x: x != F.lit(""))
+    return F.aggregate(rules, chars, _apply_rule)
+
+
+@query(
+    "pipeline_train_bpe_apply",
+    section="2.I",
+    oracle=f"""
+WITH RECURSIVE
+{_TRAIN_BPE_CTES}
+, rules_t AS (SELECT r, lhs AS a, rhs AS b FROM tr WHERE r >= 1),
+bpe_words_t AS (
+  SELECT word FROM (
+    SELECT DISTINCT unnest(string_split_regex(lower(trim(text)), '\\s+')) AS word
+    FROM documents
+  ) WHERE word <> ''
+),
+rec2 AS (
+  SELECT word, 1 AS r, ' ' || regexp_replace(word, '(.)', '\\1 ', 'g') AS seq
+  FROM bpe_words_t
+  UNION ALL
+  SELECT word,
+         CASE WHEN pos > 0 THEN r ELSE r + 1 END AS r,
+         CASE WHEN pos > 0
+              THEN substr(seq, 1, pos - 1) || ' ' || a || b || ' '
+                   || substr(seq, pos + len(a) + len(b) + 3)
+              ELSE seq END AS seq
+  FROM (SELECT word, rec2.r AS r, seq, a, b,
+               strpos(seq, ' ' || a || ' ' || b || ' ') AS pos
+        FROM rec2 JOIN rules_t ON rules_t.r = rec2.r)
+),
+vocab_t AS (
+  SELECT word, CAST(len(string_split(trim(seq), ' ')) AS BIGINT) AS n_bpe
+  FROM rec2 WHERE r = {BPE_N + 1}
+),
+words_l AS (
+  SELECT lang, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS word
+  FROM documents
+),
+wc AS (
+  SELECT lang, word, COUNT(*) AS c FROM words_l WHERE word <> ''
+  GROUP BY lang, word
+)
+SELECT lang,
+       CAST(SUM(c) AS BIGINT) AS n_words,
+       CAST(SUM(c * n_bpe) AS BIGINT) AS n_bpe_tokens,
+       CAST(SUM(c * n_bpe) * 1000000 // SUM(c) AS BIGINT) AS fertility_ppm
+FROM wc JOIN vocab_t USING (word)
+GROUP BY lang
+""",
+)
+def pipeline_train_bpe_apply(spark, sf_dir):
+    """The tokenizer lifecycle END TO END, in-engine and hash-pinned:
+    TRAIN the merge table on the corpus (pipeline_train_bpe's
+    recurrence), then TOKENIZE the corpus with the freshly trained
+    table and report per-language fertility — the loop a production
+    pipeline closes when it retrains its tokenizer on a new corpus
+    snapshot and immediately evaluates coverage. Unlike
+    quality_bpe_fertility (committed table), the rules here are DATA
+    derived from the corpus the query runs on, so the oracle chains
+    BOTH recursions: the greedy training CTE feeds its learned rules
+    table into the word-tokenization CTE (rules join instead of a
+    VALUES literal) — training, inference, and evaluation all verified
+    in one cross-engine hash.
+
+    Scale: training as train_bpe_merges (one corpus pass +
+    vocabulary-sized iterations); inference/evaluation as the BPE
+    family (vocabulary-sized fold, broadcast join, map-side word
+    counts)."""
+    merges = [(a, b) for (_, a, b, _) in train_bpe_merges(spark, sf_dir)]
+    d = load_table(spark, sf_dir, "documents")
+    w = F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("word")
+    vocab_t = (
+        d.select(w)
+        .distinct()
+        .filter(F.col("word") != "")
+        .select(
+            "word",
+            F.size(bpe_tokens_with(F.col("word"), merges))
+            .cast("long")
+            .alias("n_bpe"),
+        )
+    )
+    wc = (
+        d.select("lang", w)
+        .filter(F.col("word") != "")
+        .groupBy("lang", "word")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    return (
+        wc.join(F.broadcast(vocab_t), "word")
+        .groupBy("lang")
+        .agg(
+            F.sum("c").cast("long").alias("n_words"),
+            F.sum(F.col("c") * F.col("n_bpe")).cast("long").alias("n_bpe_tokens"),
+            F.expr("sum(c * n_bpe) * 1000000 DIV sum(c)")
+            .cast("long")
+            .alias("fertility_ppm"),
+        )
+    )
