@@ -1609,3 +1609,164 @@ def pipeline_span_corruption(spark, sf_dir):
             F.lit(_SPAN_LEN).cast("long").alias("span_len"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# pipeline_right_to_forget (round 11) — deletion propagation accounting
+# ---------------------------------------------------------------------------
+
+@query(
+    "pipeline_right_to_forget",
+    section="2.I",
+    oracle="""
+WITH forget AS (
+  SELECT doc_id FROM documents WHERE doc_id % 97 = 0
+), before_t AS (
+  SELECT lang, source, COUNT(*) AS docs_before,
+         CAST(SUM(len(string_split_regex(lower(trim(text)), '\\s+'))) AS BIGINT)
+           AS toks_before
+  FROM documents GROUP BY lang, source
+), after_t AS (
+  SELECT lang, source, COUNT(*) AS docs_after,
+         CAST(SUM(len(string_split_regex(lower(trim(text)), '\\s+'))) AS BIGINT)
+           AS toks_after
+  FROM documents d
+  WHERE NOT EXISTS (SELECT 1 FROM forget f WHERE f.doc_id = d.doc_id)
+  GROUP BY lang, source
+)
+SELECT b.lang, b.source,
+       CAST(b.docs_before AS BIGINT) AS docs_before,
+       CAST(COALESCE(a.docs_after, 0) AS BIGINT) AS docs_after,
+       CAST(b.docs_before - COALESCE(a.docs_after, 0) AS BIGINT) AS docs_removed,
+       CAST(b.toks_before - COALESCE(a.toks_after, 0) AS BIGINT) AS tokens_removed
+FROM before_t b LEFT JOIN after_t a
+  ON a.lang = b.lang AND a.source = b.source
+""",
+)
+def pipeline_right_to_forget(spark, sf_dir):
+    """Deletion-request propagation with the audit trail a compliance
+    team actually signs off on (GDPR/CCPA right-to-erasure over a
+    training corpus): given a forget-set of document ids (fixture:
+    every 97th doc), anti-join it out of the corpus and report, per
+    (lang, source) cell, documents and tokens before/after/removed —
+    the evidence that the deletion REACHED every slice, not just the
+    primary store.
+
+    Scale: the forget-set is request-sized → broadcast anti join (the
+    only touch on the corpus); both censuses are map-side-combinable
+    aggs over the same scan. At 100 TB the after-census normally
+    rides the rewrite job that physically drops the rows — same
+    plan, different sink."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.size(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).cast("long")
+    forget = d.filter(F.col("doc_id") % 97 == 0).select("doc_id")
+    before = d.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("docs_before"),
+        F.sum(toks).alias("toks_before"),
+    )
+    after = (
+        d.join(F.broadcast(forget), "doc_id", "left_anti")
+        .groupBy("lang", "source")
+        .agg(
+            F.count(F.lit(1)).alias("docs_after"),
+            F.sum(toks).alias("toks_after"),
+        )
+    )
+    return before.join(after, ["lang", "source"], "left").select(
+        "lang",
+        "source",
+        F.col("docs_before").cast("long").alias("docs_before"),
+        F.coalesce(F.col("docs_after"), F.lit(0)).cast("long").alias("docs_after"),
+        (F.col("docs_before") - F.coalesce(F.col("docs_after"), F.lit(0)))
+        .cast("long")
+        .alias("docs_removed"),
+        (F.col("toks_before") - F.coalesce(F.col("toks_after"), F.lit(0)))
+        .cast("long")
+        .alias("tokens_removed"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# pipeline_lineage_fingerprint (round 11) — reproducibility certificate
+# ---------------------------------------------------------------------------
+
+@query(
+    "pipeline_lineage_fingerprint",
+    section="2.I",
+    oracle=f"""
+WITH hashed AS (
+  SELECT doc_id, md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS h
+  FROM documents
+), keeps AS (
+  SELECT MIN(doc_id) AS doc_id FROM hashed GROUP BY h
+), mixed AS (
+  SELECT doc_id FROM keeps
+  WHERE ('0x' || substr(md5('mix' || CAST(doc_id AS VARCHAR)), 1, 4))::INTEGER
+        < 49152
+), stage AS (
+  SELECT 'dedup_keeps' AS stage, COUNT(*) AS n_rows,
+         md5(string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id))
+           AS fingerprint
+  FROM keeps
+  UNION ALL
+  SELECT 'mix_keeps' AS stage, COUNT(*) AS n_rows,
+         md5(string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id))
+           AS fingerprint
+  FROM mixed
+)
+SELECT stage, CAST(n_rows AS BIGINT) AS n_rows, fingerprint
+FROM stage
+""",
+)
+def pipeline_lineage_fingerprint(spark, sf_dir):
+    """A reproducibility CERTIFICATE for the corpus pipeline: each
+    stage's keep-set is reduced to one (stage, row-count, md5 of the
+    ordered id list) row — the fingerprint two independent runs (or
+    two engines) must agree on for the lineage to be trusted. The
+    fixture chain: exact-dedup keeps → deterministic 75% mix keeps.
+    Any reordering, dropped id, or nondeterministic keep flips the
+    digest — this is the hash a production run writes next to its
+    output manifest so a retrained model can name exactly which
+    corpus it saw.
+
+    Exactness: the per-stage digest is md5 over the doc_id list in
+    ASCENDING ORDER (explicit ORDER BY inside the string agg on both
+    engines); ids are integers, so formatting is engine-identical.
+
+    Scale: each fingerprint is one sort of an id PROJECTION (longs,
+    not rows) + a streaming md5 — at 100 TB you shard the digest
+    (md5 per id-range, then md5 of the digests) to avoid the single
+    reducer; the fixture-scale single digest keeps the oracle
+    simple and the semantics identical."""
+    from sparkml_spark.operators.llm_dedup import _norm
+
+    d = load_table(spark, sf_dir, "documents")
+    keeps = (
+        d.select(_norm().alias("h"), "doc_id")
+        .groupBy("h")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    h16 = md5_chunk16(F.concat(F.lit("mix"), F.col("doc_id").cast("string")))
+    mixed = keeps.filter(h16 < 49152)
+
+    def fingerprint(df, name):
+        return df.agg(
+            F.lit(name).alias("stage"),
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.md5(
+                F.concat_ws(
+                    ",",
+                    # sort the LONGS, then stringify — a string sort
+                    # would put "10" before "9" and flip the digest
+                    F.transform(
+                        F.array_sort(F.collect_list("doc_id")),
+                        lambda x: x.cast("string"),
+                    ),
+                )
+            ).alias("fingerprint"),
+        )
+
+    return fingerprint(keeps, "dedup_keeps").unionByName(
+        fingerprint(mixed, "mix_keeps")
+    )
