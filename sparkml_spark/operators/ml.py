@@ -1405,3 +1405,74 @@ def ml_text_hash_bound(spark, sf_dir):
         .crossJoin(v_neg)
         .select((F.col("v_twin") + F.col("v_mass") + F.col("v_neg")).alias("n_violations"))
     )
+
+
+# ---------------------------------------------------------------------------
+# ml_target_encode (round 11) — smoothed target encoding, exact
+# ---------------------------------------------------------------------------
+
+_TE_SMOOTH = 10  # Bayesian smoothing pseudo-count toward the global mean
+
+
+@query(
+    "ml_target_encode",
+    section="2.J",
+    oracle=f"""
+WITH pairs AS (
+  SELECT d.lang, e.label
+  FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id
+), g_all AS (
+  SELECT CAST(SUM(label) AS BIGINT) AS s_all, COUNT(*) AS n_all FROM pairs
+), per_cat AS (
+  SELECT lang, CAST(SUM(label) AS BIGINT) AS s, COUNT(*) AS n
+  FROM pairs GROUP BY lang
+)
+SELECT lang,
+       CAST(n AS BIGINT) AS n,
+       s AS sum_label,
+       CAST((s * 1000000 + {_TE_SMOOTH} * (s_all * 1000000 // n_all))
+            // (n + {_TE_SMOOTH}) AS BIGINT) AS enc_ppm,
+       CAST(s_all * 1000000 // n_all AS BIGINT) AS global_mean_ppm
+FROM per_cat CROSS JOIN g_all
+""",
+)
+def ml_target_encode(spark, sf_dir):
+    """Smoothed target (mean) encoding — the leakage-aware categorical
+    feature transform gradient-boosting pipelines reach for when
+    one-hot explodes: encode each category (lang, via the doc↔vector
+    join) by its target mean (the embedding label) shrunk toward the
+    GLOBAL mean with a pseudo-count of {_TE_SMOOTH}:
+    enc = (sum + m·global_mean) / (n + m). MLlib has no transformer
+    for this, so it is exactly the kind of operator a user leaves the
+    library for — and exactly where float drift creeps in; here the
+    encoding is an exact integer ppm: the global mean is quantized
+    ONCE to ppm (documented grid step), then one integer DIV per
+    category — both engines bit-identical at any row count where
+    sum·1e6 fits int64 (labels ≤ 9 ⇒ safe past 1e11 rows/category;
+    beyond that, decimal accumulators per the dsum discipline).
+
+    Scale: one equi join + a category-sized agg + a scalar global agg
+    broadcast back — the per-category table is tiny by definition."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "label")
+    pairs = d.join(e, F.col("vec_id") == F.col("doc_id")).select("lang", "label")
+    glob = pairs.agg(
+        F.sum("label").cast("long").alias("s_all"),
+        F.count(F.lit(1)).alias("n_all"),
+    )
+    per_cat = pairs.groupBy("lang").agg(
+        F.sum("label").cast("long").alias("s"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    return per_cat.crossJoin(F.broadcast(glob)).select(
+        "lang",
+        F.col("n").cast("long").alias("n"),
+        F.col("s").alias("sum_label"),
+        F.expr(
+            f"(s * 1000000 + {_TE_SMOOTH} * (s_all * 1000000 DIV n_all))"
+            f" DIV (n + {_TE_SMOOTH})"
+        )
+        .cast("long")
+        .alias("enc_ppm"),
+        F.expr("s_all * 1000000 DIV n_all").cast("long").alias("global_mean_ppm"),
+    )

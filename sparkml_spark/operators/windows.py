@@ -509,3 +509,71 @@ def win_interval_overlap(spark, sf_dir):
         F.max("concurrent").cast("bigint").alias("max_concurrent"),
         (F.count(F.lit(1)) / 2).alias("n_intervals"),
     )
+
+
+# ---------------------------------------------------------------------------
+# win_user_streaks (round 11) — calendar gaps-and-islands per user
+# ---------------------------------------------------------------------------
+
+@query(
+    "win_user_streaks",
+    section="2.E",
+    oracle="""
+WITH days AS (
+  SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS d
+  FROM events
+), islands AS (
+  SELECT user_id, d,
+         d - CAST(row_number() OVER (PARTITION BY user_id ORDER BY d)
+                  AS INTEGER) AS island
+  FROM days
+), runs AS (
+  SELECT user_id, island, COUNT(*) AS len,
+         MIN(d) AS streak_start
+  FROM islands GROUP BY user_id, island
+)
+SELECT user_id,
+       CAST(MAX(len) AS BIGINT) AS longest_streak_days,
+       CAST(COUNT(*) AS BIGINT) AS n_streaks,
+       MIN(CASE WHEN len = (SELECT MAX(r2.len) FROM runs r2
+                            WHERE r2.user_id = runs.user_id)
+                THEN streak_start END) AS best_streak_start
+FROM runs GROUP BY user_id
+""",
+)
+def win_user_streaks(spark, sf_dir):
+    """Longest consecutive-day activity streak per user — the classic
+    gaps-and-islands: distinct (user, day) → day minus the per-user
+    day ordinal is CONSTANT within a consecutive run (subtracting a
+    ramp from a ramp), so the difference IS the island key; one
+    group-by per island, one per user. Reports longest streak, total
+    streak count, and the (earliest) start date of a longest streak —
+    deterministic under ties by MIN.
+
+    Scale: windows are user-partitioned (never corpus-wide), islands
+    collapse map-side, and the whole op rides the events table's
+    natural user bucketing. Giant single-user partitions: same
+    (user, day) pre-split note as win_sessionize_batch."""
+    e = load_table(spark, sf_dir, "events")
+    days = e.select(
+        "user_id", F.to_date(F.date_trunc("day", F.col("ts"))).alias("d")
+    ).distinct()
+    w = Window.partitionBy("user_id").orderBy("d")
+    islands = days.withColumn(
+        "island", F.date_sub(F.col("d"), F.row_number().over(w))
+    )
+    runs = islands.groupBy("user_id", "island").agg(
+        F.count(F.lit(1)).alias("len"), F.min("d").alias("streak_start")
+    )
+    w_best = Window.partitionBy("user_id")
+    return (
+        runs.withColumn("max_len", F.max("len").over(w_best))
+        .groupBy("user_id")
+        .agg(
+            F.max("len").cast("long").alias("longest_streak_days"),
+            F.count(F.lit(1)).cast("long").alias("n_streaks"),
+            F.min(
+                F.when(F.col("len") == F.col("max_len"), F.col("streak_start"))
+            ).alias("best_streak_start"),
+        )
+    )
