@@ -157,6 +157,11 @@ LLM_SUITE = [
     "multimodal_caption_alignment",
     "sim_retrieval_metrics",
     "dedup_incremental_minhash",
+    "pipeline_train_bpe_apply",
+    "pipeline_right_to_forget",
+    "pipeline_lineage_fingerprint",
+    "win_user_streaks",
+    "ml_target_encode",
 ]
 
 
