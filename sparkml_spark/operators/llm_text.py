@@ -1425,3 +1425,84 @@ def text_pii_redact(spark, sf_dir):
         F.regexp_count("t", F.lit(_PII_PATTERNS[2][1])).cast("long").alias("n_ip"),
         clean.alias("clean_text"),
     )
+
+
+# ---------------------------------------------------------------------------
+# quality_keep_decision (round 11) — THE production keep bit
+# ---------------------------------------------------------------------------
+
+@query("quality_keep_decision", section="2.I", oracle=None)
+def quality_keep_decision(spark, sf_dir):
+    """The FINAL per-document keep decision a production corpus build
+    writes — the conjunction of this engine's quality gates with
+    per-gate attribution: Gopher heuristics (quality_gopher_filter),
+    reference-LM surprisal (quality_surprise_filter), and PII
+    presence (text_pii_redact's counts over the synthetic-PII layer;
+    a doc carrying PII is quarantined for redaction, not kept as-is).
+    One row per doc: each gate's verdict plus final_keep = AND of all
+    three — so a filter-debugging session reads WHICH gate killed a
+    doc without re-running anything.
+
+    Composition discipline: both sides are BUILT FROM the registered
+    pieces — the Spark plan joins the three gate queries' DataFrames;
+    the oracle nests the three gates' REGISTERED oracle strings as
+    subqueries (see the module-bottom registration) — so this op can
+    never drift from its components: any gate fix propagates here by
+    construction.
+
+    Scale: three narrow per-doc computations joined on doc_id — the
+    gates are zero-shuffle projections or broadcast-LM aggs; the
+    join keys are co-partitionable on doc_id."""
+    from sparkml_spark.registry import QUERIES
+
+    g = QUERIES["quality_gopher_filter"](spark, sf_dir).select(
+        "doc_id", F.col("keep").alias("gopher_keep")
+    )
+    s = QUERIES["quality_surprise_filter"](spark, sf_dir).select(
+        "doc_id", F.col("keep").alias("surprise_keep")
+    )
+    p = QUERIES["text_pii_redact"](spark, sf_dir).select(
+        "doc_id",
+        (F.col("n_email") + F.col("n_phone") + F.col("n_ip")).alias("n_pii"),
+    )
+    return (
+        g.join(s, "doc_id")
+        .join(p, "doc_id")
+        .select(
+            "doc_id",
+            "gopher_keep",
+            "surprise_keep",
+            F.col("n_pii").cast("long").alias("n_pii"),
+            (
+                (F.col("gopher_keep") == 1)
+                & (F.col("surprise_keep") == 1)
+                & (F.col("n_pii") == 0)
+            )
+            .cast("int")
+            .alias("final_keep"),
+        )
+    )
+
+
+def _wire_keep_decision_oracle():
+    from sparkml_spark import registry as _r
+
+    g = _r.ORACLES["quality_gopher_filter"].strip().rstrip(";")
+    s = _r.ORACLES["quality_surprise_filter"].strip().rstrip(";")
+    p = _r.ORACLES["text_pii_redact"].strip().rstrip(";")
+    _r.ORACLES["quality_keep_decision"] = f"""
+SELECT g.doc_id,
+       g.keep AS gopher_keep,
+       s.keep AS surprise_keep,
+       CAST(p.n_email + p.n_phone + p.n_ip AS BIGINT) AS n_pii,
+       CAST(CASE WHEN g.keep = 1 AND s.keep = 1
+                  AND p.n_email + p.n_phone + p.n_ip = 0
+            THEN 1 ELSE 0 END AS INTEGER) AS final_keep
+FROM ({g}) g
+JOIN ({s}) s ON s.doc_id = g.doc_id
+JOIN ({p}) p ON p.doc_id = g.doc_id
+""".strip()
+    _r.META["quality_keep_decision"]["tier"] = "ORACLE"
+
+
+_wire_keep_decision_oracle()
