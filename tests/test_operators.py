@@ -535,3 +535,137 @@ def test_incremental_refresh_rerun_determinism(spark):
     )
     first, second = run(), run()
     assert first and first == second
+
+
+def test_pii_redact_idempotent(spark):
+    """Redaction must be a FIXPOINT: applying the pattern set to
+    already-redacted text changes nothing (placeholders are digit-free
+    and @-free by design, so no pattern can re-match). A second pass
+    that changes anything means redactions cascade."""
+    from pyspark.sql import functions as F
+
+    from sparkml_spark.operators.llm_text import _PII_PATTERNS
+
+    once = QUERIES["text_pii_redact"](spark, SF_DIR).select("doc_id", "clean_text")
+    twice_col = F.col("clean_text")
+    for _, pat, repl in _PII_PATTERNS:
+        twice_col = F.regexp_replace(twice_col, pat, repl)
+    diff = once.filter(twice_col != F.col("clean_text")).count()
+    assert diff == 0
+
+
+def test_span_corruption_structure(spark):
+    """Spans are block-aligned (start % 3 == 0), fixed-length,
+    non-overlapping per doc, sentinel ids are dense 0..k-1 per doc in
+    start order, and the corpus-wide masked fraction sits near the 15%
+    target (10-20% window)."""
+    rows = QUERIES["pipeline_span_corruption"](spark, SF_DIR).collect()
+    by_doc: dict = {}
+    for r in rows:
+        assert r["span_len"] == 3 and r["span_start"] % 3 == 0
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    total_ws = {r["doc_id"]: r["n_ws"] for r in rows}
+    for doc, spans in by_doc.items():
+        spans.sort(key=lambda r: r["span_start"])
+        assert [r["sentinel_id"] for r in spans] == list(range(len(spans)))
+        for a, b in zip(spans, spans[1:]):
+            assert a["span_start"] + 3 <= b["span_start"]
+    masked = 3 * len(rows)
+    frac = masked / sum(total_ws.values())
+    assert 0.10 <= frac <= 0.20, frac
+
+
+def test_surprise_filter_bounds(spark):
+    """Scores live on the bit-bucket grid's possible range (1..24
+    bits/word in milli units), the fixture corpus has zero OOV mass
+    (every word appears in the src0 reference slice), and the score
+    actually discriminates (min < threshold < max)."""
+    from sparkml_spark.operators.llm_text import _SURPRISE_KEEP
+
+    rows = QUERIES["quality_surprise_filter"](spark, SF_DIR).collect()
+    scores = [r["surprise_milli"] for r in rows]
+    assert all(1000 <= s <= 24000 for s in scores)
+    assert sum(r["n_oov"] for r in rows) == 0
+    assert min(scores) <= _SURPRISE_KEEP <= max(scores)
+    assert {r["keep"] for r in rows} == {0, 1}
+
+
+def test_lineage_fingerprint_deterministic(spark):
+    """Two executions must produce byte-identical stage digests — the
+    whole point of a lineage certificate."""
+    run = lambda: sorted(
+        (r["stage"], r["n_rows"], r["fingerprint"])
+        for r in QUERIES["pipeline_lineage_fingerprint"](spark, SF_DIR).collect()
+    )
+    assert run() == run()
+
+
+def test_user_streaks_vs_python_bruteforce(spark):
+    """Independent third oracle (beyond DuckDB): recompute every
+    user's longest consecutive-day streak in plain Python from the
+    raw (user, day) pairs and compare."""
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    from sparkml_spark.sources.loader import load_table
+
+    e = load_table(spark, SF_DIR, "events")
+    pairs = {
+        (r["user_id"], r["d"])
+        for r in e.select(
+            "user_id", F.to_date(F.date_trunc("day", F.col("ts"))).alias("d")
+        )
+        .distinct()
+        .collect()
+    }
+    days_by_user: dict = {}
+    for u, d in pairs:
+        days_by_user.setdefault(u, set()).add(d)
+    expect = {}
+    for u, days in days_by_user.items():
+        best, cur = 1, 1
+        ordered = sorted(days)
+        for a, b in zip(ordered, ordered[1:]):
+            cur = cur + 1 if (b - a) == datetime.timedelta(days=1) else 1
+            best = max(best, cur)
+        expect[u] = best
+    got = {
+        r["user_id"]: r["longest_streak_days"]
+        for r in QUERIES["win_user_streaks"](spark, SF_DIR).collect()
+    }
+    assert got == expect
+
+
+def test_target_encode_shrinkage(spark):
+    """The encoding must land BETWEEN the category mean and the global
+    mean (that is what shrinkage means), within 1 ppm of integer
+    rounding slop, and equal weights: bigger categories move less."""
+    rows = QUERIES["ml_target_encode"](spark, SF_DIR).collect()
+    for r in rows:
+        cat_mean = r["sum_label"] * 1_000_000 // r["n"]
+        lo, hi = sorted((cat_mean, r["global_mean_ppm"]))
+        assert lo - 1 <= r["enc_ppm"] <= hi + 1, r
+
+
+def test_keep_decision_matches_components(spark):
+    """The composed verdict must equal the AND of the component gates
+    recomputed independently, row for row."""
+    g = {
+        r["doc_id"]: r["keep"]
+        for r in QUERIES["quality_gopher_filter"](spark, SF_DIR).collect()
+    }
+    s = {
+        r["doc_id"]: r["keep"]
+        for r in QUERIES["quality_surprise_filter"](spark, SF_DIR).collect()
+    }
+    p = {
+        r["doc_id"]: r["n_email"] + r["n_phone"] + r["n_ip"]
+        for r in QUERIES["text_pii_redact"](spark, SF_DIR).collect()
+    }
+    for r in QUERIES["quality_keep_decision"](spark, SF_DIR).collect():
+        i = r["doc_id"]
+        assert r["gopher_keep"] == g[i] and r["surprise_keep"] == s[i]
+        assert r["n_pii"] == p[i]
+        expect = 1 if (g[i] == 1 and s[i] == 1 and p[i] == 0) else 0
+        assert r["final_keep"] == expect, (i, r)
