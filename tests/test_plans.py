@@ -651,3 +651,35 @@ def test_r11_quality_ops_plan_shapes(spark):
         )
         assert "BroadcastHashJoin" in plan, (qid, plan[:2000])
         assert "CartesianProduct" not in plan, (qid, plan[:2000])
+
+
+def test_r11_late_ops_plan_shapes(spark):
+    """Late-r11 family plan gates: the forget-set anti join and the
+    target-encode/keep-decision parameter joins must broadcast (no
+    shuffled join on a request-sized side), streaks must window only
+    on user partitions (no SinglePartition window), and nothing may
+    cartesian."""
+    for qid in (
+        "pipeline_right_to_forget",
+        "ml_target_encode",
+        "quality_keep_decision",
+    ):
+        plan = (
+            QUERIES[qid](spark, SF_DIR)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "CartesianProduct" not in plan, (qid, plan[:2000])
+        assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan, (
+            qid,
+            plan[:2000],
+        )
+    streaks = (
+        QUERIES["win_user_streaks"](spark, SF_DIR)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in streaks, streaks[:2000]
+    assert "SinglePartition" not in streaks, streaks[:2000]
