@@ -184,10 +184,18 @@ def build_ivf_index(spark, sf_dir):
     the index as two RELATIONS: `assign` (vec_id, embedding, cell) —
     the inverted file — and `centroids` (cell, centroid). Pure data,
     so the index persists as plain parquet (save/load_ivf_index)."""
+    return build_ivf_index_from(
+        spark, load_table(spark, sf_dir, "embeddings")
+    )
+
+
+def build_ivf_index_from(spark, e):
+    """build_ivf_index over an arbitrary (vec_id, embedding) frame —
+    lets the incremental-ingest op fit the quantizer on the STANDING
+    subset only."""
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
-    e = load_table(spark, sf_dir, "embeddings")
     vecs = e.select("vec_id", "embedding", array_to_vector("embedding").alias("features"))
     from sparkml_spark.operators.ml import _strip_summary
 
@@ -1392,5 +1400,141 @@ def sim_retrieval_metrics(spark, sf_dir):
             F.expr("dcg_micro * 1000000 DIV idcg_micro")
             .cast("long")
             .alias("ndcg_ppm"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# sim_ivf_incremental_ingest (round 11) — append to a standing index
+# ---------------------------------------------------------------------------
+
+def _ivf_ingest_parts(spark, sf_dir):
+    """(standing assign, centroids, arriving ingested-assign): fit the
+    quantizer on the standing 80% (vec_id % 5 != 4), then route the
+    arriving 20% to cells RELATIONALLY — argmin of the exact euclidean
+    form ||c||² − 2·v·c over the broadcast centroid table (unit-norm v
+    makes ||v||² constant), ties → smaller cell. No refit: production
+    ingest routes against frozen centroids until the next rebuild."""
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    standing = e.filter(F.col("vec_id") % 5 != 4)
+    arriving = e.filter(F.col("vec_id") % 5 == 4)
+    assign0, centroids = build_ivf_index_from(spark, standing)
+    cdot = F.aggregate(
+        F.zip_with("embedding", "centroid", lambda x, y: x.cast("double") * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    cnorm2 = F.aggregate(
+        F.transform("centroid", lambda x: x * x), F.lit(0.0), lambda a, v: a + v
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.col("score").asc(), F.col("cell").asc())
+    ingested = (
+        arriving.crossJoin(F.broadcast(centroids))
+        .withColumn("score", cnorm2 - 2 * cdot)
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("vec_id", "embedding", "cell")
+    )
+    return assign0, centroids, ingested
+
+
+@query("sim_ivf_incremental_ingest", section="2.I")
+def sim_ivf_incremental_ingest(spark, sf_dir):
+    """The vector index's APPEND path (completing the lifecycle:
+    build → persist → serve → INGEST): the quantizer is fit on the
+    standing 80% of vectors; the arriving 20% are routed to cells
+    against the FROZEN centroids (one broadcast join + per-vector
+    argmin — the production ingest shape, no refit), and the standard
+    query set is answered from the UPDATED inverted file. ROWS tier
+    (KMeans centroids are engine-private); sim_ivf_ingest_bound pins
+    routing optimality, exactly-once coverage, and post-ingest
+    recall."""
+    assign0, centroids, ingested = _ivf_ingest_parts(spark, sf_dir)
+    full = assign0.unionByName(ingested)
+    return ivf_probe_topk(full, centroids, _ivf_default_queries(full)).select(
+        "query_id", "neighbor_id", F.round("dot", 6).alias("cosine"), "rank"
+    )
+
+
+@query("sim_ivf_ingest_bound", section="2.I", oracle=ZERO_VIOLATIONS)
+def sim_ivf_ingest_bound(spark, sf_dir):
+    """ORACLE pin for the ingest path, exact-integer violations:
+      (a) exactly-once coverage — every arriving vector lands in
+          EXACTLY one cell, and standing assignments are untouched;
+      (b) routing optimality, verified RELATIONALLY — no centroid
+          scores strictly better than the chosen cell (or ties with a
+          smaller cell id) under the exact ||c||² − 2·v·c form the
+          router itself uses: catches a broken argmin window or
+          tie-break without depending on MLlib's float internals;
+      (c) post-ingest recall — the updated index must still clear the
+          IVF floor (>= 0.3 of the exact top-k over the FULL corpus):
+          ingest that silently degrades search fails here."""
+    e = load_table(spark, sf_dir, "embeddings")
+    assign0, centroids, ingested = _ivf_ingest_parts(spark, sf_dir)
+    n_arriving = e.filter(F.col("vec_id") % 5 == 4).agg(
+        F.count(F.lit(1)).alias("n_arr")
+    )
+    v_cover = (
+        ingested.groupBy("vec_id")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .agg(
+            F.sum(F.when(F.col("c") != 1, 1).otherwise(0)).alias("v_multi"),
+            F.count(F.lit(1)).alias("n_assigned"),
+        )
+        .crossJoin(n_arriving)
+        .select(
+            (
+                F.col("v_multi")
+                + (F.col("n_assigned") != F.col("n_arr")).cast("bigint")
+            ).alias("v_cover")
+        )
+    )
+    cdot = F.aggregate(
+        F.zip_with("embedding", "centroid", lambda x, y: x.cast("double") * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    cnorm2 = F.aggregate(
+        F.transform("centroid", lambda x: x * x), F.lit(0.0), lambda a, v: a + v
+    )
+    chosen = ingested.select("vec_id", "embedding", F.col("cell").alias("chosen"))
+    rescored = (
+        chosen.crossJoin(F.broadcast(centroids))
+        .withColumn("score", cnorm2 - 2 * cdot)
+    )
+    chosen_score = rescored.filter(F.col("cell") == F.col("chosen")).select(
+        "vec_id", F.col("score").alias("s_chosen")
+    )
+    v_opt = (
+        rescored.join(chosen_score, "vec_id")
+        .filter(
+            (F.col("score") < F.col("s_chosen"))
+            | (
+                (F.col("score") == F.col("s_chosen"))
+                & (F.col("cell") < F.col("chosen"))
+            )
+        )
+        .agg(F.count(F.lit(1)).alias("v_opt"))
+    )
+    full = assign0.unionByName(ingested)
+    ann = ivf_probe_topk(full, centroids, _ivf_default_queries(full)).select(
+        "query_id", "neighbor_id"
+    )
+    exact = sim_topk_bruteforce(spark, sf_dir).select("query_id", "neighbor_id")
+    v_recall = (
+        ann.join(exact, ["query_id", "neighbor_id"], "left_semi")
+        .agg(F.count(F.lit(1)).alias("n_hit"))
+        .crossJoin(exact.agg(F.count(F.lit(1)).alias("n_exact")))
+        .select(
+            (F.col("n_hit") < 0.3 * F.col("n_exact")).cast("bigint").alias("v_recall")
+        )
+    )
+    return (
+        v_cover.crossJoin(v_opt)
+        .crossJoin(v_recall)
+        .select(
+            (F.col("v_cover") + F.col("v_opt") + F.col("v_recall"))
+            .cast("bigint")
+            .alias("n_violations")
         )
     )
