@@ -1770,3 +1770,97 @@ def pipeline_lineage_fingerprint(spark, sf_dir):
     return fingerprint(keeps, "dedup_keeps").unionByName(
         fingerprint(mixed, "mix_keeps")
     )
+
+
+# ---------------------------------------------------------------------------
+# pipeline_mix_temperature (round 11) — temperature-based language sampling
+# ---------------------------------------------------------------------------
+
+@query(
+    "pipeline_mix_temperature",
+    section="2.I",
+    oracle="""
+WITH lt AS (
+  SELECT lang, doc_id,
+         CAST(len(string_split_regex(lower(trim(text)), '\\s+')) AS BIGINT) AS t
+  FROM documents
+), agg AS (
+  SELECT lang, SUM(t) AS n_l, COUNT(*) AS n_docs FROM lt GROUP BY lang
+), mn AS (SELECT MIN(n_l) AS n_min FROM agg),
+thr AS (
+  SELECT lang, n_l, n_docs,
+         CAST(floor(65536 * (sqrt(CAST(n_min AS DOUBLE))
+                             / sqrt(CAST(n_l AS DOUBLE)))) AS INTEGER) AS thr16
+  FROM agg CROSS JOIN mn
+), kept AS (
+  SELECT l.lang, l.t
+  FROM lt l JOIN thr ON thr.lang = l.lang
+  WHERE ('0x' || substr(md5('temp' || CAST(l.doc_id AS VARCHAR)), 1, 4))::INTEGER
+        < thr.thr16
+)
+SELECT t.lang,
+       CAST(t.n_docs AS BIGINT) AS n_docs,
+       CAST(t.n_l AS BIGINT) AS n_tokens,
+       t.thr16,
+       CAST(COUNT(k.t) AS BIGINT) AS kept_docs,
+       CAST(COALESCE(SUM(k.t), 0) AS BIGINT) AS kept_tokens
+FROM thr t LEFT JOIN kept k ON k.lang = t.lang
+GROUP BY t.lang, t.n_docs, t.n_l, t.thr16
+""",
+)
+def pipeline_mix_temperature(spark, sf_dir):
+    """Temperature-based multilingual sampling [mBERT/XLM-R/mT5
+    lineage]: sample each language at rate ∝ n_l^(α−1) so the KEPT
+    token mass follows n_l^α — up-weighting low-resource languages
+    without exploding them. α is fixed at 0.5 (square-root
+    smoothing), deliberately: n^(α−1) for general α needs pow(), a
+    transcendental whose last-ulp differs across libm builds, while
+    IEEE-754 REQUIRES sqrt (and division) to be exactly rounded — so
+    rate_l = sqrt(n_min)/sqrt(n_l) is bit-identical on both engines,
+    and the 16-bit keep threshold floor(65536·rate) inherits that
+    exactness. Keeps use the standard salted-hash filter ('temp'
+    salt), so the sample is deterministic and independent of the
+    other mixes. Output: per-lang census, threshold, and kept
+    docs/tokens — kept_tokens ≈ sqrt(n_min·n_l), the α=0.5 profile.
+
+    Scale: a 5-row language census broadcast back onto the corpus —
+    the token_budget_mix shape; one scan, no corpus shuffle."""
+    d = load_table(spark, sf_dir, "documents")
+    t = F.size(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).cast("long")
+    lt = d.select("lang", "doc_id", t.alias("t"))
+    agg = lt.groupBy("lang").agg(
+        F.sum("t").alias("n_l"), F.count(F.lit(1)).alias("n_docs")
+    )
+    mn = agg.agg(F.min("n_l").alias("n_min"))
+    thr = agg.crossJoin(F.broadcast(mn)).select(
+        "lang",
+        "n_l",
+        "n_docs",
+        F.floor(
+            65536
+            * (
+                F.sqrt(F.col("n_min").cast("double"))
+                / F.sqrt(F.col("n_l").cast("double"))
+            )
+        )
+        .cast("int")
+        .alias("thr16"),
+    )
+    h16 = md5_chunk16(F.concat(F.lit("temp"), F.col("doc_id").cast("string")))
+    kept = (
+        lt.join(F.broadcast(thr.select("lang", "thr16")), "lang")
+        .filter(h16 < F.col("thr16"))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("kept_docs"),
+            F.sum("t").alias("kept_tokens"),
+        )
+    )
+    return thr.join(kept, "lang", "left").select(
+        "lang",
+        F.col("n_docs").cast("long").alias("n_docs"),
+        F.col("n_l").alias("n_tokens"),
+        "thr16",
+        F.coalesce(F.col("kept_docs"), F.lit(0)).cast("long").alias("kept_docs"),
+        F.coalesce(F.col("kept_tokens"), F.lit(0)).cast("long").alias("kept_tokens"),
+    )
