@@ -162,6 +162,9 @@ LLM_SUITE = [
     "pipeline_lineage_fingerprint",
     "win_user_streaks",
     "ml_target_encode",
+    "quality_keep_decision",
+    "pipeline_mix_temperature",
+    "sim_ivf_ingest_bound",
 ]
 
 
