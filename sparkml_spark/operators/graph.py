@@ -199,3 +199,363 @@ def graph_pagerank(spark, sf_dir):
             .localCheckpoint(eager=True)
         )
     return ranks.select("node", F.round("rank", 6).alias("pagerank"))
+
+
+# ---------------------------------------------------------------------------
+# Co-occurrence graph family (round 11): edges -> triangles / label
+# propagation / link prediction. The graph is users co-active in the
+# same (event_type, hour) bucket — the standard behavioral graph a
+# training-data platform derives from an event log.
+# ---------------------------------------------------------------------------
+
+#: Celebrity guard: (event_type, hour) buckets with more than this many
+#: distinct users are dropped BEFORE pair expansion. Without it the
+#: pair join is quadratic in bucket size (a single 10k-user bucket =
+#: 50M pairs); with it each bucket emits <= C(20,2) = 190 pairs, so
+#: edge count grows linearly with bucket count (i.e. with data size),
+#: never quadratically with audience size. This is the production
+#: co-occurrence recipe (drop-the-head, not sample-the-head) — the cap
+#: binds only at sf0.1+ in the fixtures (max bucket: 3 / 10 / 51 users
+#: at sf0.001 / 0.01 / 0.1).
+COOCCUR_CAP = 20
+
+_COOCCUR_EDGES_SQL = """
+mem AS (
+  SELECT DISTINCT event_type, date_trunc('hour', ts) AS h, user_id AS u
+  FROM events
+), ok AS (
+  SELECT event_type, h FROM mem GROUP BY event_type, h
+  HAVING COUNT(*) <= 20
+), m AS (
+  SELECT mem.event_type, mem.h, mem.u
+  FROM mem JOIN ok ON ok.event_type = mem.event_type AND ok.h = mem.h
+), e AS (
+  SELECT m1.u AS a, m2.u AS b, CAST(COUNT(*) AS BIGINT) AS w
+  FROM m m1 JOIN m m2
+    ON m1.event_type = m2.event_type AND m1.h = m2.h AND m1.u < m2.u
+  GROUP BY m1.u, m2.u
+)
+"""
+
+
+def _cooccur_edges(spark, sf_dir):
+    """Undirected weighted edge list (a < b, w = co-active buckets).
+
+    Plan shape: one distinct over (type, hour, user) — a single
+    shuffle on the narrow membership key — then a bucket-local
+    self-join (both sides partitioned by the same (type, hour) key, so
+    AQE plans it without a second full shuffle of the fact table), a
+    HAVING-filtered semi join against the tiny ok-bucket list, and one
+    final (a, b) aggregation. The fact table is scanned once; nothing
+    after `mem` is proportional to raw event count."""
+    e = load_table(spark, sf_dir, "events")
+    mem = e.select(
+        "event_type",
+        F.date_trunc("hour", F.col("ts")).alias("h"),
+        F.col("user_id").alias("u"),
+    ).distinct()
+    ok = (
+        mem.groupBy("event_type", "h")
+        .agg(F.count(F.lit(1)).alias("n_u"))
+        .filter(F.col("n_u") <= COOCCUR_CAP)
+        .select("event_type", "h")
+    )
+    m = mem.join(ok, ["event_type", "h"])
+    m1 = m.select("event_type", "h", F.col("u").alias("a"))
+    m2 = m.select("event_type", "h", F.col("u").alias("b"))
+    return (
+        m1.join(m2, ["event_type", "h"])
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).cast("long").alias("w"))
+    )
+
+
+@query(
+    "graph_cooccur_edges",
+    section="2.I",
+    oracle=f"""
+WITH {_COOCCUR_EDGES_SQL}
+SELECT a, b, w FROM e
+""",
+)
+def graph_cooccur_edges(spark, sf_dir):
+    """Behavioral co-occurrence graph extraction: undirected weighted
+    edges between users co-active in the same (event_type, hour)
+    bucket, with the celebrity cap documented on COOCCUR_CAP. This is
+    the edge-extraction half of the graph family — the 100 TB-shaped
+    part (one fact shuffle; everything downstream is graph-sized, not
+    event-sized). Full edge list returned so the oracle pins every
+    edge and weight, not a summary."""
+    return _cooccur_edges(spark, sf_dir)
+
+
+@query(
+    "graph_triangle_count",
+    section="2.I",
+    oracle=f"""
+WITH {_COOCCUR_EDGES_SQL},
+und AS (
+  SELECT a AS s, b AS t FROM e UNION ALL SELECT b AS s, a AS t FROM e
+), deg AS (
+  SELECT s AS node, CAST(COUNT(*) AS BIGINT) AS d FROM und GROUP BY s
+), o AS (
+  SELECT CASE WHEN (da.d, e.a) < (db.d, e.b) THEN e.a ELSE e.b END AS src,
+         CASE WHEN (da.d, e.a) < (db.d, e.b) THEN e.b ELSE e.a END AS dst
+  FROM e JOIN deg da ON da.node = e.a JOIN deg db ON db.node = e.b
+), tri AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles
+  FROM o e1 JOIN o e2 ON e2.src = e1.dst
+            JOIN o e3 ON e3.src = e1.src AND e3.dst = e2.dst
+), agg AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes,
+         CAST(SUM(d * (d - 1) // 2) AS BIGINT) AS n_wedges
+  FROM deg
+)
+SELECT agg.n_nodes,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM e) AS n_edges,
+       agg.n_wedges,
+       tri.n_triangles,
+       CASE WHEN agg.n_wedges > 0
+            THEN round(3.0 * tri.n_triangles / agg.n_wedges, 6)
+            ELSE CAST(0.0 AS DOUBLE) END AS global_clustering
+FROM agg CROSS JOIN tri
+""",
+)
+def graph_triangle_count(spark, sf_dir):
+    """Triangle counting by degree orientation [the standard
+    MapReduce/Spark triangle recipe — Suri & Vassilvitskii, WWW'11
+    "Counting Triangles and the Curse of the Last Reducer"]: orient
+    each undirected edge from its lexicographically-(degree, id)
+    smaller endpoint to the larger, then count directed paths
+    e1=(u,v), e2=(v,w) closed by e3=(u,w). Orientation makes every
+    node's out-degree O(sqrt(m)), so the wedge join is bounded even
+    around hubs — THE property that keeps this linear-ish at 100 TB
+    where a naive undirected wedge join melts on the last reducer.
+    Output: one row of graph invariants incl. the global clustering
+    coefficient 3*triangles/wedges (single exact int division,
+    rounded at 6dp on both engines)."""
+    e = _cooccur_edges(spark, sf_dir).cache()
+    und = e.select(F.col("a").alias("s"), F.col("b").alias("t")).unionAll(
+        e.select(F.col("b").alias("s"), F.col("a").alias("t"))
+    )
+    deg = und.groupBy(F.col("s").alias("node")).agg(
+        F.count(F.lit(1)).cast("long").alias("d")
+    )
+    da = deg.select(F.col("node").alias("a"), F.col("d").alias("da"))
+    db = deg.select(F.col("node").alias("b"), F.col("d").alias("db"))
+    smaller_first = (F.col("da") < F.col("db")) | (
+        (F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))
+    )
+    o = (
+        e.join(da, "a")
+        .join(db, "b")
+        .select(
+            F.when(smaller_first, F.col("a")).otherwise(F.col("b")).alias("src"),
+            F.when(smaller_first, F.col("b")).otherwise(F.col("a")).alias("dst"),
+        )
+        .cache()
+    )
+    e1 = o.select(F.col("src").alias("u"), F.col("dst").alias("v"))
+    e2 = o.select(F.col("src").alias("v"), F.col("dst").alias("w"))
+    e3 = o.select(F.col("src").alias("u"), F.col("dst").alias("w"))
+    tri = (
+        e1.join(e2, "v")
+        .join(e3, ["u", "w"])
+        .agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))
+    )
+    agg = deg.agg(
+        F.count(F.lit(1)).cast("long").alias("n_nodes"),
+        F.sum(F.expr("d * (d - 1) DIV 2")).cast("long").alias("n_wedges"),
+    )
+    n_edges = e.agg(F.count(F.lit(1)).cast("long").alias("n_edges"))
+    return (
+        agg.crossJoin(tri)
+        .crossJoin(n_edges)
+        .select(
+            "n_nodes",
+            "n_edges",
+            "n_wedges",
+            "n_triangles",
+            F.when(
+                F.col("n_wedges") > 0,
+                F.round(3.0 * F.col("n_triangles") / F.col("n_wedges"), 6),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("global_clustering"),
+        )
+    )
+
+
+def _lp_round_sql(k: int) -> str:
+    """One unrolled label-propagation round as DuckDB CTEs: unlabeled
+    nodes adopt the weighted-mode label among their labeled neighbors
+    (weight-sum desc, then smaller label — the deterministic tiebreak
+    both engines replay); seeded labels are clamped."""
+    p = k - 1
+    return f""",
+cand{k} AS (
+  SELECT und.s AS node, l{p}.lab AS lab, SUM(und.w) AS sw
+  FROM und JOIN l{p} ON l{p}.node = und.t
+  WHERE l{p}.lab IS NOT NULL
+  GROUP BY und.s, l{p}.lab
+), pick{k} AS (
+  SELECT node, lab FROM (
+    SELECT node, lab,
+           ROW_NUMBER() OVER (PARTITION BY node ORDER BY sw DESC, lab ASC) AS rn
+    FROM cand{k}
+  ) WHERE rn = 1
+), l{k} AS (
+  SELECT l{p}.node, COALESCE(l{p}.lab, pick{k}.lab) AS lab
+  FROM l{p} LEFT JOIN pick{k} ON pick{k}.node = l{p}.node
+)"""
+
+
+@query(
+    "graph_label_propagation",
+    section="2.I",
+    oracle=f"""
+WITH {_COOCCUR_EDGES_SQL},
+und AS (
+  SELECT a AS s, b AS t, w FROM e UNION ALL SELECT b AS s, a AS t, w FROM e
+), l0 AS (
+  SELECT DISTINCT s AS node,
+         CASE WHEN s % 3 = 0 THEN CAST(s % 7 AS BIGINT) ELSE NULL END AS lab
+  FROM und
+){_lp_round_sql(1)}{_lp_round_sql(2)}{_lp_round_sql(3)}
+SELECT COALESCE(lab, -1) AS label, CAST(COUNT(*) AS BIGINT) AS n_nodes
+FROM l3 GROUP BY COALESCE(lab, -1)
+""",
+)
+def graph_label_propagation(spark, sf_dir):
+    """Semi-supervised label propagation with clamped seeds [Zhu &
+    Ghahramani 2002 lineage, synchronized rounds]: seed nodes
+    (user_id % 3 == 0) carry label user_id % 7 and never change;
+    unlabeled nodes adopt, each round, the weighted-mode label among
+    their labeled neighbors (edge-weight sum desc, smaller label on
+    ties — fully deterministic, never the engine's native mode()).
+    Three synchronized rounds, unrolled identically in the DuckDB
+    twin. Output: final label census (label -1 = still unreachable).
+
+    Scale: per the module docstring, iterate-small — all three rounds
+    run on the aggregated edge list (graph-sized), each round one
+    groupBy + one window on <= |E| rows; the raw event log is touched
+    once, inside the shared edge extraction."""
+    e = _cooccur_edges(spark, sf_dir)
+    und = e.select(
+        F.col("a").alias("s"), F.col("b").alias("t"), "w"
+    ).unionAll(e.select(F.col("b").alias("s"), F.col("a").alias("t"), "w")).cache()
+    labs = und.select(F.col("s").alias("node")).distinct().select(
+        "node",
+        F.when(F.col("node") % 3 == 0, (F.col("node") % 7).cast("long")).alias("lab"),
+    )
+    from pyspark.sql import Window
+
+    for _ in range(3):
+        cand = (
+            und.join(
+                labs.filter(F.col("lab").isNotNull()).withColumnRenamed("node", "t"),
+                "t",
+            )
+            .groupBy(F.col("s").alias("node"), "lab")
+            .agg(F.sum("w").alias("sw"))
+        )
+        wn = Window.partitionBy("node").orderBy(
+            F.col("sw").desc(), F.col("lab").asc()
+        )
+        pick = (
+            cand.withColumn("rn", F.row_number().over(wn))
+            .filter(F.col("rn") == 1)
+            .select("node", F.col("lab").alias("plab"))
+        )
+        labs = labs.join(pick, "node", "left").select(
+            "node", F.coalesce(F.col("lab"), F.col("plab")).alias("lab")
+        )
+    return labs.groupBy(
+        F.coalesce(F.col("lab"), F.lit(-1)).alias("label")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_nodes"))
+
+
+@query(
+    "graph_jaccard_links",
+    section="2.I",
+    oracle=f"""
+WITH {_COOCCUR_EDGES_SQL},
+nb AS (
+  SELECT a AS s, b AS t FROM e UNION ALL SELECT b AS s, a AS t FROM e
+), deg AS (
+  SELECT s AS node, CAST(COUNT(*) AS BIGINT) AS d FROM nb GROUP BY s
+), inter AS (
+  SELECT n1.t AS a, n2.t AS b, CAST(COUNT(*) AS BIGINT) AS ninter
+  FROM nb n1 JOIN nb n2 ON n1.s = n2.s AND n1.t < n2.t
+  GROUP BY n1.t, n2.t
+), cand AS (
+  SELECT i.a, i.b, i.ninter,
+         da.d + db.d - i.ninter AS nunion
+  FROM inter i
+  JOIN deg da ON da.node = i.a JOIN deg db ON db.node = i.b
+  WHERE NOT EXISTS (SELECT 1 FROM e WHERE e.a = i.a AND e.b = i.b)
+)
+SELECT a, b, ninter, CAST(nunion AS BIGINT) AS nunion,
+       round(CAST(ninter AS DOUBLE) / nunion, 6) AS jaccard
+FROM cand
+ORDER BY jaccard DESC, a ASC, b ASC
+LIMIT 50
+""",
+)
+def graph_jaccard_links(spark, sf_dir):
+    """Link prediction by neighbor-Jaccard [Liben-Nowell & Kleinberg
+    2003]: for each non-adjacent pair at distance 2, J(a,b) =
+    |N(a) inter N(b)| / |N(a) union N(b)|; top-50 candidate links by
+    (jaccard desc, a, b). The intersection is counted by a wedge join
+    through the common neighbor; the union comes from degrees by
+    inclusion-exclusion (no second join); existing edges are removed
+    with an anti join. The jaccard double is ONE exact integer
+    division (IEEE exactly rounded) so both engines sort identical
+    values; (a, b) breaks every remaining tie, so the LIMIT boundary
+    is deterministic.
+
+    Scale: wedge-pivot degree is bounded by the COOCCUR_CAP guard
+    upstream (a node gains <= CAP-1 neighbors per co-activity bucket),
+    so candidate generation is sum-of-squares over CAPPED bucket
+    memberships, not over raw hub degrees; the top-50 is a
+    TakeOrderedAndProject, never a global sort materialization."""
+    e = _cooccur_edges(spark, sf_dir).cache()
+    nb = e.select(F.col("a").alias("s"), F.col("b").alias("t")).unionAll(
+        e.select(F.col("b").alias("s"), F.col("a").alias("t"))
+    ).cache()
+    deg = nb.groupBy(F.col("s").alias("node")).agg(
+        F.count(F.lit(1)).cast("long").alias("d")
+    )
+    n1 = nb.select("s", F.col("t").alias("a"))
+    n2 = nb.select("s", F.col("t").alias("b"))
+    inter = (
+        n1.join(n2, "s")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).cast("long").alias("ninter"))
+    )
+    cand = (
+        inter.join(e.select("a", "b"), ["a", "b"], "left_anti")
+        .join(deg.select(F.col("node").alias("a"), F.col("d").alias("da")), "a")
+        .join(deg.select(F.col("node").alias("b"), F.col("d").alias("db")), "b")
+        .select(
+            "a",
+            "b",
+            "ninter",
+            (F.col("da") + F.col("db") - F.col("ninter")).cast("long").alias("nunion"),
+        )
+    )
+    return (
+        cand.select(
+            "a",
+            "b",
+            "ninter",
+            "nunion",
+            F.round(F.col("ninter").cast("double") / F.col("nunion"), 6).alias(
+                "jaccard"
+            ),
+        )
+        .orderBy(F.col("jaccard").desc(), F.col("a").asc(), F.col("b").asc())
+        .limit(50)
+    )
