@@ -1912,3 +1912,152 @@ def dedup_incremental_minhash(spark, sf_dir):
             F.coalesce(F.col("c_keeper"), F.col("b_keeper")).alias("keeper_id"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# dedup_bloom_prefilter (round 11) — Bloom-filter membership prefilter
+# for arriving-batch dedup, with exact false-positive accounting.
+# ---------------------------------------------------------------------------
+
+_BLOOM_NORM = "lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))"
+
+
+@query(
+    "dedup_bloom_prefilter",
+    section="2.I",
+    oracle=f"""
+WITH standing AS (
+  SELECT doc_id, md5({_BLOOM_NORM}) AS h FROM documents WHERE doc_id % 4 != 0
+), arriving AS (
+  SELECT doc_id, md5({_BLOOM_NORM}) AS h FROM documents WHERE doc_id % 4 = 0
+  UNION ALL
+  SELECT doc_id + {{off}} AS doc_id, md5({_BLOOM_NORM}) AS h
+  FROM documents WHERE doc_id % 4 != 0 AND doc_id % 8 = 1
+), bits AS (
+  SELECT DISTINCT ('0x' || substr(h, 1 + 4 * j, 4))::BIGINT AS pos
+  FROM standing CROSS JOIN (SELECT unnest([0, 1, 2]) AS j)
+), probes AS (
+  SELECT a.doc_id, a.h, ('0x' || substr(a.h, 1 + 4 * j.j, 4))::BIGINT AS pos
+  FROM arriving a CROSS JOIN (SELECT unnest([0, 1, 2]) AS j) j
+), verdicts AS (
+  SELECT p.doc_id, p.h,
+         CAST(MIN(CASE WHEN bits.pos IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS maybe
+  FROM probes p LEFT JOIN bits ON bits.pos = p.pos
+  GROUP BY p.doc_id, p.h
+), truth AS (
+  SELECT v.doc_id, v.maybe,
+         CASE WHEN EXISTS (SELECT 1 FROM standing s WHERE s.h = v.h)
+              THEN 1 ELSE 0 END AS is_dup
+  FROM verdicts v
+)
+SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM standing) AS n_standing,
+       CAST(COUNT(*) AS BIGINT) AS n_arriving,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM bits) AS n_bits_set,
+       CAST(SUM(maybe) AS BIGINT) AS n_maybe_dup,
+       CAST(SUM(is_dup) AS BIGINT) AS n_true_dup,
+       CAST(SUM(CASE WHEN maybe = 1 AND is_dup = 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_false_pos,
+       CAST(SUM(CASE WHEN maybe = 0 AND is_dup = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_missed
+FROM truth
+""".replace("{off}", "1000000"),
+)
+def dedup_bloom_prefilter(spark, sf_dir):
+    """Bloom-filter membership prefilter for arriving-batch dedup
+    [Bloom 1970; the standard production shape: a compact bit-set of
+    the standing corpus routes the arriving batch so only maybe-dups
+    pay the exact comparison]. m = 2^16 positions, k = 3 hashes (md5
+    hex chunks of the whitespace-normalized text — the dedup family's
+    normalization). An arriving doc is maybe-dup iff ALL THREE of its
+    positions are set. The exact truth (normalized-hash semi join)
+    classifies every verdict, so the output pins both sides of the
+    filter's contract in one row: n_missed MUST be 0 (Bloom filters
+    have no false negatives — a miss here is an implementation bug,
+    not a tuning artifact), while n_false_pos is the measured cost of
+    the shortcut (expected ~ (1-e^{-kn/m})^k of novel docs).
+
+    Scale: the bit-set is <= 65,536 distinct positions REGARDLESS of
+    corpus size — it broadcasts at any scale; the arriving batch is
+    scanned once, probed against the broadcast, and only the maybe
+    slice would reach the exact join in the production chain
+    (dedup_incremental). Arriving batch: every 4th doc (novel) plus
+    re-keyed copies of standing docs with doc_id % 8 == 1 (true
+    dups)."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    norm = F.lower(F.trim(F.regexp_replace("text", r"\s+", " ")))
+    standing = d.filter(F.col("doc_id") % 4 != 0).select(
+        "doc_id", F.md5(norm).alias("h")
+    )
+    arriving = (
+        d.filter(F.col("doc_id") % 4 == 0)
+        .select("doc_id", F.md5(norm).alias("h"))
+        .unionByName(
+            d.filter((F.col("doc_id") % 4 != 0) & (F.col("doc_id") % 8 == 1)).select(
+                (F.col("doc_id") + 1000000).alias("doc_id"), F.md5(norm).alias("h")
+            )
+        )
+    )
+
+    def positions(df):
+        return df.select(
+            "doc_id",
+            "h",
+            F.explode(
+                F.array(
+                    *[
+                        F.conv(F.substring("h", 1 + 4 * j, 4), 16, 10).cast("long")
+                        for j in range(3)
+                    ]
+                )
+            ).alias("pos"),
+        )
+
+    bits = positions(standing).select("pos").distinct()
+    probed = positions(arriving).join(
+        F.broadcast(bits.withColumn("hit", F.lit(1))), "pos", "left"
+    )
+    verdicts = probed.groupBy("doc_id", "h").agg(
+        F.min(F.coalesce(F.col("hit"), F.lit(0))).cast("long").alias("maybe")
+    )
+    truth = verdicts.join(
+        F.broadcast(
+            standing.select("h").distinct().withColumn("present", F.lit(1))
+        ),
+        "h",
+        "left",
+    ).select(
+        "doc_id",
+        "maybe",
+        F.coalesce(F.col("present"), F.lit(0)).cast("long").alias("is_dup"),
+    )
+    n_standing = standing.agg(F.count(F.lit(1)).cast("long").alias("n_standing"))
+    n_bits = bits.agg(F.count(F.lit(1)).cast("long").alias("n_bits_set"))
+    summary = truth.agg(
+        F.count(F.lit(1)).cast("long").alias("n_arriving"),
+        F.sum("maybe").cast("long").alias("n_maybe_dup"),
+        F.sum("is_dup").cast("long").alias("n_true_dup"),
+        F.sum(
+            F.when((F.col("maybe") == 1) & (F.col("is_dup") == 0), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_false_pos"),
+        F.sum(
+            F.when((F.col("maybe") == 0) & (F.col("is_dup") == 1), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_missed"),
+    )
+    return (
+        n_standing.crossJoin(summary)
+        .crossJoin(n_bits)
+        .select(
+            "n_standing",
+            "n_arriving",
+            "n_bits_set",
+            "n_maybe_dup",
+            "n_true_dup",
+            "n_false_pos",
+            "n_missed",
+        )
+    )

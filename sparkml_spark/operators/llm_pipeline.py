@@ -1864,3 +1864,295 @@ def pipeline_mix_temperature(spark, sf_dir):
         F.coalesce(F.col("kept_docs"), F.lit(0)).cast("long").alias("kept_docs"),
         F.coalesce(F.col("kept_tokens"), F.lit(0)).cast("long").alias("kept_tokens"),
     )
+
+
+# ---------------------------------------------------------------------------
+# pipeline_dsir_select (round 11) — importance-resampling data selection
+# ---------------------------------------------------------------------------
+
+_DSIR_B = 1024  # hashed-feature buckets (DSIR's "hashed n-gram" space)
+
+
+@query(
+    "pipeline_dsir_select",
+    section="2.I",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, lang, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS tok
+  FROM documents
+), bt AS (
+  SELECT doc_id, lang,
+         ('0x' || substr(md5(tok), 1, 4))::BIGINT % {_DSIR_B} AS b
+  FROM toks
+), tgt AS (
+  SELECT b, CAST(COUNT(*) AS BIGINT) AS ct FROM bt WHERE lang = 'en' GROUP BY b
+), raw AS (
+  SELECT b, CAST(COUNT(*) AS BIGINT) AS cr FROM bt GROUP BY b
+), tot AS (
+  SELECT (SELECT SUM(ct) FROM tgt) AS nt, (SELECT SUM(cr) FROM raw) AS nr
+), w AS (
+  SELECT raw.b,
+         round(ln((CAST(COALESCE(tgt.ct, 0) + 1 AS DOUBLE)
+                   * CAST(tot.nr + {_DSIR_B} AS DOUBLE))
+                  / (CAST(tot.nt + {_DSIR_B} AS DOUBLE)
+                     * CAST(raw.cr + 1 AS DOUBLE))), 9) AS lw
+  FROM raw CROSS JOIN tot LEFT JOIN tgt ON tgt.b = raw.b
+), scored AS (
+  SELECT bt.doc_id,
+         CAST(COUNT(*) AS BIGINT) AS n_tokens,
+         round(CAST(SUM(CAST(w.lw AS DECIMAL(30,9))) AS DOUBLE), 6) AS dsir_score
+  FROM bt JOIN w ON w.b = bt.b
+  GROUP BY bt.doc_id
+)
+SELECT doc_id, n_tokens, dsir_score FROM scored
+ORDER BY dsir_score DESC, doc_id ASC
+LIMIT 100
+""",
+)
+def pipeline_dsir_select(spark, sf_dir):
+    """Data Selection via Importance Resampling [DSIR, Xie et al.
+    2023, arXiv:2302.03169]: score every raw document by its
+    log-likelihood ratio under hashed-unigram models of a TARGET
+    domain (here lang='en') vs the RAW corpus, then keep the top-k.
+    Features are md5-hashed token buckets (B=1024) with add-one
+    smoothing, exactly the paper's hashed n-gram estimator at n=1.
+
+    Float parity: the ln argument is assembled as one
+    (exact-int-product as double) division — each product stays under
+    2^53 at fixture scales, so both engines hand ln the identical
+    double; each per-token weight is then quantized at 9dp and
+    decimal-summed (order-independent), the family pattern from
+    text_tfidf_sql. At 100 TB the counts would be pre-scaled before
+    the product (documented, same contract as lsum's overflow note).
+
+    Scale: the corpus is tokenized ONCE (the genuinely heavy map); the
+    bucket-weight table is B=1024 rows — broadcast onto the token
+    stream, partial-agg per doc, and the top-100 is a
+    TakeOrderedAndProject. Nothing but the one doc_id shuffle."""
+    d = load_table(spark, sf_dir, "documents")
+    bt = d.select(
+        "doc_id",
+        "lang",
+        F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("tok"),
+    ).select(
+        "doc_id",
+        "lang",
+        (md5_chunk16(F.col("tok")) % _DSIR_B).alias("b"),
+    )
+    tgt = (
+        bt.filter(F.col("lang") == "en")
+        .groupBy("b")
+        .agg(F.count(F.lit(1)).cast("long").alias("ct"))
+    )
+    raw = bt.groupBy("b").agg(F.count(F.lit(1)).cast("long").alias("cr"))
+    tot = tgt.agg(F.sum("ct").alias("nt")).crossJoin(
+        raw.agg(F.sum("cr").alias("nr"))
+    )
+    w = (
+        raw.crossJoin(F.broadcast(tot))
+        .join(tgt, "b", "left")
+        .select(
+            "b",
+            F.round(
+                F.log(
+                    (
+                        (F.coalesce(F.col("ct"), F.lit(0)) + 1).cast("double")
+                        * (F.col("nr") + _DSIR_B).cast("double")
+                    )
+                    / (
+                        (F.col("nt") + _DSIR_B).cast("double")
+                        * (F.col("cr") + 1).cast("double")
+                    )
+                ),
+                9,
+            ).alias("lw"),
+        )
+    )
+    scored = (
+        bt.join(F.broadcast(w), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.round(
+                F.sum(F.col("lw").cast("decimal(30,9)")).cast("double"), 6
+            ).alias("dsir_score"),
+        )
+    )
+    return scored.orderBy(
+        F.col("dsir_score").desc(), F.col("doc_id").asc()
+    ).limit(100)
+
+
+# ---------------------------------------------------------------------------
+# pipeline_chat_sft_format (round 11) — instruction-tuning example
+# construction: chat-template rendering with token accounting.
+# ---------------------------------------------------------------------------
+
+@query(
+    "pipeline_chat_sft_format",
+    section="2.I",
+    oracle="""
+WITH t AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS toks
+  FROM documents
+), ok AS (
+  SELECT doc_id, toks, len(toks) AS n FROM t WHERE len(toks) >= 12
+), r AS (
+  SELECT doc_id, n,
+         '<|user|>' || chr(10) || array_to_string(toks[1:8], ' ')
+         || '<|end|>' || chr(10) || '<|assistant|>' || chr(10)
+         || array_to_string(toks[9:n], ' ') || '<|end|>' AS rendered
+  FROM ok
+)
+SELECT doc_id,
+       CAST(8 AS BIGINT) AS n_prompt_tokens,
+       CAST(n - 8 AS BIGINT) AS n_response_tokens,
+       CAST(n + 4 AS BIGINT) AS n_tokens_with_template,
+       CAST(length(rendered) AS BIGINT) AS n_rendered_chars,
+       substr(md5(rendered), 1, 16) AS fingerprint
+FROM r
+""",
+)
+def pipeline_chat_sft_format(spark, sf_dir):
+    """Instruction-tuning (SFT) example construction: split each
+    document into a prompt (first 8 tokens) and response (the rest),
+    render the ChatML-style template
+    ``<|user|>\\n{prompt}<|end|>\\n<|assistant|>\\n{response}<|end|>``,
+    and account for the 4 special tokens the template adds — the
+    numbers a packing stage needs (template overhead is part of the
+    sequence budget, a classic silent off-by-N in SFT pipelines).
+    Docs with fewer than 12 tokens are dropped (min-response rule).
+    The rendered string itself is pinned by an md5 fingerprint, so the
+    oracle proves byte-identical rendering, not just matching counts.
+
+    Scale: zero-shuffle — one narrow projection per document; the
+    template literal is a constant, the split/slice/join chain is
+    whole-stage-codegen string work."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    t = d.select("doc_id", toks.alias("toks"), F.size(toks).alias("n")).filter(
+        F.col("n") >= 12
+    )
+    rendered = F.concat(
+        F.lit("<|user|>\n"),
+        F.array_join(F.slice("toks", 1, 8), " "),
+        F.lit("<|end|>\n<|assistant|>\n"),
+        F.array_join(F.expr("slice(toks, 9, n - 8)"), " "),
+        F.lit("<|end|>"),
+    )
+    return t.select(
+        "doc_id",
+        F.lit(8).cast("long").alias("n_prompt_tokens"),
+        (F.col("n") - 8).cast("long").alias("n_response_tokens"),
+        (F.col("n") + 4).cast("long").alias("n_tokens_with_template"),
+        F.length(rendered).cast("long").alias("n_rendered_chars"),
+        F.substring(F.md5(rendered), 1, 16).alias("fingerprint"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# pipeline_preference_pairs (round 11) — RLHF preference-pair assembly
+# ---------------------------------------------------------------------------
+
+@query(
+    "pipeline_preference_pairs",
+    section="2.I",
+    oracle="""
+WITH scored AS (
+  SELECT lang, source, doc_id,
+         CAST(len(list_distinct(string_split_regex(lower(trim(text)), '\\s+')))
+              AS BIGINT) AS score
+  FROM documents
+), ranked AS (
+  SELECT lang, source, doc_id, score,
+         ROW_NUMBER() OVER (PARTITION BY lang, source
+                            ORDER BY score DESC, doc_id ASC) AS rbest,
+         ROW_NUMBER() OVER (PARTITION BY lang, source
+                            ORDER BY score ASC, doc_id ASC) AS rworst
+  FROM scored
+), best AS (SELECT lang, source, doc_id AS chosen_id, score AS chosen_score
+            FROM ranked WHERE rbest = 1),
+worst AS (SELECT lang, source, doc_id AS rejected_id, score AS rejected_score
+          FROM ranked WHERE rworst = 1)
+SELECT b.lang, b.source, b.chosen_id, w.rejected_id,
+       b.chosen_score, w.rejected_score,
+       b.chosen_score - w.rejected_score AS margin,
+       substr(md5(CAST(b.chosen_id AS VARCHAR) || ':'
+                  || CAST(w.rejected_id AS VARCHAR)), 1, 16) AS pair_fingerprint
+FROM best b JOIN worst w ON w.lang = b.lang AND w.source = b.source
+WHERE b.chosen_id != w.rejected_id AND b.chosen_score > w.rejected_score
+""",
+)
+def pipeline_preference_pairs(spark, sf_dir):
+    """RLHF preference-pair assembly: within each (lang, source)
+    stratum pair the highest-scoring document (chosen) with the
+    lowest (rejected), where the score is the distinct-token count —
+    an integer, so ranking is exact; ties break to the smaller doc_id
+    on BOTH ranks (fully deterministic argmax/argmin). Degenerate
+    pairs are dropped: same doc on both sides, or zero margin (a DPO
+    pair with no preference signal is noise). Each pair carries an
+    md5 fingerprint of (chosen:rejected) — the dedup key downstream
+    preference-data mixers join on.
+
+    Scale: one narrow scan computes scores (no shuffle), then TWO
+    rank windows over strata — partitioned by (lang, source), i.e.
+    bounded groups, never a corpus-wide window; output is one row per
+    stratum."""
+    d = load_table(spark, sf_dir, "documents")
+    score = F.size(
+        F.array_distinct(F.split(F.lower(F.trim(F.col("text"))), r"\s+"))
+    ).cast("long")
+    scored = d.select("lang", "source", "doc_id", score.alias("score"))
+    wbest = Window.partitionBy("lang", "source").orderBy(
+        F.col("score").desc(), F.col("doc_id").asc()
+    )
+    wworst = Window.partitionBy("lang", "source").orderBy(
+        F.col("score").asc(), F.col("doc_id").asc()
+    )
+    ranked = scored.select(
+        "lang",
+        "source",
+        "doc_id",
+        "score",
+        F.row_number().over(wbest).alias("rbest"),
+        F.row_number().over(wworst).alias("rworst"),
+    )
+    best = ranked.filter(F.col("rbest") == 1).select(
+        "lang",
+        "source",
+        F.col("doc_id").alias("chosen_id"),
+        F.col("score").alias("chosen_score"),
+    )
+    worst = ranked.filter(F.col("rworst") == 1).select(
+        "lang",
+        "source",
+        F.col("doc_id").alias("rejected_id"),
+        F.col("score").alias("rejected_score"),
+    )
+    return (
+        best.join(worst, ["lang", "source"])
+        .filter(
+            (F.col("chosen_id") != F.col("rejected_id"))
+            & (F.col("chosen_score") > F.col("rejected_score"))
+        )
+        .select(
+            "lang",
+            "source",
+            "chosen_id",
+            "rejected_id",
+            "chosen_score",
+            "rejected_score",
+            (F.col("chosen_score") - F.col("rejected_score")).alias("margin"),
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.col("chosen_id").cast("string"),
+                        F.lit(":"),
+                        F.col("rejected_id").cast("string"),
+                    )
+                ),
+                1,
+                16,
+            ).alias("pair_fingerprint"),
+        )
+    )
