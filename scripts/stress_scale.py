@@ -165,6 +165,19 @@ LLM_SUITE = [
     "quality_keep_decision",
     "pipeline_mix_temperature",
     "sim_ivf_ingest_bound",
+    # r11 wave 2: the co-occurrence graph family (celebrity cap bounds
+    # pair expansion — the quadratic risk lives in bucket size, not in
+    # data size), the Bloom prefilter (bit-set is <= 2^16 rows at ANY
+    # scale), DSIR (B=1024 weight broadcast onto one tokenize pass),
+    # and the SFT/DPO constructors (zero-shuffle / stratum windows).
+    "graph_cooccur_edges",
+    "graph_triangle_count",
+    "graph_jaccard_links",
+    "graph_label_propagation",
+    "dedup_bloom_prefilter",
+    "pipeline_dsir_select",
+    "pipeline_chat_sft_format",
+    "pipeline_preference_pairs",
 ]
 
 

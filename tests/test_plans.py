@@ -683,3 +683,57 @@ def test_r11_late_ops_plan_shapes(spark):
     )
     assert "CartesianProduct" not in streaks, streaks[:2000]
     assert "SinglePartition" not in streaks, streaks[:2000]
+
+
+def test_graph_cooccur_family_plan_shapes(spark):
+    """Graph-family plan gates (r11): nothing may cartesian (the wedge
+    and closure joins must all be key-equi joins), and the Jaccard
+    top-50 must be a TakeOrderedAndProject, never a global sort
+    materialization."""
+    for qid in (
+        "graph_cooccur_edges",
+        "graph_triangle_count",
+        "graph_label_propagation",
+        "graph_jaccard_links",
+    ):
+        plan = (
+            QUERIES[qid](spark, SF_DIR)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "CartesianProduct" not in plan, (qid, plan[:2000])
+    assert has_take_ordered(QUERIES["graph_jaccard_links"](spark, SF_DIR))
+
+
+def test_r11_curation_ops_plan_shapes(spark):
+    """Curation-op plan gates (r11): the Bloom bit-set probe and the
+    DSIR bucket-weight join must broadcast (both sides are bounded —
+    2^16 positions / 1024 buckets — regardless of corpus size); the
+    DSIR top-100 is a TakeOrderedAndProject; the chat-SFT render is
+    zero-shuffle; preference pairs must window on stratum partitions,
+    never SinglePartition."""
+    bloom = (
+        QUERIES["dedup_bloom_prefilter"](spark, SF_DIR)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in bloom, bloom[:2000]
+    assert "CartesianProduct" not in bloom, bloom[:2000]
+
+    dsir = QUERIES["pipeline_dsir_select"](spark, SF_DIR)
+    assert has_broadcast_join(dsir)
+    assert has_take_ordered(dsir)
+
+    sft = QUERIES["pipeline_chat_sft_format"](spark, SF_DIR)
+    assert shuffle_count(sft) == 0, shuffle_count(sft)
+
+    pref = (
+        QUERIES["pipeline_preference_pairs"](spark, SF_DIR)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "SinglePartition" not in pref, pref[:2000]
+    assert "CartesianProduct" not in pref, pref[:2000]

