@@ -178,6 +178,15 @@ LLM_SUITE = [
     "pipeline_dsir_select",
     "pipeline_chat_sft_format",
     "pipeline_preference_pairs",
+    # r11 wave 3: weighted percentiles (window on the collapsed price
+    # grid), calibration (10-group histogram), running-distinct
+    # (user-keyed windows), PQ (codebook-sized broadcasts; the recall
+    # twin carries the documented 10-query brute-force arm).
+    "agg_weighted_percentile",
+    "ml_calibration_bins",
+    "win_running_distinct",
+    "sim_pq_adc",
+    "sim_pq_recall",
 ]
 
 

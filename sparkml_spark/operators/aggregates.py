@@ -1138,3 +1138,84 @@ def agg_bitmap_rollup_merge(spark, sf_dir):
         .select(F.lit("__all__").alias("event_type"), "n_users")
     )
     return per_type.unionByName(merged)
+
+
+# ---------------------------------------------------------------------------
+# agg_weighted_percentile (round 11) — weighted quantiles by cumulative
+# weight crossing, exact on an integer grid.
+# ---------------------------------------------------------------------------
+
+@query(
+    "agg_weighted_percentile",
+    section="2.D",
+    oracle="""
+WITH grid AS (
+  SELECT l_returnflag AS rf,
+         CAST(round(l_extendedprice * 100) AS BIGINT) AS pc,
+         SUM(CAST(l_quantity AS BIGINT)) AS w
+  FROM lineitem GROUP BY l_returnflag, CAST(round(l_extendedprice * 100) AS BIGINT)
+), cum AS (
+  SELECT rf, pc, w,
+         SUM(w) OVER (PARTITION BY rf ORDER BY pc) AS running,
+         SUM(w) OVER (PARTITION BY rf) AS tot
+  FROM grid
+)
+SELECT rf AS l_returnflag,
+       CAST(MAX(tot) AS BIGINT) AS total_weight,
+       round(MIN(CASE WHEN 4 * running >= tot THEN pc END) / 100.0, 2) AS w_p25,
+       round(MIN(CASE WHEN 2 * running >= tot THEN pc END) / 100.0, 2) AS w_median,
+       round(MIN(CASE WHEN 4 * running >= 3 * tot THEN pc END) / 100.0, 2) AS w_p75
+FROM cum GROUP BY rf
+""",
+)
+def agg_weighted_percentile(spark, sf_dir):
+    """Weighted percentiles (p25 / median / p75 of extended price,
+    weighted by quantity) by the cumulative-weight-crossing
+    definition: the weighted q-quantile is the smallest value v with
+    cumweight(<= v) >= q * total. Everything runs on an exact integer
+    grid — prices quantized to cents, weights to whole units, and the
+    crossing test cross-multiplied (4*running >= 3*tot) so no
+    division ever happens before the final display rounding. Spark
+    has no built-in weighted percentile; this is the standard
+    relational construction.
+
+    Scale: one partial-aggregating groupBy collapses the fact table
+    onto the (group, price-cent) grid — the running-sum window then
+    operates on grid rows (bounded by distinct prices per group,
+    ~100k at any corpus size), never on raw facts."""
+    li = load_table(spark, sf_dir, "lineitem")
+    from pyspark.sql import Window
+
+    grid = (
+        li.select(
+            F.col("l_returnflag").alias("rf"),
+            F.round(F.col("l_extendedprice") * 100).cast("long").alias("pc"),
+            F.col("l_quantity").cast("long").alias("q"),
+        )
+        .groupBy("rf", "pc")
+        .agg(F.sum("q").alias("w"))
+    )
+    wcum = Window.partitionBy("rf").orderBy("pc")
+    wtot = Window.partitionBy("rf")
+    cum = grid.select(
+        "rf",
+        "pc",
+        F.sum("w").over(wcum).alias("running"),
+        F.sum("w").over(wtot).alias("tot"),
+    )
+    return cum.groupBy(F.col("rf").alias("l_returnflag")).agg(
+        F.max("tot").cast("long").alias("total_weight"),
+        F.round(
+            F.min(F.when(4 * F.col("running") >= F.col("tot"), F.col("pc"))) / 100.0,
+            2,
+        ).alias("w_p25"),
+        F.round(
+            F.min(F.when(2 * F.col("running") >= F.col("tot"), F.col("pc"))) / 100.0,
+            2,
+        ).alias("w_median"),
+        F.round(
+            F.min(F.when(4 * F.col("running") >= 3 * F.col("tot"), F.col("pc")))
+            / 100.0,
+            2,
+        ).alias("w_p75"),
+    )

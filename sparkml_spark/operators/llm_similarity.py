@@ -1538,3 +1538,227 @@ def sim_ivf_ingest_bound(spark, sf_dir):
             .alias("n_violations")
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (round 11): PQ codes + asymmetric-distance
+# (ADC) search, fully integer so the hash pin needs no float grace.
+# ---------------------------------------------------------------------------
+
+_PQ_M = 4        # subspaces (64 dims -> 4 x 16)
+_PQ_K = 16       # codebook entries per subspace
+_PQ_DIM = 16     # dims per subspace
+
+# Shared CTE prefix: int8 grid -> subvectors -> anchor codebook ->
+# (vector, subspace, anchor) squared distances -> per-subspace codes ->
+# per-(query, candidate) ADC distances with rank.
+_PQ_SQL = f"""
+q8 AS (
+  SELECT vec_id,
+         list_transform(embedding,
+                        x -> CAST(floor(CAST(x AS DOUBLE) * 127 + 0.5) AS BIGINT))
+           AS v
+  FROM embeddings
+), sub AS (
+  SELECT vec_id, sp.s, q8.v[sp.s * {_PQ_DIM} + 1 : sp.s * {_PQ_DIM} + {_PQ_DIM}] AS sv
+  FROM q8 CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS s) sp
+), asub AS (
+  SELECT vec_id AS aid, s, sv AS av FROM sub WHERE vec_id < {_PQ_K}
+), d2 AS (
+  SELECT sub.vec_id, sub.s, asub.aid,
+         CAST(SUM((sub.sv[i.i] - asub.av[i.i]) * (sub.sv[i.i] - asub.av[i.i]))
+              AS BIGINT) AS d2
+  FROM sub JOIN asub ON asub.s = sub.s
+  CROSS JOIN (SELECT unnest(range(1, {_PQ_DIM} + 1)) AS i) i
+  GROUP BY sub.vec_id, sub.s, asub.aid
+), codes AS (
+  SELECT vec_id, s, aid AS code FROM (
+    SELECT vec_id, s, aid,
+           ROW_NUMBER() OVER (PARTITION BY vec_id, s
+                              ORDER BY d2 ASC, aid ASC) AS rn
+    FROM d2
+  ) WHERE rn = 1
+), adc AS (
+  SELECT qd.vec_id AS query_id, c.vec_id AS neighbor_id,
+         CAST(SUM(qd.d2) AS BIGINT) AS adc_dist
+  FROM codes c JOIN d2 qd ON qd.s = c.s AND qd.aid = c.code
+  WHERE qd.vec_id < {_N_QUERIES} AND c.vec_id != qd.vec_id
+  GROUP BY qd.vec_id, c.vec_id
+), pq_ranked AS (
+  SELECT query_id, neighbor_id, adc_dist,
+         CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                                 ORDER BY adc_dist ASC, neighbor_id ASC)
+              AS BIGINT) AS rank
+  FROM adc
+)
+"""
+
+
+def _pq_parts(spark, sf_dir):
+    """Spark side of the shared PQ pipeline: returns (q8, d2, codes,
+    pq_ranked) DataFrames mirroring the _PQ_SQL CTEs expression-for-
+    expression. All arithmetic is integer (int8 grid squared
+    distances), so cross-engine equality is exact by construction."""
+    e = load_table(spark, sf_dir, "embeddings")
+    q8 = e.select(
+        "vec_id",
+        F.transform(
+            "embedding",
+            lambda x: F.floor(x.cast("double") * F.lit(127.0) + F.lit(0.5)).cast(
+                "long"
+            ),
+        ).alias("v"),
+    )
+    sub = q8.select(
+        "vec_id",
+        F.explode(F.array(*[F.lit(i) for i in range(_PQ_M)])).alias("s"),
+        "v",
+    ).select(
+        "vec_id", "s", F.expr(f"slice(v, s * {_PQ_DIM} + 1, {_PQ_DIM})").alias("sv")
+    )
+    asub = sub.filter(F.col("vec_id") < _PQ_K).select(
+        F.col("vec_id").alias("aid"), "s", F.col("sv").alias("av")
+    )
+    d2expr = F.aggregate(
+        F.zip_with("sv", "av", lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    d2 = (
+        sub.join(F.broadcast(asub), "s")
+        .select("vec_id", "s", "aid", d2expr.alias("d2"))
+        .cache()
+    )
+    wcode = Window.partitionBy("vec_id", "s").orderBy(
+        F.col("d2").asc(), F.col("aid").asc()
+    )
+    codes = (
+        d2.withColumn("rn", F.row_number().over(wcode))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "s", F.col("aid").alias("code"))
+    )
+    qd = d2.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), "s", F.col("aid").alias("code"), "d2"
+    )
+    adc = (
+        codes.withColumnRenamed("vec_id", "neighbor_id")
+        .join(F.broadcast(qd), ["s", "code"])
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.sum("d2").cast("long").alias("adc_dist"))
+    )
+    wrank = Window.partitionBy("query_id").orderBy(
+        F.col("adc_dist").asc(), F.col("neighbor_id").asc()
+    )
+    pq_ranked = adc.withColumn(
+        "rank", F.row_number().over(wrank).cast("long")
+    )
+    return q8, d2, codes, pq_ranked
+
+
+@query(
+    "sim_pq_adc",
+    section="2.I",
+    oracle=f"""
+WITH {_PQ_SQL}
+SELECT query_id, neighbor_id, rank, adc_dist
+FROM pq_ranked WHERE rank <= 10
+""",
+)
+def sim_pq_adc(spark, sf_dir):
+    """Product-quantization ANN with asymmetric distance computation
+    [Jegou, Douze & Schmid, TPAMI 2011]: split the (int8-gridded)
+    vectors into M=4 subspaces of 16 dims, code each subvector as its
+    nearest of K=16 codebook anchors (deterministic argmin: d2 asc,
+    anchor asc), and answer queries by ADC — the query keeps its full
+    subvectors, each candidate contributes only its 4 codes, and the
+    distance is the sum of 4 precomputed query-to-anchor table
+    lookups. The codebook here is anchor-sampled (subvectors of the
+    first K corpus vectors) rather than k-means-trained — the
+    deterministic stand-in that keeps the pin exact; training lives
+    in ml_clustering, the SEARCH algebra is what this op pins.
+
+    Why it matters at 100 TB: candidates are represented by 4 bytes
+    (vs 256 for raw int8) — a billion-vector index fits executor
+    memory; the scan is a code-table lookup join, no per-candidate
+    vector arithmetic at all. The query-side d2 table is
+    queries x M x K = tiny, broadcast onto the codes; everything is
+    integer, so the hash pin is exact with zero float grace."""
+    _, _, _, pq_ranked = _pq_parts(spark, sf_dir)
+    return pq_ranked.filter(F.col("rank") <= 10).select(
+        "query_id", "neighbor_id", "rank", "adc_dist"
+    )
+
+
+@query(
+    "sim_pq_recall",
+    section="2.I",
+    oracle=f"""
+WITH {_PQ_SQL}, exact AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         CAST(SUM((q.v[i.i] - c.v[i.i]) * (q.v[i.i] - c.v[i.i])) AS BIGINT) AS d2f
+  FROM q8 q JOIN q8 c ON c.vec_id != q.vec_id
+  CROSS JOIN (SELECT unnest(range(1, 65)) AS i) i
+  WHERE q.vec_id < {_N_QUERIES}
+  GROUP BY q.vec_id, c.vec_id
+), etop AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+                              ORDER BY d2f ASC, neighbor_id ASC) AS rn
+    FROM exact
+  ) WHERE rn <= 10
+)
+SELECT p.query_id,
+       CAST(COUNT(e.neighbor_id) AS BIGINT) AS n_overlap_top10
+FROM pq_ranked p
+LEFT JOIN etop e
+  ON e.query_id = p.query_id AND e.neighbor_id = p.neighbor_id
+WHERE p.rank <= 10
+GROUP BY p.query_id
+""",
+)
+def sim_pq_recall(spark, sf_dir):
+    """Recall accounting for the PQ index: per query, how many of the
+    ADC top-10 appear in the EXACT int8-L2 top-10 (both rankings
+    deterministic, integer, tie-broken by neighbor id). This is the
+    measurement every production ANN deployment runs before swapping
+    PQ in — and because both rankings are exact integer algebra, the
+    overlap itself is hash-pinnable, not a ROWS-tier estimate.
+
+    Scale: the exact arm is the documented brute-force baseline
+    (queries x corpus — fine for a 10-query probe, the same cutoff
+    contract as sim_topk_bruteforce); the PQ arm reuses the code
+    join. Recall of anchor-sampled PQ is expected imperfect — the
+    NUMBER is the evidence; the companion property test pins it
+    against a plain-Python replay."""
+    q8, _, _, pq_ranked = _pq_parts(spark, sf_dir)
+    q = q8.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    c = q8.select(F.col("vec_id").alias("neighbor_id"), F.col("v").alias("cv"))
+    d2f = F.aggregate(
+        F.zip_with("qv", "cv", lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    exact = (
+        c.join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", d2f.alias("d2f"))
+    )
+    wex = Window.partitionBy("query_id").orderBy(
+        F.col("d2f").asc(), F.col("neighbor_id").asc()
+    )
+    etop = (
+        exact.withColumn("rn", F.row_number().over(wex))
+        .filter(F.col("rn") <= 10)
+        .select("query_id", "neighbor_id", F.lit(1).alias("hit"))
+    )
+    return (
+        pq_ranked.filter(F.col("rank") <= 10)
+        .join(F.broadcast(etop), ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(F.sum(F.coalesce(F.col("hit"), F.lit(0))).cast("long").alias(
+            "n_overlap_top10"
+        ))
+    )

@@ -1476,3 +1476,74 @@ def ml_target_encode(spark, sf_dir):
         .alias("enc_ppm"),
         F.expr("s_all * 1000000 DIV n_all").cast("long").alias("global_mean_ppm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# ml_calibration_bins (round 11) — reliability-diagram binning + ECE
+# ---------------------------------------------------------------------------
+
+@query(
+    "ml_calibration_bins",
+    section="2.J",
+    oracle="""
+WITH scored AS (
+  SELECT LEAST(CAST(floor(value / 50.0) AS BIGINT), 9) AS bin,
+         value / 500.0 AS score,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+  FROM events
+), bins AS (
+  SELECT bin,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(y) AS BIGINT) AS n_pos,
+         round(CAST(SUM(CAST(round(score, 9) AS DECIMAL(30,9))) AS DOUBLE)
+               / COUNT(*), 6) AS mean_score,
+         round(CAST(SUM(y) AS DOUBLE) / COUNT(*), 6) AS pos_rate
+  FROM scored GROUP BY bin
+)
+SELECT bin, n, n_pos, mean_score, pos_rate,
+       round(abs(mean_score - pos_rate), 6) AS calibration_gap
+FROM bins
+""",
+)
+def ml_calibration_bins(spark, sf_dir):
+    """Probability-calibration reliability bins [Guo et al. 2017's ECE
+    construction]: bucket a model score into 10 equal-width bins and
+    compare each bin's mean predicted score against its observed
+    positive rate — the per-bin |gap| is the reliability diagram, and
+    the n-weighted gap sum is ECE. The score here is the
+    deterministic value/500 normalization with label 'purchase' (the
+    fixture's stand-in for a model output; the binning algebra is the
+    operator). Float parity: per-row scores quantized at 9dp and
+    decimal-summed (the davg pattern), both rates are single exact
+    divisions, and the gap is composed from the two ALREADY-rounded
+    6dp values identically on both engines.
+
+    Scale: one scan, one 10-group partial aggregation — calibration
+    of a trillion predictions is a map-side-combine histogram, no
+    shuffle of raw scores."""
+    e = load_table(spark, sf_dir, "events")
+    scored = e.select(
+        F.least(F.floor(F.col("value") / 50.0).cast("long"), F.lit(9)).alias("bin"),
+        (F.col("value") / 500.0).alias("score"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("y"),
+    )
+    bins = scored.groupBy("bin").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("y").cast("long").alias("n_pos"),
+        F.round(
+            F.sum(F.round(F.col("score"), 9).cast("decimal(30,9)")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("mean_score"),
+        F.round(F.sum("y").cast("double") / F.count(F.lit(1)), 6).alias("pos_rate"),
+    )
+    return bins.select(
+        "bin",
+        "n",
+        "n_pos",
+        "mean_score",
+        "pos_rate",
+        F.round(F.abs(F.col("mean_score") - F.col("pos_rate")), 6).alias(
+            "calibration_gap"
+        ),
+    )

@@ -577,3 +577,63 @@ def win_user_streaks(spark, sf_dir):
             ).alias("best_streak_start"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# win_running_distinct (round 11) — running distinct count without a
+# distinct-over-window (which neither engine has): first-occurrence
+# flag + running sum.
+# ---------------------------------------------------------------------------
+
+@query(
+    "win_running_distinct",
+    section="2.E",
+    oracle="""
+WITH flagged AS (
+  SELECT event_id, user_id, ts,
+         CASE WHEN ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                                      ORDER BY ts, event_id) = 1
+              THEN 1 ELSE 0 END AS first_seen
+  FROM events
+)
+SELECT event_id, user_id,
+       CAST(SUM(first_seen) OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS BIGINT)
+         AS n_types_so_far
+FROM flagged
+""",
+)
+def win_running_distinct(spark, sf_dir):
+    """Running distinct count (how many distinct event types has this
+    user produced up to and including each event) — the classic
+    construction for a COUNT(DISTINCT) OVER that no engine supports
+    directly: flag each (user, type)'s first occurrence with a
+    row_number window, then running-sum the flags per user. Both
+    windows are keyed and tie-broken (ts, event_id), fully
+    deterministic.
+
+    Scale: two windows, both partitioned by user (plus type for the
+    flag) — bounded per-user groups, never a corpus-wide window; at
+    100 TB this is exactly two hash-partitioned sorts, and the flag
+    window's (user, type) partitioning subsumes the second's, so AQE
+    reuses the exchange where stats allow."""
+    e = load_table(spark, sf_dir, "events")
+    wflag = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    wrun = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        e.select(
+            "event_id",
+            "user_id",
+            "ts",
+            F.when(F.row_number().over(wflag) == 1, 1).otherwise(0).alias("first_seen"),
+        )
+        .select(
+            "event_id",
+            "user_id",
+            F.sum("first_seen").over(wrun).cast("long").alias("n_types_so_far"),
+        )
+    )

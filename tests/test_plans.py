@@ -737,3 +737,32 @@ def test_r11_curation_ops_plan_shapes(spark):
     )
     assert "SinglePartition" not in pref, pref[:2000]
     assert "CartesianProduct" not in pref, pref[:2000]
+
+
+def test_r11_wave3_plan_shapes(spark):
+    """Wave-3 plan gates (r11): the weighted-percentile window must run
+    on the collapsed price grid behind a partial aggregation (never a
+    raw-fact window); calibration is a pure partial-agg histogram with
+    zero joins; the PQ anchor join and the query-table ADC join must
+    broadcast (both sides are codebook-sized); the running-distinct
+    windows must never collapse to a single partition."""
+    wp = QUERIES["agg_weighted_percentile"](spark, SF_DIR)
+    assert has_partial_aggregate(wp)
+    plan = wp._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan, plan[:2000]
+
+    cal = QUERIES["ml_calibration_bins"](spark, SF_DIR)
+    assert has_partial_aggregate(cal)
+    cplan = cal._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in cplan, cplan[:2000]
+
+    for qid in ("sim_pq_adc", "sim_pq_recall"):
+        assert has_broadcast_join(QUERIES[qid](spark, SF_DIR)), qid
+
+    rd = (
+        QUERIES["win_running_distinct"](spark, SF_DIR)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "SinglePartition" not in rd, rd[:2000]

@@ -1285,3 +1285,63 @@ def test_chat_sft_template_accounting(spark):
             == r.n_prompt_tokens + r.n_response_tokens + 4
         )
         assert len(r.fingerprint) == 16
+
+
+def test_pq_adc_matches_python_replay(spark):
+    """Third oracle for the PQ index: replay quantization, coding, ADC
+    and exact ranking in plain Python over the raw embeddings and
+    require identical top-10 lists and identical recall overlaps."""
+    import math
+
+    from sparkml_spark.registry import QUERIES
+    from .conftest import SF_DIR
+
+    vecs = {
+        r.vec_id: [math.floor(float(x) * 127 + 0.5) for x in r.embedding]
+        for r in spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+        .select("vec_id", "embedding")
+        .collect()
+    }
+    M, K, D = 4, 16, 16
+
+    def sub(v, s):
+        return v[s * D : (s + 1) * D]
+
+    def d2(a, b):
+        return sum((x - y) * (x - y) for x, y in zip(a, b))
+
+    codes = {
+        vid: [
+            min(range(K), key=lambda a: (d2(sub(v, s), sub(vecs[a], s)), a))
+            for s in range(M)
+        ]
+        for vid, v in vecs.items()
+    }
+    queries = sorted(v for v in vecs if v < 10)
+    want_adc, want_overlap = {}, {}
+    for q in queries:
+        tables = [
+            [d2(sub(vecs[q], s), sub(vecs[a], s)) for a in range(K)]
+            for s in range(M)
+        ]
+        scored = sorted(
+            (sum(tables[s][codes[c][s]] for s in range(M)), c)
+            for c in vecs
+            if c != q
+        )
+        want_adc[q] = [(c, dist) for dist, c in scored[:10]]
+        exact = sorted((d2(vecs[q], vecs[c]), c) for c in vecs if c != q)
+        etop = {c for _, c in exact[:10]}
+        want_overlap[q] = sum(1 for _, c in scored[:10] if c in etop)
+
+    got = QUERIES["sim_pq_adc"](spark, SF_DIR).collect()
+    by_q = {}
+    for r in sorted(got, key=lambda r: (r.query_id, r.rank)):
+        by_q.setdefault(r.query_id, []).append((r.neighbor_id, r.adc_dist))
+    assert by_q == want_adc
+
+    overlaps = {
+        r.query_id: r.n_overlap_top10
+        for r in QUERIES["sim_pq_recall"](spark, SF_DIR).collect()
+    }
+    assert overlaps == want_overlap
