@@ -187,6 +187,12 @@ LLM_SUITE = [
     "win_running_distinct",
     "sim_pq_adc",
     "sim_pq_recall",
+    # r11 wave 4: sufficient-stat aggregates (one scan each) and the
+    # ACF (daily partial agg + series-sized self-join).
+    "agg_linear_regression",
+    "agg_entropy_gini",
+    "ts_autocorr",
+    "subquery_quantified",
 ]
 
 

@@ -1219,3 +1219,161 @@ def agg_weighted_percentile(spark, sf_dir):
             2,
         ).alias("w_p75"),
     )
+
+
+# ---------------------------------------------------------------------------
+# agg_linear_regression (round 11) — grouped OLS from exact sufficient
+# statistics (the REGR_SLOPE/REGR_R2 family, determinized).
+# ---------------------------------------------------------------------------
+
+@query(
+    "agg_linear_regression",
+    section="2.D",
+    oracle="""
+WITH s AS (
+  SELECT l_returnflag,
+         CAST(COUNT(*) AS DOUBLE) AS n,
+         CAST(SUM(CAST(l_quantity AS BIGINT)) AS DOUBLE) AS sx,
+         CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS DOUBLE) AS sy,
+         CAST(SUM(CAST(l_quantity AS BIGINT)
+                  * CAST(round(l_extendedprice * 100) AS BIGINT)) AS DOUBLE) AS sxy,
+         CAST(SUM(CAST(l_quantity AS BIGINT)
+                  * CAST(l_quantity AS BIGINT)) AS DOUBLE) AS sxx,
+         CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)
+                  * CAST(round(l_extendedprice * 100) AS BIGINT)) AS DOUBLE) AS syy
+  FROM lineitem GROUP BY l_returnflag
+)
+SELECT l_returnflag,
+       CAST(n AS BIGINT) AS n,
+       round((n * sxy - sx * sy) / (n * sxx - sx * sx) / 100.0, 6) AS slope,
+       round((sy / 100.0 - (n * sxy - sx * sy) / (n * sxx - sx * sx) / 100.0 * sx)
+             / n, 6) AS intercept,
+       round(((n * sxy - sx * sy) * (n * sxy - sx * sy))
+             / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS r2
+FROM s
+""",
+)
+def agg_linear_regression(spark, sf_dir):
+    """Grouped ordinary least squares (price on quantity per return
+    flag) from sufficient statistics — the REGR_SLOPE / REGR_INTERCEPT
+    / REGR_R2 family, but determinized: the six sums (n, Σx, Σy, Σxy,
+    Σx², Σy²) accumulate as EXACT integers on the cents × whole-unit
+    grid (long adds, order-independent), are cast once to double, and
+    every derived quantity is ONE fixed double expression tree both
+    engines evaluate identically. Native regr_* aggregates stream
+    doubles and are partition-order nondeterministic — unusable for a
+    hash pin. y is priced in cents internally; slope/intercept are
+    rescaled to dollars at the end.
+
+    Scale: a pure partial aggregation — six map-side-combined sums per
+    group, one narrow shuffle, O(groups) output. Regression over a
+    trillion rows costs exactly one scan. Overflow posture (caught by
+    the ×100 stress run, which blew int64 on Σy²: cents² terms are
+    ~1e14 each, so a long accumulator dies at ~1e5 rows/group): the
+    three PRODUCT sums accumulate as DECIMAL(38,0) — exact, order-
+    independent, safe to ~1e24 rows/group — matching DuckDB's HUGEINT
+    sum exactly; n/Σx/Σy stay primitive longs."""
+    li = load_table(spark, sf_dir, "lineitem")
+    x = F.col("l_quantity").cast("long")
+    y = F.round(F.col("l_extendedprice") * 100).cast("long")
+    s = (
+        li.select("l_returnflag", x.alias("x"), y.alias("y"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).cast("double").alias("n"),
+            F.sum("x").cast("double").alias("sx"),
+            F.sum("y").cast("double").alias("sy"),
+            F.sum((F.col("x") * F.col("y")).cast("decimal(38,0)"))
+            .cast("double")
+            .alias("sxy"),
+            F.sum((F.col("x") * F.col("x")).cast("decimal(38,0)"))
+            .cast("double")
+            .alias("sxx"),
+            F.sum((F.col("y") * F.col("y")).cast("decimal(38,0)"))
+            .cast("double")
+            .alias("syy"),
+        )
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    dx = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    dy = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    slope_c = num / dx
+    return s.select(
+        "l_returnflag",
+        F.col("n").cast("long").alias("n"),
+        F.round(slope_c / 100.0, 6).alias("slope"),
+        F.round((F.col("sy") / 100.0 - slope_c / 100.0 * F.col("sx")) / F.col("n"), 6)
+        .alias("intercept"),
+        F.round((num * num) / (dx * dy), 6).alias("r2"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# agg_entropy_gini (round 11) — impurity measures per group
+# ---------------------------------------------------------------------------
+
+@query(
+    "agg_entropy_gini",
+    section="2.D",
+    oracle="""
+WITH cls AS (
+  SELECT event_type, user_id % 4 AS cls, CAST(COUNT(*) AS BIGINT) AS c
+  FROM events GROUP BY event_type, user_id % 4
+), g AS (
+  SELECT event_type,
+         CAST(SUM(c) AS BIGINT) AS n,
+         CAST(COUNT(*) AS BIGINT) AS n_classes,
+         CAST(SUM(c * c) AS BIGINT) AS ss,
+         CAST(SUM(CAST(round(c * ln(c), 9) AS DECIMAL(30,9))) AS DOUBLE) AS sclnc
+  FROM cls GROUP BY event_type
+)
+SELECT event_type, n, n_classes,
+       round(1.0 - CAST(ss AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)), 6)
+         AS gini,
+       round(ln(n) - sclnc / n, 6) AS entropy
+FROM g
+""",
+)
+def agg_entropy_gini(spark, sf_dir):
+    """Split-impurity measures per group (the decision-tree criteria,
+    as first-class aggregates): Gini impurity 1 − Σ(cᵢ/n)² and Shannon
+    entropy over the class distribution (class = user_id % 4 within
+    each event type). Gini is exact rational algebra — integer
+    class-count squares, one double division at the end. Entropy uses
+    the identity H = ln(n) − (1/n)·Σ c·ln c with each c·ln c term
+    quantized at 9dp and decimal-summed — the text_token_entropy
+    parity pattern, order-independent by construction.
+
+    Scale: two stacked partial aggregations ((type, class) then type)
+    — class histograms map-side-combine, so impurity over any corpus
+    is one scan + two narrow shuffles of histogram rows."""
+    e = load_table(spark, sf_dir, "events")
+    cls = (
+        e.select("event_type", (F.col("user_id") % 4).alias("cls"))
+        .groupBy("event_type", "cls")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    g = cls.groupBy("event_type").agg(
+        F.sum("c").cast("long").alias("n"),
+        F.count(F.lit(1)).cast("long").alias("n_classes"),
+        # decimal accumulator: c^2 terms overflow a long sum once class
+        # counts pass ~3e9 (c^2 ~ 1e19) — same posture as the OLS sums
+        F.sum((F.col("c") * F.col("c")).cast("decimal(38,0)"))
+        .cast("long")
+        .alias("ss"),
+        F.sum(
+            F.round(F.col("c") * F.log("c"), 9).cast("decimal(30,9)")
+        )
+        .cast("double")
+        .alias("sclnc"),
+    )
+    return g.select(
+        "event_type",
+        "n",
+        "n_classes",
+        F.round(
+            1.0 - F.col("ss").cast("double") / (F.col("n").cast("double") * F.col("n").cast("double")),
+            6,
+        ).alias("gini"),
+        F.round(F.log("n") - F.col("sclnc") / F.col("n"), 6).alias("entropy"),
+    )

@@ -341,3 +341,49 @@ def sql_dialect_group_by_all(spark, sf_dir):
     shared-dialect family — the boundary is stated, not guessed."""
     register_views(spark, sf_dir)
     return spark.sql(_DIALECT_GROUP_BY_ALL)
+
+
+# ---------------------------------------------------------------------------
+# subquery_quantified (round 11) — ANY/ALL quantified comparisons via
+# the min/max rewrite (Spark has no quantified predicates).
+# ---------------------------------------------------------------------------
+
+@query(
+    "subquery_quantified",
+    section="2.I",
+    oracle="""
+SELECT p_partkey,
+       p_retailprice > ALL (SELECT p_retailprice FROM part
+                            WHERE p_brand = 'Brand#9') AS gt_all_brand9,
+       p_retailprice < ANY (SELECT p_retailprice FROM part
+                            WHERE p_brand = 'Brand#9') AS lt_any_brand9
+FROM part
+""",
+)
+def subquery_quantified(spark, sf_dir):
+    """Quantified comparison subqueries (> ALL / < ANY) via the
+    classic min-max rewrite — Spark SQL has no quantified predicates,
+    so `x > ALL(S)` compiles to `n(S) = 0 OR x > max(S)` and
+    `x < ANY(S)` to `n(S) > 0 AND x < max(S)` (the fixture column is
+    non-null; with nulls the rewrite grows the standard three-valued
+    guards, same as subquery_not_in_null documents for NOT IN). The
+    subquery collapses to ONE (count, max) scalar row broadcast onto
+    the outer scan — the rewrite IS the scale win: a quantified
+    predicate never becomes a per-row correlated probe.
+
+    Oracle: DuckDB evaluates the GENUINE > ALL / < ANY predicates, so
+    the hash pin proves the rewrite is semantics-preserving, not just
+    self-consistent."""
+    p = load_table(spark, sf_dir, "part")
+    sub = p.filter(F.col("p_brand") == "Brand#9").agg(
+        F.count(F.lit(1)).alias("n_sub"), F.max("p_retailprice").alias("mx")
+    )
+    return p.crossJoin(F.broadcast(sub)).select(
+        "p_partkey",
+        ((F.col("n_sub") == 0) | (F.col("p_retailprice") > F.col("mx"))).alias(
+            "gt_all_brand9"
+        ),
+        ((F.col("n_sub") > 0) & (F.col("p_retailprice") < F.col("mx"))).alias(
+            "lt_any_brand9"
+        ),
+    )

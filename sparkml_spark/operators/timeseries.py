@@ -273,3 +273,86 @@ def ts_median_order_gap(spark, sf_dir):
         F.min("gap_days").alias("min_gap_days"),
         F.max("gap_days").alias("max_gap_days"),
     )
+
+
+# ---------------------------------------------------------------------------
+# ts_autocorr (round 11) — autocorrelation function of the daily series
+# ---------------------------------------------------------------------------
+
+@query(
+    "ts_autocorr",
+    section="2.I",
+    oracle="""
+WITH daily AS (
+  SELECT CAST(date_trunc('day', ts) AS DATE) AS d, CAST(COUNT(*) AS BIGINT) AS c
+  FROM events GROUP BY CAST(date_trunc('day', ts) AS DATE)
+), m AS (
+  SELECT CAST(SUM(c) AS DOUBLE) / COUNT(*) AS mean FROM daily
+), dev AS (
+  SELECT d, CAST(c AS DOUBLE) - mean AS dv FROM daily CROSS JOIN m
+), den AS (
+  SELECT CAST(SUM(CAST(round(dv * dv, 9) AS DECIMAL(30,9))) AS DOUBLE) AS den
+  FROM dev
+), lags AS (SELECT unnest([1, 2, 3, 7]) AS lag),
+num AS (
+  SELECT lags.lag,
+         CAST(COUNT(*) AS BIGINT) AS n_terms,
+         CAST(SUM(CAST(round(a.dv * b.dv, 9) AS DECIMAL(30,9))) AS DOUBLE) AS num
+  FROM lags, dev a JOIN dev b ON b.d = a.d + lags.lag
+  GROUP BY lags.lag
+)
+SELECT CAST(num.lag AS BIGINT) AS lag, num.n_terms,
+       round(num.num / den.den, 6) AS acf
+FROM num CROSS JOIN den
+""",
+)
+def ts_autocorr(spark, sf_dir):
+    """Autocorrelation function of the daily event-count series at
+    lags 1/2/3/7 (the day-over-day and week-over-week seasonality
+    probe): ACF(L) = Σ (c_t − μ)(c_{t+L} − μ) / Σ (c_t − μ)². Each
+    product term is quantized at 9dp and decimal-summed (the
+    engine-wide order-independence pattern); μ is one exact-int-sum
+    division.
+
+    Scale: the corpus-sized stage is the daily partial aggregation
+    (one scan, map-side combine onto ~365 rows/year); the ACF itself
+    runs on the tiny series via a self-join on shifted dates —
+    series-sized, not event-sized, at any corpus scale."""
+    e = load_table(spark, sf_dir, "events")
+    daily = (
+        e.select(F.date_trunc("day", F.col("ts")).cast("date").alias("d"))
+        .groupBy("d")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    m = daily.agg(
+        (F.sum("c").cast("double") / F.count(F.lit(1))).alias("mean")
+    )
+    dev = daily.crossJoin(F.broadcast(m)).select(
+        "d", (F.col("c").cast("double") - F.col("mean")).alias("dv")
+    ).cache()
+    den = dev.agg(
+        F.sum(F.round(F.col("dv") * F.col("dv"), 9).cast("decimal(30,9)"))
+        .cast("double")
+        .alias("den")
+    )
+    lags = spark.createDataFrame([(1,), (2,), (3,), (7,)], "lag INT")
+    a = dev.select(F.col("d").alias("da"), F.col("dv").alias("dva"))
+    b = dev.select(F.col("d").alias("db"), F.col("dv").alias("dvb"))
+    num = (
+        a.crossJoin(F.broadcast(lags))
+        .join(b, F.col("db") == F.date_add(F.col("da"), F.col("lag")))
+        .groupBy("lag")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_terms"),
+            F.sum(
+                F.round(F.col("dva") * F.col("dvb"), 9).cast("decimal(30,9)")
+            )
+            .cast("double")
+            .alias("num"),
+        )
+    )
+    return num.crossJoin(F.broadcast(den)).select(
+        F.col("lag").cast("long").alias("lag"),
+        "n_terms",
+        F.round(F.col("num") / F.col("den"), 6).alias("acf"),
+    )

@@ -766,3 +766,25 @@ def test_r11_wave3_plan_shapes(spark):
         .toString()
     )
     assert "SinglePartition" not in rd, rd[:2000]
+
+
+def test_r11_wave4_plan_shapes(spark):
+    """Wave-4 plan gates (r11): OLS and impurity are pure partial-agg
+    shapes (regression over a trillion rows = one scan); the ACF's
+    corpus-sized stage is the daily partial agg with the self-join on
+    the tiny series broadcast; the quantified-subquery rewrite is one
+    scalar broadcast onto the outer scan — never a correlated per-row
+    probe (no CartesianProduct beyond the 1-row scalar broadcast)."""
+    for qid in ("agg_linear_regression", "agg_entropy_gini"):
+        df = QUERIES[qid](spark, SF_DIR)
+        assert has_partial_aggregate(df), qid
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "Join" not in plan, (qid, plan[:2000])
+
+    acf = QUERIES["ts_autocorr"](spark, SF_DIR)
+    assert has_partial_aggregate(acf)
+    assert has_broadcast_join(acf)
+
+    qf = QUERIES["subquery_quantified"](spark, SF_DIR)
+    assert has_broadcast_join(qf)
+    assert shuffle_count(qf) == 0, shuffle_count(qf)
