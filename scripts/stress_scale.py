@@ -193,6 +193,12 @@ LLM_SUITE = [
     "agg_entropy_gini",
     "ts_autocorr",
     "subquery_quantified",
+    # r11 wave 5: score-grid AUC / threshold sweep (one scan each),
+    # user-keyed attribution join, series-sized CUSUM.
+    "ml_auc_exact",
+    "ml_confusion_sweep",
+    "events_attribution_multitouch",
+    "ts_cusum_changepoint",
 ]
 
 

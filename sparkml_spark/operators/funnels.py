@@ -413,3 +413,110 @@ def events_dau_rolling_wau(spark, sf_dir):
         .agg(F.countDistinct("user_id").alias("wau"))
     )
     return spine.join(dau, "day").join(wau, "day")
+
+
+# ---------------------------------------------------------------------------
+# events_attribution_multitouch (round 11) — first/last/linear credit
+# ---------------------------------------------------------------------------
+
+@query(
+    "events_attribution_multitouch",
+    section="2.I",
+    oracle="""
+WITH conv AS (
+  SELECT user_id, ts AS cts, event_id AS cid FROM events
+  WHERE event_type = 'purchase'
+), tch AS (
+  SELECT user_id, ts AS tts, event_id AS tid, event_type AS ttype FROM events
+  WHERE event_type IN ('view', 'click')
+), pairs AS (
+  SELECT c.cid, t.tid, t.ttype, t.tts
+  FROM conv c JOIN tch t
+    ON t.user_id = c.user_id
+   AND t.tts < c.cts AND t.tts >= c.cts - INTERVAL 7 DAY
+), rk AS (
+  SELECT cid, tid, ttype,
+         ROW_NUMBER() OVER (PARTITION BY cid ORDER BY tts ASC, tid ASC) AS rfirst,
+         ROW_NUMBER() OVER (PARTITION BY cid ORDER BY tts DESC, tid DESC) AS rlast,
+         COUNT(*) OVER (PARTITION BY cid) AS k
+  FROM pairs
+), credits AS (
+  SELECT 'first_touch' AS model, ttype,
+         CASE WHEN rfirst = 1 THEN 1000000 ELSE 0 END AS cr FROM rk
+  UNION ALL
+  SELECT 'last_touch', ttype,
+         CASE WHEN rlast = 1 THEN 1000000 ELSE 0 END FROM rk
+  UNION ALL
+  SELECT 'linear', ttype,
+         1000000 // k + CASE WHEN rfirst = 1 THEN 1000000 % k ELSE 0 END FROM rk
+)
+SELECT model, ttype AS event_type,
+       CAST(SUM(cr) AS BIGINT) AS credit_micro,
+       CAST(COUNT(*) AS BIGINT) AS n_touch_rows
+FROM credits GROUP BY model, ttype
+""",
+)
+def events_attribution_multitouch(spark, sf_dir):
+    """Multi-touch conversion attribution under three industry models
+    in one pass: each purchase credits the view/click touches of the
+    same user in its trailing 7 days — ALL of the credit to the first
+    touch, to the last touch, or spread linearly. Credits live in
+    integer micro-units (1e6 per conversion per model, EXACTLY):
+    linear gives each touch floor(1e6/k) and parks the division
+    remainder on the first touch, so conservation is an integer
+    identity, not a float approximation — and the oracle hash pins it.
+    First/last are deterministic under timestamp ties via the
+    (ts, event_id) lexicographic tie-break on both rank directions.
+
+    Scale: the touch-to-conversion join is user-keyed (one shuffle on
+    user_id; per-user groups are bounded), the attribution windows are
+    conversion-sized partitions, and the three models reuse ONE ranked
+    intermediate — never three scans."""
+    e = load_table(spark, sf_dir, "events")
+    conv = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("cts"), F.col("event_id").alias("cid")
+    )
+    tch = e.filter(F.col("event_type").isin("view", "click")).select(
+        "user_id",
+        F.col("ts").alias("tts"),
+        F.col("event_id").alias("tid"),
+        F.col("event_type").alias("ttype"),
+    )
+    pairs = conv.join(tch, "user_id").filter(
+        (F.col("tts") < F.col("cts"))
+        & (F.col("tts") >= F.col("cts") - F.expr("INTERVAL 7 DAYS"))
+    )
+    wf = Window.partitionBy("cid").orderBy(F.col("tts").asc(), F.col("tid").asc())
+    wl = Window.partitionBy("cid").orderBy(F.col("tts").desc(), F.col("tid").desc())
+    wk = Window.partitionBy("cid")
+    rk = pairs.select(
+        "cid",
+        "tid",
+        "ttype",
+        F.row_number().over(wf).alias("rfirst"),
+        F.row_number().over(wl).alias("rlast"),
+        F.count(F.lit(1)).over(wk).alias("k"),
+    )
+    first_cr = rk.select(
+        F.lit("first_touch").alias("model"),
+        "ttype",
+        F.when(F.col("rfirst") == 1, F.lit(1000000)).otherwise(0).alias("cr"),
+    )
+    last_cr = rk.select(
+        F.lit("last_touch").alias("model"),
+        "ttype",
+        F.when(F.col("rlast") == 1, F.lit(1000000)).otherwise(0).alias("cr"),
+    )
+    lin_cr = rk.select(
+        F.lit("linear").alias("model"),
+        "ttype",
+        (
+            F.expr("1000000 DIV k")
+            + F.when(F.col("rfirst") == 1, F.expr("1000000 % k")).otherwise(0)
+        ).alias("cr"),
+    )
+    credits = first_cr.unionByName(last_cr).unionByName(lin_cr)
+    return credits.groupBy("model", F.col("ttype").alias("event_type")).agg(
+        F.sum("cr").cast("long").alias("credit_micro"),
+        F.count(F.lit(1)).cast("long").alias("n_touch_rows"),
+    )

@@ -1547,3 +1547,163 @@ def ml_calibration_bins(spark, sf_dir):
             "calibration_gap"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# ml_auc_exact (round 11) — exact ROC-AUC by the tie-corrected
+# rank-sum identity, integer all the way to one final division.
+# ---------------------------------------------------------------------------
+
+@query(
+    "ml_auc_exact",
+    section="2.J",
+    oracle="""
+WITH lab AS (
+  SELECT value AS score,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+  FROM events
+), grp AS (
+  SELECT score, CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(y) AS BIGINT) AS np
+  FROM lab GROUP BY score
+), cum AS (
+  SELECT score, n, np,
+         SUM(n) OVER (ORDER BY score) - n AS before
+  FROM grp
+), s AS (
+  SELECT CAST(SUM(np * (2 * before + n + 1)) AS BIGINT) AS s2,
+         CAST(SUM(np) AS BIGINT) AS n_pos,
+         CAST(SUM(n - np) AS BIGINT) AS n_neg
+  FROM cum
+)
+SELECT n_pos, n_neg,
+       round(CAST(s2 - n_pos * (n_pos + 1) AS DOUBLE)
+             / (2.0 * n_pos * n_neg), 6) AS auc
+FROM s
+""",
+)
+def ml_auc_exact(spark, sf_dir):
+    """EXACT ROC-AUC via the Mann-Whitney rank-sum identity with the
+    standard average-rank tie correction: group rows by score, give a
+    tie group occupying ranks [lo, hi] the average rank (lo+hi)/2, and
+    AUC = (Σ_pos rank − n₊(n₊+1)/2) / (n₊·n₋). Doubling the rank sum
+    keeps EVERYTHING integer — 2·Σ_pos rank = Σ_groups n₊ᵍ·(2·before +
+    n + 1) — so the whole statistic is exact int64 algebra until one
+    final division (rounded at 6dp identically on both engines). The
+    MLlib evaluator family (ml_evaluation_metrics) is ROWS-tier
+    because its internals stream doubles; THIS AUC is hash-pinned.
+
+    Scale: the heavy stage is the per-score partial aggregation (one
+    scan, map-side combine onto distinct scores); the running-count
+    window then operates on the score GRID, not raw rows — the
+    agg_weighted_percentile posture. A trillion-row AUC is one scan
+    plus a grid-sized prefix sum."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events")
+    lab = e.select(
+        F.col("value").alias("score"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("y"),
+    )
+    grp = lab.groupBy("score").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("y").cast("long").alias("np"),
+    )
+    w = Window.orderBy("score").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cum = grp.select(
+        "score",
+        "n",
+        "np",
+        (F.sum("n").over(w) - F.col("n")).alias("before"),
+    )
+    s = cum.agg(
+        F.sum(F.col("np") * (2 * F.col("before") + F.col("n") + 1))
+        .cast("long")
+        .alias("s2"),
+        F.sum("np").cast("long").alias("n_pos"),
+        F.sum(F.col("n") - F.col("np")).cast("long").alias("n_neg"),
+    )
+    return s.select(
+        "n_pos",
+        "n_neg",
+        F.round(
+            (F.col("s2") - F.col("n_pos") * (F.col("n_pos") + 1)).cast("double")
+            / (2.0 * F.col("n_pos") * F.col("n_neg")),
+            6,
+        ).alias("auc"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# ml_confusion_sweep (round 11) — confusion matrices at a threshold grid
+# ---------------------------------------------------------------------------
+
+@query(
+    "ml_confusion_sweep",
+    section="2.J",
+    oracle="""
+WITH lab AS (
+  SELECT value AS score,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+  FROM events
+), thr AS (SELECT unnest([50, 100, 150, 200, 250, 300, 350, 400]) AS t),
+m AS (
+  SELECT thr.t,
+         CAST(SUM(CASE WHEN score >= thr.t AND y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+         CAST(SUM(CASE WHEN score >= thr.t AND y = 0 THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+         CAST(SUM(CASE WHEN score <  thr.t AND y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+         CAST(SUM(CASE WHEN score <  thr.t AND y = 0 THEN 1 ELSE 0 END) AS BIGINT) AS tn
+  FROM lab CROSS JOIN thr GROUP BY thr.t
+)
+SELECT CAST(t AS BIGINT) AS threshold, tp, fp, fn, tn,
+       CASE WHEN tp + fp > 0
+            THEN round(CAST(tp AS DOUBLE) / (tp + fp), 6) ELSE CAST(0.0 AS DOUBLE)
+       END AS precision_,
+       CASE WHEN tp + fn > 0
+            THEN round(CAST(tp AS DOUBLE) / (tp + fn), 6) ELSE CAST(0.0 AS DOUBLE)
+       END AS recall_
+FROM m
+""",
+)
+def ml_confusion_sweep(spark, sf_dir):
+    """Confusion-matrix sweep over a fixed threshold grid — the
+    operating-point table behind every precision/recall curve. Counts
+    are exact integers; precision/recall are single exact divisions
+    guarded for empty cells. The 8-threshold grid is a broadcast
+    constant crossed onto ONE scan (each row contributes to all
+    thresholds in the same pass — never 8 scans), and the result is an
+    8-row map-side-combined histogram."""
+    e = load_table(spark, sf_dir, "events")
+    lab = e.select(
+        F.col("value").alias("score"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("y"),
+    )
+    thr = spark.createDataFrame([(t,) for t in (50, 100, 150, 200, 250, 300, 350, 400)], "t INT")
+    m = (
+        lab.crossJoin(F.broadcast(thr))
+        .groupBy("t")
+        .agg(
+            F.sum(F.when((F.col("score") >= F.col("t")) & (F.col("y") == 1), 1).otherwise(0)).cast("long").alias("tp"),
+            F.sum(F.when((F.col("score") >= F.col("t")) & (F.col("y") == 0), 1).otherwise(0)).cast("long").alias("fp"),
+            F.sum(F.when((F.col("score") < F.col("t")) & (F.col("y") == 1), 1).otherwise(0)).cast("long").alias("fn"),
+            F.sum(F.when((F.col("score") < F.col("t")) & (F.col("y") == 0), 1).otherwise(0)).cast("long").alias("tn"),
+        )
+    )
+    return m.select(
+        F.col("t").cast("long").alias("threshold"),
+        "tp",
+        "fp",
+        "fn",
+        "tn",
+        F.when(
+            F.col("tp") + F.col("fp") > 0,
+            F.round(F.col("tp").cast("double") / (F.col("tp") + F.col("fp")), 6),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("precision_"),
+        F.when(
+            F.col("tp") + F.col("fn") > 0,
+            F.round(F.col("tp").cast("double") / (F.col("tp") + F.col("fn")), 6),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("recall_"),
+    )

@@ -356,3 +356,82 @@ def ts_autocorr(spark, sf_dir):
         "n_terms",
         F.round(F.col("num") / F.col("den"), 6).alias("acf"),
     )
+
+
+# ---------------------------------------------------------------------------
+# ts_cusum_changepoint (round 11) — integer-exact CUSUM drift location
+# ---------------------------------------------------------------------------
+
+@query(
+    "ts_cusum_changepoint",
+    section="2.I",
+    oracle="""
+WITH daily AS (
+  SELECT CAST(date_trunc('day', ts) AS DATE) AS d, CAST(COUNT(*) AS BIGINT) AS c
+  FROM events GROUP BY CAST(date_trunc('day', ts) AS DATE)
+), idx AS (
+  SELECT d, c,
+         ROW_NUMBER() OVER (ORDER BY d) AS t,
+         SUM(c) OVER (ORDER BY d) AS cum
+  FROM daily
+), tot AS (
+  SELECT CAST(SUM(c) AS BIGINT) AS total, CAST(COUNT(*) AS BIGINT) AS n FROM daily
+), s AS (
+  SELECT idx.d, abs(tot.n * idx.cum - idx.t * tot.total) AS stat
+  FROM idx CROSS JOIN tot
+), best AS (
+  SELECT d, stat, ROW_NUMBER() OVER (ORDER BY stat DESC, d ASC) AS rn FROM s
+)
+SELECT best.d AS changepoint_day,
+       CAST(best.stat AS BIGINT) AS cusum_stat,
+       tot.n AS n_days, tot.total AS total_events
+FROM best CROSS JOIN tot WHERE best.rn = 1
+""",
+)
+def ts_cusum_changepoint(spark, sf_dir):
+    """CUSUM changepoint location on the daily event-count series
+    [Page 1954's cumulative-sum test, offline form]: the changepoint
+    estimate is argmax_t |Σ_{i<=t}(c_i − μ)|. Multiplying through by n
+    clears the mean's division — stat'_t = |n·cum_t − t·total| is
+    EXACT int64 algebra, so the argmax (earliest day on ties) is
+    hash-pinnable with no float anywhere. This is the
+    drift-localization primitive behind pipeline monitoring
+    (quality_drift_* tell you THAT the mix moved; CUSUM tells you
+    WHEN).
+
+    Scale: one daily partial aggregation (corpus-sized scan,
+    map-side combine), then prefix sums on the tiny series — the
+    ts_autocorr posture."""
+    from pyspark.sql import Window as W
+
+    e = load_table(spark, sf_dir, "events")
+    daily = (
+        e.select(F.date_trunc("day", F.col("ts")).cast("date").alias("d"))
+        .groupBy("d")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    word = W.orderBy("d").rowsBetween(W.unboundedPreceding, W.currentRow)
+    idx = daily.select(
+        "d",
+        "c",
+        F.row_number().over(W.orderBy("d")).alias("t"),
+        F.sum("c").over(word).alias("cum"),
+    )
+    tot = daily.agg(
+        F.sum("c").cast("long").alias("total"), F.count(F.lit(1)).cast("long").alias("n")
+    )
+    s = idx.crossJoin(F.broadcast(tot)).select(
+        "d",
+        F.abs(F.col("n") * F.col("cum") - F.col("t") * F.col("total")).alias("stat"),
+        "n",
+        "total",
+    )
+    best = s.withColumn(
+        "rn", F.row_number().over(W.orderBy(F.col("stat").desc(), F.col("d").asc()))
+    ).filter(F.col("rn") == 1)
+    return best.select(
+        F.col("d").alias("changepoint_day"),
+        F.col("stat").cast("long").alias("cusum_stat"),
+        F.col("n").alias("n_days"),
+        F.col("total").alias("total_events"),
+    )

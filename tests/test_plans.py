@@ -788,3 +788,25 @@ def test_r11_wave4_plan_shapes(spark):
     qf = QUERIES["subquery_quantified"](spark, SF_DIR)
     assert has_broadcast_join(qf)
     assert shuffle_count(qf) == 0, shuffle_count(qf)
+
+
+def test_r11_wave5_plan_shapes(spark):
+    """Wave-5 plan gates (r11): exact-AUC and the confusion sweep are
+    partial-agg shapes (AUC's window runs on the score grid, the sweep
+    broadcasts its 8-threshold constant); attribution's touch join is
+    user-keyed equi (no cartesian) with conversion-sized windows; the
+    CUSUM series stats ride broadcast scalars."""
+    auc = QUERIES["ml_auc_exact"](spark, SF_DIR)
+    assert has_partial_aggregate(auc)
+    sweep = QUERIES["ml_confusion_sweep"](spark, SF_DIR)
+    assert has_partial_aggregate(sweep)
+    assert has_broadcast_join(sweep)
+    attr = (
+        QUERIES["events_attribution_multitouch"](spark, SF_DIR)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in attr, attr[:2000]
+    cp = QUERIES["ts_cusum_changepoint"](spark, SF_DIR)
+    assert has_broadcast_join(cp)

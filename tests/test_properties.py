@@ -1345,3 +1345,23 @@ def test_pq_adc_matches_python_replay(spark):
         for r in QUERIES["sim_pq_recall"](spark, SF_DIR).collect()
     }
     assert overlaps == want_overlap
+
+
+def test_attribution_conserves_credit_per_model(spark):
+    """Credit conservation: under every model, total credit equals
+    1e6 x (number of conversions that have at least one touch) — an
+    integer identity the micro-unit design guarantees; and all three
+    models see identical touch-row counts."""
+    from sparkml_spark.registry import QUERIES
+    from .conftest import SF_DIR
+
+    rows = QUERIES["events_attribution_multitouch"](spark, SF_DIR).collect()
+    by_model = {}
+    touch_rows = {}
+    for r in rows:
+        by_model[r.model] = by_model.get(r.model, 0) + r.credit_micro
+        touch_rows[r.model] = touch_rows.get(r.model, 0) + r.n_touch_rows
+    assert len(set(by_model.values())) == 1, by_model
+    assert len(set(touch_rows.values())) == 1, touch_rows
+    assert by_model["linear"] % 1000000 == 0
+    assert by_model["linear"] > 0
