@@ -199,6 +199,11 @@ LLM_SUITE = [
     "ml_confusion_sweep",
     "events_attribution_multitouch",
     "ts_cusum_changepoint",
+    # r11 wave 6: all daily/grid/user partial-agg collapses.
+    "ts_forecast_backtest",
+    "win_bollinger_bands",
+    "events_funnel_latency",
+    "events_cohort_ltv",
 ]
 
 

@@ -14,7 +14,7 @@ from __future__ import annotations
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
-from sparkml_spark.registry import dsum, query
+from sparkml_spark.registry import dsum, dsum_sql, query
 from sparkml_spark.sources.loader import load_table
 
 
@@ -519,4 +519,185 @@ def events_attribution_multitouch(spark, sf_dir):
     return credits.groupBy("model", F.col("ttype").alias("event_type")).agg(
         F.sum("cr").cast("long").alias("credit_micro"),
         F.count(F.lit(1)).cast("long").alias("n_touch_rows"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# events_funnel_latency (round 11) — time-to-convert distribution
+# ---------------------------------------------------------------------------
+
+@query(
+    "events_funnel_latency",
+    section="2.I",
+    oracle="""
+WITH s AS (
+  SELECT user_id, MIN(epoch_us(ts)) AS t0 FROM events
+  WHERE event_type = 'signup' GROUP BY user_id
+), p AS (
+  SELECT e.user_id, MIN(epoch_us(e.ts)) AS t1
+  FROM events e JOIN s ON s.user_id = e.user_id
+  WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > s.t0
+  GROUP BY e.user_id
+), lat AS (
+  SELECT p.user_id, (p.t1 - s.t0) // 1000000 AS sec
+  FROM p JOIN s ON s.user_id = p.user_id
+), grid AS (
+  SELECT sec, CAST(COUNT(*) AS BIGINT) AS w FROM lat GROUP BY sec
+), cum AS (
+  SELECT sec, w, SUM(w) OVER (ORDER BY sec) AS running,
+         SUM(w) OVER () AS tot
+  FROM grid
+)
+SELECT CAST(MAX(tot) AS BIGINT) AS n_converted,
+       CAST(MIN(sec) AS BIGINT) AS min_sec,
+       CAST(MIN(CASE WHEN 4 * running >= tot THEN sec END) AS BIGINT) AS p25_sec,
+       CAST(MIN(CASE WHEN 2 * running >= tot THEN sec END) AS BIGINT) AS median_sec,
+       CAST(MIN(CASE WHEN 4 * running >= 3 * tot THEN sec END) AS BIGINT) AS p75_sec,
+       CAST(MAX(sec) AS BIGINT) AS max_sec,
+       round(CAST(SUM(sec * w) AS DOUBLE) / MAX(tot), 6) AS mean_sec
+FROM cum
+""",
+)
+def events_funnel_latency(spark, sf_dir):
+    """Time-to-convert distribution: for every user, latency from
+    FIRST signup to the first subsequent purchase, summarized as
+    min/p25/median/p75/max/mean seconds. Latencies are exact integer
+    seconds (microsecond epochs floor-divided — no float timestamps),
+    the quartiles use the cumulative-weight-crossing construction on
+    the latency grid (agg_weighted_percentile's algebra with w =
+    converter count), and the mean is one exact division.
+
+    Scale: two user-keyed partial aggregations (first signup, first
+    qualifying purchase) and a user-keyed join — one shuffle key
+    throughout; the percentile window runs on the collapsed latency
+    GRID, never on raw converters."""
+    e = load_table(spark, sf_dir, "events")
+    # ts is TIMESTAMP_NTZ; unix_micros wants TIMESTAMP. Sessions are
+    # pinned UTC (loader contract), so the cast is value-preserving
+    # and matches DuckDB's epoch_us exactly.
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    s = (
+        e.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min(us).alias("t0"))
+    )
+    p = (
+        e.filter(F.col("event_type") == "purchase")
+        .select("user_id", us.alias("t"))
+        .join(s, "user_id")
+        .filter(F.col("t") > F.col("t0"))
+        .groupBy("user_id")
+        .agg(F.min("t").alias("t1"))
+    )
+    lat = p.join(s, "user_id").select(
+        F.expr("(t1 - t0) DIV 1000000").alias("sec")
+    )
+    grid = lat.groupBy("sec").agg(F.count(F.lit(1)).cast("long").alias("w"))
+    wcum = Window.orderBy("sec").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    wtot = Window.partitionBy()
+    cum = grid.select(
+        "sec",
+        "w",
+        F.sum("w").over(wcum).alias("running"),
+        F.sum("w").over(wtot).alias("tot"),
+    )
+    return cum.agg(
+        F.max("tot").cast("long").alias("n_converted"),
+        F.min("sec").cast("long").alias("min_sec"),
+        F.min(F.when(4 * F.col("running") >= F.col("tot"), F.col("sec")))
+        .cast("long")
+        .alias("p25_sec"),
+        F.min(F.when(2 * F.col("running") >= F.col("tot"), F.col("sec")))
+        .cast("long")
+        .alias("median_sec"),
+        F.min(F.when(4 * F.col("running") >= 3 * F.col("tot"), F.col("sec")))
+        .cast("long")
+        .alias("p75_sec"),
+        F.max("sec").cast("long").alias("max_sec"),
+        F.round(
+            F.sum(F.col("sec") * F.col("w")).cast("double") / F.max("tot"), 6
+        ).alias("mean_sec"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# events_cohort_ltv (round 11) — the LTV triangle
+# ---------------------------------------------------------------------------
+
+@query(
+    "events_cohort_ltv",
+    section="2.I",
+    oracle=f"""
+WITH first_seen AS (
+  SELECT user_id,
+         CAST(date_trunc('month', MIN(ts)) AS DATE) AS cohort
+  FROM events GROUP BY user_id
+), rev AS (
+  SELECT f.cohort,
+         (year(CAST(date_trunc('month', e.ts) AS DATE)) - year(f.cohort)) * 12
+           + (month(CAST(date_trunc('month', e.ts) AS DATE)) - month(f.cohort))
+           AS age_months,
+         e.value, e.user_id
+  FROM events e JOIN first_seen f ON f.user_id = e.user_id
+  WHERE e.event_type = 'purchase'
+), cell AS (
+  SELECT cohort, age_months,
+         CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_buyers,
+         {dsum_sql('value')} AS revenue
+  FROM rev GROUP BY cohort, age_months
+)
+SELECT cohort, CAST(age_months AS BIGINT) AS age_months, n_buyers,
+       round(revenue, 2) AS revenue,
+       round(SUM(round(revenue, 2)) OVER (PARTITION BY cohort
+                                          ORDER BY age_months), 2) AS cum_revenue
+FROM cell
+""",
+)
+def events_cohort_ltv(spark, sf_dir):
+    """The LTV triangle: purchase revenue by signup cohort (month of
+    first activity) × account age in months, with the running
+    cumulative revenue per cohort — the table behind every
+    payback-period chart. Cohort age is explicit year/month integer
+    arithmetic (never months_between, whose fractional semantics
+    differ across engines); per-cell revenue is a dsum (exact decimal
+    grid), rounded to cents BEFORE the cumulative window so the
+    running sum adds already-quantized values identically on both
+    sides.
+
+    Scale: first-activity is a user-keyed partial min; the cohort
+    join is user-keyed; cells collapse to (cohort × age) — a few
+    hundred rows at any corpus size — before the window."""
+    e = load_table(spark, sf_dir, "events")
+    first_seen = e.groupBy("user_id").agg(
+        F.date_trunc("month", F.min("ts")).cast("date").alias("cohort")
+    )
+    em = F.date_trunc("month", F.col("ts")).cast("date")
+    rev = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(first_seen, "user_id")
+        .select(
+            "cohort",
+            (
+                (F.year(em) - F.year("cohort")) * 12
+                + (F.month(em) - F.month("cohort"))
+            ).alias("age_months"),
+            "value",
+            "user_id",
+        )
+    )
+    cell = rev.groupBy("cohort", "age_months").agg(
+        F.countDistinct("user_id").cast("long").alias("n_buyers"),
+        dsum("value").alias("revenue"),
+    )
+    wc = (
+        Window.partitionBy("cohort")
+        .orderBy("age_months")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return cell.select(
+        "cohort",
+        F.col("age_months").cast("long").alias("age_months"),
+        "n_buyers",
+        F.round("revenue", 2).alias("revenue"),
+        F.round(F.sum(F.round("revenue", 2)).over(wc), 2).alias("cum_revenue"),
     )

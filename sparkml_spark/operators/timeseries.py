@@ -435,3 +435,79 @@ def ts_cusum_changepoint(spark, sf_dir):
         F.col("n").alias("n_days"),
         F.col("total").alias("total_events"),
     )
+
+
+# ---------------------------------------------------------------------------
+# ts_forecast_backtest (round 11) — seasonal-naive baseline + exact
+# error metrics (the forecast-eval primitive).
+# ---------------------------------------------------------------------------
+
+@query(
+    "ts_forecast_backtest",
+    section="2.I",
+    oracle="""
+WITH daily AS (
+  SELECT CAST(date_trunc('day', ts) AS DATE) AS d, CAST(COUNT(*) AS BIGINT) AS c
+  FROM events GROUP BY CAST(date_trunc('day', ts) AS DATE)
+), pairs AS (
+  SELECT a.d, a.c AS actual, f.c AS forecast, a.c - f.c AS err
+  FROM daily a JOIN daily f ON f.d = a.d - 7
+), m AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_forecasts,
+         CAST(SUM(abs(err)) AS BIGINT) AS sae,
+         CAST(SUM(err * err) AS BIGINT) AS sse,
+         CAST(SUM(CAST(round(CAST(abs(err) AS DOUBLE) / actual, 9)
+                       AS DECIMAL(30,9))) AS DOUBLE) AS sape
+  FROM pairs
+)
+SELECT n_forecasts,
+       round(CAST(sae AS DOUBLE) / n_forecasts, 6) AS mae,
+       round(sqrt(CAST(sse AS DOUBLE) / n_forecasts), 6) AS rmse,
+       round(sape / n_forecasts, 6) AS mape
+FROM m
+""",
+)
+def ts_forecast_backtest(spark, sf_dir):
+    """Seasonal-naive forecast backtest (forecast_t = actual_{t-7},
+    the standard baseline every real forecaster must beat) with exact
+    error metrics: MAE and RMSE come from integer |err| / err² sums
+    (one final division; sqrt is IEEE exactly-rounded), MAPE's
+    per-term rational |err|/actual is quantized at 9dp and
+    decimal-summed (the engine-wide pattern). Zero-actual days would
+    be division hazards — daily counts are >0 by construction (a day
+    with no events has no row, and the join drops unmatched days).
+
+    Scale: one daily partial aggregation is the corpus-sized stage;
+    the backtest itself is a self-join on the shifted tiny series —
+    the ts_autocorr posture."""
+    e = load_table(spark, sf_dir, "events")
+    daily = (
+        e.select(F.date_trunc("day", F.col("ts")).cast("date").alias("d"))
+        .groupBy("d")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    a = daily.select(F.col("d").alias("da"), F.col("c").alias("actual"))
+    f = daily.select(F.col("d").alias("df"), F.col("c").alias("forecast"))
+    pairs = a.join(f, F.col("df") == F.date_sub(F.col("da"), 7)).select(
+        "actual", "forecast", (F.col("actual") - F.col("forecast")).alias("err")
+    )
+    m = pairs.agg(
+        F.count(F.lit(1)).cast("long").alias("n_forecasts"),
+        F.sum(F.abs(F.col("err"))).cast("long").alias("sae"),
+        F.sum(F.col("err") * F.col("err")).cast("long").alias("sse"),
+        F.sum(
+            F.round(
+                F.abs(F.col("err")).cast("double") / F.col("actual"), 9
+            ).cast("decimal(30,9)")
+        )
+        .cast("double")
+        .alias("sape"),
+    )
+    return m.select(
+        "n_forecasts",
+        F.round(F.col("sae").cast("double") / F.col("n_forecasts"), 6).alias("mae"),
+        F.round(
+            F.sqrt(F.col("sse").cast("double") / F.col("n_forecasts")), 6
+        ).alias("rmse"),
+        F.round(F.col("sape") / F.col("n_forecasts"), 6).alias("mape"),
+    )

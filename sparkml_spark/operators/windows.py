@@ -637,3 +637,85 @@ def win_running_distinct(spark, sf_dir):
             F.sum("first_seen").over(wrun).cast("long").alias("n_types_so_far"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# win_bollinger_bands (round 11) — rolling mean ± 2σ, exact int algebra
+# ---------------------------------------------------------------------------
+
+@query(
+    "win_bollinger_bands",
+    section="2.E",
+    oracle="""
+WITH daily AS (
+  SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS d,
+         CAST(COUNT(*) AS BIGINT) AS c
+  FROM events GROUP BY event_type, CAST(date_trunc('day', ts) AS DATE)
+), rolled AS (
+  SELECT event_type, d, c,
+         CAST(COUNT(*) OVER w AS BIGINT) AS n_win,
+         CAST(SUM(c) OVER w AS BIGINT) AS s,
+         CAST(SUM(c * c) OVER w AS BIGINT) AS ss
+  FROM daily
+  WINDOW w AS (PARTITION BY event_type ORDER BY d
+               ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+)
+SELECT event_type, d, c, n_win,
+       round(CAST(s AS DOUBLE) / n_win, 6) AS ma,
+       round(CAST(s AS DOUBLE) / n_win
+             + 2 * sqrt(CAST(n_win * ss - s * s AS DOUBLE)
+                        / (CAST(n_win AS DOUBLE) * n_win)), 6) AS upper_band,
+       round(CAST(s AS DOUBLE) / n_win
+             - 2 * sqrt(CAST(n_win * ss - s * s AS DOUBLE)
+                        / (CAST(n_win AS DOUBLE) * n_win)), 6) AS lower_band
+FROM rolled
+""",
+)
+def win_bollinger_bands(spark, sf_dir):
+    """Bollinger bands (rolling mean ± 2 population σ over a 7-row
+    window) on the per-type daily series — the volatility-band shape
+    every monitoring dashboard draws. Determinism without float
+    windows: the rolling SUM and SUM-OF-SQUARES are exact integer
+    window aggregates, variance is the cleared form
+    (n·Σc² − (Σc)²)/n² evaluated in one double expression, and sqrt
+    is IEEE exactly-rounded — so both engines produce bit-identical
+    bands with no per-row float accumulation anywhere.
+
+    Scale: the corpus-sized stage is the daily partial aggregation;
+    the window runs on (type, day) series rows — bounded partitions,
+    rows-frame (no range scan), one shuffle on event_type."""
+    e = load_table(spark, sf_dir, "events")
+    daily = (
+        e.select(
+            "event_type", F.date_trunc("day", F.col("ts")).cast("date").alias("d")
+        )
+        .groupBy("event_type", "d")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("d")
+        .rowsBetween(-6, Window.currentRow)
+    )
+    rolled = daily.select(
+        "event_type",
+        "d",
+        "c",
+        F.count(F.lit(1)).over(w).cast("long").alias("n_win"),
+        F.sum("c").over(w).cast("long").alias("s"),
+        F.sum(F.col("c") * F.col("c")).over(w).cast("long").alias("ss"),
+    )
+    mean = F.col("s").cast("double") / F.col("n_win")
+    sd = F.sqrt(
+        (F.col("n_win") * F.col("ss") - F.col("s") * F.col("s")).cast("double")
+        / (F.col("n_win").cast("double") * F.col("n_win"))
+    )
+    return rolled.select(
+        "event_type",
+        "d",
+        "c",
+        "n_win",
+        F.round(mean, 6).alias("ma"),
+        F.round(mean + 2 * sd, 6).alias("upper_band"),
+        F.round(mean - 2 * sd, 6).alias("lower_band"),
+    )

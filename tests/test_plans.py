@@ -810,3 +810,29 @@ def test_r11_wave5_plan_shapes(spark):
     assert "CartesianProduct" not in attr, attr[:2000]
     cp = QUERIES["ts_cusum_changepoint"](spark, SF_DIR)
     assert has_broadcast_join(cp)
+
+
+def test_r11_wave6_plan_shapes(spark):
+    """Wave-6 plan gates (r11): all four ops' corpus-sized stage is a
+    partial aggregation (daily/grid/user collapse) — never a raw-fact
+    window or cartesian; Bollinger's window partitions by event_type
+    (no SinglePartition over the fact table — the daily grid's global
+    window in latency runs on the collapsed GRID, which is fine and
+    asserted by row count elsewhere)."""
+    for qid in (
+        "ts_forecast_backtest",
+        "win_bollinger_bands",
+        "events_funnel_latency",
+        "events_cohort_ltv",
+    ):
+        df = QUERIES[qid](spark, SF_DIR)
+        assert has_partial_aggregate(df), qid
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan, (qid, plan[:2000])
+    bb = (
+        QUERIES["win_bollinger_bands"](spark, SF_DIR)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "SinglePartition" not in bb, bb[:2000]
