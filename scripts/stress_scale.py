@@ -204,6 +204,12 @@ LLM_SUITE = [
     "win_bollinger_bands",
     "events_funnel_latency",
     "events_cohort_ltv",
+    # r11 wave 7: decile/grid partial aggs, the WindowGroupLimit
+    # keyword top-k, and the two-stage dedup cascade.
+    "ml_lift_gain_table",
+    "agg_gini_coefficient",
+    "text_keyword_topk",
+    "dedup_cascade_keep",
 ]
 
 

@@ -1377,3 +1377,94 @@ def agg_entropy_gini(spark, sf_dir):
         ).alias("gini"),
         F.round(F.log("n") - F.col("sclnc") / F.col("n"), 6).alias("entropy"),
     )
+
+
+# ---------------------------------------------------------------------------
+# agg_gini_coefficient (round 11) — revenue-concentration inequality
+# ---------------------------------------------------------------------------
+
+@query(
+    "agg_gini_coefficient",
+    section="2.D",
+    oracle="""
+WITH v AS (
+  SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS x FROM orders
+), g AS (
+  SELECT x, CAST(COUNT(*) AS BIGINT) AS w FROM v GROUP BY x
+), cum AS (
+  SELECT x, w,
+         SUM(w) OVER (ORDER BY x) AS hi,
+         SUM(w) OVER (ORDER BY x) - w AS lo
+  FROM g
+), s AS (
+  SELECT CAST(SUM(w) AS BIGINT) AS n,
+         CAST(SUM(x * w) AS BIGINT) AS sx,
+         CAST(SUM(x * ((hi * (hi + 1) - lo * (lo + 1)) // 2)) AS DOUBLE) AS sranked
+  FROM cum
+)
+SELECT n,
+       round(CAST(sx AS DOUBLE) / n / 100.0, 2) AS mean_price,
+       round((2.0 * sranked) / (CAST(n AS DOUBLE) * sx)
+             - (CAST(n AS DOUBLE) + 1) / n, 6) AS gini
+FROM s
+""",
+)
+def agg_gini_coefficient(spark, sf_dir):
+    """Gini coefficient of order-value concentration (the economics
+    Gini, distinct from agg_entropy_gini's impurity): with values
+    sorted ascending, G = 2·Σᵢ i·xᵢ / (n·Σx) − (n+1)/n. Ranks are
+    summed per VALUE-GRID group — a tie group occupying ranks
+    (lo, hi] contributes x·Σ_{i=lo+1..hi} i = x·(hi(hi+1)−lo(lo+1))/2,
+    which is exact int64 algebra on the cents grid (the /2 divides an
+    even product exactly), so the whole statistic is integer until
+    two final divisions composed identically on both engines.
+
+    Scale: the agg_weighted_percentile posture — one partial
+    aggregation collapses the corpus onto the value grid, the rank
+    prefix-sum runs on grid rows, and a trillion-order Gini is one
+    scan plus a grid-sized window."""
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    v = o.select(F.round(F.col("o_totalprice") * 100).cast("long").alias("x"))
+    g = v.groupBy("x").agg(F.count(F.lit(1)).cast("long").alias("w"))
+    wc = Window.orderBy("x").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cum = g.select(
+        "x",
+        "w",
+        F.sum("w").over(wc).alias("hi"),
+        (F.sum("w").over(wc) - F.col("w")).alias("lo"),
+    )
+    s = cum.agg(
+        F.sum("w").cast("long").alias("n"),
+        F.sum(F.col("x") * F.col("w")).cast("long").alias("sx"),
+        # integer DIV (the bracket is even, so exact) and a decimal
+        # accumulator: a double '/2' would make this a float SUM —
+        # order-dependent and 2^53-bounded. Per-term longs hold to
+        # ~1e9 rows (x*hi^2); past that lift the operands to
+        # decimal(19,0) (documented posture, as in agg_linear_regression).
+        # the decimal accumulator is cast to DOUBLE, not BIGINT: at
+        # x100 fixture scale the rank sum is ~3.8e21 — int64 dies, the
+        # decimal->double cast is the same deterministic rounding both
+        # engines apply to the identical exact integer (lsum's
+        # grid-exactness note has the full 2^53 contract)
+        F.sum(
+            (
+                F.col("x")
+                * F.expr("(hi * (hi + 1) - lo * (lo + 1)) DIV 2")
+            ).cast("decimal(38,0)")
+        )
+        .cast("double")
+        .alias("sranked"),
+    )
+    return s.select(
+        "n",
+        F.round(F.col("sx").cast("double") / F.col("n") / 100.0, 2).alias(
+            "mean_price"
+        ),
+        F.round(
+            (2.0 * F.col("sranked")) / (F.col("n").cast("double") * F.col("sx").cast("double"))
+            - (F.col("n").cast("double") + 1) / F.col("n"),
+            6,
+        ).alias("gini"),
+    )

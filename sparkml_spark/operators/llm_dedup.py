@@ -2061,3 +2061,137 @@ def dedup_bloom_prefilter(spark, sf_dir):
             "n_missed",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# dedup_cascade_keep (round 11) — the production dedup chain as ONE
+# decision table: exact -> near, with stage attribution + canonical id.
+# ---------------------------------------------------------------------------
+
+_CASCADE_CORPUS_SQL = f"""
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + {_DUP_OFFSET} AS doc_id, text
+  FROM documents WHERE doc_id % 10 = 0
+  UNION ALL
+  SELECT doc_id + {2 * _DUP_OFFSET} AS doc_id,
+         array_to_string({_TOKS}[1:len({_TOKS}) - 3], ' ') AS text
+  FROM documents WHERE doc_id % 10 = 5
+"""
+
+
+@query(
+    "dedup_cascade_keep",
+    section="2.I",
+    oracle=f"""
+WITH corpus AS ({_CASCADE_CORPUS_SQL}),
+hashed AS (
+  SELECT doc_id, {_NORM_SQL} AS h FROM corpus
+), grp AS (
+  SELECT h, MIN(doc_id) AS canon FROM hashed GROUP BY h
+), ex AS (
+  SELECT hashed.doc_id, grp.canon FROM hashed JOIN grp ON grp.h = hashed.h
+), survivors AS (
+  SELECT c.doc_id, c.text FROM corpus c JOIN ex ON ex.doc_id = c.doc_id
+  WHERE ex.canon = c.doc_id
+), shingled AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, len({_TOKS}) - 2),
+             i -> {_TOKS}[i] || ' ' || {_TOKS}[i+1] || ' ' || {_TOKS}[i+2])) AS sh
+  FROM survivors
+), exploded AS (
+  SELECT doc_id, unnest(sh) AS shingle FROM shingled
+), keptsh AS (
+  SELECT doc_id, shingle FROM (
+    SELECT doc_id, shingle,
+           COUNT(*) OVER (PARTITION BY shingle) AS df,
+           (SELECT COUNT(*) FROM survivors) AS n_docs
+    FROM exploded
+  ) WHERE 2 * df <= n_docs
+), sizes AS (
+  SELECT doc_id, COUNT(*) AS n_sh FROM keptsh GROUP BY doc_id
+), pair_inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
+  FROM keptsh a JOIN keptsh b
+    ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+), pairs AS (
+  SELECT id_a, id_b FROM pair_inter
+  JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
+  WHERE CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) > 0.6
+), near AS (
+  SELECT id_b AS doc_id, MIN(id_a) AS canon FROM pairs GROUP BY id_b
+)
+SELECT c.doc_id,
+       CASE WHEN ex.canon != c.doc_id THEN 'exact'
+            WHEN near.doc_id IS NOT NULL THEN 'near'
+            ELSE 'kept' END AS stage,
+       CASE WHEN ex.canon != c.doc_id THEN ex.canon
+            WHEN near.doc_id IS NOT NULL THEN near.canon
+            ELSE c.doc_id END AS canonical_id
+FROM corpus c
+JOIN ex ON ex.doc_id = c.doc_id
+LEFT JOIN near ON near.doc_id = c.doc_id
+""",
+)
+def dedup_cascade_keep(spark, sf_dir):
+    """The production dedup CASCADE as one decision table: stage 1
+    removes exact duplicates (normalized-hash groups, keep-min-id),
+    stage 2 runs shingle-Jaccard near-dup (> 0.6, df-cut universe
+    computed over stage-1 SURVIVORS) and removes the larger id of
+    each pair — every document gets (stage, canonical_id) attribution,
+    the record a corpus-governance audit asks for ("why was this doc
+    dropped, and what replaced it"). Near-stage removal is the
+    pairwise keep-min rule (id_b of any >0.6 pair, canonical = its
+    smallest partner); full transitive-closure canonicalization is
+    dedup_cc_clusters' contract — this op pins the cascade's
+    stage-attribution algebra. Corpus: originals + exact copies of
+    every 10th doc + truncated variants of each doc_id%10==5, so BOTH
+    stages fire and the oracle hash-pins which stage caught which doc.
+
+    Scale: stage 1 is the dedup_exact_hash partial-agg shape; stage 2
+    reuses jaccard_pairs (df-cut inverted index, broadcast hot-set
+    anti join); the composition adds only user-keyed equi joins —
+    cascade cost = sum of stage costs, no cross-stage blow-up."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    corpus = (
+        d.unionByName(
+            d.filter(F.col("doc_id") % 10 == 0).select(
+                (F.col("doc_id") + _DUP_OFFSET).alias("doc_id"), "text"
+            )
+        ).unionByName(
+            d.filter(F.col("doc_id") % 10 == 5).select(
+                (F.col("doc_id") + 2 * _DUP_OFFSET).alias("doc_id"),
+                F.array_join(F.slice(toks, 1, F.size(toks) - 3), " ").alias("text"),
+            )
+        )
+    ).cache()
+    hashed = corpus.select("doc_id", _norm().alias("h"))
+    grp = hashed.groupBy("h").agg(F.min("doc_id").alias("canon"))
+    ex = hashed.join(grp, "h").select("doc_id", "canon")
+    survivors = (
+        corpus.join(ex.withColumnRenamed("doc_id", "sid"), F.col("sid") == F.col("doc_id"))
+        .filter(F.col("canon") == F.col("doc_id"))
+        .select("doc_id", "text")
+    )
+    pairs = jaccard_pairs(survivors, 0.6)
+    near = pairs.groupBy(F.col("id_b").alias("doc_id")).agg(
+        F.min("id_a").alias("ncanon")
+    )
+    return (
+        corpus.select("doc_id")
+        .join(ex, "doc_id")
+        .join(near, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.when(F.col("canon") != F.col("doc_id"), F.lit("exact"))
+            .when(F.col("ncanon").isNotNull(), F.lit("near"))
+            .otherwise(F.lit("kept"))
+            .alias("stage"),
+            F.when(F.col("canon") != F.col("doc_id"), F.col("canon"))
+            .when(F.col("ncanon").isNotNull(), F.col("ncanon"))
+            .otherwise(F.col("doc_id"))
+            .alias("canonical_id"),
+        )
+    )

@@ -1506,3 +1506,76 @@ JOIN ({p}) p ON p.doc_id = g.doc_id
 
 
 _wire_keep_decision_oracle()
+
+
+# ---------------------------------------------------------------------------
+# text_keyword_topk (round 11) — per-doc top-3 TF-IDF keywords
+# ---------------------------------------------------------------------------
+
+@query(
+    "text_keyword_topk",
+    section="2.I",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_TOKENS_SQL}) AS token FROM documents
+), tf AS (
+  SELECT doc_id, token, COUNT(*) AS tf FROM toks GROUP BY doc_id, token
+), df AS (
+  SELECT token, COUNT(DISTINCT doc_id) AS df FROM toks GROUP BY token
+), n AS (
+  SELECT COUNT(*) AS n_docs FROM documents
+), scored AS (
+  SELECT tf.doc_id, tf.token, CAST(tf.tf AS BIGINT) AS tf,
+         CAST(df.df AS BIGINT) AS df,
+         round(tf.tf * ln((n.n_docs + 1.0) / (df.df + 1.0)), 6) AS tfidf
+  FROM tf JOIN df ON tf.token = df.token CROSS JOIN n
+)
+SELECT doc_id, token, tf, df, tfidf,
+       CAST(kw_rank AS BIGINT) AS kw_rank
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                               ORDER BY tfidf DESC, token ASC) AS kw_rank
+  FROM scored
+) WHERE kw_rank <= 3
+""",
+)
+def text_keyword_topk(spark, sf_dir):
+    """Per-document keyword extraction: the top-3 terms by TF-IDF
+    (text_tfidf_sql's exact scoring — 6dp-rounded ln identical on
+    both engines, so the sort keys are bit-equal) with token as the
+    total-order tiebreak. The per-doc top-k compiles to a
+    WindowGroupLimit (rank pushed below the sort), so the limit
+    prunes before any full per-doc materialization.
+
+    Scale: tokenize once, vocabulary-sized df broadcast, one doc_id
+    shuffle for the window on bounded per-doc groups."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(_tokens()).alias("token"))
+    tf = toks.groupBy("doc_id", "token").agg(
+        F.count(F.lit(1)).cast("long").alias("tf")
+    )
+    df = toks.groupBy("token").agg(
+        F.countDistinct("doc_id").cast("long").alias("df")
+    )
+    n = F.broadcast(d.agg(F.count(F.lit(1)).alias("n_docs")))
+    scored = (
+        tf.join(F.broadcast(df), "token")
+        .crossJoin(n)
+        .select(
+            "doc_id",
+            "token",
+            "tf",
+            "df",
+            F.round(
+                F.col("tf") * F.log((F.col("n_docs") + 1.0) / (F.col("df") + 1.0)),
+                6,
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("tfidf").desc(), F.col("token").asc()
+    )
+    return (
+        scored.withColumn("kw_rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("kw_rank") <= 3)
+    )

@@ -1707,3 +1707,88 @@ def ml_confusion_sweep(spark, sf_dir):
         .otherwise(F.lit(0.0))
         .alias("recall_"),
     )
+
+
+# ---------------------------------------------------------------------------
+# ml_lift_gain_table (round 11) — decile gains/lift for scored cohorts
+# ---------------------------------------------------------------------------
+
+@query(
+    "ml_lift_gain_table",
+    section="2.J",
+    oracle="""
+WITH lab AS (
+  SELECT event_id, value AS score,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+  FROM events
+), ranked AS (
+  SELECT y, NTILE(10) OVER (ORDER BY score DESC, event_id ASC) AS decile
+  FROM lab
+), d AS (
+  SELECT decile, CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(y) AS BIGINT) AS n_pos
+  FROM ranked GROUP BY decile
+), t AS (
+  SELECT CAST(SUM(n) AS BIGINT) AS nt, CAST(SUM(n_pos) AS BIGINT) AS pt FROM d
+)
+SELECT CAST(d.decile AS BIGINT) AS decile, d.n, d.n_pos,
+       CAST(SUM(d.n_pos) OVER (ORDER BY d.decile) AS BIGINT) AS cum_pos,
+       round(CAST(SUM(d.n_pos) OVER (ORDER BY d.decile) AS DOUBLE) / t.pt, 6)
+         AS cum_gain,
+       round((CAST(d.n_pos AS DOUBLE) / d.n) / (CAST(t.pt AS DOUBLE) / t.nt), 6)
+         AS lift
+FROM d CROSS JOIN t
+""",
+)
+def ml_lift_gain_table(spark, sf_dir):
+    """Decile gains/lift table — the campaign-targeting view of a
+    scored population: rank by score descending (event_id breaks ties,
+    so NTILE's cut points are deterministic), split into 10 deciles,
+    and report per-decile positives, cumulative gain (share of all
+    positives captured so far) and lift vs the base rate. All counts
+    are exact integers; gain and lift are single exact divisions
+    rounded at 6dp in the same composition order on both engines.
+
+    Scale: NTILE needs a total order — at 100 TB the decile BOUNDARIES
+    would come from approx_percentile over one scan with the decile
+    assignment as a broadcast range lookup (the documented swap, same
+    contract as sim_topk's cutoff note); the fixture-scale form pins
+    the exact semantics the approximation must converge to."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events")
+    lab = e.select(
+        "event_id",
+        F.col("value").alias("score"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("y"),
+    )
+    ranked = lab.select(
+        "y",
+        F.ntile(10)
+        .over(Window.orderBy(F.col("score").desc(), F.col("event_id").asc()))
+        .alias("decile"),
+    )
+    d = ranked.groupBy("decile").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("y").cast("long").alias("n_pos"),
+    )
+    t = d.agg(
+        F.sum("n").cast("long").alias("nt"), F.sum("n_pos").cast("long").alias("pt")
+    )
+    wcum = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return (
+        d.crossJoin(F.broadcast(t))
+        .select(
+            F.col("decile").cast("long").alias("decile"),
+            "n",
+            "n_pos",
+            F.sum("n_pos").over(wcum).cast("long").alias("cum_pos"),
+            F.round(
+                F.sum("n_pos").over(wcum).cast("double") / F.col("pt"), 6
+            ).alias("cum_gain"),
+            F.round(
+                (F.col("n_pos").cast("double") / F.col("n"))
+                / (F.col("pt").cast("double") / F.col("nt")),
+                6,
+            ).alias("lift"),
+        )
+    )

@@ -836,3 +836,29 @@ def test_r11_wave6_plan_shapes(spark):
         .toString()
     )
     assert "SinglePartition" not in bb, bb[:2000]
+
+
+def test_r11_wave7_plan_shapes(spark):
+    """Wave-7 plan gates (r11): keyword top-k must push the per-doc
+    limit below the sort (WindowGroupLimit); the lift table's decile
+    aggregation is partial; the Gini grid collapse is partial; the
+    cascade must stay equi-join only (its BNLJ is the 1-row df-cut
+    scalar attach, pinned elsewhere)."""
+    kw = (
+        QUERIES["text_keyword_topk"](spark, SF_DIR)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "WindowGroupLimit" in kw, kw[:2000]
+
+    assert has_partial_aggregate(QUERIES["ml_lift_gain_table"](spark, SF_DIR))
+    assert has_partial_aggregate(QUERIES["agg_gini_coefficient"](spark, SF_DIR))
+
+    casc = (
+        QUERIES["dedup_cascade_keep"](spark, SF_DIR)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in casc, casc[:2000]
