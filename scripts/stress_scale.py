@@ -210,6 +210,11 @@ LLM_SUITE = [
     "agg_gini_coefficient",
     "text_keyword_topk",
     "dedup_cascade_keep",
+    # r11 wave 8: CDC compaction (key windows + one full-outer),
+    # QUALIFY rewrite (WindowGroupLimit), calendar pins (narrow scan).
+    "op_cdc_apply_ordered",
+    "sql_qualify_rewrite",
+    "fn_date_interval_clamp",
 ]
 
 

@@ -726,3 +726,54 @@ def fn_struct(spark, sf_dir):
             "meta_key"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# fn_date_interval_clamp (round 11) — calendar-arithmetic parity pins
+# ---------------------------------------------------------------------------
+
+@query(
+    "fn_date_interval_clamp",
+    section="2.H",
+    oracle="""
+WITH d AS (
+  SELECT DISTINCT CAST(o_orderdate AS DATE) AS d FROM orders
+)
+SELECT d,
+       CAST(d + INTERVAL 1 MONTH AS DATE) AS plus_1m,
+       CAST(d + INTERVAL 13 MONTH AS DATE) AS plus_13m,
+       last_day(d) AS eom,
+       d + 90 AS plus_90d,
+       CAST(quarter(d) AS BIGINT) AS q,
+       CAST(weekofyear(d) AS BIGINT) AS iso_week,
+       CAST(isodow(d) AS BIGINT) AS iso_dow
+FROM d
+""",
+)
+def fn_date_interval_clamp(spark, sf_dir):
+    """Calendar-arithmetic semantics pins — the corner cases that
+    silently differ between engines if either deviates from the
+    standard: month addition CLAMPS to month end (Jan 31 + 1 month =
+    Feb 29 in a leap year, never Mar 2), last_day, day addition
+    across month/year boundaries, quarter, ISO-8601 week numbers
+    (week 1 = the week containing the first Thursday — both engines'
+    weekofyear), and ISO day-of-week (Monday=1; Spark's weekday is
+    Monday=0, so +1 — pinned here so a future engine swap can't
+    silently revert to Sunday-first dayofweek). Every distinct order
+    date in the fixture exercises the pins, including leap-February
+    2024 and year-crossing ISO weeks.
+
+    Scale: zero-shuffle beyond one distinct on the date column —
+    semantics coverage, not throughput."""
+    o = load_table(spark, sf_dir, "orders")
+    d = o.select(F.col("o_orderdate").cast("date").alias("d")).distinct()
+    return d.select(
+        "d",
+        F.add_months("d", 1).alias("plus_1m"),
+        F.add_months("d", 13).alias("plus_13m"),
+        F.last_day("d").alias("eom"),
+        F.date_add("d", 90).alias("plus_90d"),
+        F.quarter("d").cast("long").alias("q"),
+        F.weekofyear("d").cast("long").alias("iso_week"),
+        (F.weekday("d") + 1).cast("long").alias("iso_dow"),
+    )

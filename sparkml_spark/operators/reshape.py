@@ -245,3 +245,99 @@ def op_transpose(spark, sf_dir):
         .orderBy("o_orderstatus")
     )
     return pinned.transpose()
+
+
+# ---------------------------------------------------------------------------
+# op_cdc_apply_ordered (round 11) — ordered change-stream application
+# ---------------------------------------------------------------------------
+
+@query(
+    "op_cdc_apply_ordered",
+    section="2.I",
+    oracle="""
+WITH snapshot AS (
+  SELECT doc_id AS key, CAST(n_chars AS BIGINT) AS val FROM documents
+), changes AS (
+  SELECT (user_id * 7) % 600 AS key,
+         event_id AS seq,
+         CASE WHEN event_type = 'error' THEN 'delete' ELSE 'upsert' END AS op,
+         CAST(round(value * 100) AS BIGINT) AS payload
+  FROM events
+), last AS (
+  SELECT key, op, payload FROM (
+    SELECT key, op, payload,
+           ROW_NUMBER() OVER (PARTITION BY key ORDER BY seq DESC) AS rn
+    FROM changes
+  ) WHERE rn = 1
+), merged AS (
+  SELECT COALESCE(s.key, l.key) AS key,
+         s.val AS sval, l.op, l.payload,
+         s.key IS NOT NULL AS in_snap, l.key IS NOT NULL AS in_chg
+  FROM snapshot s FULL OUTER JOIN last l ON l.key = s.key
+)
+SELECT key,
+       CASE WHEN in_chg AND op = 'upsert' THEN payload ELSE sval END AS val,
+       CASE WHEN NOT in_chg THEN 'unchanged'
+            WHEN op = 'delete' THEN NULL
+            WHEN in_snap THEN 'updated'
+            ELSE 'inserted' END AS action
+FROM merged
+WHERE NOT (in_chg AND op = 'delete')
+""",
+)
+def op_cdc_apply_ordered(spark, sf_dir):
+    """Ordered CDC application — the lakehouse change-data-capture
+    core: given a snapshot and a SEQUENCED change stream (multiple
+    changes per key; the event log provides inserts, updates and
+    deletes keyed by (user_id·7) mod 600 with event_id as the
+    sequence), reduce each key to its LAST change (last-writer-wins,
+    the Debezium/Delta CDF contract) and merge: delete removes the
+    row (even a freshly inserted one), upsert overwrites-or-inserts,
+    untouched snapshot rows ride through. Distinct from
+    merge_upsert_batch, which applies ONE pre-deduplicated batch —
+    the sequencing reduction IS this operator's semantics.
+
+    Scale: the reduction is a key-partitioned rank window on the
+    change stream (bounded per-key groups), then ONE full-outer
+    equi join against the snapshot — the standard CDC-compaction
+    plan; nothing is ordered globally."""
+    d = load_table(spark, sf_dir, "documents")
+    e = load_table(spark, sf_dir, "events")
+    from pyspark.sql import Window
+
+    snapshot = d.select(
+        F.col("doc_id").alias("key"), F.col("n_chars").cast("long").alias("sval")
+    )
+    changes = e.select(
+        ((F.col("user_id") * 7) % 600).alias("key"),
+        F.col("event_id").alias("seq"),
+        F.when(F.col("event_type") == "error", "delete")
+        .otherwise("upsert")
+        .alias("op"),
+        F.round(F.col("value") * 100).cast("long").alias("payload"),
+    )
+    w = Window.partitionBy("key").orderBy(F.col("seq").desc())
+    last = (
+        changes.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("key", "op", "payload", F.lit(True).alias("in_chg"))
+    )
+    merged = snapshot.withColumn("in_snap", F.lit(True)).join(
+        last, "key", "full_outer"
+    )
+    in_chg = F.coalesce(F.col("in_chg"), F.lit(False))
+    in_snap = F.coalesce(F.col("in_snap"), F.lit(False))
+    return (
+        merged.filter(~(in_chg & (F.col("op") == "delete")))
+        .select(
+            "key",
+            F.when(in_chg & (F.col("op") == "upsert"), F.col("payload"))
+            .otherwise(F.col("sval"))
+            .alias("val"),
+            F.when(~in_chg, F.lit("unchanged"))
+            .when(F.col("op") == "delete", F.lit(None).cast("string"))
+            .when(in_snap, F.lit("updated"))
+            .otherwise(F.lit("inserted"))
+            .alias("action"),
+        )
+    )

@@ -387,3 +387,48 @@ def subquery_quantified(spark, sf_dir):
             "lt_any_brand9"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# sql_qualify_rewrite (round 11) — QUALIFY via the subquery rewrite
+# ---------------------------------------------------------------------------
+
+@query(
+    "sql_qualify_rewrite",
+    section="2.I",
+    oracle="""
+SELECT user_id, event_type, n FROM (
+  SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) AS n
+  FROM events GROUP BY user_id, event_type
+)
+QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id
+                           ORDER BY n DESC, event_type ASC) <= 2
+""",
+)
+def sql_qualify_rewrite(spark, sf_dir):
+    """QUALIFY-clause semantics via the standard rewrite — Spark SQL
+    has no QUALIFY (DuckDB/Snowflake/BigQuery do), so the window
+    predicate compiles to a derived-table filter over the window
+    column. The oracle runs DuckDB's GENUINE QUALIFY, proving the
+    rewrite is semantics-preserving (same dialect-parity contract as
+    subquery_quantified). Semantics pinned: QUALIFY filters AFTER
+    windows evaluate, over the grouped result, with the window's
+    deterministic (n desc, type asc) order.
+
+    Scale: the rewrite plans as the standard top-k-per-group
+    WindowGroupLimit shape — user-partitioned, rank pruned below the
+    sort."""
+    e = load_table(spark, sf_dir, "events")
+    from pyspark.sql import Window
+
+    g = e.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("n").desc(), F.col("event_type").asc()
+    )
+    return (
+        g.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 2)
+        .select("user_id", "event_type", "n")
+    )

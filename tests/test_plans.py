@@ -862,3 +862,34 @@ def test_r11_wave7_plan_shapes(spark):
         .toString()
     )
     assert "CartesianProduct" not in casc, casc[:2000]
+
+
+def test_r11_wave8_plan_shapes(spark):
+    """Wave-8 plan gates (r11): the QUALIFY rewrite must compile to
+    WindowGroupLimit (rank pruned below the sort); CDC's reduction
+    windows on key partitions (no SinglePartition) and merges with one
+    equi full-outer (no cartesian); the calendar pin is zero-join."""
+    q = (
+        QUERIES["sql_qualify_rewrite"](spark, SF_DIR)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "WindowGroupLimit" in q, q[:2000]
+
+    cdc = (
+        QUERIES["op_cdc_apply_ordered"](spark, SF_DIR)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "SinglePartition" not in cdc, cdc[:2000]
+    assert "CartesianProduct" not in cdc, cdc[:2000]
+
+    cal = (
+        QUERIES["fn_date_interval_clamp"](spark, SF_DIR)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Join" not in cal, cal[:2000]
