@@ -215,6 +215,11 @@ LLM_SUITE = [
     "op_cdc_apply_ordered",
     "sql_qualify_rewrite",
     "fn_date_interval_clamp",
+    # r11 wave 9: decay scoreboard (map-side GROUP BY), Theil-Sen
+    # (series-sized pair join), exact Lloyd step (seed broadcast).
+    "win_exponential_decay",
+    "ts_theil_sen",
+    "ml_kmeans_step_exact",
 ]
 
 

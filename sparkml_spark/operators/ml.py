@@ -1792,3 +1792,104 @@ def ml_lift_gain_table(spark, sf_dir):
             ).alias("lift"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# ml_kmeans_step_exact (round 11) — one Lloyd iteration, hash-pinned
+# ---------------------------------------------------------------------------
+
+@query(
+    "ml_kmeans_step_exact",
+    section="2.J",
+    oracle="""
+WITH q8 AS (
+  SELECT vec_id,
+         list_transform(embedding,
+                        x -> CAST(floor(CAST(x AS DOUBLE) * 127 + 0.5) AS BIGINT))
+           AS v
+  FROM embeddings
+), seeds AS (
+  SELECT vec_id AS cid, v AS cv FROM q8 WHERE vec_id < 10
+), d2 AS (
+  SELECT q8.vec_id, seeds.cid,
+         CAST(SUM((q8.v[i.i] - seeds.cv[i.i]) * (q8.v[i.i] - seeds.cv[i.i]))
+              AS BIGINT) AS d2
+  FROM q8 CROSS JOIN seeds
+  CROSS JOIN (SELECT unnest(range(1, 65)) AS i) i
+  GROUP BY q8.vec_id, seeds.cid
+), assign AS (
+  SELECT vec_id, cid, d2 FROM (
+    SELECT vec_id, cid, d2,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2 ASC, cid ASC) AS rn
+    FROM d2
+  ) WHERE rn = 1
+), mass AS (
+  SELECT vec_id, CAST(list_sum(v) AS BIGINT) AS m FROM q8
+)
+SELECT a.cid AS centroid_id,
+       CAST(COUNT(*) AS BIGINT) AS n_assigned,
+       CAST(SUM(a.d2) AS BIGINT) AS inertia,
+       CAST(SUM(mass.m) AS BIGINT) AS sum_mass
+FROM assign a JOIN mass ON mass.vec_id = a.vec_id
+GROUP BY a.cid
+""",
+)
+def ml_kmeans_step_exact(spark, sf_dir):
+    """One EXACT Lloyd iteration of k-means (k=10, seeds = the first
+    ten corpus vectors on the int8 grid): assign every vector to its
+    nearest seed under integer L2 (ties to the smaller centroid id —
+    fully deterministic), and report per-centroid n, inertia (the
+    quantity k-means monotonically decreases — the convergence
+    witness), and the assigned mass Σ(dims) that determines the
+    update step. MLlib's KMeans is ROWS-tier (parallel init + float
+    accumulation); this op hash-pins the assignment algebra one step
+    of it must follow — the same deterministic-twin contract
+    ml_cv_selection_bound applies to tuning.
+
+    Scale: candidates × k broadcast-joined distances, one argmin
+    window on per-vector groups, one k-row aggregation — the
+    sim_centroid_assign shape with the update statistics added."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "embeddings")
+    q8 = e.select(
+        "vec_id",
+        F.transform(
+            "embedding",
+            lambda x: F.floor(x.cast("double") * F.lit(127.0) + F.lit(0.5)).cast(
+                "long"
+            ),
+        ).alias("v"),
+    ).cache()
+    seeds = q8.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("cid"), F.col("v").alias("cv")
+    )
+    d2 = F.aggregate(
+        F.zip_with("v", "cv", lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("long"),
+        lambda acc, vv: acc + vv,
+    )
+    dd = q8.crossJoin(F.broadcast(seeds)).select(
+        "vec_id", "cid", d2.alias("d2")
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.col("d2").asc(), F.col("cid").asc())
+    assign = (
+        dd.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "cid", "d2")
+    )
+    mass = q8.select(
+        "vec_id",
+        F.aggregate(
+            "v", F.lit(0).cast("long"), lambda acc, x: acc + x
+        ).alias("m"),
+    )
+    return (
+        assign.join(mass, "vec_id")
+        .groupBy(F.col("cid").alias("centroid_id"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_assigned"),
+            F.sum("d2").cast("long").alias("inertia"),
+            F.sum("m").cast("long").alias("sum_mass"),
+        )
+    )

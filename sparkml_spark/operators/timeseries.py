@@ -511,3 +511,85 @@ def ts_forecast_backtest(spark, sf_dir):
         ).alias("rmse"),
         F.round(F.col("sape") / F.col("n_forecasts"), 6).alias("mape"),
     )
+
+
+# ---------------------------------------------------------------------------
+# ts_theil_sen (round 11) — robust trend slope, deterministic median
+# ---------------------------------------------------------------------------
+
+@query(
+    "ts_theil_sen",
+    section="2.I",
+    oracle="""
+WITH daily AS (
+  SELECT CAST(date_trunc('day', ts) AS DATE) AS d, CAST(COUNT(*) AS BIGINT) AS c
+  FROM events GROUP BY CAST(date_trunc('day', ts) AS DATE)
+), idx AS (
+  SELECT c, ROW_NUMBER() OVER (ORDER BY d) AS t FROM daily
+), slopes AS (
+  SELECT a.t AS i, b.t AS j,
+         CAST(b.c - a.c AS DOUBLE) / (b.t - a.t) AS slope
+  FROM idx a JOIN idx b ON b.t > a.t
+), ranked AS (
+  SELECT slope,
+         ROW_NUMBER() OVER (ORDER BY slope ASC, i ASC, j ASC) AS rn,
+         COUNT(*) OVER () AS n
+  FROM slopes
+)
+SELECT CAST(MAX(n) AS BIGINT) AS n_pairs,
+       round(MIN(CASE WHEN 2 * rn >= n + 1 THEN slope END), 6)
+         AS theil_sen_slope
+FROM ranked
+""",
+)
+def ts_theil_sen(spark, sf_dir):
+    """Theil–Sen robust trend estimate of the daily series: the
+    median of all pairwise slopes (c_j − c_i)/(j − i) — the
+    breakdown-resistant alternative to the OLS slope
+    (agg_linear_regression), standard for monitoring trends through
+    outlier days. Each slope is ONE exact integer division (IEEE
+    exactly-rounded ⇒ bit-identical), and the median is the
+    lower-median element selected by rank with (slope, i, j) total
+    order — no averaging of middle elements, so no float addition
+    anywhere. The O(n²) pair set is SERIES-sized (30 days → 435
+    pairs), not corpus-sized.
+
+    Scale: the corpus-sized stage is the daily partial aggregation;
+    the pair join and rank run on the tiny series — the documented
+    iterate-small posture shared by the whole ts_* family."""
+    from pyspark.sql import Window as W
+
+    e = load_table(spark, sf_dir, "events")
+    daily = (
+        e.select(F.date_trunc("day", F.col("ts")).cast("date").alias("d"))
+        .groupBy("d")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    idx = daily.select(
+        "c", F.row_number().over(W.orderBy("d")).alias("t")
+    )
+    a = idx.select(F.col("t").alias("i"), F.col("c").alias("ca"))
+    b = idx.select(F.col("t").alias("j"), F.col("c").alias("cb"))
+    slopes = (
+        a.join(b, F.col("j") > F.col("i"))
+        .select(
+            "i",
+            "j",
+            (
+                (F.col("cb") - F.col("ca")).cast("double") / (F.col("j") - F.col("i"))
+            ).alias("slope"),
+        )
+    )
+    ranked = slopes.select(
+        "slope",
+        F.row_number()
+        .over(W.orderBy(F.col("slope").asc(), F.col("i").asc(), F.col("j").asc()))
+        .alias("rn"),
+        F.count(F.lit(1)).over(W.partitionBy()).alias("n"),
+    )
+    return ranked.agg(
+        F.max("n").cast("long").alias("n_pairs"),
+        F.round(
+            F.min(F.when(2 * F.col("rn") >= F.col("n") + 1, F.col("slope"))), 6
+        ).alias("theil_sen_slope"),
+    )

@@ -719,3 +719,69 @@ def win_bollinger_bands(spark, sf_dir):
         F.round(mean + 2 * sd, 6).alias("upper_band"),
         F.round(mean - 2 * sd, 6).alias("lower_band"),
     )
+
+
+# ---------------------------------------------------------------------------
+# win_exponential_decay (round 11) — recency-weighted engagement, exact
+# because the decay base is a power of two.
+# ---------------------------------------------------------------------------
+
+@query(
+    "win_exponential_decay",
+    section="2.E",
+    oracle="""
+WITH aged AS (
+  SELECT user_id,
+         CAST(round(value * 100) AS BIGINT) AS v_cents,
+         date_diff('day', CAST(date_trunc('day', ts) AS DATE), DATE '2024-01-31')
+           AS age_days
+  FROM events
+), weighted AS (
+  SELECT user_id,
+         CAST(v_cents AS DOUBLE) / power(2.0, age_days // 7) AS wv
+  FROM aged
+)
+SELECT user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       round(CAST(SUM(CAST(round(wv, 9) AS DECIMAL(30,9))) AS DOUBLE), 6)
+         AS decay_score
+FROM weighted GROUP BY user_id
+""",
+)
+def win_exponential_decay(spark, sf_dir):
+    """Recency-decayed engagement score per user: each event
+    contributes value · 2^(−⌊age_days/7⌋) — halving per week of age,
+    the standard recency weighting behind feed ranking and churn
+    scores. The decay base is DELIBERATELY 2: dividing a double by a
+    power of two only decrements the exponent (no mantissa rounding),
+    so each weighted term is EXACT in both engines — no pow()/exp()
+    transcendental anywhere (the pipeline_mix_temperature principle).
+    Terms are 9dp-quantized and decimal-summed for order
+    independence; ages are integer days against the fixed horizon
+    2024-01-31 (the fixture's last day).
+
+    Scale: one scan, one user-keyed partial aggregation — a
+    trillion-event decay scoreboard is a map-side-combined GROUP BY."""
+    e = load_table(spark, sf_dir, "events")
+    aged = e.select(
+        "user_id",
+        F.round(F.col("value") * 100).cast("long").alias("v_cents"),
+        F.datediff(
+            F.lit("2024-01-31").cast("date"),
+            F.date_trunc("day", F.col("ts")).cast("date"),
+        ).alias("age_days"),
+    )
+    wv = F.col("v_cents").cast("double") / F.pow(
+        F.lit(2.0), F.expr("age_days DIV 7").cast("double")
+    )
+    return (
+        aged.select("user_id", wv.alias("wv"))
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.round(
+                F.sum(F.round(F.col("wv"), 9).cast("decimal(30,9)")).cast("double"),
+                6,
+            ).alias("decay_score"),
+        )
+    )

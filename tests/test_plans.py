@@ -893,3 +893,20 @@ def test_r11_wave8_plan_shapes(spark):
         .toString()
     )
     assert "Join" not in cal, cal[:2000]
+
+
+def test_r11_wave9_plan_shapes(spark):
+    """Wave-9 plan gates (r11): decay scoring is a pure partial agg;
+    Theil-Sen's pair join runs on the collapsed daily series (partial
+    agg below it); the k-means step broadcasts its seed table and
+    windows per vector."""
+    dec = QUERIES["win_exponential_decay"](spark, SF_DIR)
+    assert has_partial_aggregate(dec)
+    plan = dec._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan, plan[:2000]
+
+    assert has_partial_aggregate(QUERIES["ts_theil_sen"](spark, SF_DIR))
+    km = QUERIES["ml_kmeans_step_exact"](spark, SF_DIR)
+    assert has_broadcast_join(km)
+    kplan = km._jdf.queryExecution().executedPlan().toString()
+    assert "SinglePartition" not in kplan, kplan[:2000]
