@@ -220,6 +220,10 @@ LLM_SUITE = [
     "win_exponential_decay",
     "ts_theil_sen",
     "ml_kmeans_step_exact",
+    # r11 wave 10: histogram-broadcast shapes.
+    "ml_woe_iv",
+    "stat_benford_digits",
+    "events_hour_of_week_profile",
 ]
 
 

@@ -1468,3 +1468,83 @@ def agg_gini_coefficient(spark, sf_dir):
             6,
         ).alias("gini"),
     )
+
+
+# ---------------------------------------------------------------------------
+# stat_benford_digits (round 11) — first-digit law audit
+# ---------------------------------------------------------------------------
+
+#: log10(1 + 1/d) for d = 1..9, the Benford expectations, as FIXED
+#: 9dp literals — identical constants on both engines by construction
+#: (no runtime log10 whose last ulp could differ).
+_BENFORD = {
+    1: 0.301029996, 2: 0.176091259, 3: 0.124938737,
+    4: 0.096910013, 5: 0.079181246, 6: 0.066946790,
+    7: 0.057991947, 8: 0.051152522, 9: 0.045757491,
+}
+
+_BENFORD_SQL = "(CASE d.digit " + " ".join(
+    f"WHEN {d} THEN {p:.9f}" for d, p in _BENFORD.items()
+) + " END)"
+
+
+@query(
+    "stat_benford_digits",
+    section="2.D",
+    oracle=f"""
+WITH v AS (
+  SELECT CAST(substr(CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS VARCHAR), 1, 1)
+              AS BIGINT) AS digit
+  FROM orders WHERE o_totalprice > 0
+), d AS (
+  SELECT digit, CAST(COUNT(*) AS BIGINT) AS n FROM v GROUP BY digit
+), t AS (SELECT CAST(SUM(n) AS BIGINT) AS nt FROM d)
+SELECT d.digit, d.n,
+       round(CAST(d.n AS DOUBLE) / t.nt, 6) AS p_obs,
+       {_BENFORD_SQL} AS p_benford,
+       round((CAST(d.n AS DOUBLE) / t.nt - {_BENFORD_SQL})
+             * (CAST(d.n AS DOUBLE) / t.nt - {_BENFORD_SQL})
+             / {_BENFORD_SQL}, 9) AS chi2_contrib
+FROM d CROSS JOIN t
+""",
+)
+def stat_benford_digits(spark, sf_dir):
+    """Benford's-law first-digit audit of order values — the standard
+    forensic screen for fabricated financial data: observed first-
+    digit shares vs log10(1+1/d), with per-digit χ² contributions.
+    The nine Benford expectations are FIXED 9dp literals (computing
+    log10 at runtime would put a libm last-ulp inside the hash), the
+    first digit comes from the cents-grid integer's decimal string
+    (no float formatting), and p_obs is one exact division. Synthetic
+    uniform-ish fixture values will FAIL the law loudly — large χ²
+    contributions are the honest output, the op pins the audit
+    algebra, not the fixture's innocence.
+
+    Scale: one scan to a 9-row histogram — map-side combine, the
+    calibration-bins posture."""
+    o = load_table(spark, sf_dir, "orders")
+    v = o.filter(F.col("o_totalprice") > 0).select(
+        F.substring(
+            F.round(F.col("o_totalprice") * 100).cast("long").cast("string"), 1, 1
+        )
+        .cast("long")
+        .alias("digit")
+    )
+    d = v.groupBy("digit").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    t = d.agg(F.sum("n").cast("long").alias("nt"))
+    bmap = F.create_map(
+        *[x for dd, p in _BENFORD.items() for x in (F.lit(dd), F.lit(p))]
+    )
+    p_obs = F.col("n").cast("double") / F.col("nt")
+    return d.crossJoin(F.broadcast(t)).select(
+        "digit",
+        "n",
+        F.round(p_obs, 6).alias("p_obs"),
+        bmap[F.col("digit")].alias("p_benford"),
+        F.round(
+            (p_obs - bmap[F.col("digit")])
+            * (p_obs - bmap[F.col("digit")])
+            / bmap[F.col("digit")],
+            9,
+        ).alias("chi2_contrib"),
+    )

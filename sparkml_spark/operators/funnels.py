@@ -701,3 +701,58 @@ def events_cohort_ltv(spark, sf_dir):
         F.round("revenue", 2).alias("revenue"),
         F.round(F.sum(F.round("revenue", 2)).over(wc), 2).alias("cum_revenue"),
     )
+
+
+# ---------------------------------------------------------------------------
+# events_hour_of_week_profile (round 11) — the 168-cell seasonality map
+# ---------------------------------------------------------------------------
+
+@query(
+    "events_hour_of_week_profile",
+    section="2.I",
+    oracle="""
+WITH cells AS (
+  SELECT isodow(ts) AS dow, CAST(hour(ts) AS BIGINT) AS hod,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM events GROUP BY isodow(ts), CAST(hour(ts) AS BIGINT)
+), t AS (
+  SELECT CAST(SUM(n) AS BIGINT) AS nt, CAST(MAX(n) AS BIGINT) AS nmax FROM cells
+)
+SELECT CAST(c.dow AS BIGINT) AS dow, c.hod, c.n,
+       round(CAST(c.n AS DOUBLE) / t.nt, 6) AS share,
+       c.n = t.nmax AS is_peak
+FROM cells c CROSS JOIN t
+""",
+)
+def events_hour_of_week_profile(spark, sf_dir):
+    """Hour-of-week seasonality profile — the 168-cell heatmap behind
+    capacity planning and anomaly baselines: event share per (ISO
+    day-of-week, hour-of-day) with the peak cell(s) flagged. Day
+    numbering is pinned ISO (Monday=1, matching fn_date_interval_clamp's
+    convention — Spark's weekday+1, never the Sunday-first dayofweek);
+    shares are single exact divisions; peak equality is an integer
+    compare, so ties flag every peak cell identically on both
+    engines.
+
+    Scale: one scan to a ≤168-row histogram (map-side combine) with a
+    1-row totals broadcast — at any corpus size the profile is one
+    pass."""
+    e = load_table(spark, sf_dir, "events")
+    cells = (
+        e.select(
+            (F.weekday(F.col("ts")) + 1).alias("dow"),
+            F.hour(F.col("ts")).cast("long").alias("hod"),
+        )
+        .groupBy("dow", "hod")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    t = cells.agg(
+        F.sum("n").cast("long").alias("nt"), F.max("n").cast("long").alias("nmax")
+    )
+    return cells.crossJoin(F.broadcast(t)).select(
+        F.col("dow").cast("long").alias("dow"),
+        "hod",
+        "n",
+        F.round(F.col("n").cast("double") / F.col("nt"), 6).alias("share"),
+        (F.col("n") == F.col("nmax")).alias("is_peak"),
+    )

@@ -1748,11 +1748,18 @@ def ml_lift_gain_table(spark, sf_dir):
     are exact integers; gain and lift are single exact divisions
     rounded at 6dp in the same composition order on both engines.
 
-    Scale: NTILE needs a total order — at 100 TB the decile BOUNDARIES
-    would come from approx_percentile over one scan with the decile
-    assignment as a broadcast range lookup (the documented swap, same
-    contract as sim_topk's cutoff note); the fixture-scale form pins
-    the exact semantics the approximation must converge to."""
+    Scale: the oracle runs a GENUINE global NTILE; the Spark side
+    does NOT — a corpus-wide NTILE window is a single-partition sort
+    (measured 54× at the ×100 stress, the exact shape the plan gates
+    forbid), so the global rank is DECOMPOSED two-phase, the
+    pipeline_curriculum_order pattern: (1) collapse to the score grid
+    and prefix-sum counts over it (grid-sized work — value has ≤49k
+    distinct points at any corpus size), (2) rank within each score
+    by event_id in score-partitioned windows (bounded groups), global
+    rank = grid-prefix + within-rank, then NTILE's exact remainder
+    arithmetic (first n%10 deciles get one extra row) reproduces the
+    engine function bit-for-bit — the hash match against DuckDB's
+    real NTILE proves the decomposition."""
     from pyspark.sql import Window
 
     e = load_table(spark, sf_dir, "events")
@@ -1761,15 +1768,38 @@ def ml_lift_gain_table(spark, sf_dir):
         F.col("value").alias("score"),
         F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("y"),
     )
-    ranked = lab.select(
-        "y",
-        F.ntile(10)
-        .over(Window.orderBy(F.col("score").desc(), F.col("event_id").asc()))
-        .alias("decile"),
+    grid = lab.groupBy("score").agg(F.count(F.lit(1)).alias("cnt"))
+    wg = Window.orderBy(F.col("score").desc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
     )
-    d = ranked.groupBy("decile").agg(
-        F.count(F.lit(1)).cast("long").alias("n"),
-        F.sum("y").cast("long").alias("n_pos"),
+    grid = grid.select(
+        "score", (F.sum("cnt").over(wg) - F.col("cnt")).alias("before")
+    )
+    win_score = Window.partitionBy("score").orderBy(F.col("event_id").asc())
+    ranked = (
+        lab.join(grid, "score")
+        .select(
+            "y",
+            (F.col("before") + F.row_number().over(win_score)).alias("r"),
+        )
+    )
+    nt_total = lab.agg(F.count(F.lit(1)).alias("n_all"))
+    base = F.expr("n_all DIV 10")
+    rem = F.expr("n_all % 10")
+    decile = F.when(
+        F.col("r") <= rem * (base + 1),
+        F.expr("(r - 1) DIV (n_all DIV 10 + 1) + 1"),
+    ).otherwise(
+        rem + F.expr("(r - n_all % 10 * (n_all DIV 10 + 1) - 1) DIV (n_all DIV 10) + 1")
+    )
+    d = (
+        ranked.crossJoin(F.broadcast(nt_total))
+        .select("y", decile.alias("decile"))
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("y").cast("long").alias("n_pos"),
+        )
     )
     t = d.agg(
         F.sum("n").cast("long").alias("nt"), F.sum("n_pos").cast("long").alias("pt")
@@ -1892,4 +1922,95 @@ def ml_kmeans_step_exact(spark, sf_dir):
             F.sum("d2").cast("long").alias("inertia"),
             F.sum("m").cast("long").alias("sum_mass"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# ml_woe_iv (round 11) — weight-of-evidence encoding + information value
+# ---------------------------------------------------------------------------
+
+@query(
+    "ml_woe_iv",
+    section="2.J",
+    oracle="""
+WITH lab AS (
+  SELECT event_type AS bin,
+         CASE WHEN value >= 250 THEN 1 ELSE 0 END AS y
+  FROM events
+), b AS (
+  SELECT bin, CAST(SUM(y) AS BIGINT) AS np,
+         CAST(SUM(1 - y) AS BIGINT) AS nn
+  FROM lab GROUP BY bin
+), t AS (
+  SELECT CAST(SUM(np) AS BIGINT) AS tp, CAST(SUM(nn) AS BIGINT) AS tn FROM b
+), w AS (
+  SELECT b.bin, b.np, b.nn,
+         round(ln(((CAST(b.np AS DOUBLE) + 0.5) * (CAST(t.tn AS DOUBLE) + 0.5))
+                  / ((CAST(t.tp AS DOUBLE) + 0.5) * (CAST(b.nn AS DOUBLE) + 0.5))),
+               6) AS woe,
+         round((CAST(b.np AS DOUBLE) + 0.5) / (CAST(t.tp AS DOUBLE) + 0.5)
+               - (CAST(b.nn AS DOUBLE) + 0.5) / (CAST(t.tn AS DOUBLE) + 0.5), 9)
+           AS dshare
+  FROM b CROSS JOIN t
+)
+SELECT bin, np, nn, woe,
+       round(dshare * woe, 6) AS iv_contrib
+FROM w
+""",
+)
+def ml_woe_iv(spark, sf_dir):
+    """Weight-of-evidence encoding with information-value
+    contributions [the credit-scoring standard; Siddiqi 2006]: per
+    category, WOE = ln(share-of-positives / share-of-negatives) with
+    half-count smoothing, and IV_bin = (p_share − n_share)·WOE.
+    Distinct from ml_target_encode (posterior mean): WOE is the
+    log-odds ratio feature monotone scorecards consume. Float
+    parity: the ln argument is ONE division of exact (+0.5)-shifted
+    products (all under 2^53 at fixture scales), rounded at 6dp; the
+    share delta is rounded at 9dp; the IV contribution multiplies the
+    two ALREADY-rounded values — identical composition both engines.
+
+    Scale: one scan, one category histogram (map-side combine), a
+    1-row totals broadcast — the target-encode shape."""
+    e = load_table(spark, sf_dir, "events")
+    lab = e.select(
+        F.col("event_type").alias("bin"),
+        F.when(F.col("value") >= 250, 1).otherwise(0).alias("y"),
+    )
+    b = lab.groupBy("bin").agg(
+        F.sum("y").cast("long").alias("np"),
+        F.sum(1 - F.col("y")).cast("long").alias("nn"),
+    )
+    t = b.agg(
+        F.sum("np").cast("long").alias("tp"), F.sum("nn").cast("long").alias("tn")
+    )
+    w = b.crossJoin(F.broadcast(t)).select(
+        "bin",
+        "np",
+        "nn",
+        F.round(
+            F.log(
+                (
+                    (F.col("np").cast("double") + 0.5)
+                    * (F.col("tn").cast("double") + 0.5)
+                )
+                / (
+                    (F.col("tp").cast("double") + 0.5)
+                    * (F.col("nn").cast("double") + 0.5)
+                )
+            ),
+            6,
+        ).alias("woe"),
+        F.round(
+            (F.col("np").cast("double") + 0.5) / (F.col("tp").cast("double") + 0.5)
+            - (F.col("nn").cast("double") + 0.5) / (F.col("tn").cast("double") + 0.5),
+            9,
+        ).alias("dshare"),
+    )
+    return w.select(
+        "bin",
+        "np",
+        "nn",
+        "woe",
+        F.round(F.col("dshare") * F.col("woe"), 6).alias("iv_contrib"),
     )

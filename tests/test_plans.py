@@ -910,3 +910,22 @@ def test_r11_wave9_plan_shapes(spark):
     assert has_broadcast_join(km)
     kplan = km._jdf.queryExecution().executedPlan().toString()
     assert "SinglePartition" not in kplan, kplan[:2000]
+
+
+def test_r11_wave10_plan_shapes(spark):
+    """Wave-10 plan gates (r11): WOE / Benford / hour-of-week are
+    histogram partial aggs with 1-row broadcasts; the lift table must
+    NOT contain an ntile over the raw rows (the two-phase rank
+    decomposition — its only SinglePartition window is the bounded
+    score-grid prefix sum)."""
+    for qid in ("ml_woe_iv", "stat_benford_digits", "events_hour_of_week_profile"):
+        df = QUERIES[qid](spark, SF_DIR)
+        assert has_partial_aggregate(df), qid
+        assert has_broadcast_join(df), qid
+    lift = (
+        QUERIES["ml_lift_gain_table"](spark, SF_DIR)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "ntile" not in lift.lower(), lift[:2000]
