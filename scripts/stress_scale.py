@@ -224,6 +224,9 @@ LLM_SUITE = [
     "ml_woe_iv",
     "stat_benford_digits",
     "events_hour_of_week_profile",
+    # r11: NTILE-decomposition consumers (no corpus-wide single
+    # partition window anywhere in these anymore).
+    "events_rfm_segmentation",
 ]
 
 

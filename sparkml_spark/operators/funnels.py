@@ -235,9 +235,16 @@ def events_rfm_segmentation(spark, sf_dir):
     purchases, each quartiled with NTILE (ties broken by user_id so
     the bucketing is deterministic cross-engine), concatenated into
     the classic '444'-style segment label. One shuffle to aggregate
-    per user; the three global NTILEs sort the small per-user rollup
-    (users << events), not the fact table — at 100 TB user-cardinality
-    windows are range-partitioned sorts of the aggregate only."""
+    per user; the three quartile assignments use ntile_two_phase
+    (registry.py) rather than engine NTILE — a global NTILE over the
+    user rollup is a single-partition sort of user-cardinality rows
+    (billions at 100 TB; the smell the r11 ×100 stress caught on
+    ml_lift_gain_table), while the decomposition's only global window
+    runs on bounded bucket grids (day / raw count / dollar band) with
+    per-bucket refinement. Hash-matched against the oracle's GENUINE
+    NTILEs, so the decomposition is proven bit-equal."""
+    from sparkml_spark.registry import ntile_two_phase
+
     e = load_table(spark, sf_dir, "events")
     rfm = (
         e.filter(F.col("event_type") == "purchase")
@@ -248,11 +255,23 @@ def events_rfm_segmentation(spark, sf_dir):
             dsum("value").alias("monetary"),
         )
     )
-    scored = rfm.select(
-        "*",
-        F.ntile(4).over(Window.orderBy("last_purchase", "user_id")).alias("r_q"),
-        F.ntile(4).over(Window.orderBy("frequency", "user_id")).alias("f_q"),
-        F.ntile(4).over(Window.orderBy("monetary", "user_id")).alias("m_q"),
+    scored = ntile_two_phase(
+        rfm, 4,
+        bucket=F.date_trunc("day", F.col("last_purchase")),
+        order_cols=[F.col("last_purchase").asc(), F.col("user_id").asc()],
+        out="r_q",
+    )
+    scored = ntile_two_phase(
+        scored, 4,
+        bucket=F.col("frequency"),
+        order_cols=[F.col("frequency").asc(), F.col("user_id").asc()],
+        out="f_q",
+    )
+    scored = ntile_two_phase(
+        scored, 4,
+        bucket=F.floor(F.col("monetary") / 100),
+        order_cols=[F.col("monetary").asc(), F.col("user_id").asc()],
+        out="m_q",
     )
     return scored.select(
         "user_id",

@@ -865,9 +865,15 @@ def ml_isotonic_aft_fm(spark, sf_dir):
 
     o = load_table(spark, sf_dir, "orders")
     # Isotonic: order count per totalprice decile (monotone-ish signal)
+    from sparkml_spark.registry import ntile_two_phase
+
     deciles = (
-        o.withColumn("decile", F.ntile(10).over(
-            Window.orderBy("o_totalprice", "o_orderkey")))
+        ntile_two_phase(
+            o, 10,
+            bucket=F.floor(F.col("o_totalprice") / 100),
+            order_cols=[F.col("o_totalprice").asc(), F.col("o_orderkey").asc()],
+            out="decile",
+        )
         .groupBy("decile")
         .agg(F.avg("o_totalprice").alias("avg_price"), F.count("*").cast("double").alias("n"))
     )
@@ -1275,9 +1281,14 @@ def ml_monotone_models_bound(spark, sf_dir):
     from pyspark.sql import Window
 
     o = load_table(spark, sf_dir, "orders")
+    from sparkml_spark.registry import ntile_two_phase
+
     deciles = (
-        o.withColumn(
-            "decile", F.ntile(10).over(Window.orderBy("o_totalprice", "o_orderkey"))
+        ntile_two_phase(
+            o, 10,
+            bucket=F.floor(F.col("o_totalprice") / 100),
+            order_cols=[F.col("o_totalprice").asc(), F.col("o_orderkey").asc()],
+            out="decile",
         )
         .groupBy("decile")
         .agg(F.avg("o_totalprice").alias("avg_price"), F.count("*").cast("double").alias("n"))
@@ -1762,39 +1773,23 @@ def ml_lift_gain_table(spark, sf_dir):
     real NTILE proves the decomposition."""
     from pyspark.sql import Window
 
+    from sparkml_spark.registry import ntile_two_phase
+
     e = load_table(spark, sf_dir, "events")
     lab = e.select(
         "event_id",
         F.col("value").alias("score"),
         F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("y"),
     )
-    grid = lab.groupBy("score").agg(F.count(F.lit(1)).alias("cnt"))
-    wg = Window.orderBy(F.col("score").desc()).rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    grid = grid.select(
-        "score", (F.sum("cnt").over(wg) - F.col("cnt")).alias("before")
-    )
-    win_score = Window.partitionBy("score").orderBy(F.col("event_id").asc())
-    ranked = (
-        lab.join(grid, "score")
-        .select(
-            "y",
-            (F.col("before") + F.row_number().over(win_score)).alias("r"),
-        )
-    )
-    nt_total = lab.agg(F.count(F.lit(1)).alias("n_all"))
-    base = F.expr("n_all DIV 10")
-    rem = F.expr("n_all % 10")
-    decile = F.when(
-        F.col("r") <= rem * (base + 1),
-        F.expr("(r - 1) DIV (n_all DIV 10 + 1) + 1"),
-    ).otherwise(
-        rem + F.expr("(r - n_all % 10 * (n_all DIV 10 + 1) - 1) DIV (n_all DIV 10) + 1")
-    )
     d = (
-        ranked.crossJoin(F.broadcast(nt_total))
-        .select("y", decile.alias("decile"))
+        ntile_two_phase(
+            lab,
+            10,
+            bucket=F.col("score"),
+            order_cols=[F.col("score").desc(), F.col("event_id").asc()],
+            bucket_ascending=False,
+            out="decile",
+        )
         .groupBy("decile")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n"),

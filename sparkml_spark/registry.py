@@ -153,3 +153,57 @@ def davg(col: Column | str) -> Column:
 
 def davg_sql(expr: str) -> str:
     return f"{dsum_sql(expr)} / COUNT({expr})"
+
+
+def rank_two_phase(df, bucket: Column, order_cols, bucket_ascending=True, out="r"):
+    """Global 1-based row rank WITHOUT a corpus-wide window — the
+    decomposition that removed ml_lift_gain_table's 54× single-
+    partition NTILE sort (×100 stress, r11): rank = (prefix count of
+    coarser buckets) + (row_number within the bucket).
+
+    `bucket` must be a MONOTONE coarsening of the primary order column
+    in the same direction (day-of-timestamp, dollar band, the value
+    itself when its domain is bounded): then bucket order is total
+    across buckets and the within-bucket window refines it. The ONLY
+    single-partition window left runs on the bucket GRID (bounded by
+    construction — pick the coarsening so it is), and the per-bucket
+    windows are hash-partitioned bounded groups. `order_cols` must be
+    a total order (include a tiebreak) or ranks are nondeterministic."""
+    from pyspark.sql import Window
+
+    dfb = df.withColumn("__b", bucket)
+    grid = dfb.groupBy("__b").agg(F.count(F.lit(1)).alias("__cnt"))
+    ob = F.col("__b").asc() if bucket_ascending else F.col("__b").desc()
+    wg = Window.orderBy(ob).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    pre = grid.select(
+        "__b", (F.sum("__cnt").over(wg) - F.col("__cnt")).alias("__before")
+    )
+    win = Window.partitionBy("__b").orderBy(*order_cols)
+    return (
+        dfb.join(pre, "__b")
+        .withColumn(out, (F.col("__before") + F.row_number().over(win)).cast("long"))
+        .drop("__b", "__before")
+    )
+
+
+def ntile_two_phase(df, n: int, bucket: Column, order_cols,
+                    bucket_ascending=True, out="ntile"):
+    """Exact NTILE(n) via rank_two_phase + NTILE's remainder
+    arithmetic (the first n_all % n tiles get one extra row) —
+    bit-identical to the engine NTILE over the same total order,
+    proven by hash matches against DuckDB's genuine NTILE in
+    ml_lift_gain_table / events_rfm_segmentation."""
+    ranked = rank_two_phase(df, bucket, order_cols, bucket_ascending, out="__r")
+    totals = df.agg(F.count(F.lit(1)).alias("__n_all"))
+    tile = F.expr(
+        f"CASE WHEN __n_all DIV {n} = 0 THEN __r "
+        f"WHEN __r <= (__n_all % {n}) * (__n_all DIV {n} + 1) "
+        f"THEN (__r - 1) DIV (__n_all DIV {n} + 1) + 1 "
+        f"ELSE (__n_all % {n}) + (__r - (__n_all % {n}) * (__n_all DIV {n} + 1) - 1) "
+        f"DIV (__n_all DIV {n}) + 1 END"
+    )
+    return (
+        ranked.crossJoin(F.broadcast(totals))
+        .withColumn(out, tile.cast("int"))
+        .drop("__r", "__n_all")
+    )
