@@ -227,6 +227,11 @@ LLM_SUITE = [
     # r11: NTILE-decomposition consumers (no corpus-wide single
     # partition window anywhere in these anymore).
     "events_rfm_segmentation",
+    # r11 wave 11: drift/experiment folds + the truncated-embedding
+    # audit (one broadcast pass for both dot widths).
+    "ml_psi",
+    "events_ab_test_ztest",
+    "sim_matryoshka_prefix_recall",
 ]
 
 

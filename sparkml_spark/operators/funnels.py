@@ -775,3 +775,95 @@ def events_hour_of_week_profile(spark, sf_dir):
         F.round(F.col("n").cast("double") / F.col("nt"), 6).alias("share"),
         (F.col("n") == F.col("nmax")).alias("is_peak"),
     )
+
+
+# ---------------------------------------------------------------------------
+# events_ab_test_ztest (round 11) — the experimentation primitive
+# ---------------------------------------------------------------------------
+
+@query(
+    "events_ab_test_ztest",
+    section="2.I",
+    oracle="""
+WITH assigned AS (
+  SELECT user_id, CASE WHEN user_id % 2 = 0 THEN 'A' ELSE 'B' END AS arm,
+         MAX(CASE WHEN event_type = 'purchase' AND day(ts) = 1
+                  THEN 1 ELSE 0 END) AS converted
+  FROM events GROUP BY user_id
+), arms AS (
+  SELECT CAST(SUM(CASE WHEN arm = 'A' THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+         CAST(SUM(CASE WHEN arm = 'A' THEN converted ELSE 0 END) AS BIGINT) AS c1,
+         CAST(SUM(CASE WHEN arm = 'B' THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+         CAST(SUM(CASE WHEN arm = 'B' THEN converted ELSE 0 END) AS BIGINT) AS c2
+  FROM assigned
+)
+SELECT n1, c1, n2, c2,
+       round(CAST(c1 AS DOUBLE) / n1, 6) AS p1,
+       round(CAST(c2 AS DOUBLE) / n2, 6) AS p2,
+       CASE WHEN c1 + c2 > 0 AND c1 + c2 < n1 + n2 THEN
+         round((CAST(c1 AS DOUBLE) / n1 - CAST(c2 AS DOUBLE) / n2)
+               / sqrt((CAST(c1 + c2 AS DOUBLE) / (n1 + n2))
+                      * (1 - CAST(c1 + c2 AS DOUBLE) / (n1 + n2))
+                      * (1.0 / n1 + 1.0 / n2)), 6)
+       ELSE CAST(0.0 AS DOUBLE) END AS z_score
+FROM arms
+""",
+)
+def events_ab_test_ztest(spark, sf_dir):
+    """Two-proportion z-test on a hash-split experiment — THE
+    experimentation primitive: users split by parity into arms A/B,
+    converted = any purchase, z = (p₁ − p₂)/√(p̂(1−p̂)(1/n₁+1/n₂))
+    with the pooled proportion. Every input to the float expression
+    is an exact integer; the divisions and sqrt are IEEE
+    exactly-rounded single ops composed identically on both engines,
+    so the statistic itself hash-pins. (The parity split is the
+    deterministic stand-in for a salted-hash assignment —
+    sample_hash_deterministic is the production splitter.)
+
+    Scale: one user-keyed partial aggregation then a 2-row fold —
+    a trillion-event experiment readout is one scan."""
+    e = load_table(spark, sf_dir, "events")
+    assigned = e.groupBy("user_id").agg(
+        F.max(
+            F.when(
+                (F.col("event_type") == "purchase") & (F.dayofmonth("ts") == 1), 1
+            ).otherwise(0)
+        ).alias("converted")
+    ).select(
+        F.when(F.col("user_id") % 2 == 0, "A").otherwise("B").alias("arm"),
+        "converted",
+    )
+    arms = assigned.agg(
+        F.sum(F.when(F.col("arm") == "A", 1).otherwise(0)).cast("long").alias("n1"),
+        F.sum(F.when(F.col("arm") == "A", F.col("converted")).otherwise(0))
+        .cast("long")
+        .alias("c1"),
+        F.sum(F.when(F.col("arm") == "B", 1).otherwise(0)).cast("long").alias("n2"),
+        F.sum(F.when(F.col("arm") == "B", F.col("converted")).otherwise(0))
+        .cast("long")
+        .alias("c2"),
+    )
+    p1 = F.col("c1").cast("double") / F.col("n1")
+    p2 = F.col("c2").cast("double") / F.col("n2")
+    pp = (F.col("c1") + F.col("c2")).cast("double") / (F.col("n1") + F.col("n2"))
+    return arms.select(
+        "n1",
+        "c1",
+        "n2",
+        "c2",
+        F.round(p1, 6).alias("p1"),
+        F.round(p2, 6).alias("p2"),
+        # degenerate guard (all or none converted => pooled variance 0):
+        # identical CASE on both engines; the fixture sits well inside
+        F.when(
+            (F.col("c1") + F.col("c2") > 0)
+            & (F.col("c1") + F.col("c2") < F.col("n1") + F.col("n2")),
+            F.round(
+                (p1 - p2)
+                / F.sqrt(pp * (1 - pp) * (1.0 / F.col("n1") + 1.0 / F.col("n2"))),
+                6,
+            ),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("z_score"),
+    )

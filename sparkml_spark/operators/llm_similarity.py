@@ -1762,3 +1762,120 @@ def sim_pq_recall(spark, sf_dir):
             "n_overlap_top10"
         ))
     )
+
+
+# ---------------------------------------------------------------------------
+# sim_matryoshka_prefix_recall (round 11) — truncated-embedding retrieval
+# ---------------------------------------------------------------------------
+
+@query(
+    "sim_matryoshka_prefix_recall",
+    section="2.I",
+    oracle=f"""
+WITH q8 AS (
+  SELECT vec_id,
+         list_transform(embedding,
+                        x -> CAST(floor(CAST(x AS DOUBLE) * 127 + 0.5) AS BIGINT))
+           AS v
+  FROM embeddings
+), dots AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         CAST(SUM(CASE WHEN i.i <= 16 THEN q.v[i.i] * c.v[i.i] ELSE 0 END)
+              AS BIGINT) AS dot16,
+         CAST(SUM(q.v[i.i] * c.v[i.i]) AS BIGINT) AS dot64
+  FROM q8 q JOIN q8 c ON c.vec_id != q.vec_id
+  CROSS JOIN (SELECT unnest(range(1, 65)) AS i) i
+  WHERE q.vec_id < {_N_QUERIES}
+  GROUP BY q.vec_id, c.vec_id
+), top16 AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+                              ORDER BY dot16 DESC, neighbor_id ASC) AS rn
+    FROM dots) WHERE rn <= 10
+), top64 AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+                              ORDER BY dot64 DESC, neighbor_id ASC) AS rn
+    FROM dots) WHERE rn <= 10
+)
+SELECT a.query_id,
+       CAST(COUNT(b.neighbor_id) AS BIGINT) AS n_overlap_top10
+FROM top16 a LEFT JOIN top64 b
+  ON b.query_id = a.query_id AND b.neighbor_id = a.neighbor_id
+GROUP BY a.query_id
+""",
+)
+def sim_matryoshka_prefix_recall(spark, sf_dir):
+    """Matryoshka-truncation retrieval audit [Kusupati et al. 2022,
+    arXiv:2205.13147]: rank neighbors by the FIRST-16-dim dot product
+    (the 4× cheaper prefix a Matryoshka-trained embedding exposes)
+    and report the per-query overlap with the full-64-dim top-10 —
+    the number that decides whether the cheap prefix can drive
+    first-stage retrieval with the full vector reserved for rerank.
+    Both rankings are integer dot products on the int8 grid with
+    neighbor-id tie-breaks, so the overlap — like sim_pq_recall's —
+    is hash-pinned, not estimated. (Fixture vectors are not
+    Matryoshka-trained; low overlap is the honest expected readout —
+    the op pins the MEASUREMENT a deployment runs.)
+
+    Scale: one broadcast of the 10 query vectors over the corpus
+    computes BOTH dots in one pass (the prefix is a bounded slice of
+    the same zip_with), two TakeOrdered-class top-10s per query."""
+    e = load_table(spark, sf_dir, "embeddings")
+    q8 = e.select(
+        "vec_id",
+        F.transform(
+            "embedding",
+            lambda x: F.floor(x.cast("double") * F.lit(127.0) + F.lit(0.5)).cast(
+                "long"
+            ),
+        ).alias("v"),
+    )
+    q = q8.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    c = q8.select(F.col("vec_id").alias("neighbor_id"), F.col("v").alias("cv"))
+    dot64 = F.aggregate(
+        F.zip_with("qv", "cv", lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    dot16 = F.aggregate(
+        F.zip_with(
+            F.slice("qv", 1, 16), F.slice("cv", 1, 16), lambda x, y: x * y
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    dots = (
+        c.join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", dot16.alias("dot16"), dot64.alias("dot64"))
+        .cache()
+    )
+    w16 = Window.partitionBy("query_id").orderBy(
+        F.col("dot16").desc(), F.col("neighbor_id").asc()
+    )
+    w64 = Window.partitionBy("query_id").orderBy(
+        F.col("dot64").desc(), F.col("neighbor_id").asc()
+    )
+    top16 = (
+        dots.withColumn("rn", F.row_number().over(w16))
+        .filter(F.col("rn") <= 10)
+        .select("query_id", "neighbor_id")
+    )
+    top64 = (
+        dots.withColumn("rn", F.row_number().over(w64))
+        .filter(F.col("rn") <= 10)
+        .select("query_id", "neighbor_id", F.lit(1).alias("hit"))
+    )
+    return (
+        top16.join(F.broadcast(top64), ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.sum(F.coalesce(F.col("hit"), F.lit(0)))
+            .cast("long")
+            .alias("n_overlap_top10")
+        )
+    )

@@ -2009,3 +2009,80 @@ def ml_woe_iv(spark, sf_dir):
         "woe",
         F.round(F.col("dshare") * F.col("woe"), 6).alias("iv_contrib"),
     )
+
+
+# ---------------------------------------------------------------------------
+# ml_psi (round 11) — population stability index between two windows
+# ---------------------------------------------------------------------------
+
+@query(
+    "ml_psi",
+    section="2.J",
+    oracle="""
+WITH lab AS (
+  SELECT LEAST(CAST(floor(value / 50.0) AS BIGINT), 9) AS bin,
+         CASE WHEN day(ts) <= 15 THEN 'base' ELSE 'current' END AS pop
+  FROM events
+), b AS (
+  SELECT bin,
+         CAST(SUM(CASE WHEN pop = 'base' THEN 1 ELSE 0 END) AS BIGINT) AS na,
+         CAST(SUM(CASE WHEN pop = 'current' THEN 1 ELSE 0 END) AS BIGINT) AS nb
+  FROM lab GROUP BY bin
+), t AS (
+  SELECT CAST(SUM(na) AS BIGINT) AS ta, CAST(SUM(nb) AS BIGINT) AS tb FROM b
+)
+SELECT b.bin, b.na, b.nb,
+       round((CAST(b.na AS DOUBLE) + 0.5) / (CAST(t.ta AS DOUBLE) + 5.0)
+             - (CAST(b.nb AS DOUBLE) + 0.5) / (CAST(t.tb AS DOUBLE) + 5.0), 9)
+         AS dshare,
+       round(ln(((CAST(b.na AS DOUBLE) + 0.5) * (CAST(t.tb AS DOUBLE) + 5.0))
+                / ((CAST(t.ta AS DOUBLE) + 5.0) * (CAST(b.nb AS DOUBLE) + 0.5))),
+             6) AS lratio,
+       round(round((CAST(b.na AS DOUBLE) + 0.5) / (CAST(t.ta AS DOUBLE) + 5.0)
+                   - (CAST(b.nb AS DOUBLE) + 0.5) / (CAST(t.tb AS DOUBLE) + 5.0), 9)
+             * round(ln(((CAST(b.na AS DOUBLE) + 0.5) * (CAST(t.tb AS DOUBLE) + 5.0))
+                        / ((CAST(t.ta AS DOUBLE) + 5.0)
+                           * (CAST(b.nb AS DOUBLE) + 0.5))), 6), 6) AS psi_contrib
+FROM b CROSS JOIN t
+""",
+)
+def ml_psi(spark, sf_dir):
+    """Population Stability Index between the month's first and
+    second half — the scorecard-monitoring standard (PSI > 0.25 ⇒
+    shift): per score bin, (pₐ − p_b)·ln(pₐ/p_b) with half-count
+    smoothing on both populations (the ml_woe_iv parity recipe:
+    ln of ONE exact-product division rounded at 6dp, share delta at
+    9dp, the contribution multiplying the two already-rounded
+    factors). Completes the drift triad: quality_drift_chi2 detects,
+    ts_cusum_changepoint locates in time, PSI locates in score space.
+
+    Scale: one scan to a 10×2 histogram — map-side combine, 1-row
+    totals broadcast."""
+    e = load_table(spark, sf_dir, "events")
+    lab = e.select(
+        F.least(F.floor(F.col("value") / 50.0).cast("long"), F.lit(9)).alias("bin"),
+        F.when(F.dayofmonth("ts") <= 15, "base").otherwise("current").alias("pop"),
+    )
+    b = lab.groupBy("bin").agg(
+        F.sum(F.when(F.col("pop") == "base", 1).otherwise(0))
+        .cast("long")
+        .alias("na"),
+        F.sum(F.when(F.col("pop") == "current", 1).otherwise(0))
+        .cast("long")
+        .alias("nb"),
+    )
+    t = b.agg(
+        F.sum("na").cast("long").alias("ta"), F.sum("nb").cast("long").alias("tb")
+    )
+    na, nb = F.col("na").cast("double") + 0.5, F.col("nb").cast("double") + 0.5
+    ta, tb = F.col("ta").cast("double") + 5.0, F.col("tb").cast("double") + 5.0
+    dshare = F.round(na / ta - nb / tb, 9)
+    lratio = F.round(F.log((na * tb) / (ta * nb)), 6)
+    return b.crossJoin(F.broadcast(t)).select(
+        "bin",
+        "na",
+        "nb",
+        dshare.alias("dshare"),
+        lratio.alias("lratio"),
+        F.round(dshare * lratio, 6).alias("psi_contrib"),
+    )

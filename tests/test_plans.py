@@ -929,3 +929,16 @@ def test_r11_wave10_plan_shapes(spark):
         .toString()
     )
     assert "ntile" not in lift.lower(), lift[:2000]
+
+
+def test_r11_wave11_plan_shapes(spark):
+    """Wave-11 plan gates (r11): PSI and the z-test are histogram /
+    user-fold partial aggs; the Matryoshka audit broadcasts the query
+    vectors and computes both dots in one joined pass (no second scan
+    of the corpus side)."""
+    assert has_partial_aggregate(QUERIES["ml_psi"](spark, SF_DIR))
+    assert has_partial_aggregate(QUERIES["events_ab_test_ztest"](spark, SF_DIR))
+    mat = QUERIES["sim_matryoshka_prefix_recall"](spark, SF_DIR)
+    assert has_broadcast_join(mat)
+    plan = mat._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan, plan[:2000]
