@@ -232,6 +232,11 @@ LLM_SUITE = [
     "ml_psi",
     "events_ab_test_ztest",
     "sim_matryoshka_prefix_recall",
+    # r11 wave 12: grid/histogram/user-keyed shapes.
+    "ml_ks_statistic",
+    "agg_audience_overlap",
+    "pipeline_privacy_kanon",
+    "events_user_lifecycle",
 ]
 
 

@@ -1548,3 +1548,80 @@ def stat_benford_digits(spark, sf_dir):
             9,
         ).alias("chi2_contrib"),
     )
+
+
+# ---------------------------------------------------------------------------
+# agg_audience_overlap (round 11) — pairwise audience intersection matrix
+# ---------------------------------------------------------------------------
+
+@query(
+    "agg_audience_overlap",
+    section="2.D",
+    oracle="""
+WITH aud AS (
+  SELECT DISTINCT event_type AS t, user_id AS u FROM events
+), sizes AS (
+  SELECT t, CAST(COUNT(*) AS BIGINT) AS n FROM aud GROUP BY t
+), pairs AS (
+  SELECT a.t AS type_a, b.t AS type_b, CAST(COUNT(*) AS BIGINT) AS n_both
+  FROM aud a JOIN aud b ON a.u = b.u AND a.t < b.t
+  GROUP BY a.t, b.t
+)
+SELECT p.type_a, p.type_b, sa.n AS n_a, sb.n AS n_b, p.n_both,
+       round(CAST(p.n_both AS DOUBLE) / (sa.n + sb.n - p.n_both), 6) AS jaccard,
+       round(CAST(p.n_both AS DOUBLE) / LEAST(sa.n, sb.n), 6) AS containment
+FROM pairs p
+JOIN sizes sa ON sa.t = p.type_a
+JOIN sizes sb ON sb.t = p.type_b
+""",
+)
+def agg_audience_overlap(spark, sf_dir):
+    """Pairwise audience-overlap matrix — the campaign-planning
+    question ("how much of the clickers also purchase?"): for every
+    pair of event types, the exact user intersection with Jaccard and
+    containment coefficients (single exact divisions of integer set
+    sizes). The same inverted-index self-join shape as
+    dedup_ngram_jaccard, with the user as the posting key — a pair is
+    counted only where a shared user exists, never by crossing
+    audiences.
+
+    Scale: one distinct collapses events to (type, user) memberships;
+    the self-join fans out per user by their type-degree (≤ 5 here,
+    ≤ a few dozen in any real taxonomy — bounded, the COOCCUR_CAP
+    argument), then aggregates onto a types² matrix."""
+    e = load_table(spark, sf_dir, "events")
+    aud = e.select(F.col("event_type").alias("t"), F.col("user_id").alias("u")).distinct().cache()
+    sizes = aud.groupBy("t").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    a = aud.select(F.col("t").alias("type_a"), "u")
+    b = aud.select(F.col("t").alias("type_b"), "u")
+    pairs = (
+        a.join(b, "u")
+        .filter(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_both"))
+    )
+    return (
+        pairs.join(
+            F.broadcast(sizes.select(F.col("t").alias("type_a"), F.col("n").alias("n_a"))),
+            "type_a",
+        )
+        .join(
+            F.broadcast(sizes.select(F.col("t").alias("type_b"), F.col("n").alias("n_b"))),
+            "type_b",
+        )
+        .select(
+            "type_a",
+            "type_b",
+            "n_a",
+            "n_b",
+            "n_both",
+            F.round(
+                F.col("n_both").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_both")),
+                6,
+            ).alias("jaccard"),
+            F.round(
+                F.col("n_both").cast("double") / F.least("n_a", "n_b"), 6
+            ).alias("containment"),
+        )
+    )

@@ -867,3 +867,76 @@ def events_ab_test_ztest(spark, sf_dir):
         .otherwise(F.lit(0.0))
         .alias("z_score"),
     )
+
+
+# ---------------------------------------------------------------------------
+# events_user_lifecycle (round 11) — growth accounting states
+# ---------------------------------------------------------------------------
+
+@query(
+    "events_user_lifecycle",
+    section="2.I",
+    oracle="""
+WITH weekly AS (
+  SELECT DISTINCT user_id,
+         CAST(date_diff('day', DATE '2024-01-01',
+                        CAST(date_trunc('day', ts) AS DATE)) // 7 AS BIGINT) AS wk
+  FROM events
+), states AS (
+  SELECT user_id, wk,
+         LAG(wk) OVER (PARTITION BY user_id ORDER BY wk) AS prev_wk,
+         MIN(wk) OVER (PARTITION BY user_id) AS first_wk
+  FROM weekly
+), labeled AS (
+  SELECT wk,
+         CASE WHEN wk = first_wk THEN 'new'
+              WHEN prev_wk = wk - 1 THEN 'retained'
+              ELSE 'resurrected' END AS state
+  FROM states
+)
+SELECT wk, state, CAST(COUNT(*) AS BIGINT) AS n_users
+FROM labeled GROUP BY wk, state
+""",
+)
+def events_user_lifecycle(spark, sf_dir):
+    """Growth-accounting lifecycle states by ISO-epoch week: each
+    active (user, week) is 'new' (first week ever), 'retained'
+    (also active the immediately preceding week) or 'resurrected'
+    (returning after a gap) — the decomposition behind every
+    growth-accounting chart (churn is the complement: retained_{w-1}
+    minus retained_w minus resurrected-eligible, derivable from this
+    table). Weeks are integer day-offsets from the fixture epoch
+    floor-divided by 7 (no engine week-numbering dependence —
+    fn_date_interval_clamp pins those separately).
+
+    Scale: one distinct to (user, week) memberships, then two
+    user-partitioned windows (lag + min) on bounded per-user rows —
+    one shuffle key end to end."""
+    e = load_table(spark, sf_dir, "events")
+    weekly = (
+        e.select(
+            "user_id",
+            F.expr(
+                "CAST(datediff(CAST(date_trunc('day', ts) AS DATE), "
+                "DATE '2024-01-01') DIV 7 AS BIGINT)"
+            ).alias("wk"),
+        )
+        .distinct()
+    )
+    wlag = Window.partitionBy("user_id").orderBy("wk")
+    wmin = Window.partitionBy("user_id")
+    states = weekly.select(
+        "wk",
+        F.lag("wk").over(wlag).alias("prev_wk"),
+        F.min("wk").over(wmin).alias("first_wk"),
+    )
+    labeled = states.select(
+        "wk",
+        F.when(F.col("wk") == F.col("first_wk"), "new")
+        .when(F.col("prev_wk") == F.col("wk") - 1, "retained")
+        .otherwise("resurrected")
+        .alias("state"),
+    )
+    return labeled.groupBy("wk", "state").agg(
+        F.count(F.lit(1)).cast("long").alias("n_users")
+    )

@@ -2156,3 +2156,58 @@ def pipeline_preference_pairs(spark, sf_dir):
             ).alias("pair_fingerprint"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# pipeline_privacy_kanon (round 11) — k-anonymity audit
+# ---------------------------------------------------------------------------
+
+@query(
+    "pipeline_privacy_kanon",
+    section="2.I",
+    oracle="""
+WITH qi AS (
+  SELECT lang, source, n_chars // 100 AS len_band, doc_id FROM documents
+), cls AS (
+  SELECT lang, source, len_band, CAST(COUNT(*) AS BIGINT) AS class_size
+  FROM qi GROUP BY lang, source, len_band
+)
+SELECT lang, source, CAST(len_band AS BIGINT) AS len_band, class_size,
+       class_size < 5 AS violates_k5,
+       CASE WHEN class_size < 5 THEN class_size ELSE 0 END AS n_at_risk
+FROM cls
+""",
+)
+def pipeline_privacy_kanon(spark, sf_dir):
+    """k-anonymity audit over the quasi-identifier tuple (lang,
+    source, length band) [Sweeney 2002]: every equivalence class with
+    fewer than k=5 members is a re-identification risk — the report a
+    privacy review demands BEFORE a corpus ships, and the counts a
+    suppression/generalization pass consumes (pairs with
+    pipeline_right_to_forget, which erases; this op finds what WOULD
+    need erasing). Exact integer class sizes; the length band is the
+    generalization (integer floor-division, no float boundary).
+
+    Scale: one scan, one partial aggregation onto the quasi-identifier
+    grid — k-anonymity of a trillion docs is a map-side histogram."""
+    d = load_table(spark, sf_dir, "documents")
+    cls = (
+        d.select(
+            "lang",
+            "source",
+            F.expr("n_chars DIV 100").alias("len_band"),
+        )
+        .groupBy("lang", "source", "len_band")
+        .agg(F.count(F.lit(1)).cast("long").alias("class_size"))
+    )
+    return cls.select(
+        "lang",
+        "source",
+        F.col("len_band").cast("long").alias("len_band"),
+        "class_size",
+        (F.col("class_size") < 5).alias("violates_k5"),
+        F.when(F.col("class_size") < 5, F.col("class_size"))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("n_at_risk"),
+    )

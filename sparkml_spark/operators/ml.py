@@ -2086,3 +2086,97 @@ def ml_psi(spark, sf_dir):
         lratio.alias("lratio"),
         F.round(dshare * lratio, 6).alias("psi_contrib"),
     )
+
+
+# ---------------------------------------------------------------------------
+# ml_ks_statistic (round 11) — two-sample Kolmogorov–Smirnov, integer-exact
+# ---------------------------------------------------------------------------
+
+@query(
+    "ml_ks_statistic",
+    section="2.J",
+    oracle="""
+WITH lab AS (
+  SELECT value AS score,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+  FROM events
+), grid AS (
+  SELECT score,
+         CAST(SUM(y) AS BIGINT) AS np,
+         CAST(SUM(1 - y) AS BIGINT) AS nn
+  FROM lab GROUP BY score
+), cum AS (
+  SELECT score,
+         SUM(np) OVER (ORDER BY score) AS cp,
+         SUM(nn) OVER (ORDER BY score) AS cn
+  FROM grid
+), t AS (
+  SELECT CAST(SUM(np) AS BIGINT) AS tp, CAST(SUM(nn) AS BIGINT) AS tn FROM grid
+), d AS (
+  SELECT cum.score, abs(cum.cp * t.tn - cum.cn * t.tp) AS num
+  FROM cum CROSS JOIN t
+), best AS (
+  SELECT score, num, ROW_NUMBER() OVER (ORDER BY num DESC, score ASC) AS rn
+  FROM d
+)
+SELECT t.tp AS n_pos, t.tn AS n_neg,
+       best.score AS ks_at_score,
+       round(CAST(best.num AS DOUBLE) / (CAST(t.tp AS DOUBLE) * t.tn), 6) AS ks
+FROM best CROSS JOIN t WHERE best.rn = 1
+""",
+)
+def ml_ks_statistic(spark, sf_dir):
+    """Two-sample Kolmogorov–Smirnov separation statistic — the
+    scorecard industry's companion to AUC: KS = max over thresholds
+    of |CDF₊(s) − CDF₋(s)|, with the argmax score reported (the
+    optimal cutoff). INTEGER-EXACT argmax: the CDF difference is
+    compared as |cp·tn − cn·tp| (cross-multiplied, no division until
+    the single final 6dp ratio), so the max and its tie-broken
+    (smaller score) location are exact int64 algebra — the
+    ml_auc_exact/agg_weighted_percentile grid posture. Completes the
+    scorecard suite: AUC ranks, KS separates, PSI drifts, WOE/IV
+    explains, lift targets, calibration trusts.
+
+    Scale: one scan to the score grid (map-side combine), prefix sums
+    and the argmax on grid rows only."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events")
+    lab = e.select(
+        F.col("value").alias("score"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("y"),
+    )
+    grid = lab.groupBy("score").agg(
+        F.sum("y").cast("long").alias("np"),
+        F.sum(1 - F.col("y")).cast("long").alias("nn"),
+    )
+    wc = Window.orderBy("score").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cum = grid.select(
+        "score",
+        F.sum("np").over(wc).alias("cp"),
+        F.sum("nn").over(wc).alias("cn"),
+    )
+    t = grid.agg(
+        F.sum("np").cast("long").alias("tp"), F.sum("nn").cast("long").alias("tn")
+    )
+    d = cum.crossJoin(F.broadcast(t)).select(
+        "score",
+        "tp",
+        "tn",
+        F.abs(F.col("cp") * F.col("tn") - F.col("cn") * F.col("tp")).alias("num"),
+    )
+    best = d.withColumn(
+        "rn",
+        F.row_number().over(
+            Window.orderBy(F.col("num").desc(), F.col("score").asc())
+        ),
+    ).filter(F.col("rn") == 1)
+    return best.select(
+        F.col("tp").alias("n_pos"),
+        F.col("tn").alias("n_neg"),
+        F.col("score").alias("ks_at_score"),
+        F.round(
+            F.col("num").cast("double") / (F.col("tp").cast("double") * F.col("tn")),
+            6,
+        ).alias("ks"),
+    )

@@ -942,3 +942,32 @@ def test_r11_wave11_plan_shapes(spark):
     assert has_broadcast_join(mat)
     plan = mat._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan, plan[:2000]
+
+
+def test_r11_wave12_plan_shapes(spark):
+    """Wave-12 plan gates (r11): KS runs on the score grid behind a
+    partial agg; audience overlap joins on the user posting key (no
+    cartesian); k-anonymity is a pure histogram (no joins); lifecycle
+    windows only on user partitions."""
+    assert has_partial_aggregate(QUERIES["ml_ks_statistic"](spark, SF_DIR))
+    ov = (
+        QUERIES["agg_audience_overlap"](spark, SF_DIR)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in ov, ov[:2000]
+    ka = (
+        QUERIES["pipeline_privacy_kanon"](spark, SF_DIR)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Join" not in ka, ka[:2000]
+    lc = (
+        QUERIES["events_user_lifecycle"](spark, SF_DIR)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "SinglePartition" not in lc, lc[:2000]
