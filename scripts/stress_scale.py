@@ -237,6 +237,9 @@ LLM_SUITE = [
     "agg_audience_overlap",
     "pipeline_privacy_kanon",
     "events_user_lifecycle",
+    # r11 wave 13: bounded-round graph peeling + the rank-helper fit.
+    "graph_kcore_membership",
+    "events_power_law_fit",
 ]
 
 

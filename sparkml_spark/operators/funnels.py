@@ -940,3 +940,83 @@ def events_user_lifecycle(spark, sf_dir):
     return labeled.groupBy("wk", "state").agg(
         F.count(F.lit(1)).cast("long").alias("n_users")
     )
+
+
+# ---------------------------------------------------------------------------
+# events_power_law_fit (round 11) — Zipf exponent of user activity
+# ---------------------------------------------------------------------------
+
+@query(
+    "events_power_law_fit",
+    section="2.I",
+    oracle="""
+WITH act AS (
+  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS cnt FROM events GROUP BY user_id
+), ranked AS (
+  SELECT cnt,
+         ROW_NUMBER() OVER (ORDER BY cnt DESC, user_id ASC) AS rnk
+  FROM act
+), ll AS (
+  SELECT round(ln(rnk), 9) AS x, round(ln(cnt), 9) AS y FROM ranked
+), s AS (
+  SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+         CAST(SUM(CAST(x AS DECIMAL(30,9))) AS DOUBLE) AS sx,
+         CAST(SUM(CAST(y AS DECIMAL(30,9))) AS DOUBLE) AS sy,
+         CAST(SUM(CAST(round(x * y, 9) AS DECIMAL(30,9))) AS DOUBLE) AS sxy,
+         CAST(SUM(CAST(round(x * x, 9) AS DECIMAL(30,9))) AS DOUBLE) AS sxx
+  FROM ll
+)
+SELECT CAST(n AS BIGINT) AS n_users,
+       round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS zipf_slope,
+       round((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n, 6)
+         AS intercept
+FROM s
+""",
+)
+def events_power_law_fit(spark, sf_dir):
+    """Zipf/power-law exponent of the user-activity distribution: OLS
+    slope of ln(count) on ln(rank) over the frequency-ranked users —
+    the heavy-tail diagnostic that decides skew remedies (a slope
+    near −1 says hot-key mitigation is mandatory; near 0 says hashing
+    suffices). Ranks come from rank_two_phase (activity-count bucket
+    + user_id refinement — no corpus-wide window), each ln is rounded
+    at 9dp, the products re-rounded, and all sums are decimal
+    (order-independent); slope/intercept are one fixed double tree
+    (the agg_linear_regression composition).
+
+    Scale: one user-keyed partial agg, the two-phase rank on the
+    count grid, a 4-sum fold."""
+    from sparkml_spark.registry import rank_two_phase
+
+    e = load_table(spark, sf_dir, "events")
+    act = e.groupBy("user_id").agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    ranked = rank_two_phase(
+        act,
+        bucket=F.col("cnt"),
+        order_cols=[F.col("cnt").desc(), F.col("user_id").asc()],
+        bucket_ascending=False,
+        out="rnk",
+    )
+    ll = ranked.select(
+        F.round(F.log("rnk"), 9).alias("x"), F.round(F.log("cnt"), 9).alias("y")
+    )
+    s = ll.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(F.col("x").cast("decimal(30,9)")).cast("double").alias("sx"),
+        F.sum(F.col("y").cast("decimal(30,9)")).cast("double").alias("sy"),
+        F.sum(F.round(F.col("x") * F.col("y"), 9).cast("decimal(30,9)"))
+        .cast("double")
+        .alias("sxy"),
+        F.sum(F.round(F.col("x") * F.col("x"), 9).cast("decimal(30,9)"))
+        .cast("double")
+        .alias("sxx"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    return s.select(
+        F.col("n").cast("long").alias("n_users"),
+        F.round(num / den, 6).alias("zipf_slope"),
+        F.round((F.col("sy") - num / den * F.col("sx")) / F.col("n"), 6).alias(
+            "intercept"
+        ),
+    )

@@ -971,3 +971,19 @@ def test_r11_wave12_plan_shapes(spark):
         .toString()
     )
     assert "SinglePartition" not in lc, lc[:2000]
+
+
+def test_r11_wave13_plan_shapes(spark):
+    """Wave-13 plan gates (r11): k-core rounds are equi-join peels (no
+    cartesian); the power-law fit ranks through the two-phase helper
+    (no ntile/rank over raw rows — its windows partition by the count
+    bucket or run on the bucket grid)."""
+    kc = (
+        QUERIES["graph_kcore_membership"](spark, SF_DIR)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in kc, kc[:2000]
+    pl = QUERIES["events_power_law_fit"](spark, SF_DIR)
+    assert has_partial_aggregate(pl)
