@@ -240,6 +240,12 @@ LLM_SUITE = [
     # r11 wave 13: bounded-round graph peeling + the rank-helper fit.
     "graph_kcore_membership",
     "events_power_law_fit",
+    # r11 wave 14: two-level folds, composite-key self-join, series
+    # window. (stream_ab_monitor is excluded: streaming jobs carry
+    # fixed trigger/checkpoint overhead that swamps the data cost.)
+    "agg_hhi_concentration",
+    "orders_duplicate_payments",
+    "ts_burst_detection",
 ]
 
 

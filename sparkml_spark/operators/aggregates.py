@@ -1625,3 +1625,66 @@ def agg_audience_overlap(spark, sf_dir):
             ).alias("containment"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# agg_hhi_concentration (round 11) — Herfindahl–Hirschman index
+# ---------------------------------------------------------------------------
+
+@query(
+    "agg_hhi_concentration",
+    section="2.D",
+    oracle="""
+WITH spend AS (
+  SELECT n.n_name AS nation, o.o_custkey,
+         CAST(SUM(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS BIGINT) AS v
+  FROM orders o
+  JOIN customer c ON c.c_custkey = o.o_custkey
+  JOIN nation n ON n.n_nationkey = c.c_nationkey
+  GROUP BY n.n_name, o.o_custkey
+), agg AS (
+  SELECT nation,
+         CAST(COUNT(*) AS BIGINT) AS n_customers,
+         CAST(SUM(v) AS DOUBLE) AS t,
+         CAST(SUM(CAST(v * v AS DECIMAL(38,0))) AS DOUBLE) AS ss
+  FROM spend GROUP BY nation
+)
+SELECT nation, n_customers,
+       round(10000.0 * ss / (t * t), 6) AS hhi
+FROM agg
+""",
+)
+def agg_hhi_concentration(spark, sf_dir):
+    """Herfindahl–Hirschman concentration index per customer nation —
+    the antitrust-standard market-concentration measure (HHI > 2500 =
+    highly concentrated), here over customer spend shares: HHI =
+    10⁴·Σsᵢ² = 10⁴·Σvᵢ²/(Σv)². Both sums are exact on the cents grid
+    (the squares on a decimal accumulator — the agg_linear_regression
+    overflow posture), cast once to double for the single final
+    ratio.
+
+    Scale: a two-level partial aggregation (customer rollup, then
+    nation fold) with broadcast dims — one fact shuffle on custkey."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    spend = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"), "o_custkey")
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("v")
+        )
+    )
+    agg = spend.groupBy("nation").agg(
+        F.count(F.lit(1)).cast("long").alias("n_customers"),
+        F.sum("v").cast("double").alias("t"),
+        F.sum((F.col("v") * F.col("v")).cast("decimal(38,0)"))
+        .cast("double")
+        .alias("ss"),
+    )
+    return agg.select(
+        "nation",
+        "n_customers",
+        F.round(10000.0 * F.col("ss") / (F.col("t") * F.col("t")), 6).alias("hhi"),
+    )

@@ -822,7 +822,14 @@ def events_ab_test_ztest(spark, sf_dir):
 
     Scale: one user-keyed partial aggregation then a 2-row fold —
     a trillion-event experiment readout is one scan."""
-    e = load_table(spark, sf_dir, "events")
+    return ab_ztest_readout(load_table(spark, sf_dir, "events"))
+
+
+def ab_ztest_readout(e):
+    """Shared A/B readout chain over any events-shaped DataFrame —
+    consumed by the batch query above and replayed per micro-batch by
+    streaming/ops.stream_ab_monitor (single-batch fixture feed ⇒ the
+    streamed readout must hash-match this batch twin)."""
     assigned = e.groupBy("user_id").agg(
         F.max(
             F.when(
@@ -1019,4 +1026,95 @@ def events_power_law_fit(spark, sf_dir):
         F.round((F.col("sy") - num / den * F.col("sx")) / F.col("n"), 6).alias(
             "intercept"
         ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# orders_duplicate_payments (round 11) — forensic double-charge screen
+# ---------------------------------------------------------------------------
+
+@query(
+    "orders_duplicate_payments",
+    section="2.I",
+    oracle="""
+WITH corpus AS (
+  SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate FROM orders
+  UNION ALL
+  -- injected double-charges: every 50th order replayed 2 days later
+  -- under a new key (same customer, same amount) — the dedup-family
+  -- convention; the screen must find exactly these plus any natural
+  -- repeats
+  SELECT o_orderkey + 10000000, o_custkey, o_totalprice,
+         o_orderdate + INTERVAL 2 DAY
+  FROM orders WHERE o_orderkey % 50 = 0
+), keyed AS (
+  SELECT o_orderkey, o_custkey,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+         CAST(o_orderdate AS DATE) AS d
+  FROM corpus
+)
+SELECT a.o_custkey,
+       a.o_orderkey AS orderkey_a, b.o_orderkey AS orderkey_b,
+       round(a.cents / 100.0, 2) AS amount,
+       CAST(date_diff('day', a.d, b.d) AS BIGINT) AS day_gap
+FROM keyed a JOIN keyed b
+  ON b.o_custkey = a.o_custkey AND b.cents = a.cents
+ AND b.o_orderkey > a.o_orderkey
+ AND abs(date_diff('day', a.d, b.d)) <= 7
+""",
+)
+def orders_duplicate_payments(spark, sf_dir):
+    """Duplicate-payment screen — the audit classic next to
+    stat_benford_digits: pairs of orders by the SAME customer for the
+    EXACT same amount (cents grid, never float equality) within 7
+    days. The self-join key is (custkey, amount-cents) — an equi join
+    whose fan-out is bounded by same-amount repeat counts per
+    customer (tiny), with the date window as a residual filter; never
+    a date-range theta join.
+
+    Scale: one shuffle on the composite key; group sizes are
+    per-customer-per-amount — the celebrity-cap argument does not
+    even arise."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderdate"
+    )
+    corpus = o.unionByName(
+        o.filter(F.col("o_orderkey") % 50 == 0).select(
+            (F.col("o_orderkey") + 10000000).alias("o_orderkey"),
+            "o_custkey",
+            "o_totalprice",
+            (F.col("o_orderdate") + F.expr("INTERVAL 2 DAYS")).alias("o_orderdate"),
+        )
+    )
+    keyed = corpus.select(
+        "o_orderkey",
+        "o_custkey",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        F.col("o_orderdate").cast("date").alias("d"),
+    )
+    a = keyed.select(
+        "o_custkey",
+        F.col("o_orderkey").alias("orderkey_a"),
+        "cents",
+        F.col("d").alias("da"),
+    )
+    b = keyed.select(
+        "o_custkey",
+        F.col("o_orderkey").alias("orderkey_b"),
+        "cents",
+        F.col("d").alias("db"),
+    )
+    return (
+        a.join(b, ["o_custkey", "cents"])
+        .filter(
+            (F.col("orderkey_b") > F.col("orderkey_a"))
+            & (F.abs(F.datediff(F.col("db"), F.col("da"))) <= 7)
+        )
+        .select(
+            "o_custkey",
+            "orderkey_a",
+            "orderkey_b",
+            F.round(F.col("cents") / 100.0, 2).alias("amount"),
+            F.datediff(F.col("db"), F.col("da")).cast("long").alias("day_gap"),
+        )
     )

@@ -593,3 +593,64 @@ def ts_theil_sen(spark, sf_dir):
             F.min(F.when(2 * F.col("rn") >= F.col("n") + 1, F.col("slope"))), 6
         ).alias("theil_sen_slope"),
     )
+
+
+# ---------------------------------------------------------------------------
+# ts_burst_detection (round 11) — rate-spike flags, integer-exact
+# ---------------------------------------------------------------------------
+
+@query(
+    "ts_burst_detection",
+    section="2.I",
+    oracle="""
+WITH hourly AS (
+  SELECT date_trunc('hour', ts) AS h, CAST(COUNT(*) AS BIGINT) AS c
+  FROM events GROUP BY date_trunc('hour', ts)
+), trail AS (
+  SELECT h, c,
+         CAST(SUM(c) OVER (ORDER BY h ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)
+              AS BIGINT) AS t24,
+         CAST(COUNT(*) OVER (ORDER BY h ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)
+              AS BIGINT) AS n24
+  FROM hourly
+)
+SELECT h, c, t24, n24,
+       n24 = 24 AND c * n24 > 3 * t24 AS is_burst
+FROM trail
+""",
+)
+def ts_burst_detection(spark, sf_dir):
+    """Rate-burst detection on the hourly series: an hour is a burst
+    when its count exceeds 3× the trailing-24h mean — compared as
+    c·n24 > 3·t24 (integer cross-multiplication, no mean division,
+    the weighted-percentile trick), with a full-window guard (n24 =
+    24) so the warm-up hours can never false-positive. The simple
+    rate-ratio detector that pages before the Kleinberg machinery is
+    warranted; CUSUM locates level shifts, this flags spikes.
+
+    Scale: one hourly partial aggregation, then a rows-frame window
+    on the tiny series — the ts_* family posture."""
+    from pyspark.sql import Window as W
+
+    e = load_table(spark, sf_dir, "events")
+    hourly = (
+        e.select(F.date_trunc("hour", F.col("ts")).alias("h"))
+        .groupBy("h")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    wt = W.orderBy("h").rowsBetween(-24, -1)
+    trail = hourly.select(
+        "h",
+        "c",
+        F.sum("c").over(wt).cast("long").alias("t24"),
+        F.count(F.lit(1)).over(wt).cast("long").alias("n24"),
+    )
+    return trail.select(
+        "h",
+        "c",
+        "t24",
+        "n24",
+        ((F.col("n24") == 24) & (F.col("c") * F.col("n24") > 3 * F.col("t24"))).alias(
+            "is_burst"
+        ),
+    )

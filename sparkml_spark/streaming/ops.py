@@ -1150,3 +1150,72 @@ def _wire_stream_refresh_oracle():
     _registry2.META["stream_incremental_refresh"]["tier"] = "ORACLE"
 
 _wire_stream_refresh_oracle()
+
+
+# ---------------------------------------------------------------------------
+# stream_ab_monitor (round 11) — the experiment readout as a stream
+# ---------------------------------------------------------------------------
+
+@query("stream_ab_monitor", section="2.K", oracle=None)
+def stream_ab_monitor(spark, sf_dir):
+    """events_ab_test_ztest executed as a Structured Streaming job —
+    the deployment shape of experiment monitoring: the events feed
+    replays through the streaming file source and each micro-batch
+    recomputes the full readout (arms, rates, z) via the SHARED
+    ab_ztest_readout chain inside foreachBatch. Same single-batch
+    oracle contract as stream_incremental_refresh: availableNow over
+    the fixture is one micro-batch, so the streamed readout must
+    hash-match the batch twin exactly (drift = the foreachBatch path
+    diverged); >1 batch fails loudly rather than comparing
+    incomparable readouts. Production semantics: each trigger emits
+    the updated full-history readout (foreachBatch re-aggregates
+    standing + arriving — the readout is a full-corpus statistic, so
+    state lives in the lakehouse table, not stream state).
+
+    Scale: the per-batch chain is one user-keyed partial agg + 2-row
+    fold — the cheapest possible readout per trigger."""
+    import os
+
+    from sparkml_spark.operators.funnels import ab_ztest_readout
+
+    path = f"{sf_dir}/events.parquet"
+    schema = spark.read.parquet(path).schema
+    if os.path.isdir(path):
+        stream = spark.readStream.schema(schema).parquet(path)
+    else:
+        stream = (
+            spark.readStream.schema(schema)
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(sf_dir)
+        )
+    out_rows: list = []
+    n_batches = [0]
+
+    def handle(batch_df, _bid):
+        n_batches[0] += 1
+        out_rows.extend(ab_ztest_readout(batch_df).collect())
+
+    q = stream.writeStream.foreachBatch(handle).trigger(availableNow=True).start()
+    q.awaitTermination()
+    if n_batches[0] != 1:
+        raise RuntimeError(
+            f"stream_ab_monitor: fixture replay produced {n_batches[0]} "
+            "micro-batches; the batch-twin oracle is only valid for a "
+            "single-batch feed"
+        )
+    return spark.createDataFrame(
+        [tuple(r) for r in out_rows],
+        "n1 long, c1 long, n2 long, c2 long, p1 double, p2 double, z_score double",
+    )
+
+
+def _wire_stream_ab_oracle():
+    import sparkml_spark.operators.funnels  # noqa: F401
+    from sparkml_spark.registry import META as _M
+    from sparkml_spark.registry import ORACLES as _O
+
+    _O["stream_ab_monitor"] = _O["events_ab_test_ztest"]
+    _M["stream_ab_monitor"]["tier"] = "ORACLE"
+
+
+_wire_stream_ab_oracle()

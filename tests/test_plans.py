@@ -987,3 +987,22 @@ def test_r11_wave13_plan_shapes(spark):
     assert "CartesianProduct" not in kc, kc[:2000]
     pl = QUERIES["events_power_law_fit"](spark, SF_DIR)
     assert has_partial_aggregate(pl)
+
+
+def test_r11_wave14_plan_shapes(spark):
+    """Wave-14 plan gates (r11): HHI is a two-level partial agg with
+    broadcast dims; the duplicate-payment screen is a composite-key
+    equi self-join (no cartesian, no range theta join); burst flags
+    ride the series window behind a partial agg."""
+    hhi = QUERIES["agg_hhi_concentration"](spark, SF_DIR)
+    assert has_partial_aggregate(hhi)
+    assert has_broadcast_join(hhi)
+    dup = (
+        QUERIES["orders_duplicate_payments"](spark, SF_DIR)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in dup, dup[:2000]
+    assert "BroadcastNestedLoop" not in dup, dup[:2000]
+    assert has_partial_aggregate(QUERIES["ts_burst_detection"](spark, SF_DIR))
