@@ -246,6 +246,10 @@ LLM_SUITE = [
     "agg_hhi_concentration",
     "orders_duplicate_payments",
     "ts_burst_detection",
+    # r11 wave 15: two-phase-ranked metric, 4-cell fold, probe scan.
+    "ml_average_precision_exact",
+    "events_diff_in_diff",
+    "sim_radius_search",
 ]
 
 

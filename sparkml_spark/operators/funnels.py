@@ -1118,3 +1118,93 @@ def orders_duplicate_payments(spark, sf_dir):
             F.datediff(F.col("db"), F.col("da")).cast("long").alias("day_gap"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# events_diff_in_diff (round 11) — the quasi-experimental estimator
+# ---------------------------------------------------------------------------
+
+@query(
+    "events_diff_in_diff",
+    section="2.I",
+    oracle="""
+WITH cells AS (
+  SELECT CASE WHEN user_id % 2 = 0 THEN 'treat' ELSE 'control' END AS arm,
+         CASE WHEN day(ts) <= 15 THEN 'pre' ELSE 'post' END AS period,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         round(CAST(SUM(CAST(round(value, 9) AS DECIMAL(30,9))) AS DOUBLE)
+               / COUNT(*), 6) AS mean_value
+  FROM events WHERE event_type = 'purchase'
+  GROUP BY CASE WHEN user_id % 2 = 0 THEN 'treat' ELSE 'control' END,
+           CASE WHEN day(ts) <= 15 THEN 'pre' ELSE 'post' END
+), w AS (
+  SELECT
+    MAX(CASE WHEN arm = 'treat' AND period = 'post' THEN mean_value END) AS tp,
+    MAX(CASE WHEN arm = 'treat' AND period = 'pre' THEN mean_value END) AS tr,
+    MAX(CASE WHEN arm = 'control' AND period = 'post' THEN mean_value END) AS cp,
+    MAX(CASE WHEN arm = 'control' AND period = 'pre' THEN mean_value END) AS cr,
+    CAST(SUM(n) AS BIGINT) AS n_total
+  FROM cells
+)
+SELECT n_total, tp AS treat_post, tr AS treat_pre,
+       cp AS control_post, cr AS control_pre,
+       round((tp - tr) - (cp - cr), 6) AS did_estimate
+FROM w
+""",
+)
+def events_diff_in_diff(spark, sf_dir):
+    """Difference-in-differences — the quasi-experimental estimator
+    when randomization isn't available: mean purchase value per
+    (arm × period) cell around the mid-month cutoff, DiD =
+    (treatᵖᵒˢᵗ − treatᵖʳᵉ) − (controlᵖᵒˢᵗ − controlᵖʳᵉ). Cell means
+    use the 9dp-quantize + decimal-sum pattern (one exact division
+    each, rounded at 6dp BEFORE the DiD arithmetic so both engines
+    compose the same already-rounded values). Completes the causal
+    toolkit next to events_ab_test_ztest (randomized) and
+    events_attribution_multitouch (observational credit).
+
+    Scale: one scan to a 4-cell histogram — map-side combine, then a
+    1-row pivot fold."""
+    e = load_table(spark, sf_dir, "events")
+    cells = (
+        e.filter(F.col("event_type") == "purchase")
+        .select(
+            F.when(F.col("user_id") % 2 == 0, "treat").otherwise("control").alias("arm"),
+            F.when(F.dayofmonth("ts") <= 15, "pre").otherwise("post").alias("period"),
+            "value",
+        )
+        .groupBy("arm", "period")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.round(
+                F.sum(F.round(F.col("value"), 9).cast("decimal(30,9)")).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("mean_value"),
+        )
+    )
+    w = cells.agg(
+        F.max(
+            F.when((F.col("arm") == "treat") & (F.col("period") == "post"), F.col("mean_value"))
+        ).alias("tp"),
+        F.max(
+            F.when((F.col("arm") == "treat") & (F.col("period") == "pre"), F.col("mean_value"))
+        ).alias("tr"),
+        F.max(
+            F.when((F.col("arm") == "control") & (F.col("period") == "post"), F.col("mean_value"))
+        ).alias("cp"),
+        F.max(
+            F.when((F.col("arm") == "control") & (F.col("period") == "pre"), F.col("mean_value"))
+        ).alias("cr"),
+        F.sum("n").cast("long").alias("n_total"),
+    )
+    return w.select(
+        "n_total",
+        F.col("tp").alias("treat_post"),
+        F.col("tr").alias("treat_pre"),
+        F.col("cp").alias("control_post"),
+        F.col("cr").alias("control_pre"),
+        F.round(
+            (F.col("tp") - F.col("tr")) - (F.col("cp") - F.col("cr")), 6
+        ).alias("did_estimate"),
+    )

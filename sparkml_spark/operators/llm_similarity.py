@@ -1879,3 +1879,75 @@ def sim_matryoshka_prefix_recall(spark, sf_dir):
             .alias("n_overlap_top10")
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# sim_radius_search (round 11) — range query, the kNN complement
+# ---------------------------------------------------------------------------
+
+@query(
+    "sim_radius_search",
+    section="2.I",
+    oracle=f"""
+WITH q8 AS (
+  SELECT vec_id,
+         list_transform(embedding,
+                        x -> CAST(floor(CAST(x AS DOUBLE) * 127 + 0.5) AS BIGINT))
+           AS v
+  FROM embeddings
+), d2 AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         CAST(SUM((q.v[i.i] - c.v[i.i]) * (q.v[i.i] - c.v[i.i])) AS BIGINT) AS d2f
+  FROM q8 q JOIN q8 c ON c.vec_id != q.vec_id
+  CROSS JOIN (SELECT unnest(range(1, 65)) AS i) i
+  WHERE q.vec_id < {_N_QUERIES}
+  GROUP BY q.vec_id, c.vec_id
+)
+SELECT query_id,
+       CAST(COUNT(CASE WHEN d2f <= 28000 THEN 1 END) AS BIGINT) AS n_in_radius,
+       CAST(MIN(d2f) AS BIGINT) AS d2_nearest
+FROM d2 GROUP BY query_id
+""",
+)
+def sim_radius_search(spark, sf_dir):
+    """Radius (range) similarity search — the kNN complement every
+    vector store exposes: per query, how many corpus vectors lie
+    within a fixed L2 ball (integer threshold 28000 on the int8-grid
+    squared distance ≈ cosine ≈ 0.13 for unit vectors at grid scale),
+    plus the exact nearest distance. Radius queries are the dedup /
+    near-duplicate primitive (is there ANYTHING this close?) where
+    top-k is the retrieval primitive; both now pinned. Integer
+    distances ⇒ exact hash, the sim_pq_recall posture.
+
+    Scale: the brute-force arm shares sim_topk_bruteforce's
+    documented 10-query-probe cutoff; the production radius path is
+    the LSH/IVF index twins (bucket, then range-filter within the
+    bucket) — this op pins the semantics those must converge to."""
+    e = load_table(spark, sf_dir, "embeddings")
+    q8 = e.select(
+        "vec_id",
+        F.transform(
+            "embedding",
+            lambda x: F.floor(x.cast("double") * F.lit(127.0) + F.lit(0.5)).cast(
+                "long"
+            ),
+        ).alias("v"),
+    )
+    q = q8.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    c = q8.select(F.col("vec_id").alias("neighbor_id"), F.col("v").alias("cv"))
+    d2f = F.aggregate(
+        F.zip_with("qv", "cv", lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    return (
+        c.join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", d2f.alias("d2f"))
+        .groupBy("query_id")
+        .agg(
+            F.count(F.when(F.col("d2f") <= 28000, 1)).cast("long").alias("n_in_radius"),
+            F.min("d2f").cast("long").alias("d2_nearest"),
+        )
+    )

@@ -2180,3 +2180,89 @@ def ml_ks_statistic(spark, sf_dir):
             6,
         ).alias("ks"),
     )
+
+
+# ---------------------------------------------------------------------------
+# ml_average_precision_exact (round 11) — PR-AUC's exact cousin
+# ---------------------------------------------------------------------------
+
+@query(
+    "ml_average_precision_exact",
+    section="2.J",
+    oracle="""
+WITH lab AS (
+  SELECT event_id, value AS score,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+  FROM events
+), ranked AS (
+  SELECT y,
+         ROW_NUMBER() OVER (ORDER BY score DESC, event_id ASC) AS r,
+         SUM(y) OVER (ORDER BY score DESC, event_id ASC) AS cum_y
+  FROM lab
+), terms AS (
+  SELECT CAST(round(CAST(cum_y AS DOUBLE) / r, 9) AS DECIMAL(30,9)) AS p_at_r
+  FROM ranked WHERE y = 1
+), t AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_pos,
+         CAST(SUM(p_at_r) AS DOUBLE) AS s
+  FROM terms
+)
+SELECT n_pos, round(s / n_pos, 6) AS average_precision FROM t
+""",
+)
+def ml_average_precision_exact(spark, sf_dir):
+    """EXACT average precision (the area under the precision-recall
+    curve by the standard sum definition): AP = (1/n₊)·Σ_{positives}
+    P@rank, with P@r = cum_positives(r)/r, each term an exact integer
+    division quantized at 9dp and decimal-summed. Completes the
+    ranking-metric pair: ml_auc_exact is threshold-free ROC,
+    AP weights the head — the metric that matters when positives are
+    rare (fraud, retrieval).
+
+    Scale: the oracle uses a plain global window; the Spark side does
+    NOT — both the global rank AND the cumulative-positive count are
+    decomposed two-phase (the rank via rank_two_phase; cum_y as
+    grid-prefix positives + within-score running positives, the same
+    bucket algebra applied to a SUM instead of a COUNT), so no
+    corpus-wide window anywhere — the NTILE-decomposition posture
+    extended to running aggregates."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events")
+    lab = e.select(
+        "event_id",
+        F.col("value").alias("score"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("y"),
+    )
+    grid = lab.groupBy("score").agg(
+        F.count(F.lit(1)).alias("cnt"), F.sum("y").alias("ny")
+    )
+    wg = Window.orderBy(F.col("score").desc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    pre = grid.select(
+        "score",
+        (F.sum("cnt").over(wg) - F.col("cnt")).alias("before_n"),
+        (F.sum("ny").over(wg) - F.col("ny")).alias("before_y"),
+    )
+    win = Window.partitionBy("score").orderBy(F.col("event_id").asc())
+    ranked = lab.join(pre, "score").select(
+        "y",
+        (F.col("before_n") + F.row_number().over(win)).alias("r"),
+        (
+            F.col("before_y")
+            + F.sum("y").over(win.rowsBetween(Window.unboundedPreceding, 0))
+        ).alias("cum_y"),
+    )
+    terms = ranked.filter(F.col("y") == 1).select(
+        F.round(F.col("cum_y").cast("double") / F.col("r"), 9)
+        .cast("decimal(30,9)")
+        .alias("p_at_r")
+    )
+    t = terms.agg(
+        F.count(F.lit(1)).cast("long").alias("n_pos"),
+        F.sum("p_at_r").cast("double").alias("s"),
+    )
+    return t.select(
+        "n_pos", F.round(F.col("s") / F.col("n_pos"), 6).alias("average_precision")
+    )

@@ -1006,3 +1006,15 @@ def test_r11_wave14_plan_shapes(spark):
     assert "CartesianProduct" not in dup, dup[:2000]
     assert "BroadcastNestedLoop" not in dup, dup[:2000]
     assert has_partial_aggregate(QUERIES["ts_burst_detection"](spark, SF_DIR))
+
+
+def test_r11_wave15_plan_shapes(spark):
+    """Wave-15 plan gates (r11): average precision must NOT rank
+    through a corpus-wide window (no ntile; its only unpartitioned
+    window is the bounded score grid — same contract as the lift
+    table); DiD is a 4-cell histogram; radius search broadcasts the
+    query probes."""
+    ap = QUERIES["ml_average_precision_exact"](spark, SF_DIR)
+    assert has_partial_aggregate(ap)
+    assert has_partial_aggregate(QUERIES["events_diff_in_diff"](spark, SF_DIR))
+    assert has_broadcast_join(QUERIES["sim_radius_search"](spark, SF_DIR))

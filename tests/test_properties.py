@@ -1365,3 +1365,48 @@ def test_attribution_conserves_credit_per_model(spark):
     assert len(set(touch_rows.values())) == 1, touch_rows
     assert by_model["linear"] % 1000000 == 0
     assert by_model["linear"] > 0
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=-50, max_value=50),
+            st.integers(min_value=0, max_value=10**6),
+        ),
+        min_size=1,
+        max_size=40,
+        unique_by=lambda t: t[1],
+    ),
+    n=st.integers(min_value=1, max_value=7),
+)
+@_SETTINGS
+def test_ntile_two_phase_matches_engine_ntile(spark, rows, n):
+    """The NTILE decomposition (registry.ntile_two_phase) now carries
+    five registered ops — this pins it against Spark's OWN ntile over
+    the same total order for arbitrary values (ties included, via
+    duplicate v), bucket = a coarsening (v DIV 7), every tile count
+    1..n."""
+    from pyspark.sql import Window
+
+    from sparkml_spark.registry import ntile_two_phase
+
+    df = spark.createDataFrame(rows, "v INT, id LONG")
+    want = {
+        (r.id, r.t)
+        for r in df.select(
+            "id", F.ntile(n).over(Window.orderBy("v", "id")).alias("t")
+        ).collect()
+    }
+    got = {
+        (r.id, r.t)
+        for r in ntile_two_phase(
+            df,
+            n,
+            bucket=F.expr("v DIV 7"),
+            order_cols=[F.col("v").asc(), F.col("id").asc()],
+            out="t",
+        )
+        .select("id", "t")
+        .collect()
+    }
+    assert got == want, (sorted(got), sorted(want))
