@@ -250,6 +250,8 @@ LLM_SUITE = [
     "ml_average_precision_exact",
     "events_diff_in_diff",
     "sim_radius_search",
+    # r11 wave 16: broadcast-ring assignment, one corpus scan.
+    "pipeline_consistent_hash_ring",
 ]
 
 

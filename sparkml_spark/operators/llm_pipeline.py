@@ -2211,3 +2211,136 @@ def pipeline_privacy_kanon(spark, sf_dir):
         .cast("long")
         .alias("n_at_risk"),
     )
+
+
+# ---------------------------------------------------------------------------
+# pipeline_consistent_hash_ring (round 11) — shard assignment + the
+# rebalancing argument, exactly.
+# ---------------------------------------------------------------------------
+
+def _ring_sql(n_shards: int, vnodes: int = 8) -> str:
+    """Ring points for n_shards × vnodes as a DuckDB CTE body:
+    pos = md5 16-bit of 'ring:shard:v'; the combined key
+    (pos·32 + shard)·16 + v is collision-free (shard < 32, v < 16)
+    so min() over it is a deterministic clockwise-next choice even
+    when two vnodes land on the same 16-bit position."""
+    return f"""
+  SELECT s.s AS shard, v.v AS v,
+         ('0x' || substr(md5('ring:' || CAST(s.s AS VARCHAR) || ':'
+                          || CAST(v.v AS VARCHAR)), 1, 4))::BIGINT AS pos
+  FROM (SELECT unnest(range({n_shards})) AS s) s
+  CROSS JOIN (SELECT unnest(range({vnodes})) AS v) v
+"""
+
+
+@query(
+    "pipeline_consistent_hash_ring",
+    section="2.I",
+    oracle=f"""
+WITH ring16 AS ({_ring_sql(16)}),
+ring17 AS ({_ring_sql(17)}),
+docs AS (
+  SELECT doc_id,
+         ('0x' || substr(md5('doc:' || CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT
+           AS p
+  FROM documents
+), own16 AS (
+  SELECT d.doc_id,
+         CAST((COALESCE(MIN(CASE WHEN r.pos >= d.p
+                                 THEN (r.pos * 32 + r.shard) * 16 + r.v END),
+                        MIN((r.pos * 32 + r.shard) * 16 + r.v))
+               // 16) % 32 AS BIGINT) AS shard
+  FROM docs d CROSS JOIN ring16 r GROUP BY d.doc_id, d.p
+), own17 AS (
+  SELECT d.doc_id,
+         CAST((COALESCE(MIN(CASE WHEN r.pos >= d.p
+                                 THEN (r.pos * 32 + r.shard) * 16 + r.v END),
+                        MIN((r.pos * 32 + r.shard) * 16 + r.v))
+               // 16) % 32 AS BIGINT) AS shard
+  FROM docs d CROSS JOIN ring17 r GROUP BY d.doc_id, d.p
+)
+SELECT a.shard,
+       CAST(COUNT(*) AS BIGINT) AS n_at_16,
+       CAST(SUM(CASE WHEN b.shard = a.shard THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_stayed_at_17,
+       CAST(SUM(CASE WHEN b.shard != a.shard THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_moved_at_17
+FROM own16 a JOIN own17 b ON b.doc_id = a.doc_id
+GROUP BY a.shard
+""",
+)
+def pipeline_consistent_hash_ring(spark, sf_dir):
+    """Consistent-hash ring shard assignment [Karger et al. 1997]
+    with the REBALANCING argument measured exactly: documents hash
+    onto a 2^16 ring, each of 16 shards owns 8 virtual nodes, a doc
+    belongs to the clockwise-next vnode (deterministic wraparound and
+    a collision-free (pos, shard, v) combined key for ties). The op
+    assigns under 16 AND 17 shards and reports, per shard, how many
+    docs stay vs move — consistent hashing's whole point is that ONLY
+    ~1/(S+1) of docs move on scale-out where mod-hashing moves ~all;
+    the hash-pinned stay/move census IS that claim, measured. This is
+    the shard-management primitive under every distributed index in
+    the engine (the IVF inverted file, the MinHash band index, the
+    pack-shard manifests).
+
+    Scale: the ring is 128/136 rows broadcast; assignment is one
+    conditional-min aggregation per doc over the broadcast ring —
+    one scan, no shuffle of the corpus."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        md5_chunk16(F.concat(F.lit("doc:"), F.col("doc_id").cast("string"))).alias(
+            "p"
+        ),
+    )
+
+    def ring(n_shards):
+        rows = [(s, v) for s in range(n_shards) for v in range(8)]
+        rdf = spark.createDataFrame(rows, "shard INT, v INT")
+        return rdf.select(
+            "shard",
+            "v",
+            md5_chunk16(
+                F.concat(
+                    F.lit("ring:"),
+                    F.col("shard").cast("string"),
+                    F.lit(":"),
+                    F.col("v").cast("string"),
+                )
+            ).alias("pos"),
+        )
+
+    def owners(ring_df):
+        combined = (F.col("pos") * 32 + F.col("shard")) * 16 + F.col("v")
+        return (
+            d.crossJoin(F.broadcast(ring_df))
+            .groupBy("doc_id")
+            .agg(
+                (
+                    F.coalesce(
+                        F.min(F.when(F.col("pos") >= F.col("p"), combined)),
+                        F.min(combined),
+                    )
+                )
+                .alias("c")
+            )
+            .select(
+                "doc_id",
+                (F.expr("c DIV 16") % 32).cast("long").alias("shard"),
+            )
+        )
+
+    a = owners(ring(16)).withColumnRenamed("shard", "shard16")
+    b = owners(ring(17)).withColumnRenamed("shard", "shard17")
+    return (
+        a.join(b, "doc_id")
+        .groupBy(F.col("shard16").alias("shard"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_at_16"),
+            F.sum(F.when(F.col("shard17") == F.col("shard16"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_stayed_at_17"),
+            F.sum(F.when(F.col("shard17") != F.col("shard16"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_moved_at_17"),
+        )
+    )

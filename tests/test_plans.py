@@ -1018,3 +1018,12 @@ def test_r11_wave15_plan_shapes(spark):
     assert has_partial_aggregate(ap)
     assert has_partial_aggregate(QUERIES["events_diff_in_diff"](spark, SF_DIR))
     assert has_broadcast_join(QUERIES["sim_radius_search"](spark, SF_DIR))
+
+
+def test_r11_wave16_plan_shapes(spark):
+    """Wave-16 plan gate (r11): ring assignment must broadcast the
+    ring (a 128/136-row side) onto one corpus scan — broadcast joins,
+    partial agg, no corpus shuffle."""
+    ring = QUERIES["pipeline_consistent_hash_ring"](spark, SF_DIR)
+    assert has_broadcast_join(ring)
+    assert has_partial_aggregate(ring)

