@@ -252,6 +252,11 @@ LLM_SUITE = [
     "sim_radius_search",
     # r11 wave 16: broadcast-ring assignment, one corpus scan.
     "pipeline_consistent_hash_ring",
+    # r11 wave 17: dialect pins (daily windows / WindowGroupLimit /
+    # the user-keyed as-of carry).
+    "win_frame_exclude_rewrite",
+    "sql_distinct_on_rewrite",
+    "join_asof_native_pin",
 ]
 
 

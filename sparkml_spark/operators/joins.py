@@ -614,3 +614,55 @@ def _dpp_artifact(spark, sf_dir):
             "lang"
         ).parquet(path)
     return path
+
+
+# ---------------------------------------------------------------------------
+# join_asof_native_pin (round 11) — the as-of rewrite vs the engine
+# primitive.
+# ---------------------------------------------------------------------------
+
+@query(
+    "join_asof_native_pin",
+    section="2.C",
+    oracle="""
+SELECT p.event_id, p.user_id, p.ts, c.ts AS asof_click_ts
+FROM (SELECT event_id, user_id, ts FROM events
+      WHERE event_type = 'purchase') p
+ASOF LEFT JOIN (SELECT user_id, ts FROM events
+                WHERE event_type = 'click') c
+  ON p.user_id = c.user_id AND p.ts >= c.ts
+""",
+)
+def join_asof_native_pin(spark, sf_dir):
+    """The as-of join rewrite proven against an ENGINE-NATIVE ASOF
+    JOIN: Spark still compiles as-of to the interleave-and-carry
+    window (union both sides, last non-null click timestamp per user
+    ordered by time), while the oracle runs DuckDB's genuine
+    `ASOF LEFT JOIN ... ON p.ts >= c.ts` — the first-class primitive
+    other engines grew. A hash match here proves the rewrite IS the
+    primitive (boundary semantics included: >= takes a click at the
+    exact purchase instant; purchases with no prior click carry
+    NULL). join_asof/join_asof_directions pin the rewrite against a
+    window-form oracle; this pin removes the shared-construction
+    blind spot — the two sides no longer share ANY algebra.
+
+    Note the tie nuance this pin ENFORCES: with >= semantics, equal
+    click timestamps for one user collapse to the same carried ts
+    value, so the carry and the native join agree without an id
+    tiebreak (values, not row identities, are joined).
+
+    Scale: one user-keyed window over the filtered union — the
+    established as-of shape (one shuffle; state = one timestamp)."""
+    e = load_table(spark, sf_dir, "events")
+    both = e.filter(F.col("event_type").isin("click", "purchase"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    click_ts = F.when(F.col("event_type") == "click", F.col("ts"))
+    return (
+        both.withColumn("asof_click_ts", F.last(click_ts, ignorenulls=True).over(w))
+        .filter(F.col("event_type") == "purchase")
+        .select("event_id", "user_id", "ts", "asof_click_ts")
+    )

@@ -432,3 +432,41 @@ def sql_qualify_rewrite(spark, sf_dir):
         .filter(F.col("rn") <= 2)
         .select("user_id", "event_type", "n")
     )
+
+
+# ---------------------------------------------------------------------------
+# sql_distinct_on_rewrite (round 11) — DISTINCT ON via the rank rewrite
+# ---------------------------------------------------------------------------
+
+@query(
+    "sql_distinct_on_rewrite",
+    section="2.I",
+    oracle="""
+SELECT DISTINCT ON (o_custkey) o_custkey, o_orderkey, o_totalprice
+FROM orders
+ORDER BY o_custkey, o_totalprice DESC, o_orderkey ASC
+""",
+)
+def sql_distinct_on_rewrite(spark, sf_dir):
+    """DISTINCT ON semantics via the rank rewrite — Spark has no
+    DISTINCT ON (Postgres/DuckDB do): keep, per customer, the single
+    highest-value order (orderkey breaking price ties), compiled to
+    the row_number-over-partition filter. The oracle runs DuckDB's
+    GENUINE DISTINCT ON with the same ORDER BY, so the pin proves the
+    rewrite picks the identical representative row — including the
+    tie cases where a naive groupBy(max) would lose the tiebreak.
+    Completes the dialect-parity set: QUALIFY, quantified ANY/ALL,
+    frame EXCLUDE, and now DISTINCT ON.
+
+    Scale: the standard top-1-per-group WindowGroupLimit shape."""
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("o_custkey", "o_orderkey", "o_totalprice")
+    )

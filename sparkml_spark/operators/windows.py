@@ -785,3 +785,57 @@ def win_exponential_decay(spark, sf_dir):
             ).alias("decay_score"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# win_frame_exclude_rewrite (round 11) — EXCLUDE CURRENT ROW via algebra
+# ---------------------------------------------------------------------------
+
+@query(
+    "win_frame_exclude_rewrite",
+    section="2.E",
+    oracle="""
+WITH daily AS (
+  SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS d,
+         CAST(COUNT(*) AS BIGINT) AS c
+  FROM events GROUP BY event_type, CAST(date_trunc('day', ts) AS DATE)
+)
+SELECT event_type, d, c,
+       CAST(SUM(c) OVER (PARTITION BY event_type ORDER BY d
+                         ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING
+                         EXCLUDE CURRENT ROW) AS BIGINT) AS neighbor_sum,
+       CAST(COUNT(*) OVER (PARTITION BY event_type ORDER BY d
+                           ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING
+                           EXCLUDE CURRENT ROW) AS BIGINT) AS n_neighbors
+FROM daily
+""",
+)
+def win_frame_exclude_rewrite(spark, sf_dir):
+    """Window-frame EXCLUDE CURRENT ROW via the subtraction rewrite —
+    Spark has no frame-exclusion clause (DuckDB/Postgres do), so
+    neighbor aggregates (the leave-one-out frame behind smoothing and
+    peer-comparison features) compile to full-frame aggregate MINUS
+    the current row's contribution: SUM−c and COUNT−1. The oracle
+    runs DuckDB's GENUINE EXCLUDE CURRENT ROW, proving the rewrite
+    semantics-preserving over ±3-row frames including the truncated
+    edges (the sql_qualify_rewrite / subquery_quantified dialect-pin
+    contract). Integer window sums, exact by construction.
+
+    Scale: one daily partial agg, then per-type series windows —
+    bounded partitions."""
+    e = load_table(spark, sf_dir, "events")
+    daily = (
+        e.select(
+            "event_type", F.date_trunc("day", F.col("ts")).cast("date").alias("d")
+        )
+        .groupBy("event_type", "d")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    w = Window.partitionBy("event_type").orderBy("d").rowsBetween(-3, 3)
+    return daily.select(
+        "event_type",
+        "d",
+        "c",
+        (F.sum("c").over(w) - F.col("c")).cast("long").alias("neighbor_sum"),
+        (F.count(F.lit(1)).over(w) - 1).cast("long").alias("n_neighbors"),
+    )

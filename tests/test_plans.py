@@ -1027,3 +1027,32 @@ def test_r11_wave16_plan_shapes(spark):
     ring = QUERIES["pipeline_consistent_hash_ring"](spark, SF_DIR)
     assert has_broadcast_join(ring)
     assert has_partial_aggregate(ring)
+
+
+def test_r11_wave17_plan_shapes(spark):
+    """Wave-17 plan gates (r11): DISTINCT ON compiles to
+    WindowGroupLimit; the frame-exclude rewrite windows per type (no
+    SinglePartition); the native-pin as-of stays one user-keyed
+    window (no join at all in the Spark plan — the join lives in the
+    oracle's engine)."""
+    don = (
+        QUERIES["sql_distinct_on_rewrite"](spark, SF_DIR)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "WindowGroupLimit" in don, don[:2000]
+    fx = (
+        QUERIES["win_frame_exclude_rewrite"](spark, SF_DIR)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "SinglePartition" not in fx, fx[:2000]
+    asof = (
+        QUERIES["join_asof_native_pin"](spark, SF_DIR)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Join" not in asof, asof[:2000]
