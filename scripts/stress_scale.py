@@ -257,6 +257,9 @@ LLM_SUITE = [
     "win_frame_exclude_rewrite",
     "sql_distinct_on_rewrite",
     "join_asof_native_pin",
+    # r11 wave 18: scorer histogram + vocabulary-growth checkpoints.
+    "quality_langid_confusion",
+    "text_heaps_law_fit",
 ]
 
 

@@ -1579,3 +1579,182 @@ def text_keyword_topk(spark, sf_dir):
         scored.withColumn("kw_rank", F.row_number().over(w).cast("long"))
         .filter(F.col("kw_rank") <= 3)
     )
+
+
+# ---------------------------------------------------------------------------
+# quality_langid_confusion (round 11) — the language-ID eval matrix
+# ---------------------------------------------------------------------------
+
+@query(
+    "quality_langid_confusion",
+    section="2.I",
+    oracle=f"""
+WITH pred AS (
+  SELECT lang,
+       CASE
+         WHEN {_marker_score_sql(LANG_MARKERS['zh'])} >= greatest(
+                {_marker_score_sql(LANG_MARKERS['en'])},
+                {_marker_score_sql(LANG_MARKERS['de'])},
+                {_marker_score_sql(LANG_MARKERS['es'])},
+                {_marker_score_sql(LANG_MARKERS['fr'])}) THEN 'zh'
+         WHEN {_marker_score_sql(LANG_MARKERS['fr'])} >= greatest(
+                {_marker_score_sql(LANG_MARKERS['en'])},
+                {_marker_score_sql(LANG_MARKERS['de'])},
+                {_marker_score_sql(LANG_MARKERS['es'])}) THEN 'fr'
+         WHEN {_marker_score_sql(LANG_MARKERS['es'])} >= greatest(
+                {_marker_score_sql(LANG_MARKERS['en'])},
+                {_marker_score_sql(LANG_MARKERS['de'])}) THEN 'es'
+         WHEN {_marker_score_sql(LANG_MARKERS['de'])}
+              >= {_marker_score_sql(LANG_MARKERS['en'])} THEN 'de'
+         ELSE 'en'
+       END AS lang_pred
+  FROM documents
+), cells AS (
+  SELECT lang, lang_pred, CAST(COUNT(*) AS BIGINT) AS n
+  FROM pred GROUP BY lang, lang_pred
+), truth AS (
+  SELECT lang, CAST(SUM(n) AS BIGINT) AS n_true FROM cells GROUP BY lang
+)
+SELECT c.lang, c.lang_pred, c.n,
+       round(CAST(c.n AS DOUBLE) / t.n_true, 6) AS row_rate,
+       c.lang = c.lang_pred AS is_correct
+FROM cells c JOIN truth t ON t.lang = c.lang
+""",
+)
+def quality_langid_confusion(spark, sf_dir):
+    """Confusion matrix of the marker-token language identifier
+    against the corpus's labeled lang — the EVAL every langid
+    deployment runs before trusting the router: per (true, predicted)
+    cell, counts and row-normalized rates (recall on the diagonal).
+    Reuses text_langid_heuristic's exact scorer and tie cascade;
+    the fixture's shared vocabulary makes most predictions collapse
+    toward the cascade default — large off-diagonal mass is the
+    HONEST readout (the op pins the evaluation algebra; the module
+    docstring owns the marker-quality caveat).
+
+    Scale: one scan scoring each doc against 5 constant marker lists
+    (codegen'd higher-order functions), then a ≤25-cell histogram."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = _tokens()
+    scores = {k: _marker_score_spark(toks, v) for k, v in LANG_MARKERS.items()}
+    pred = (
+        F.when(
+            scores["zh"]
+            >= F.greatest(scores["en"], scores["de"], scores["es"], scores["fr"]),
+            "zh",
+        )
+        .when(scores["fr"] >= F.greatest(scores["en"], scores["de"], scores["es"]), "fr")
+        .when(scores["es"] >= F.greatest(scores["en"], scores["de"]), "es")
+        .when(scores["de"] >= scores["en"], "de")
+        .otherwise("en")
+    )
+    cells = (
+        d.select("lang", pred.alias("lang_pred"))
+        .groupBy("lang", "lang_pred")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    truth = cells.groupBy("lang").agg(F.sum("n").cast("long").alias("n_true"))
+    return cells.join(F.broadcast(truth), "lang").select(
+        "lang",
+        "lang_pred",
+        "n",
+        F.round(F.col("n").cast("double") / F.col("n_true"), 6).alias("row_rate"),
+        (F.col("lang") == F.col("lang_pred")).alias("is_correct"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# text_heaps_law_fit (round 11) — vocabulary-growth exponent
+# ---------------------------------------------------------------------------
+
+@query(
+    "text_heaps_law_fit",
+    section="2.I",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_TOKENS_SQL}) AS token FROM documents
+), firsts AS (
+  SELECT token, MIN(doc_id) AS fd FROM toks GROUP BY token
+), doc_tok AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS nt FROM toks GROUP BY doc_id
+), cps AS (
+  SELECT DISTINCT doc_id AS cp FROM documents WHERE doc_id % 25 = 24
+), pts AS (
+  SELECT cp,
+         (SELECT CAST(COUNT(*) AS BIGINT) FROM firsts WHERE fd <= cp) AS v,
+         (SELECT CAST(SUM(nt) AS BIGINT) FROM doc_tok WHERE doc_id <= cp) AS n
+  FROM cps
+), ll AS (
+  SELECT round(ln(n), 9) AS x, round(ln(v), 9) AS y FROM pts
+), s AS (
+  SELECT CAST(COUNT(*) AS DOUBLE) AS m,
+         CAST(SUM(CAST(x AS DECIMAL(30,9))) AS DOUBLE) AS sx,
+         CAST(SUM(CAST(y AS DECIMAL(30,9))) AS DOUBLE) AS sy,
+         CAST(SUM(CAST(round(x * y, 9) AS DECIMAL(30,9))) AS DOUBLE) AS sxy,
+         CAST(SUM(CAST(round(x * x, 9) AS DECIMAL(30,9))) AS DOUBLE) AS sxx
+  FROM ll
+)
+SELECT CAST(m AS BIGINT) AS n_checkpoints,
+       round((m * sxy - sx * sy) / (m * sxx - sx * sx), 6) AS heaps_beta,
+       round((sy - (m * sxy - sx * sy) / (m * sxx - sx * sx) * sx) / m, 6)
+         AS heaps_lnk
+FROM s
+""",
+)
+def text_heaps_law_fit(spark, sf_dir):
+    """Heaps'-law vocabulary-growth fit: V(N) ≈ K·N^β — the
+    corpus-linguistics dual of the Zipf fit (events_power_law_fit),
+    and the number that SIZES every vocabulary-bounded structure in
+    the engine (BPE tables, df indexes, bucket grids): β ≈ 0.5 means
+    vocabulary grows with the square root of token count, which is
+    WHY broadcast-vocabulary plans survive 100 TB. Measured at 20
+    doc-count checkpoints: V = tokens first seen by then (min-doc_id
+    per token — an exact partial agg), N = cumulative token count;
+    β/lnK by the 9dp-quantized OLS composition.
+
+    Scale: one tokenize pass for both the first-occurrence and
+    per-doc-count aggregates; checkpoints are a fixed ≤20-row
+    broadcast crossed with the (vocabulary-sized / doc-grid-sized)
+    aggregates — never a second corpus scan."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(_tokens()).alias("token"))
+    firsts = toks.groupBy("token").agg(F.min("doc_id").alias("fd"))
+    doc_tok = toks.groupBy("doc_id").agg(F.count(F.lit(1)).cast("long").alias("nt"))
+    cps = d.filter(F.col("doc_id") % 25 == 24).select(
+        F.col("doc_id").alias("cp")
+    ).distinct()
+    v = (
+        firsts.crossJoin(F.broadcast(cps))
+        .filter(F.col("fd") <= F.col("cp"))
+        .groupBy("cp")
+        .agg(F.count(F.lit(1)).cast("long").alias("v"))
+    )
+    n = (
+        doc_tok.crossJoin(F.broadcast(cps))
+        .filter(F.col("doc_id") <= F.col("cp"))
+        .groupBy("cp")
+        .agg(F.sum("nt").cast("long").alias("n"))
+    )
+    ll = v.join(n, "cp").select(
+        F.round(F.log("n"), 9).alias("x"), F.round(F.log("v"), 9).alias("y")
+    )
+    s = ll.agg(
+        F.count(F.lit(1)).cast("double").alias("m"),
+        F.sum(F.col("x").cast("decimal(30,9)")).cast("double").alias("sx"),
+        F.sum(F.col("y").cast("decimal(30,9)")).cast("double").alias("sy"),
+        F.sum(F.round(F.col("x") * F.col("y"), 9).cast("decimal(30,9)"))
+        .cast("double")
+        .alias("sxy"),
+        F.sum(F.round(F.col("x") * F.col("x"), 9).cast("decimal(30,9)"))
+        .cast("double")
+        .alias("sxx"),
+    )
+    num = F.col("m") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.col("m") * F.col("sxx") - F.col("sx") * F.col("sx")
+    return s.select(
+        F.col("m").cast("long").alias("n_checkpoints"),
+        F.round(num / den, 6).alias("heaps_beta"),
+        F.round((F.col("sy") - num / den * F.col("sx")) / F.col("m"), 6).alias(
+            "heaps_lnk"
+        ),
+    )

@@ -1056,3 +1056,16 @@ def test_r11_wave17_plan_shapes(spark):
         .toString()
     )
     assert "Join" not in asof, asof[:2000]
+
+
+def test_r11_wave18_plan_shapes(spark):
+    """Wave-18 plan gates (r11): the confusion matrix is one scan to
+    a bounded histogram (broadcast totals); the Heaps fit crosses
+    fixed checkpoints onto vocabulary-sized aggregates (BNLJ with the
+    tiny checkpoint side is the expected shape), never a second
+    corpus scan per checkpoint."""
+    cm = QUERIES["quality_langid_confusion"](spark, SF_DIR)
+    assert has_partial_aggregate(cm)
+    assert has_broadcast_join(cm)
+    hp = QUERIES["text_heaps_law_fit"](spark, SF_DIR)
+    assert has_partial_aggregate(hp)

@@ -1431,3 +1431,48 @@ def test_consistent_hash_moves_only_to_new_shard(spark):
     # verified structurally: stayed + moved == n_at_16 per shard
     for r in rows:
         assert r.n_stayed_at_17 + r.n_moved_at_17 == r.n_at_16
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=-50, max_value=50),
+            st.integers(min_value=0, max_value=10**6),
+        ),
+        min_size=1,
+        max_size=30,
+        unique_by=lambda t: t[1],
+    ),
+)
+@_SETTINGS
+def test_rank_two_phase_descending_matches_row_number(spark, rows):
+    """rank_two_phase with a DESCENDING primary order (the lift-table
+    / power-law configuration) must equal row_number over the same
+    total order."""
+    from pyspark.sql import Window
+
+    from sparkml_spark.registry import rank_two_phase
+
+    df = spark.createDataFrame(rows, "v INT, id LONG")
+    want = {
+        (r.id, r.r)
+        for r in df.select(
+            "id",
+            F.row_number()
+            .over(Window.orderBy(F.col("v").desc(), F.col("id").asc()))
+            .alias("r"),
+        ).collect()
+    }
+    got = {
+        (r.id, r.r)
+        for r in rank_two_phase(
+            df,
+            bucket=F.expr("v DIV 7"),
+            order_cols=[F.col("v").desc(), F.col("id").asc()],
+            bucket_ascending=False,
+            out="r",
+        )
+        .select("id", "r")
+        .collect()
+    }
+    assert got == want
