@@ -1678,7 +1678,12 @@ WITH toks AS (
 ), doc_tok AS (
   SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS nt FROM toks GROUP BY doc_id
 ), cps AS (
-  SELECT DISTINCT doc_id AS cp FROM documents WHERE doc_id % 25 = 24
+  -- FIXED 20-point quantile grid over the id range: cp_k =
+  -- (max_id+1)*k DIV 20 - 1. A modulo grid (doc_id %% 25) grows
+  -- linearly with the corpus and made the checkpoint cross join
+  -- quadratic — caught super-linear (168.9x) by the x100 stress run.
+  SELECT ((SELECT MAX(doc_id) + 1 FROM documents) * k.k) // 20 - 1 AS cp
+  FROM (SELECT unnest(range(1, 21)) AS k) k
 ), pts AS (
   SELECT cp,
          (SELECT CAST(COUNT(*) AS BIGINT) FROM firsts WHERE fd <= cp) AS v,
@@ -1720,9 +1725,11 @@ def text_heaps_law_fit(spark, sf_dir):
     toks = d.select("doc_id", F.explode(_tokens()).alias("token"))
     firsts = toks.groupBy("token").agg(F.min("doc_id").alias("fd"))
     doc_tok = toks.groupBy("doc_id").agg(F.count(F.lit(1)).cast("long").alias("nt"))
-    cps = d.filter(F.col("doc_id") % 25 == 24).select(
-        F.col("doc_id").alias("cp")
-    ).distinct()
+    mx = d.agg((F.max("doc_id") + 1).alias("m1"))
+    ks = spark.createDataFrame([(k,) for k in range(1, 21)], "k INT")
+    cps = ks.crossJoin(F.broadcast(mx)).select(
+        (F.expr("m1 * k DIV 20") - 1).alias("cp")
+    )
     v = (
         firsts.crossJoin(F.broadcast(cps))
         .filter(F.col("fd") <= F.col("cp"))
