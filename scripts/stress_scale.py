@@ -260,6 +260,9 @@ LLM_SUITE = [
     # r11 wave 18: scorer histogram + vocabulary-growth checkpoints.
     "quality_langid_confusion",
     "text_heaps_law_fit",
+    # r11 wave 19: label-stat broadcast coreset + censored survival.
+    "sim_prototype_selection",
+    "ml_kaplan_meier",
 ]
 
 

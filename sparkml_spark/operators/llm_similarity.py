@@ -1951,3 +1951,91 @@ def sim_radius_search(spark, sf_dir):
             F.min("d2f").cast("long").alias("d2_nearest"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# sim_prototype_selection (round 11) — keep the most central examples
+# ---------------------------------------------------------------------------
+
+@query(
+    "sim_prototype_selection",
+    section="2.I",
+    oracle="""
+WITH q8 AS (
+  SELECT vec_id, label,
+         list_transform(embedding,
+                        x -> CAST(floor(CAST(x AS DOUBLE) * 127 + 0.5) AS BIGINT))
+           AS v
+  FROM embeddings
+), dims AS (
+  SELECT vec_id, label, i.i AS d, q8.v[i.i] AS x
+  FROM q8 CROSS JOIN (SELECT unnest(range(1, 65)) AS i) i
+), stats AS (
+  SELECT label, d, CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(x) AS BIGINT) AS s
+  FROM dims GROUP BY label, d
+), scored AS (
+  SELECT dims.vec_id, dims.label,
+         CAST(SUM((stats.n * dims.x - stats.s) * (stats.n * dims.x - stats.s))
+              AS BIGINT) AS score
+  FROM dims JOIN stats ON stats.label = dims.label AND stats.d = dims.d
+  GROUP BY dims.vec_id, dims.label
+)
+SELECT label, vec_id, score, CAST(rnk AS BIGINT) AS rnk FROM (
+  SELECT label, vec_id, score,
+         ROW_NUMBER() OVER (PARTITION BY label
+                            ORDER BY score ASC, vec_id ASC) AS rnk
+  FROM scored
+) WHERE rnk <= 5
+""",
+)
+def sim_prototype_selection(spark, sf_dir):
+    """Prototype selection — the dual of SemDeDup (which REMOVES the
+    most redundant members, this KEEPS the most central): per label
+    cluster, the 5 vectors nearest the cluster mean. Exactness trick:
+    argmin over ‖v − S/n‖² equals argmin over Σ_d (n·vᵈ − Sᵈ)² — the
+    mean's division cleared by multiplying through (the CUSUM move),
+    so the centrality score is exact int64 on the int8 grid and the
+    per-label top-5 is a deterministic WindowGroupLimit. This is the
+    coreset/data-pruning primitive [Sorscher et al. 2022's
+    self-supervised prototypes]: train on prototypes, drop the fringe.
+
+    Scale: one explode of the corpus, a (labels × 64)-row stats table
+    broadcast back, one vec_id aggregation, label-partitioned top-k —
+    the sim_centroid_assign shape with exact update algebra."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "embeddings")
+    q8 = e.select(
+        "vec_id",
+        "label",
+        F.transform(
+            "embedding",
+            lambda x: F.floor(x.cast("double") * F.lit(127.0) + F.lit(0.5)).cast(
+                "long"
+            ),
+        ).alias("v"),
+    )
+    dims = q8.select(
+        "vec_id", "label", F.posexplode("v").alias("d0", "x")
+    ).select("vec_id", "label", (F.col("d0") + 1).alias("d"), "x")
+    stats = dims.groupBy("label", "d").agg(
+        F.count(F.lit(1)).cast("long").alias("n"), F.sum("x").cast("long").alias("s")
+    )
+    scored = (
+        dims.join(F.broadcast(stats), ["label", "d"])
+        .groupBy("vec_id", "label")
+        .agg(
+            F.sum(
+                (F.col("n") * F.col("x") - F.col("s"))
+                * (F.col("n") * F.col("x") - F.col("s"))
+            )
+            .cast("long")
+            .alias("score")
+        )
+    )
+    w = Window.partitionBy("label").orderBy(F.col("score").asc(), F.col("vec_id").asc())
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= 5)
+        .select("label", "vec_id", "score", "rnk")
+    )

@@ -2266,3 +2266,127 @@ def ml_average_precision_exact(spark, sf_dir):
     return t.select(
         "n_pos", F.round(F.col("s") / F.col("n_pos"), 6).alias("average_precision")
     )
+
+
+# ---------------------------------------------------------------------------
+# ml_kaplan_meier (round 11) — survival curve with right-censoring
+# ---------------------------------------------------------------------------
+
+@query(
+    "ml_kaplan_meier",
+    section="2.J",
+    oracle="""
+WITH s AS (
+  SELECT user_id, MIN(CAST(date_trunc('day', ts) AS DATE)) AS d0 FROM events
+  WHERE event_type = 'signup' GROUP BY user_id
+), conv AS (
+  SELECT e.user_id,
+         MIN(date_diff('day', s.d0, CAST(date_trunc('day', e.ts) AS DATE)))
+           AS t_event
+  FROM events e JOIN s ON s.user_id = e.user_id
+  WHERE e.event_type = 'purchase'
+    AND CAST(date_trunc('day', e.ts) AS DATE) >= s.d0
+  GROUP BY e.user_id
+), subjects AS (
+  SELECT s.user_id,
+         CASE WHEN conv.t_event IS NOT NULL THEN conv.t_event ELSE 30 END AS t,
+         CASE WHEN conv.t_event IS NOT NULL THEN 1 ELSE 0 END AS observed
+  FROM s LEFT JOIN conv ON conv.user_id = s.user_id
+), grid AS (
+  SELECT t, CAST(SUM(observed) AS BIGINT) AS d,
+         CAST(COUNT(*) AS BIGINT) AS leaving
+  FROM subjects GROUP BY t
+), risk AS (
+  SELECT t, d,
+         CAST((SELECT COUNT(*) FROM subjects) AS BIGINT)
+           - CAST(COALESCE(SUM(leaving) OVER (ORDER BY t
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                  AS BIGINT) AS n_risk
+  FROM grid
+)
+SELECT CAST(t AS BIGINT) AS t_day, n_risk, d AS n_events,
+       round(CAST(SUM(CAST(round(ln(CAST(n_risk - d AS DOUBLE) / n_risk), 9)
+                           AS DECIMAL(30,9)))
+                  OVER (ORDER BY t) AS DOUBLE), 6) AS ln_survival
+-- n_risk = d happens only on the terminal day (survival hits exactly
+-- 0; ln undefined) — the standard KM plot stops there, so do we
+FROM risk WHERE d > 0 AND n_risk > d
+""",
+)
+def ml_kaplan_meier(spark, sf_dir):
+    """Kaplan–Meier survival estimate of time-to-first-purchase with
+    right-censoring [Kaplan & Meier 1958]: subjects enter at first
+    signup, the event is the first purchase (in days), non-converters
+    are censored at the 30-day horizon. At each event day t: n_risk =
+    subjects with T ≥ t, d = events at t, and the log-survival
+    ln Ŝ(t) = Σ_{tᵢ≤t} ln(1 − dᵢ/nᵢ) — each factor ONE exact integer
+    division into ln (the tfidf quantize-at-9dp contract), decimal
+    prefix-summed over the ≤30-row day grid, reported as ln Ŝ (the
+    log form keeps the product exact-by-summation; exp is left to the
+    reader, not the hash). The AFT model (ml_isotonic_aft_fm) is
+    ROWS-tier; THIS estimator is the hash-pinned nonparametric
+    baseline every survival deployment plots first.
+
+    Scale: two user-keyed partial aggregations (the funnel-latency
+    shape), then the day grid — corpus touched twice at most, curve
+    math on ≤30 rows."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events")
+    day = F.date_trunc("day", F.col("ts")).cast("date")
+    s = (
+        e.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min(day).alias("d0"))
+    )
+    conv = (
+        e.filter(F.col("event_type") == "purchase")
+        .select("user_id", day.alias("dp"))
+        .join(s, "user_id")
+        .filter(F.col("dp") >= F.col("d0"))
+        .groupBy("user_id")
+        .agg(F.min(F.datediff(F.col("dp"), F.col("d0"))).alias("t_event"))
+    )
+    subjects = s.join(conv, "user_id", "left").select(
+        F.coalesce(F.col("t_event"), F.lit(30)).alias("t"),
+        F.when(F.col("t_event").isNotNull(), 1).otherwise(0).alias("observed"),
+    )
+    grid = subjects.groupBy("t").agg(
+        F.sum("observed").cast("long").alias("d"),
+        F.count(F.lit(1)).cast("long").alias("leaving"),
+    )
+    total = subjects.agg(F.count(F.lit(1)).cast("long").alias("n_total"))
+    wprev = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, -1)
+    risk = grid.crossJoin(F.broadcast(total)).select(
+        "t",
+        "d",
+        (
+            F.col("n_total")
+            - F.coalesce(F.sum("leaving").over(wprev), F.lit(0))
+        )
+        .cast("long")
+        .alias("n_risk"),
+    )
+    wcum = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        risk.filter((F.col("d") > 0) & (F.col("n_risk") > F.col("d")))
+        .select(
+            F.col("t").cast("long").alias("t_day"),
+            "n_risk",
+            F.col("d").alias("n_events"),
+            F.round(
+                F.sum(
+                    F.round(
+                        F.log(
+                            (F.col("n_risk") - F.col("d")).cast("double")
+                            / F.col("n_risk")
+                        ),
+                        9,
+                    ).cast("decimal(30,9)")
+                )
+                .over(wcum)
+                .cast("double"),
+                6,
+            ).alias("ln_survival"),
+        )
+    )

@@ -1069,3 +1069,15 @@ def test_r11_wave18_plan_shapes(spark):
     assert has_broadcast_join(cm)
     hp = QUERIES["text_heaps_law_fit"](spark, SF_DIR)
     assert has_partial_aggregate(hp)
+
+
+def test_r11_wave19_plan_shapes(spark):
+    """Wave-19 plan gates (r11): prototype selection broadcasts the
+    (label x dim) stats and windows per label; Kaplan-Meier's corpus
+    stages are user-keyed partial aggs (its day-grid windows are
+    bounded by the horizon)."""
+    ps = QUERIES["sim_prototype_selection"](spark, SF_DIR)
+    assert has_broadcast_join(ps)
+    plan = ps._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan, plan[:2000]
+    assert has_partial_aggregate(QUERIES["ml_kaplan_meier"](spark, SF_DIR))
