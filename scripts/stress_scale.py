@@ -263,6 +263,11 @@ LLM_SUITE = [
     # r11 wave 19: label-stat broadcast coreset + censored survival.
     "sim_prototype_selection",
     "ml_kaplan_meier",
+    # r11 wave 20: parameter-sized waterfill, histogram chi2, the
+    # map-side checksum fold.
+    "pipeline_budget_waterfill",
+    "ml_chi2_feature_selection",
+    "fn_table_checksum",
 ]
 
 

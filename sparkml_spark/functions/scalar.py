@@ -777,3 +777,61 @@ def fn_date_interval_clamp(spark, sf_dir):
         F.weekofyear("d").cast("long").alias("iso_week"),
         (F.weekday("d") + 1).cast("long").alias("iso_dow"),
     )
+
+
+# ---------------------------------------------------------------------------
+# fn_table_checksum (round 11) — order-insensitive integrity digest
+# ---------------------------------------------------------------------------
+
+@query(
+    "fn_table_checksum",
+    section="2.H",
+    oracle="""
+WITH rh AS (
+  SELECT ('0x' || substr(md5(CAST(l_orderkey AS VARCHAR) || '|'
+                             || CAST(l_linenumber AS VARCHAR) || '|'
+                             || CAST(CAST(round(l_extendedprice * 100) AS BIGINT)
+                                     AS VARCHAR) || '|'
+                             || l_returnflag), 1, 15))::BIGINT AS h
+  FROM lineitem
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CAST(h AS HUGEINT)) % 9007199254740881 AS BIGINT) AS checksum_sum,
+       CAST(bit_xor(h) AS BIGINT) AS checksum_xor
+FROM rh
+""",
+)
+def fn_table_checksum(spark, sf_dir):
+    """Order-insensitive table checksum — the migration/replication
+    integrity primitive (compare a table across systems without
+    sorting either side): per-row md5 of a canonical key projection
+    (keys, cents-grid money, flag — pipe-delimited so field
+    boundaries can't alias), folded two independent ways: a modular
+    SUM (commutative, order-free; the modulus is the largest prime
+    below 2^53 so the running value stays double-exact too) and a
+    bitwise XOR (catches swaps a sum misses when paired with it).
+    60-bit row digests (15 hex chars) keep the per-row value exact
+    int64 with headroom for the sum.
+
+    Scale: pure map-side fold — one scan, two commutative
+    accumulators, zero shuffle beyond the final 1-row combine; a
+    100 TB integrity check is scan-speed."""
+    li = load_table(spark, sf_dir, "lineitem")
+    row = F.concat_ws(
+        "|",
+        F.col("l_orderkey").cast("string"),
+        F.col("l_linenumber").cast("string"),
+        F.round(F.col("l_extendedprice") * 100).cast("long").cast("string"),
+        F.col("l_returnflag"),
+    )
+    h = F.conv(F.substring(F.md5(row), 1, 15), 16, 10).cast("long")
+    return li.select(h.alias("h")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        # decimal accumulator: 60-bit digests overflow an int64 SUM
+        # within ~8k rows; the wide sum is exact and both engines take
+        # the identical modulo of the identical integer
+        (F.sum(F.col("h").cast("decimal(38,0)")) % F.lit(9007199254740881))
+        .cast("long")
+        .alias("checksum_sum"),
+        F.expr("bit_xor(h)").cast("long").alias("checksum_xor"),
+    )

@@ -2344,3 +2344,138 @@ def pipeline_consistent_hash_ring(spark, sf_dir):
             .alias("n_moved_at_17"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# pipeline_budget_waterfill (round 11) — capped fair-share allocation
+# ---------------------------------------------------------------------------
+
+_WF_BUDGET = 100_000
+
+
+def _wf_round_sql(r: int) -> str:
+    """One unrolled water-filling round: among still-uncapped
+    languages split the remaining budget equally (integer DIV, the
+    remainder stays in the pool); any language whose availability is
+    below its share becomes CAPPED at its availability and leaves the
+    pool. alloc/capped carry forward."""
+    p = r - 1
+    return f""",
+wf{r} AS (
+  SELECT lang, cap,
+         CASE WHEN capped{p} = 1 THEN alloc{p}
+              WHEN cap <= pool{p} // nu{p} THEN cap
+              ELSE pool{p} // nu{p} END AS alloc{r},
+         CASE WHEN capped{p} = 1 THEN 1
+              WHEN cap <= pool{p} // nu{p} THEN 1 ELSE 0 END AS capped{r}
+  FROM wf{p}
+), agg{r} AS (
+  SELECT CAST({_WF_BUDGET} - SUM(CASE WHEN capped{r} = 1 THEN alloc{r} ELSE 0 END)
+              AS BIGINT) AS pool,
+         CAST(SUM(1 - capped{r}) AS BIGINT) AS nu
+  FROM wf{r}
+), wfx{r} AS (
+  SELECT w.lang, w.cap, w.alloc{r}, w.capped{r},
+         a.pool AS pool{r}, GREATEST(a.nu, 1) AS nu{r}
+  FROM wf{r} w CROSS JOIN agg{r} a
+)"""
+
+
+@query(
+    "pipeline_budget_waterfill",
+    section="2.I",
+    oracle=(
+        f"""
+WITH caps AS (
+  SELECT lang,
+         CAST(SUM(len(string_split_regex(lower(trim(text)), '\\s+'))) AS BIGINT)
+           AS cap
+  FROM documents GROUP BY lang
+), wfx0 AS (
+  SELECT lang, cap, CAST(0 AS BIGINT) AS alloc0, CAST(0 AS BIGINT) AS capped0,
+         CAST({_WF_BUDGET} AS BIGINT) AS pool0,
+         (SELECT CAST(COUNT(*) AS BIGINT) FROM caps) AS nu0
+  FROM caps
+)"""
+        + "".join(
+            _wf_round_sql(r).replace(f"FROM wf{r-1}\n", f"FROM wfx{r-1}\n")
+            for r in range(1, 6)
+        )
+        + """
+SELECT lang, cap,
+       CASE WHEN capped5 = 1 THEN alloc5 ELSE pool5 // nu5 END AS allocated,
+       capped5 = 1 AND alloc5 = cap AS at_capacity
+FROM wfx5
+"""
+    ),
+)
+def pipeline_budget_waterfill(spark, sf_dir):
+    """Water-filling token-budget allocation with availability caps —
+    the allocator pipeline_token_budget_mix's proportional split
+    cannot express: give every language an EQUAL share of the budget,
+    except languages with less data than their share get everything
+    they have and their unused share flows back to the pool
+    (max-min fairness, the classic progressive-filling algorithm).
+    Five unrolled rounds (≥ the language count, so the fixpoint is
+    reached by construction); all arithmetic is integer (DIV shares,
+    remainders stay pooled), so the allocation is exact cross-engine.
+    Output: per language, the allocation and whether it hit capacity.
+
+    Scale: the census is one corpus scan (token_budget_mix shape);
+    the rounds run on the 5-row language table — driver-free,
+    pure-relational iteration on a parameter-sized state."""
+    d = load_table(spark, sf_dir, "documents")
+    caps = (
+        d.select(
+            "lang",
+            F.size(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("t"),
+        )
+        .groupBy("lang")
+        .agg(F.sum("t").cast("long").alias("cap"))
+    )
+    n0 = caps.agg(F.count(F.lit(1)).cast("long").alias("nu"))
+    state = caps.crossJoin(F.broadcast(n0)).select(
+        "lang",
+        "cap",
+        F.lit(0).cast("long").alias("alloc"),
+        F.lit(0).cast("long").alias("capped"),
+        F.lit(_WF_BUDGET).cast("long").alias("pool"),
+        F.col("nu"),
+    )
+    for _ in range(5):
+        share = F.expr("pool DIV nu")
+        stepped = state.select(
+            "lang",
+            "cap",
+            F.when(F.col("capped") == 1, F.col("alloc"))
+            .when(F.col("cap") <= share, F.col("cap"))
+            .otherwise(share)
+            .alias("alloc"),
+            F.when(F.col("capped") == 1, 1)
+            .when(F.col("cap") <= share, 1)
+            .otherwise(0)
+            .alias("capped"),
+        )
+        agg = stepped.agg(
+            (
+                F.lit(_WF_BUDGET)
+                - F.sum(F.when(F.col("capped") == 1, F.col("alloc")).otherwise(0))
+            )
+            .cast("long")
+            .alias("pool"),
+            F.greatest(F.sum(1 - F.col("capped")), F.lit(1))
+            .cast("long")
+            .alias("nu"),
+        )
+        state = stepped.crossJoin(F.broadcast(agg))
+    return state.select(
+        "lang",
+        "cap",
+        F.when(F.col("capped") == 1, F.col("alloc"))
+        .otherwise(F.expr("pool DIV nu"))
+        .cast("long")
+        .alias("allocated"),
+        ((F.col("capped") == 1) & (F.col("alloc") == F.col("cap"))).alias(
+            "at_capacity"
+        ),
+    )

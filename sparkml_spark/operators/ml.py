@@ -2390,3 +2390,96 @@ def ml_kaplan_meier(spark, sf_dir):
             ).alias("ln_survival"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# ml_chi2_feature_selection (round 11) — categorical feature relevance
+# ---------------------------------------------------------------------------
+
+@query(
+    "ml_chi2_feature_selection",
+    section="2.J",
+    oracle="""
+WITH lab AS (
+  SELECT source AS feat, lang,
+         CASE WHEN n_chars >= 150 THEN 1 ELSE 0 END AS y
+  FROM documents
+), feats AS (
+  SELECT 'source' AS feature, feat AS category, y, CAST(COUNT(*) AS BIGINT) AS o
+  FROM lab GROUP BY feat, y
+  UNION ALL
+  SELECT 'lang', lang, y, CAST(COUNT(*) AS BIGINT) FROM lab GROUP BY lang, y
+), margins AS (
+  SELECT feature, category, y, o,
+         CAST(SUM(o) OVER (PARTITION BY feature, category) AS BIGINT) AS rowt,
+         CAST(SUM(o) OVER (PARTITION BY feature, y) AS BIGINT) AS colt,
+         CAST(SUM(o) OVER (PARTITION BY feature) AS BIGINT) AS tot
+  FROM feats
+), cells AS (
+  SELECT feature,
+         round((CAST(o AS DOUBLE) * tot - CAST(rowt AS DOUBLE) * colt)
+               * (CAST(o AS DOUBLE) * tot - CAST(rowt AS DOUBLE) * colt)
+               / (CAST(rowt AS DOUBLE) * colt * tot), 9) AS contrib
+  FROM margins
+)
+SELECT feature,
+       round(CAST(SUM(CAST(contrib AS DECIMAL(30,9))) AS DOUBLE), 6) AS chi2
+FROM cells GROUP BY feature
+""",
+)
+def ml_chi2_feature_selection(spark, sf_dir):
+    """χ² feature relevance for categorical features against a binary
+    label (the sklearn chi2 selector's statistic, determinized): for
+    each feature, Σ over (category × label) cells of (O − E)²/E with
+    E = row·col/total — algebraically cleared to (O·T − R·C)²/(R·C·T)
+    so the numerator is exact integer products inside doubles
+    (< 2^53 at fixture scales), each cell quantized at 9dp and
+    decimal-summed. Two candidate features (source, lang) scored in
+    ONE scan via a union of histograms; rank by χ² and keep the top —
+    the feature-screening step ahead of ml_feature_select_impute's
+    MLlib pipeline, here hash-pinned.
+
+    Scale: histograms + margins via windows over category-sized
+    partitions; the corpus is scanned once."""
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    lab = d.select(
+        F.col("source").alias("feat"),
+        "lang",
+        F.when(F.col("n_chars") >= 150, 1).otherwise(0).alias("y"),
+    )
+    f1 = lab.groupBy(F.col("feat").alias("category"), "y").agg(
+        F.count(F.lit(1)).cast("long").alias("o")
+    ).select(F.lit("source").alias("feature"), "category", "y", "o")
+    f2 = lab.groupBy(F.col("lang").alias("category"), "y").agg(
+        F.count(F.lit(1)).cast("long").alias("o")
+    ).select(F.lit("lang").alias("feature"), "category", "y", "o")
+    feats = f1.unionByName(f2)
+    wrow = Window.partitionBy("feature", "category")
+    wcol = Window.partitionBy("feature", "y")
+    wtot = Window.partitionBy("feature")
+    margins = feats.select(
+        "feature",
+        "o",
+        F.sum("o").over(wrow).cast("long").alias("rowt"),
+        F.sum("o").over(wcol).cast("long").alias("colt"),
+        F.sum("o").over(wtot).cast("long").alias("tot"),
+    )
+    num = (
+        F.col("o").cast("double") * F.col("tot")
+        - F.col("rowt").cast("double") * F.col("colt")
+    )
+    contrib = F.round(
+        num * num / (F.col("rowt").cast("double") * F.col("colt") * F.col("tot")),
+        9,
+    )
+    return (
+        margins.select("feature", contrib.alias("contrib"))
+        .groupBy("feature")
+        .agg(
+            F.round(
+                F.sum(F.col("contrib").cast("decimal(30,9)")).cast("double"), 6
+            ).alias("chi2")
+        )
+    )

@@ -1081,3 +1081,19 @@ def test_r11_wave19_plan_shapes(spark):
     plan = ps._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan, plan[:2000]
     assert has_partial_aggregate(QUERIES["ml_kaplan_meier"](spark, SF_DIR))
+
+
+def test_r11_wave20_plan_shapes(spark):
+    """Wave-20 plan gates (r11): the waterfill census is one corpus
+    scan with parameter-sized iteration (broadcast pools); chi2 is
+    histogram windows over category partitions; the checksum is a
+    pure map-side fold — no shuffle before the final 1-row combine."""
+    wf = QUERIES["pipeline_budget_waterfill"](spark, SF_DIR)
+    assert has_partial_aggregate(wf)
+    assert has_broadcast_join(wf)
+    chi = QUERIES["ml_chi2_feature_selection"](spark, SF_DIR)
+    assert has_partial_aggregate(chi)
+    ck = QUERIES["fn_table_checksum"](spark, SF_DIR)
+    assert has_partial_aggregate(ck)
+    plan = ck._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan, plan[:2000]
