@@ -268,6 +268,9 @@ LLM_SUITE = [
     "pipeline_budget_waterfill",
     "ml_chi2_feature_selection",
     "fn_table_checksum",
+    # r11 wave 21: zero-shuffle minting + the char-gram explode.
+    "fn_stable_id_mint",
+    "text_char_ngram_profile",
 ]
 
 

@@ -835,3 +835,65 @@ def fn_table_checksum(spark, sf_dir):
         .alias("checksum_sum"),
         F.expr("bit_xor(h)").cast("long").alias("checksum_xor"),
     )
+
+
+# ---------------------------------------------------------------------------
+# fn_stable_id_mint (round 11) — content-addressed id minting
+# ---------------------------------------------------------------------------
+
+@query(
+    "fn_stable_id_mint",
+    section="2.H",
+    oracle="""
+WITH h AS (
+  SELECT doc_id, md5('docns:' || lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))))
+           AS hx
+  FROM documents
+)
+SELECT doc_id,
+       substr(hx, 1, 8) || '-' || substr(hx, 9, 4) || '-3'
+         || substr(hx, 14, 3) || '-' || substr(hx, 17, 4) || '-'
+         || substr(hx, 21, 12) AS stable_id,
+       ('0x' || substr(hx, 1, 15))::BIGINT AS stable_id_int60
+FROM h
+""",
+)
+def fn_stable_id_mint(spark, sf_dir):
+    """Content-addressed stable-id minting — the primitive behind
+    "same document ⇒ same id on every system, forever": a namespaced
+    md5 of the dedup-normalized text rendered both as a UUIDv3-shaped
+    string (8-4-4-4-12 with the version nibble pinned to 3) and as a
+    60-bit integer key for range-partitioned storage. Ids survive
+    re-crawls, re-shards and engine swaps because they derive from
+    CONTENT under the same normalization the dedup family keys on —
+    the id two systems mint independently for one document is equal
+    by construction, which is what makes cross-corpus joins on
+    stable_id sound.
+
+    Scale: zero-shuffle narrow projection; pure codegen string
+    algebra."""
+    d = load_table(spark, sf_dir, "documents")
+    hx = F.md5(
+        F.concat(
+            F.lit("docns:"),
+            F.lower(F.trim(F.regexp_replace("text", r"\s+", " "))),
+        )
+    )
+    h = d.select("doc_id", hx.alias("hx"))
+    return h.select(
+        "doc_id",
+        F.concat(
+            F.substring("hx", 1, 8),
+            F.lit("-"),
+            F.substring("hx", 9, 4),
+            F.lit("-3"),
+            F.substring("hx", 14, 3),
+            F.lit("-"),
+            F.substring("hx", 17, 4),
+            F.lit("-"),
+            F.substring("hx", 21, 12),
+        ).alias("stable_id"),
+        F.conv(F.substring("hx", 1, 15), 16, 10).cast("long").alias(
+            "stable_id_int60"
+        ),
+    )

@@ -1765,3 +1765,61 @@ def text_heaps_law_fit(spark, sf_dir):
             "heaps_lnk"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# text_char_ngram_profile (round 11) — the langid foundation table
+# ---------------------------------------------------------------------------
+
+@query(
+    "text_char_ngram_profile",
+    section="2.I",
+    oracle="""
+WITH chars AS (
+  SELECT lang, lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS t
+  FROM documents
+), grams AS (
+  SELECT lang, substr(t, i.i, 3) AS g
+  FROM chars CROSS JOIN LATERAL (SELECT unnest(range(1, len(t) - 1)) AS i) i
+), counts AS (
+  SELECT lang, g, CAST(COUNT(*) AS BIGINT) AS n FROM grams GROUP BY lang, g
+)
+SELECT lang, g, n, CAST(rnk AS BIGINT) AS rnk FROM (
+  SELECT lang, g, n,
+         ROW_NUMBER() OVER (PARTITION BY lang ORDER BY n DESC, g ASC) AS rnk
+  FROM counts
+) WHERE rnk <= 5
+""",
+)
+def text_char_ngram_profile(spark, sf_dir):
+    """Per-language character-trigram profile (top-5 by frequency,
+    gram text breaking ties) — the foundation table real language
+    identifiers rank against [Cavnar & Trenkle 1994's n-gram
+    profiles]: where text_langid_heuristic consumes marker WORDS,
+    this op builds the sub-word signal that distinguishes languages
+    sharing vocabulary. Normalization is the dedup family's
+    whitespace collapse, so gram offsets are reproducible.
+
+    Scale: the explode is linear in character count (the honest heavy
+    stage, same class as tokenization); counts collapse map-side onto
+    the (lang × trigram) grid — alphabet-bounded, broadcastable — and
+    the per-lang top-5 is a WindowGroupLimit."""
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    t = F.lower(F.trim(F.regexp_replace("text", r"\s+", " ")))
+    chars = d.select("lang", t.alias("t"))
+    grams = chars.select(
+        "lang",
+        F.explode(
+            F.expr("transform(sequence(1, greatest(length(t) - 2, 0)), i -> substring(t, i, 3))")
+        ).alias("g"),
+    )
+    counts = grams.groupBy("lang", "g").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    w = Window.partitionBy("lang").orderBy(F.col("n").desc(), F.col("g").asc())
+    return (
+        counts.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= 5)
+    )

@@ -1097,3 +1097,18 @@ def test_r11_wave20_plan_shapes(spark):
     assert has_partial_aggregate(ck)
     plan = ck._jdf.queryExecution().executedPlan().toString()
     assert "Join" not in plan, plan[:2000]
+
+
+def test_r11_wave21_plan_shapes(spark):
+    """Wave-21 plan gates (r11): id minting is zero-shuffle; the
+    char-gram profile collapses map-side and takes the per-lang top-5
+    through WindowGroupLimit."""
+    mint = QUERIES["fn_stable_id_mint"](spark, SF_DIR)
+    assert shuffle_count(mint) == 0, shuffle_count(mint)
+    prof = (
+        QUERIES["text_char_ngram_profile"](spark, SF_DIR)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "WindowGroupLimit" in prof, prof[:2000]
