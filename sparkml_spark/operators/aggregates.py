@@ -1483,8 +1483,11 @@ _BENFORD = {
     7: 0.057991947, 8: 0.051152522, 9: 0.045757491,
 }
 
+# literals CAST to DOUBLE: DuckDB types bare 0.301029996 as
+# DECIMAL(10,9) and decimal arithmetic diverges from IEEE at rounding
+# boundaries (caught by sf0.001 parity; the graph_pagerank lesson)
 _BENFORD_SQL = "(CASE d.digit " + " ".join(
-    f"WHEN {d} THEN {p:.9f}" for d, p in _BENFORD.items()
+    f"WHEN {d} THEN CAST({p:.9f} AS DOUBLE)" for d, p in _BENFORD.items()
 ) + " END)"
 
 

@@ -1877,6 +1877,11 @@ def ml_kmeans_step_exact(spark, sf_dir):
     from pyspark.sql import Window
 
     e = load_table(spark, sf_dir, "embeddings")
+    # NOT cached: the bare int8 projection canonicalizes equal to
+    # sim_quantized_int8's scan fragment, and a lingering cache here
+    # substitutes an InMemoryRelation into THAT query's plan, killing
+    # its pushdown (caught by test_quantized_sim_plan_shape when both
+    # ran in one session). Cross-query plan hygiene > a 2x local reuse.
     q8 = e.select(
         "vec_id",
         F.transform(
@@ -1885,7 +1890,7 @@ def ml_kmeans_step_exact(spark, sf_dir):
                 "long"
             ),
         ).alias("v"),
-    ).cache()
+    )
     seeds = q8.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("cid"), F.col("v").alias("cv")
     )
