@@ -271,6 +271,8 @@ LLM_SUITE = [
     # r11 wave 21: zero-shuffle minting + the char-gram explode.
     "fn_stable_id_mint",
     "text_char_ngram_profile",
+    # r11 wave 22: the one-plan composed analytics chain.
+    "events_analytics_full",
 ]
 
 

@@ -1208,3 +1208,121 @@ def events_diff_in_diff(spark, sf_dir):
             (F.col("tp") - F.col("tr")) - (F.col("cp") - F.col("cr")), 6
         ).alias("did_estimate"),
     )
+
+
+# ---------------------------------------------------------------------------
+# events_analytics_full (round 11) — the composed analytics pipeline,
+# ONE Catalyst plan (the training_corpus_full of the events side).
+# ---------------------------------------------------------------------------
+
+@query(
+    "events_analytics_full",
+    section="2.I",
+    oracle="""
+WITH ordered AS (
+  SELECT user_id, ts, event_type, value, epoch_us(ts) AS us,
+         CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER w > 1800000000
+                OR LAG(epoch_us(ts)) OVER w IS NULL
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), sessioned AS (
+  SELECT user_id, ts, event_type, value, us,
+         SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, us
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS sess
+  FROM ordered
+), sess_stats AS (
+  SELECT user_id, sess,
+         CAST(date_trunc('day', MIN(ts)) AS DATE) AS day,
+         CAST(COUNT(*) AS BIGINT) AS n_events,
+         CAST(COUNT(DISTINCT event_type) AS BIGINT) AS n_types,
+         CAST(MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+              AS BIGINT) AS converted,
+         (MAX(us) - MIN(us)) // 1000000 AS dur_sec,
+         CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+  FROM sessioned GROUP BY user_id, sess
+)
+SELECT day,
+       CAST(COUNT(*) AS BIGINT) AS n_sessions,
+       CAST(SUM(converted) AS BIGINT) AS n_converted,
+       round(CAST(SUM(converted) AS DOUBLE) / COUNT(*), 6) AS conv_rate,
+       round(CAST(SUM(n_events) AS DOUBLE) / COUNT(*), 6) AS mean_events,
+       round(CAST(SUM(dur_sec) AS DOUBLE) / COUNT(*), 6) AS mean_dur_sec,
+       round(CAST(SUM(value_cents) AS DOUBLE) / 100.0 / COUNT(*), 6)
+         AS mean_session_value
+FROM sess_stats GROUP BY day
+""",
+)
+def events_analytics_full(spark, sf_dir):
+    """The COMPOSED product-analytics pipeline in ONE Catalyst plan —
+    the events-side sibling of pipeline_training_corpus_full:
+    30-minute-gap sessionization (lag + flag + running sum, the
+    win_sessionize_batch construction) → per-session statistics
+    (events, distinct types, conversion, integer-second duration,
+    cents-grid value) → daily rollup (sessions, conversion rate, mean
+    size/duration/value — every mean an exact-integer-sum division
+    rounded at 6dp). One declarative chain: Catalyst fuses it into
+    user-keyed windows + two aggregations with NO intermediate
+    materialization, which is the point — the dashboard pipeline a
+    warehouse team schedules as five jobs runs here as one plan.
+
+    Scale: the windows are user-partitioned; the session and day
+    aggregations partial-combine; one shuffle on user_id plus one on
+    the (tiny) day grid — asserted by the wave-22 plan gate."""
+    from pyspark.sql import Window as W
+
+    e = load_table(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    worder = W.partitionBy("user_id").orderBy("ts", "event_id")
+    ordered = e.select(
+        "user_id",
+        "ts",
+        "event_type",
+        "value",
+        us.alias("us"),
+        F.when(
+            (us - F.lag(us).over(worder) > 1800000000)
+            | F.lag(us).over(worder).isNull(),
+            1,
+        )
+        .otherwise(0)
+        .alias("new_sess"),
+    )
+    wsess = W.partitionBy("user_id").orderBy("ts", "us").rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    sessioned = ordered.select(
+        "user_id",
+        "ts",
+        "event_type",
+        "value",
+        "us",
+        F.sum("new_sess").over(wsess).alias("sess"),
+    )
+    sess_stats = sessioned.groupBy("user_id", "sess").agg(
+        F.date_trunc("day", F.min("ts")).cast("date").alias("day"),
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.countDistinct("event_type").cast("long").alias("n_types"),
+        F.max(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .cast("long")
+        .alias("converted"),
+        F.expr("(max(us) - min(us)) DIV 1000000").alias("dur_sec"),
+        F.sum(F.round(F.col("value") * 100).cast("long")).alias("value_cents"),
+    )
+    return sess_stats.groupBy("day").agg(
+        F.count(F.lit(1)).cast("long").alias("n_sessions"),
+        F.sum("converted").cast("long").alias("n_converted"),
+        F.round(F.sum("converted").cast("double") / F.count(F.lit(1)), 6).alias(
+            "conv_rate"
+        ),
+        F.round(F.sum("n_events").cast("double") / F.count(F.lit(1)), 6).alias(
+            "mean_events"
+        ),
+        F.round(F.sum("dur_sec").cast("double") / F.count(F.lit(1)), 6).alias(
+            "mean_dur_sec"
+        ),
+        F.round(
+            F.sum("value_cents").cast("double") / 100.0 / F.count(F.lit(1)), 6
+        ).alias("mean_session_value"),
+    )

@@ -303,6 +303,14 @@ def op_cdc_apply_ordered(spark, sf_dir):
     plan; nothing is ordered globally."""
     d = load_table(spark, sf_dir, "documents")
     e = load_table(spark, sf_dir, "events")
+    return cdc_apply_chain(d, e)
+
+
+def cdc_apply_chain(d, e):
+    """Shared ordered-CDC application over (documents-shaped snapshot,
+    events-shaped changes) — consumed by the batch query above and
+    replayed per micro-batch by streaming/ops.stream_cdc_apply under
+    the single-batch batch-twin contract."""
     from pyspark.sql import Window
 
     snapshot = d.select(

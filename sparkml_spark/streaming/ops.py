@@ -1219,3 +1219,72 @@ def _wire_stream_ab_oracle():
 
 
 _wire_stream_ab_oracle()
+
+
+# ---------------------------------------------------------------------------
+# stream_cdc_apply (round 11) — CDC compaction as a stream
+# ---------------------------------------------------------------------------
+
+@query("stream_cdc_apply", section="2.K", oracle=None)
+def stream_cdc_apply(spark, sf_dir):
+    """op_cdc_apply_ordered executed as a Structured Streaming job —
+    the deployment shape of change-data-capture: the change feed (the
+    events table) replays through the streaming file source and each
+    micro-batch applies the SHARED cdc_apply_chain against the
+    snapshot inside foreachBatch. Single-batch availableNow contract
+    (as stream_incremental_refresh / stream_ab_monitor): the streamed
+    merged state must hash-match the batch twin; multi-batch feeds
+    are the production semantics (each batch = one CDC poll, the
+    merged table becoming the next snapshot) and fail loudly here so
+    the oracle never compares partial applications.
+
+    Scale: per batch, one key-partitioned reduction window over the
+    ARRIVING changes only + one equi merge against the standing
+    snapshot — the CDC-compaction plan, batch-sized state."""
+    import os
+
+    from sparkml_spark.operators.reshape import cdc_apply_chain
+    from sparkml_spark.sources.loader import load_table as _lt
+
+    path = f"{sf_dir}/events.parquet"
+    schema = spark.read.parquet(path).schema
+    if os.path.isdir(path):
+        stream = spark.readStream.schema(schema).parquet(path)
+    else:
+        stream = (
+            spark.readStream.schema(schema)
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(sf_dir)
+        )
+    snapshot = _lt(spark, sf_dir, "documents")
+    out_rows: list = []
+    n_batches = [0]
+
+    def handle(batch_df, _bid):
+        n_batches[0] += 1
+        out_rows.extend(cdc_apply_chain(snapshot, batch_df).collect())
+
+    q = stream.writeStream.foreachBatch(handle).trigger(availableNow=True).start()
+    q.awaitTermination()
+    if n_batches[0] != 1:
+        raise RuntimeError(
+            f"stream_cdc_apply: fixture replay produced {n_batches[0]} "
+            "micro-batches; the batch-twin oracle is only valid for a "
+            "single-batch feed"
+        )
+    return spark.createDataFrame(
+        [(r["key"], r["val"], r["action"]) for r in out_rows],
+        "key long, val long, action string",
+    )
+
+
+def _wire_stream_cdc_oracle():
+    import sparkml_spark.operators.reshape  # noqa: F401
+    from sparkml_spark.registry import META as _M2
+    from sparkml_spark.registry import ORACLES as _O2
+
+    _O2["stream_cdc_apply"] = _O2["op_cdc_apply_ordered"]
+    _M2["stream_cdc_apply"]["tier"] = "ORACLE"
+
+
+_wire_stream_cdc_oracle()

@@ -1112,3 +1112,16 @@ def test_r11_wave21_plan_shapes(spark):
         .toString()
     )
     assert "WindowGroupLimit" in prof, prof[:2000]
+
+
+def test_r11_wave22_plan_shapes(spark):
+    """Wave-22 plan gates (r11): the composed analytics pipeline must
+    fuse into user-keyed windows + partial aggs in ONE plan — no
+    SinglePartition window over the fact table, no cartesian, and
+    partial aggregation present (Catalyst fused the chain rather than
+    materializing stages)."""
+    df = QUERIES["events_analytics_full"](spark, SF_DIR)
+    assert has_partial_aggregate(df)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "SinglePartition" not in plan, plan[:2000]
+    assert "CartesianProduct" not in plan, plan[:2000]
