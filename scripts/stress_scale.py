@@ -273,6 +273,9 @@ LLM_SUITE = [
     "text_char_ngram_profile",
     # r11 wave 22: the one-plan composed analytics chain.
     "events_analytics_full",
+    # r11 wave 23: frame-bounded median + SNM's 2n-3 candidates.
+    "win_moving_median",
+    "dedup_sorted_neighborhood",
 ]
 
 

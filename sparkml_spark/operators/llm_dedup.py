@@ -2195,3 +2195,89 @@ def dedup_cascade_keep(spark, sf_dir):
             .alias("canonical_id"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# dedup_sorted_neighborhood (round 11) — the SNM blocking paradigm
+# ---------------------------------------------------------------------------
+
+@query(
+    "dedup_sorted_neighborhood",
+    section="2.I",
+    oracle=f"""
+WITH corpus AS ({_VARIANT_SQL}),
+keyed AS (
+  SELECT doc_id,
+         substr(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), 1, 12) AS bkey,
+         substr(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), 1, 40) AS head
+  FROM corpus
+), ranked AS (
+  SELECT doc_id, bkey, head,
+         ROW_NUMBER() OVER (ORDER BY bkey ASC, doc_id ASC) AS r
+  FROM keyed
+), cand AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.head AS ha, b.head AS hb
+  FROM ranked a JOIN ranked b ON b.r = a.r + 1
+  UNION ALL
+  SELECT a.doc_id, b.doc_id, a.head, b.head
+  FROM ranked a JOIN ranked b ON b.r = a.r + 2
+)
+SELECT LEAST(id_a, id_b) AS id_a, GREATEST(id_a, id_b) AS id_b,
+       CAST(levenshtein(ha, hb) AS BIGINT) AS head_edit_distance
+FROM cand
+WHERE levenshtein(ha, hb) <= 8
+""",
+)
+def dedup_sorted_neighborhood(spark, sf_dir):
+    """Sorted Neighborhood Method near-dup detection [Hernández &
+    Stolfo 1995] — the third blocking paradigm beside hash blocking
+    (LSH bands) and length blocking (dedup_edit_distance): sort the
+    corpus by a blocking key (the 12-char normalized prefix) and
+    compare only docs within window w=3 of the sorted order, scored
+    by Levenshtein over 40-char heads (≤ 8 keeps, the edit-distance
+    family rule). SNM catches near-dups whose lengths AND hashes
+    diverge but whose prefixes collate together — exactly the
+    truncated-variant corpus this fixture injects.
+
+    Scale: the global sort rank is rank_two_phase (bucket = 4-char
+    prefix — bounded grid, per-bucket refinement; NEVER a corpus
+    window); neighbor candidates are TWO equi self-joins on rank
+    offsets (+1, +2), so candidate count is exactly 2n−3 regardless
+    of data — SNM's defining linear-candidates guarantee, preserved
+    in the plan shape."""
+    from sparkml_spark.registry import rank_two_phase
+
+    corpus = _corpus_with_near_dups(spark, sf_dir)
+    norm = F.lower(F.trim(F.regexp_replace("text", r"\s+", " ")))
+    keyed = corpus.select(
+        "doc_id",
+        F.substring(norm, 1, 12).alias("bkey"),
+        F.substring(norm, 1, 40).alias("head"),
+    )
+    ranked = rank_two_phase(
+        keyed,
+        bucket=F.substring("bkey", 1, 4),
+        order_cols=[F.col("bkey").asc(), F.col("doc_id").asc()],
+        out="r",
+    )
+    a = ranked.select(
+        F.col("doc_id").alias("id_a"), F.col("head").alias("ha"), F.col("r").alias("ra")
+    )
+    b = ranked.select(
+        F.col("doc_id").alias("id_b"), F.col("head").alias("hb"), F.col("r").alias("rb")
+    )
+    cand = (
+        a.join(b, F.col("rb") == F.col("ra") + 1)
+        .select("id_a", "id_b", "ha", "hb")
+        .unionAll(
+            a.join(b, F.col("rb") == F.col("ra") + 2).select(
+                "id_a", "id_b", "ha", "hb"
+            )
+        )
+    )
+    dist = F.levenshtein("ha", "hb")
+    return cand.filter(dist <= 8).select(
+        F.least("id_a", "id_b").alias("id_a"),
+        F.greatest("id_a", "id_b").alias("id_b"),
+        dist.cast("long").alias("head_edit_distance"),
+    )

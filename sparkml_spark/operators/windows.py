@@ -839,3 +839,58 @@ def win_frame_exclude_rewrite(spark, sf_dir):
         (F.sum("c").over(w) - F.col("c")).cast("long").alias("neighbor_sum"),
         (F.count(F.lit(1)).over(w) - 1).cast("long").alias("n_neighbors"),
     )
+
+
+# ---------------------------------------------------------------------------
+# win_moving_median (round 11) — order-statistic smoothing via the
+# collect-sort rewrite, pinned against the engine's windowed quantile.
+# ---------------------------------------------------------------------------
+
+@query(
+    "win_moving_median",
+    section="2.E",
+    oracle="""
+WITH daily AS (
+  SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS d,
+         CAST(COUNT(*) AS BIGINT) AS c
+  FROM events GROUP BY event_type, CAST(date_trunc('day', ts) AS DATE)
+)
+SELECT event_type, d, c,
+       CAST(quantile_disc(c, 0.5) OVER (PARTITION BY event_type ORDER BY d
+                          ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+            AS BIGINT) AS moving_median
+FROM daily
+""",
+)
+def win_moving_median(spark, sf_dir):
+    """Trailing 7-row moving MEDIAN of the per-type daily series —
+    the robust smoother a spike-ridden metric needs where the moving
+    mean (win_moving_avg) chases outliers. Spark has no order-statistic
+    window aggregate, so the median is the collect-sort rewrite:
+    sort_array(collect_list(c) OVER frame)[(n+1) DIV 2] — the lower
+    median, matching DuckDB's GENUINE windowed quantile_disc(0.5)
+    exactly on both odd and even warm-up frames (the dialect-pin
+    contract: engine primitive vs rewrite). Integer series ⇒ exact.
+
+    Scale: per-type series partitions; the collected frame is ≤7
+    elements by construction, so the rewrite's memory is bounded by
+    the frame, not the partition — the one shape where collect_list
+    inside a window is legitimate."""
+    e = load_table(spark, sf_dir, "events")
+    daily = (
+        e.select(
+            "event_type", F.date_trunc("day", F.col("ts")).cast("date").alias("d")
+        )
+        .groupBy("event_type", "d")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    w = Window.partitionBy("event_type").orderBy("d").rowsBetween(-6, Window.currentRow)
+    frame = F.sort_array(F.collect_list("c").over(w))
+    return daily.select(
+        "event_type",
+        "d",
+        "c",
+        F.element_at(frame, ((F.size(frame) + 1) / 2).cast("int"))
+        .cast("long")
+        .alias("moving_median"),
+    )

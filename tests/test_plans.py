@@ -1125,3 +1125,25 @@ def test_r11_wave22_plan_shapes(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "SinglePartition" not in plan, plan[:2000]
     assert "CartesianProduct" not in plan, plan[:2000]
+
+
+def test_r11_wave23_plan_shapes(spark):
+    """Wave-23 plan gates (r11): the moving median windows per type
+    (no SinglePartition); SNM's candidates come from rank-offset EQUI
+    joins (no range/theta join, no cartesian) with the rank built by
+    the two-phase helper."""
+    mm = (
+        QUERIES["win_moving_median"](spark, SF_DIR)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "SinglePartition" not in mm, mm[:2000]
+    snm = (
+        QUERIES["dedup_sorted_neighborhood"](spark, SF_DIR)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in snm, snm[:2000]
+    assert "BroadcastNestedLoop" not in snm, snm[:2000]
