@@ -276,6 +276,8 @@ LLM_SUITE = [
     # r11 wave 23: frame-bounded median + SNM's 2n-3 candidates.
     "win_moving_median",
     "dedup_sorted_neighborhood",
+    # r11 wave 24: the one-scan release manifest.
+    "pipeline_release_gate",
 ]
 
 

@@ -2479,3 +2479,107 @@ def pipeline_budget_waterfill(spark, sf_dir):
             "at_capacity"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# pipeline_release_gate (round 11) — the pre-ship governance manifest
+# ---------------------------------------------------------------------------
+
+@query(
+    "pipeline_release_gate",
+    section="2.I",
+    oracle="""
+WITH norm AS (
+  SELECT doc_id, lang, source, n_chars,
+         md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS h,
+         CAST(len(string_split_regex(lower(trim(text)), '\\s+')) AS BIGINT) AS toks
+  FROM documents
+), kanon AS (
+  SELECT CAST(SUM(CASE WHEN class_size < 5 THEN class_size ELSE 0 END) AS BIGINT)
+           AS at_risk
+  FROM (SELECT lang, source, n_chars // 100 AS band,
+               CAST(COUNT(*) AS BIGINT) AS class_size
+        FROM norm GROUP BY lang, source, n_chars // 100)
+)
+SELECT 'corpus' AS artifact, 'n_docs' AS metric,
+       CAST(COUNT(*) AS BIGINT) AS value FROM norm
+UNION ALL
+SELECT 'dedup', 'n_unique_normalized',
+       CAST(COUNT(DISTINCT h) AS BIGINT) FROM norm
+UNION ALL
+SELECT 'budget', 'total_ws_tokens', CAST(SUM(toks) AS BIGINT) FROM norm
+UNION ALL
+SELECT 'privacy', 'n_kanon5_at_risk', at_risk FROM kanon
+UNION ALL
+SELECT 'integrity', 'checksum_sum',
+       CAST(SUM(CAST(('0x' || substr(h, 1, 15))::BIGINT AS HUGEINT))
+            % 9007199254740881 AS BIGINT) FROM norm
+""",
+)
+def pipeline_release_gate(spark, sf_dir):
+    """The corpus RELEASE GATE — one manifest a data-governance
+    review signs off before a training corpus ships, composing the
+    engine's own audit primitives into five hash-pinned numbers:
+    corpus size, distinct normalized content (the dedup_exact_hash
+    lens), total whitespace-token budget, k=5-anonymity at-risk count
+    (the pipeline_privacy_kanon lens over the same quasi-identifiers),
+    and the modular content checksum (the fn_table_checksum fold over
+    the dedup-normalized digests — the number the RECEIVING system
+    recomputes to prove the transfer). Long format (artifact, metric,
+    value) so downstream gates diff releases row-wise.
+
+    Scale: ONE scan computes the normalized digest and token count
+    per doc; every manifest number is a partial-aggregating fold or
+    a quasi-identifier histogram over that single projection."""
+    d = load_table(spark, sf_dir, "documents")
+    norm = d.select(
+        "lang",
+        "source",
+        "n_chars",
+        F.md5(F.lower(F.trim(F.regexp_replace("text", r"\s+", " ")))).alias("h"),
+        F.size(F.split(F.lower(F.trim(F.col("text"))), r"\s+"))
+        .cast("long")
+        .alias("toks"),
+    ).cache()
+    n_docs = norm.agg(F.count(F.lit(1)).cast("long").alias("value")).select(
+        F.lit("corpus").alias("artifact"), F.lit("n_docs").alias("metric"), "value"
+    )
+    n_uniq = norm.agg(F.countDistinct("h").cast("long").alias("value")).select(
+        F.lit("dedup").alias("artifact"),
+        F.lit("n_unique_normalized").alias("metric"),
+        "value",
+    )
+    budget = norm.agg(F.sum("toks").cast("long").alias("value")).select(
+        F.lit("budget").alias("artifact"),
+        F.lit("total_ws_tokens").alias("metric"),
+        "value",
+    )
+    kanon = (
+        norm.groupBy("lang", "source", F.expr("n_chars DIV 100").alias("band"))
+        .agg(F.count(F.lit(1)).alias("class_size"))
+        .agg(
+            F.sum(
+                F.when(F.col("class_size") < 5, F.col("class_size")).otherwise(0)
+            )
+            .cast("long")
+            .alias("value")
+        )
+        .select(
+            F.lit("privacy").alias("artifact"),
+            F.lit("n_kanon5_at_risk").alias("metric"),
+            "value",
+        )
+    )
+    hv = F.conv(F.substring("h", 1, 15), 16, 10).cast("long")
+    checksum = norm.select(hv.alias("hv")).agg(
+        (F.sum(F.col("hv").cast("decimal(38,0)")) % F.lit(9007199254740881))
+        .cast("long")
+        .alias("value")
+    ).select(
+        F.lit("integrity").alias("artifact"),
+        F.lit("checksum_sum").alias("metric"),
+        "value",
+    )
+    return n_docs.unionByName(n_uniq).unionByName(budget).unionByName(
+        kanon
+    ).unionByName(checksum)

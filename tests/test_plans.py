@@ -1147,3 +1147,13 @@ def test_r11_wave23_plan_shapes(spark):
     )
     assert "CartesianProduct" not in snm, snm[:2000]
     assert "BroadcastNestedLoop" not in snm, snm[:2000]
+
+
+def test_r11_wave24_plan_shapes(spark):
+    """Wave-24 plan gate (r11): the release gate's five numbers must
+    all fold from partial aggregations (one normalized projection,
+    no joins between the manifest arms beyond the final union)."""
+    rg = QUERIES["pipeline_release_gate"](spark, SF_DIR)
+    assert has_partial_aggregate(rg)
+    plan = rg._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan, plan[:2000]
