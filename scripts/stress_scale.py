@@ -278,6 +278,9 @@ LLM_SUITE = [
     "dedup_sorted_neighborhood",
     # r11 wave 24: the one-scan release manifest.
     "pipeline_release_gate",
+    # r11 wave 25: in-engine NB training + the sparse cosine index.
+    "ml_naive_bayes_exact",
+    "text_tfidf_knn",
 ]
 
 

@@ -1823,3 +1823,143 @@ def text_char_ngram_profile(spark, sf_dir):
         counts.withColumn("rnk", F.row_number().over(w).cast("long"))
         .filter(F.col("rnk") <= 5)
     )
+
+
+# ---------------------------------------------------------------------------
+# text_tfidf_knn (round 11) — sparse cosine nearest neighbors
+# ---------------------------------------------------------------------------
+
+@query(
+    "text_tfidf_knn",
+    section="2.I",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_TOKENS_SQL}) AS token FROM documents
+), tf AS (
+  SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM toks GROUP BY doc_id, token
+), df AS (
+  SELECT token, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df FROM toks GROUP BY token
+), n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents),
+w AS (
+  SELECT tf.doc_id, tf.token,
+         CAST(round(tf.tf * ln((n.n_docs + 1.0) / (df.df + 1.0)) * 1e6) AS BIGINT)
+           AS wm
+  FROM tf JOIN df ON df.token = tf.token CROSS JOIN n
+  WHERE 10 * df.df <= 9 * n.n_docs
+), norms AS (
+  SELECT doc_id,
+         sqrt(CAST(SUM(CAST(wm * wm AS HUGEINT)) AS DOUBLE)) AS nrm
+  FROM w GROUP BY doc_id
+), dots AS (
+  SELECT a.doc_id AS query_id, b.doc_id AS neighbor_id,
+         CAST(SUM(CAST(a.wm * b.wm AS HUGEINT)) AS DOUBLE) AS dot
+  FROM w a JOIN w b ON b.token = a.token AND b.doc_id != a.doc_id
+  WHERE a.doc_id < 20
+  GROUP BY a.doc_id, b.doc_id
+), cos AS (
+  SELECT d.query_id, d.neighbor_id,
+         round(d.dot / (nq.nrm * nc.nrm), 6) AS cosine
+  FROM dots d
+  JOIN norms nq ON nq.doc_id = d.query_id
+  JOIN norms nc ON nc.doc_id = d.neighbor_id
+)
+SELECT query_id, neighbor_id, cosine, CAST(rnk AS BIGINT) AS rnk FROM (
+  SELECT query_id, neighbor_id, cosine,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, neighbor_id ASC) AS rnk
+  FROM cos
+) WHERE rnk <= 3
+""",
+)
+def text_tfidf_knn(spark, sf_dir):
+    """Sparse tf-idf cosine nearest neighbors — text similarity
+    WITHOUT embeddings, the classical IR retrieval the dense arms
+    (sim_*) complement: weights quantized to integer micros (the BM25
+    trick — the inverted-index dot products are exact int sums on
+    wide accumulators, no float order anywhere before the one final
+    cosine division), candidates generated ONLY through the shared-
+    token inverted index with the df-cut (a pair scoring requires a
+    shared informative token — the jaccard family's skew guard), and
+    the 20-query probe contract of sim_topk_bruteforce. Top-3 per
+    query by (cosine desc, id).
+
+    Scale: tokenize once; the index join's per-token fanout is
+    df-bounded BY the cut; norms and dots are partial-agg folds;
+    per-query top-3 is a WindowGroupLimit."""
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(_tokens()).alias("token"))
+    tf = toks.groupBy("doc_id", "token").agg(
+        F.count(F.lit(1)).cast("long").alias("tf")
+    )
+    df = toks.groupBy("token").agg(F.countDistinct("doc_id").cast("long").alias("df"))
+    n = F.broadcast(d.agg(F.count(F.lit(1)).alias("n_docs")))
+    w = (
+        tf.join(F.broadcast(df), "token")
+        .crossJoin(n)
+        # df-cut at 90% here, NOT the family's 50%: the fixture's
+        # 31-token vocabulary has 30 tokens above 50% df, which made
+        # the first cut vacuous (3 result rows). The threshold is the
+        # skew-guard tuning knob — production corpora (Heaps-law
+        # vocabularies) run 50%; the plan shape is identical.
+        .filter(10 * F.col("df") <= 9 * F.col("n_docs"))
+        .select(
+            "doc_id",
+            "token",
+            F.round(
+                F.col("tf")
+                * F.log((F.col("n_docs") + 1.0) / (F.col("df") + 1.0))
+                * 1e6
+            )
+            .cast("long")
+            .alias("wm"),
+        )
+        .cache()
+    )
+    norms = w.groupBy("doc_id").agg(
+        F.sqrt(
+            F.sum((F.col("wm") * F.col("wm")).cast("decimal(38,0)")).cast("double")
+        ).alias("nrm")
+    )
+    a = w.filter(F.col("doc_id") < 20).select(
+        F.col("doc_id").alias("query_id"), "token", F.col("wm").alias("wq")
+    )
+    b = w.select(
+        F.col("doc_id").alias("neighbor_id"), "token", F.col("wm").alias("wc")
+    )
+    dots = (
+        a.join(b, "token")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .groupBy("query_id", "neighbor_id")
+        .agg(
+            F.sum((F.col("wq") * F.col("wc")).cast("decimal(38,0)"))
+            .cast("double")
+            .alias("dot")
+        )
+    )
+    cos = (
+        dots.join(
+            norms.select(F.col("doc_id").alias("query_id"), F.col("nrm").alias("nq")),
+            "query_id",
+        )
+        .join(
+            norms.select(
+                F.col("doc_id").alias("neighbor_id"), F.col("nrm").alias("nc")
+            ),
+            "neighbor_id",
+        )
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(F.col("dot") / (F.col("nq") * F.col("nc")), 6).alias("cosine"),
+        )
+    )
+    wr = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        cos.withColumn("rnk", F.row_number().over(wr).cast("long"))
+        .filter(F.col("rnk") <= 3)
+    )

@@ -2488,3 +2488,140 @@ def ml_chi2_feature_selection(spark, sf_dir):
             ).alias("chi2")
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# ml_naive_bayes_exact (round 11) — train AND classify in-engine,
+# hash-pinned end to end.
+# ---------------------------------------------------------------------------
+
+@query(
+    "ml_naive_bayes_exact",
+    section="2.J",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, lang,
+         unnest(string_split_regex(lower(trim(text)), '\\s+')) AS tok
+  FROM documents
+), vocab AS (
+  SELECT CAST(COUNT(DISTINCT tok) AS BIGINT) AS v FROM toks
+), class_tok AS (
+  SELECT lang AS c, tok, CAST(COUNT(*) AS BIGINT) AS n FROM toks GROUP BY lang, tok
+), class_tot AS (
+  SELECT c, CAST(SUM(n) AS BIGINT) AS nt FROM class_tok GROUP BY c
+), priors AS (
+  SELECT lang AS c, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS nd FROM toks GROUP BY lang
+), ndocs AS (
+  SELECT CAST(SUM(nd) AS BIGINT) AS total FROM priors
+), weights AS (
+  SELECT ct.c, ct.tok,
+         round(ln((CAST(ct.n + 1 AS DOUBLE))
+                  / (CAST(tot.nt AS DOUBLE) + vocab.v)), 9) AS lw
+  FROM class_tok ct
+  JOIN class_tot tot ON tot.c = ct.c
+  CROSS JOIN vocab
+), scored AS (
+  SELECT t.doc_id, t.lang, w.c,
+         CAST(SUM(CAST(w.lw AS DECIMAL(30,9))) AS DECIMAL(38,9)) AS ll
+  FROM toks t JOIN weights w ON w.tok = t.tok
+  GROUP BY t.doc_id, t.lang, w.c
+), with_prior AS (
+  SELECT s.doc_id, s.lang, s.c,
+         CAST(s.ll AS DOUBLE)
+           + round(ln(CAST(p.nd AS DOUBLE) / n.total), 9) AS score
+  FROM scored s JOIN priors p ON p.c = s.c CROSS JOIN ndocs n
+), pred AS (
+  SELECT doc_id, lang, c AS lang_pred FROM (
+    SELECT doc_id, lang, c,
+           ROW_NUMBER() OVER (PARTITION BY doc_id
+                              ORDER BY score DESC, c ASC) AS rn
+    FROM with_prior
+  ) WHERE rn = 1
+)
+SELECT lang, lang_pred, CAST(COUNT(*) AS BIGINT) AS n
+FROM pred GROUP BY lang, lang_pred
+""",
+)
+def ml_naive_bayes_exact(spark, sf_dir):
+    """Multinomial Naive Bayes TRAINED AND APPLIED in-engine,
+    hash-pinned end to end — the companion to pipeline_train_bpe's
+    'the engine learns its own artifacts' contract, for classifiers:
+    Laplace-smoothed per-(class, token) log-likelihoods from one
+    corpus pass, log-priors from document counts, per-doc class
+    scores as 9dp-quantized decimal sums (order-independent), argmax
+    with the deterministic smaller-class tie-break, reported as the
+    training-set confusion matrix. MLlib's NaiveBayes is ROWS-tier
+    (float accumulation); THIS is the exact twin its fit must
+    converge to. Self-classification on a shared-vocabulary fixture
+    is near-chance — the honest readout; the pinned artifact is the
+    trained-model ALGEBRA.
+
+    Scale: the weight table is (classes × vocabulary) — the
+    BPE-costing broadcast shape; scoring is one explode + broadcast
+    join + per-doc partial agg; the corpus is scanned twice
+    (train, classify), never shuffled on content."""
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        "lang",
+        F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("tok"),
+    ).cache()
+    vocab = toks.agg(F.countDistinct("tok").cast("long").alias("v"))
+    class_tok = toks.groupBy(F.col("lang").alias("c"), "tok").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    class_tot = class_tok.groupBy("c").agg(F.sum("n").cast("long").alias("nt"))
+    priors = toks.groupBy(F.col("lang").alias("c")).agg(
+        F.countDistinct("doc_id").cast("long").alias("nd")
+    )
+    ndocs = priors.agg(F.sum("nd").cast("long").alias("total"))
+    weights = (
+        class_tok.join(F.broadcast(class_tot), "c")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "c",
+            "tok",
+            F.round(
+                F.log(
+                    (F.col("n") + 1).cast("double")
+                    / (F.col("nt").cast("double") + F.col("v"))
+                ),
+                9,
+            ).alias("lw"),
+        )
+    )
+    scored = (
+        toks.join(F.broadcast(weights), "tok")
+        .groupBy("doc_id", "lang", "c")
+        .agg(
+            F.sum(F.col("lw").cast("decimal(30,9)"))
+            .cast("decimal(38,9)")
+            .alias("ll")
+        )
+    )
+    with_prior = (
+        scored.join(F.broadcast(priors), "c")
+        .crossJoin(F.broadcast(ndocs))
+        .select(
+            "doc_id",
+            "lang",
+            "c",
+            (
+                F.col("ll").cast("double")
+                + F.round(
+                    F.log(F.col("nd").cast("double") / F.col("total")), 9
+                )
+            ).alias("score"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), F.col("c").asc())
+    pred = (
+        with_prior.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("lang", F.col("c").alias("lang_pred"))
+    )
+    return pred.groupBy("lang", "lang_pred").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )

@@ -1157,3 +1157,21 @@ def test_r11_wave24_plan_shapes(spark):
     assert has_partial_aggregate(rg)
     plan = rg._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan, plan[:2000]
+
+
+def test_r11_wave25_plan_shapes(spark):
+    """Wave-25 plan gates (r11): Naive Bayes' weight table broadcasts
+    (classes x vocab) onto the scoring explode; the tf-idf kNN's
+    candidates come only through the token equi join (no cartesian)
+    with the per-query top-k as WindowGroupLimit."""
+    nb = QUERIES["ml_naive_bayes_exact"](spark, SF_DIR)
+    assert has_broadcast_join(nb)
+    assert has_partial_aggregate(nb)
+    knn = (
+        QUERIES["text_tfidf_knn"](spark, SF_DIR)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in knn, knn[:2000]
+    assert "WindowGroupLimit" in knn, knn[:2000]
