@@ -281,6 +281,11 @@ LLM_SUITE = [
     # r11 wave 25: in-engine NB training + the sparse cosine index.
     "ml_naive_bayes_exact",
     "text_tfidf_knn",
+    # r11 wave 26: graph-sized correlation, 25-cell entropy, planning
+    # grid.
+    "graph_assortativity",
+    "events_markov_entropy_rate",
+    "events_ab_sample_size",
 ]
 
 

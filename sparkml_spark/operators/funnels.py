@@ -1326,3 +1326,152 @@ def events_analytics_full(spark, sf_dir):
             F.sum("value_cents").cast("double") / 100.0 / F.count(F.lit(1)), 6
         ).alias("mean_session_value"),
     )
+
+
+# ---------------------------------------------------------------------------
+# events_markov_entropy_rate (round 11) — behavioral predictability
+# ---------------------------------------------------------------------------
+
+@query(
+    "events_markov_entropy_rate",
+    section="2.I",
+    oracle="""
+WITH seq AS (
+  SELECT event_type AS cur,
+         LEAD(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS nxt
+  FROM events
+), pairs AS (
+  SELECT cur, nxt, CAST(COUNT(*) AS BIGINT) AS n FROM seq
+  WHERE nxt IS NOT NULL GROUP BY cur, nxt
+), tot AS (
+  SELECT cur, CAST(SUM(n) AS BIGINT) AS n_out FROM pairs GROUP BY cur
+), alltot AS (
+  SELECT CAST(SUM(n) AS BIGINT) AS grand FROM pairs
+), terms AS (
+  -- pi(s) * p(t|s) * ln p(t|s) = (n_pair/grand) * ln(n_pair/n_out):
+  -- each term's rationals are exact divisions, ln quantized at 9dp
+  SELECT round(CAST(p.n AS DOUBLE) / a.grand
+               * round(ln(CAST(p.n AS DOUBLE) / t.n_out), 9), 9) AS term
+  FROM pairs p JOIN tot t ON t.cur = p.cur CROSS JOIN alltot a
+)
+SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM pairs) AS n_transitions_kinds,
+       round(-CAST(SUM(CAST(term AS DECIMAL(30,9))) AS DOUBLE), 6)
+         AS entropy_rate_nats
+FROM terms
+""",
+)
+def events_markov_entropy_rate(spark, sf_dir):
+    """Entropy rate of the first-order behavioral Markov chain —
+    HOW PREDICTABLE the user base is, in one number: H = −Σ_s π(s)
+    Σ_t p(t|s)·ln p(t|s), with π the empirical transition-source
+    share (the stationary weighting the observed chain itself
+    induces). Low H ⇒ next actions are guessable (prefetch,
+    precompute); H near ln(5) ⇒ behavior is noise. Builds on
+    events_markov_transitions' lead-pair construction; each term is
+    exact rationals into a 9dp-quantized ln, decimal-summed.
+
+    Scale: one user-keyed window for the lead pairs, then 25-cell
+    algebra — the transition matrix posture."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        F.col("event_type").alias("cur"),
+        F.lead("event_type").over(w).alias("nxt"),
+    ).filter(F.col("nxt").isNotNull())
+    pairs = seq.groupBy("cur", "nxt").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    tot = pairs.groupBy("cur").agg(F.sum("n").cast("long").alias("n_out"))
+    alltot = pairs.agg(F.sum("n").cast("long").alias("grand"))
+    terms = (
+        pairs.join(F.broadcast(tot), "cur")
+        .crossJoin(F.broadcast(alltot))
+        .select(
+            F.round(
+                F.col("n").cast("double")
+                / F.col("grand")
+                * F.round(
+                    F.log(F.col("n").cast("double") / F.col("n_out")), 9
+                ),
+                9,
+            ).alias("term")
+        )
+    )
+    nk = pairs.agg(F.count(F.lit(1)).cast("long").alias("n_transitions_kinds"))
+    hsum = terms.agg(
+        F.round(
+            -F.sum(F.col("term").cast("decimal(30,9)")).cast("double"), 6
+        ).alias("entropy_rate_nats")
+    )
+    return nk.crossJoin(hsum)
+
+
+# ---------------------------------------------------------------------------
+# events_ab_sample_size (round 11) — experiment power planning
+# ---------------------------------------------------------------------------
+
+@query(
+    "events_ab_sample_size",
+    section="2.I",
+    oracle="""
+WITH assigned AS (
+  SELECT user_id,
+         MAX(CASE WHEN event_type = 'purchase' AND day(ts) = 1
+                  THEN 1 ELSE 0 END) AS converted
+  FROM events GROUP BY user_id
+), base AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+         CAST(SUM(converted) AS BIGINT) AS n_conv,
+         CAST(SUM(converted) AS DOUBLE) / COUNT(*) AS p
+  FROM assigned
+), mde AS (SELECT unnest([CAST(0.01 AS DOUBLE), CAST(0.02 AS DOUBLE),
+                          CAST(0.05 AS DOUBLE)]) AS delta)
+SELECT base.n_users, base.n_conv, mde.delta,
+       CAST(ceil(
+         (CAST(1.96 AS DOUBLE) + CAST(0.84 AS DOUBLE))
+         * (CAST(1.96 AS DOUBLE) + CAST(0.84 AS DOUBLE))
+         * (base.p * (1 - base.p) + (base.p + mde.delta) * (1 - base.p - mde.delta))
+         / (mde.delta * mde.delta)) AS BIGINT) AS n_per_arm
+FROM base CROSS JOIN mde
+""",
+)
+def events_ab_sample_size(spark, sf_dir):
+    """Experiment power planning — the question asked BEFORE
+    events_ab_test_ztest runs: per-arm sample size to detect a
+    minimum effect δ at α=0.05 (two-sided) with 80% power, n =
+    (z_{α/2}+z_β)²·(p₁q₁+p₂q₂)/δ², evaluated at the corpus's OWN
+    baseline conversion rate for δ ∈ {1, 2, 5} points. The normal
+    quantiles are FIXED literals CAST to double on both engines (the
+    Benford lesson — bare literals type as DECIMAL in DuckDB); the
+    baseline rate is one exact division; ceil is exact.
+
+    Scale: one user fold to the baseline + a 3-row broadcast grid —
+    the planning table is free at any corpus size."""
+    e = load_table(spark, sf_dir, "events")
+    assigned = e.groupBy("user_id").agg(
+        F.max(
+            F.when(
+                (F.col("event_type") == "purchase") & (F.dayofmonth("ts") == 1), 1
+            ).otherwise(0)
+        ).alias("converted")
+    )
+    base = assigned.agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        F.sum("converted").cast("long").alias("n_conv"),
+        (F.sum("converted").cast("double") / F.count(F.lit(1))).alias("p"),
+    )
+    mde = spark.createDataFrame([(0.01,), (0.02,), (0.05,)], "delta DOUBLE")
+    z = F.lit(1.96) + F.lit(0.84)
+    p = F.col("p")
+    q = 1 - p
+    p2 = p + F.col("delta")
+    return base.crossJoin(F.broadcast(mde)).select(
+        "n_users",
+        "n_conv",
+        "delta",
+        F.ceil(
+            z * z * (p * q + p2 * (1 - p2)) / (F.col("delta") * F.col("delta"))
+        )
+        .cast("long")
+        .alias("n_per_arm"),
+    )

@@ -645,3 +645,83 @@ def graph_kcore_membership(spark, sf_dir):
     for df in out[1:]:
         res = res.unionByName(df)
     return res
+
+
+@query(
+    "graph_assortativity",
+    section="2.I",
+    oracle=f"""
+WITH {_COOCCUR_EDGES_SQL},
+und AS (
+  SELECT a AS s, b AS t FROM e UNION ALL SELECT b AS s, a AS t FROM e
+), deg AS (
+  SELECT s AS node, CAST(COUNT(*) AS BIGINT) AS d FROM und GROUP BY s
+), ed AS (
+  SELECT da.d AS x, db.d AS y
+  FROM und JOIN deg da ON da.node = und.s JOIN deg db ON db.node = und.t
+), s AS (
+  SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+         CAST(SUM(x) AS DOUBLE) AS sx, CAST(SUM(y) AS DOUBLE) AS sy,
+         CAST(SUM(CAST(x * y AS DECIMAL(38,0))) AS DOUBLE) AS sxy,
+         CAST(SUM(CAST(x * x AS DECIMAL(38,0))) AS DOUBLE) AS sxx,
+         CAST(SUM(CAST(y * y AS DECIMAL(38,0))) AS DOUBLE) AS syy
+  FROM ed
+)
+SELECT CAST(n AS BIGINT) AS n_directed_edges,
+       round((n * sxy - sx * sy)
+             / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 6)
+         AS assortativity
+FROM s
+""",
+)
+def graph_assortativity(spark, sf_dir):
+    """Degree assortativity of the co-occurrence graph [Newman 2002]:
+    the Pearson correlation of endpoint degrees over all directed
+    edge instances — positive means hubs befriend hubs (social
+    graphs), negative means hubs attach to the periphery
+    (infrastructure). The OLS sufficient-statistic composition on
+    exact integer degree products (decimal accumulators — the
+    agg_linear_regression overflow posture), two exactly-rounded
+    sqrts, one final division.
+
+    Scale: degrees from one aggregation of the (capped) edge list,
+    one edge-to-degree equi join per side, a 6-sum fold — graph-sized
+    throughout."""
+    e = _cooccur_edges(spark, sf_dir).select("a", "b")
+    und = e.select(F.col("a").alias("s"), F.col("b").alias("t")).unionAll(
+        e.select(F.col("b").alias("s"), F.col("a").alias("t"))
+    )
+    deg = und.groupBy(F.col("s").alias("node")).agg(
+        F.count(F.lit(1)).cast("long").alias("d")
+    )
+    ed = (
+        und.join(deg.select(F.col("node").alias("s"), F.col("d").alias("x")), "s")
+        .join(deg.select(F.col("node").alias("t"), F.col("d").alias("y")), "t")
+        .select("x", "y")
+    )
+    s = ed.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("x").cast("double").alias("sx"),
+        F.sum("y").cast("double").alias("sy"),
+        F.sum((F.col("x") * F.col("y")).cast("decimal(38,0)"))
+        .cast("double")
+        .alias("sxy"),
+        F.sum((F.col("x") * F.col("x")).cast("decimal(38,0)"))
+        .cast("double")
+        .alias("sxx"),
+        F.sum((F.col("y") * F.col("y")).cast("decimal(38,0)"))
+        .cast("double")
+        .alias("syy"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    return s.select(
+        F.col("n").cast("long").alias("n_directed_edges"),
+        F.round(
+            num
+            / (
+                F.sqrt(F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+                * F.sqrt(F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
+            ),
+            6,
+        ).alias("assortativity"),
+    )

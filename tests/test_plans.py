@@ -1175,3 +1175,23 @@ def test_r11_wave25_plan_shapes(spark):
     )
     assert "CartesianProduct" not in knn, knn[:2000]
     assert "WindowGroupLimit" in knn, knn[:2000]
+
+
+def test_r11_wave26_plan_shapes(spark):
+    """Wave-26 plan gates (r11): assortativity joins degrees by equi
+    key on the capped edge list; the entropy rate is 25-cell algebra
+    behind user-keyed lead windows; sample-size planning is a user
+    fold with a broadcast grid."""
+    asrt = (
+        QUERIES["graph_assortativity"](spark, SF_DIR)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in asrt, asrt[:2000]
+    assert has_partial_aggregate(
+        QUERIES["events_markov_entropy_rate"](spark, SF_DIR)
+    )
+    ss = QUERIES["events_ab_sample_size"](spark, SF_DIR)
+    assert has_partial_aggregate(ss)
+    assert has_broadcast_join(ss)
