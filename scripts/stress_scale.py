@@ -286,6 +286,9 @@ LLM_SUITE = [
     "graph_assortativity",
     "events_markov_entropy_rate",
     "events_ab_sample_size",
+    # r11 wave 27: one-fold scoring + zero-shuffle diversity.
+    "ml_brier_score",
+    "text_type_token_ratio",
 ]
 
 

@@ -1963,3 +1963,44 @@ def text_tfidf_knn(spark, sf_dir):
         cos.withColumn("rnk", F.row_number().over(wr).cast("long"))
         .filter(F.col("rnk") <= 3)
     )
+
+
+# ---------------------------------------------------------------------------
+# text_type_token_ratio (round 11) — lexical diversity
+# ---------------------------------------------------------------------------
+
+@query(
+    "text_type_token_ratio",
+    section="2.I",
+    oracle=f"""
+SELECT doc_id,
+       CAST(len({_TOKENS_SQL}) AS BIGINT) AS n_tokens,
+       CAST(len(list_distinct({_TOKENS_SQL})) AS BIGINT) AS n_types,
+       round(CAST(len(list_distinct({_TOKENS_SQL})) AS DOUBLE)
+             / len({_TOKENS_SQL}), 6) AS ttr,
+       round(CAST(len(list_distinct({_TOKENS_SQL})) AS DOUBLE)
+             / sqrt(2.0 * len({_TOKENS_SQL})), 6) AS root_ttr
+FROM documents
+""",
+)
+def text_type_token_ratio(spark, sf_dir):
+    """Per-document lexical diversity: the type-token ratio and
+    Guiraud's length-corrected Root TTR (types/√(2·tokens) — plain
+    TTR shrinks mechanically with length, which is why quality
+    filters that threshold raw TTR silently prefer SHORT documents;
+    both reported so the correction is auditable). Exact integer
+    counts, two exact single divisions (sqrt IEEE-exact).
+
+    Scale: zero-shuffle narrow projection — codegen array algebra
+    per document."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    n_tok = F.size(toks).cast("long")
+    n_typ = F.size(F.array_distinct(toks)).cast("long")
+    return d.select(
+        "doc_id",
+        n_tok.alias("n_tokens"),
+        n_typ.alias("n_types"),
+        F.round(n_typ.cast("double") / n_tok, 6).alias("ttr"),
+        F.round(n_typ.cast("double") / F.sqrt(2.0 * n_tok), 6).alias("root_ttr"),
+    )

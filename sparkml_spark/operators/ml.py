@@ -2625,3 +2625,54 @@ def ml_naive_bayes_exact(spark, sf_dir):
     return pred.groupBy("lang", "lang_pred").agg(
         F.count(F.lit(1)).cast("long").alias("n")
     )
+
+
+# ---------------------------------------------------------------------------
+# ml_brier_score (round 11) — the proper scoring rule
+# ---------------------------------------------------------------------------
+
+@query(
+    "ml_brier_score",
+    section="2.J",
+    oracle="""
+WITH scored AS (
+  SELECT value / 500.0 AS p,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+  FROM events
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n,
+       round(CAST(SUM(CAST(round((p - y) * (p - y), 9) AS DECIMAL(30,9)))
+                  AS DOUBLE) / COUNT(*), 6) AS brier,
+       round(CAST(SUM(y) AS DOUBLE) / COUNT(*)
+             * (1 - CAST(SUM(y) AS DOUBLE) / COUNT(*)), 6) AS brier_baseline
+FROM scored
+""",
+)
+def ml_brier_score(spark, sf_dir):
+    """Brier score — the PROPER scoring rule that calibration bins
+    (ml_calibration_bins) summarize piecewise: mean (p − y)² over the
+    same value/500 score and purchase label, with the climatological
+    baseline p̄(1−p̄) alongside (a model must beat it to carry any
+    skill — the Brier skill score is 1 − brier/baseline, derivable
+    from this row). Per-row squared errors quantized at 9dp and
+    decimal-summed; both divisions exact-and-final.
+
+    Scale: one scan, one fold — map-side combine."""
+    e = load_table(spark, sf_dir, "events")
+    scored = e.select(
+        (F.col("value") / 500.0).alias("p"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("y"),
+    )
+    pbar = F.sum("y").cast("double") / F.count(F.lit(1))
+    return scored.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.round(
+            F.sum(
+                F.round((F.col("p") - F.col("y")) * (F.col("p") - F.col("y")), 9)
+                .cast("decimal(30,9)")
+            ).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("brier"),
+        F.round(pbar * (1 - pbar), 6).alias("brier_baseline"),
+    )

@@ -1195,3 +1195,12 @@ def test_r11_wave26_plan_shapes(spark):
     ss = QUERIES["events_ab_sample_size"](spark, SF_DIR)
     assert has_partial_aggregate(ss)
     assert has_broadcast_join(ss)
+
+
+def test_r11_wave27_plan_shapes(spark):
+    """Wave-27 plan gates (r11): Brier is one map-side fold; TTR is a
+    zero-shuffle projection."""
+    br = QUERIES["ml_brier_score"](spark, SF_DIR)
+    assert has_partial_aggregate(br)
+    ttr = QUERIES["text_type_token_ratio"](spark, SF_DIR)
+    assert shuffle_count(ttr) == 0, shuffle_count(ttr)
