@@ -289,6 +289,8 @@ LLM_SUITE = [
     # r11 wave 27: one-fold scoring + zero-shuffle diversity.
     "ml_brier_score",
     "text_type_token_ratio",
+    # r11 wave 28: the grid-sweep skyline.
+    "agg_skyline_frontier",
 ]
 
 

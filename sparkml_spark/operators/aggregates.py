@@ -1691,3 +1691,62 @@ def agg_hhi_concentration(spark, sf_dir):
         "n_customers",
         F.round(10000.0 * F.col("ss") / (F.col("t") * F.col("t")), 6).alias("hhi"),
     )
+
+
+# ---------------------------------------------------------------------------
+# agg_skyline_frontier (round 11) — the skyline operator
+# ---------------------------------------------------------------------------
+
+@query(
+    "agg_skyline_frontier",
+    section="2.D",
+    oracle="""
+WITH pts AS (
+  SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS x,
+         CAST(l_quantity AS BIGINT) AS y
+  FROM lineitem
+), grid AS (
+  SELECT x, CAST(MAX(y) AS BIGINT) AS ymax FROM pts GROUP BY x
+), ranked AS (
+  SELECT x, ymax,
+         MAX(ymax) OVER (ORDER BY x DESC
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS prev_best
+  FROM grid
+)
+SELECT round(x / 100.0, 2) AS price, ymax AS quantity
+FROM ranked
+WHERE prev_best IS NULL OR ymax > prev_best
+""",
+)
+def agg_skyline_frontier(spark, sf_dir):
+    """The SKYLINE operator [Börzsönyi, Kossmann & Stocker, ICDE
+    2001]: the Pareto frontier of (price, quantity) — lineitems not
+    dominated in BOTH dimensions by any other. The naive definition
+    is an all-pairs anti-join; the sort-based construction this op
+    pins is O(grid): collapse to the max-y per x-grid point (a
+    partial agg — duplicates and same-x dominated points die
+    map-side), then sweep x descending keeping points whose y STRICTLY
+    beats the best y seen at any higher x. Exact integer grids; the
+    sweep window runs on the collapsed price grid (bounded distinct
+    cents — the weighted-percentile posture), never raw facts.
+
+    Scale: one partial aggregation + one grid-sized prefix max —
+    skyline of a trillion rows at grid cost; k-dimensional skylines
+    decompose into iterated sweeps of this same shape."""
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf_dir, "lineitem")
+    pts = li.select(
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("x"),
+        F.col("l_quantity").cast("long").alias("y"),
+    )
+    grid = pts.groupBy("x").agg(F.max("y").cast("long").alias("ymax"))
+    w = Window.orderBy(F.col("x").desc()).rowsBetween(Window.unboundedPreceding, -1)
+    ranked = grid.select("x", "ymax", F.max("ymax").over(w).alias("prev_best"))
+    return ranked.filter(
+        F.col("prev_best").isNull() | (F.col("ymax") > F.col("prev_best"))
+    ).select(
+        F.round(F.col("x") / 100.0, 2).alias("price"),
+        F.col("ymax").alias("quantity"),
+    )

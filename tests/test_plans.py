@@ -1204,3 +1204,14 @@ def test_r11_wave27_plan_shapes(spark):
     assert has_partial_aggregate(br)
     ttr = QUERIES["text_type_token_ratio"](spark, SF_DIR)
     assert shuffle_count(ttr) == 0, shuffle_count(ttr)
+
+
+def test_r11_wave28_plan_shapes(spark):
+    """Wave-28 plan gate (r11): the skyline must be the grid sweep —
+    a partial aggregation with the prefix-max window on the collapsed
+    grid, and NO join anywhere (the naive dominance form would plan
+    an anti-join or cartesian)."""
+    sky = QUERIES["agg_skyline_frontier"](spark, SF_DIR)
+    assert has_partial_aggregate(sky)
+    plan = sky._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan, plan[:2000]

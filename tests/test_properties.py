@@ -1476,3 +1476,30 @@ def test_rank_two_phase_descending_matches_row_number(spark, rows):
         .collect()
     }
     assert got == want
+
+
+def test_skyline_sweep_matches_dominance_definition(spark):
+    """Third oracle for the skyline: recompute the frontier from the
+    NAIVE all-pairs dominance definition in plain Python and require
+    the sort-based sweep to return exactly that set."""
+    from sparkml_spark.registry import QUERIES
+    from .conftest import SF_DIR
+
+    pts = {
+        (int(round(r.l_extendedprice * 100)), int(r.l_quantity))
+        for r in spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+        .select("l_extendedprice", "l_quantity")
+        .collect()
+    }
+    want = {
+        (x, y)
+        for x, y in pts
+        if not any(
+            (qx >= x and qy >= y and (qx > x or qy > y)) for qx, qy in pts
+        )
+    }
+    got = {
+        (int(round(r.price * 100)), r.quantity)
+        for r in QUERIES["agg_skyline_frontier"](spark, SF_DIR).collect()
+    }
+    assert got == want
