@@ -1134,7 +1134,7 @@ def pipeline_dataset_card(spark, sf_dir):
 # In-engine BPE TRAINING (round 11) — the engine learns the merge table
 # ---------------------------------------------------------------------------
 
-def train_bpe_merges(spark, sf_dir, n_merges: int = BPE_N):
+def train_bpe_merges(spark, sf_dir, n_merges: int = BPE_N, on_merge=None):
     """Learn a BPE merge table FROM the corpus, in-engine — classic
     Sennrich-style training (most-frequent adjacent pair, merge,
     repeat) with the deterministic tie-break (max count, then
@@ -1153,7 +1153,30 @@ def train_bpe_merges(spark, sf_dir, n_merges: int = BPE_N):
     each merge truncates the 24-deep lineage so no iteration replays
     its predecessors.
     """
+    import time as _time
+
+    sc = spark.sparkContext
+
+    def _pids() -> set:
+        return {int(i) for i in sc._jsc.getPersistentRDDs().keySet().toArray()}
+
+    def _free(pids: set) -> None:
+        # localCheckpoint storage is RDD-registry state, NOT cache-manager
+        # state: DataFrame.unpersist() on the superseded frame is a no-op
+        # for it (measured: 13 pinned RDDs after 12 merges). Freeing the
+        # PREVIOUS iteration's blocks after the new checkpoint has
+        # materialized is the ALS/GraphX iterative pattern; without it the
+        # trainer pins one vocabulary-sized RDD per merge and a 32k-merge
+        # production run carries 32k copies (scripts/bpe_scale_probe.py
+        # measures the flat storage this keeps).
+        jmap = sc._jsc.getPersistentRDDs()
+        for pid in pids:
+            jrdd = jmap.get(pid)
+            if jrdd is not None:
+                jrdd.unpersist(False)
+
     d = load_table(spark, sf_dir, "documents")
+    _known0 = _pids()  # foreign persists — never the trainer's to free
     words = (
         d.select(
             F.explode(
@@ -1173,7 +1196,9 @@ def train_bpe_merges(spark, sf_dir, n_merges: int = BPE_N):
         .localCheckpoint()
     )
     merges: list[tuple[int, str, str, int]] = []
+    prev_ckpt: set = set()
     for rank in range(1, n_merges + 1):
+        _t0 = _time.monotonic()
         best = (
             words.select(
                 "f",
@@ -1197,9 +1222,18 @@ def train_bpe_merges(spark, sf_dir, n_merges: int = BPE_N):
         rule = F.struct(
             F.lit(a).alias("a"), F.lit(b).alias("b"), F.lit(a + b).alias("m")
         )
+        before = _pids()
         words = words.withColumn(
             "toks", _apply_rule(F.col("toks"), rule)
         ).localCheckpoint()
+        fresh = _pids() - before
+        _free(prev_ckpt)  # superseded iteration, safe now the new one is live
+        prev_ckpt = fresh
+        if on_merge is not None:
+            on_merge(rank, _time.monotonic() - _t0)
+    # Final iteration's blocks AND the base vocabulary checkpoint; the
+    # merge table lives on the driver, nothing distributed survives.
+    _free((prev_ckpt | _pids()) - _known0)
     return merges
 
 
@@ -1430,31 +1464,62 @@ def pipeline_incremental_refresh(spark, sf_dir):
 def refresh_manifest(d, lang_map):
     """The daily-append chain over a (doc_id, text) documents frame —
     shared by the batch query above and its streaming twin
-    (streaming/ops.py stream_incremental_refresh, which feeds each
-    micro-batch through this exact function). See
-    pipeline_incremental_refresh for semantics and scale posture."""
-    from sparkml_spark.operators.llm_dedup import _DUP_OFFSET, _norm
+    (streaming/ops.py stream_incremental_refresh, which bootstraps the
+    standing digest index from the corpus micro-batch and feeds the
+    arriving micro-batch through refresh_manifest_incr — the exact
+    decomposition below). See pipeline_incremental_refresh for
+    semantics and scale posture."""
+    from sparkml_spark.operators.llm_dedup import _norm
 
     corpus = d.filter(F.col("doc_id") % 10 != 3)
-    incr = (
-        d.filter(F.col("doc_id") % 10 == 3)
+    arriving = d.filter(F.col("doc_id") % 10 == 3)
+    return refresh_manifest_incr(
+        synth_incr_batch(arriving, corpus),
+        corpus.select(_norm().alias("h")),
+        lang_map,
+    )
+
+
+def synth_incr_batch(arriving, corpus):
+    """Synthesize the fixture's ARRIVING batch from its two sources:
+    the day's new docs (arriving = doc_id % 10 == 3, which also
+    contains every doc_id % 50 == 3 replay seed) plus corpus replays
+    (doc_id % 20 == 0 under a shifted id). Split out of
+    refresh_manifest so the streaming twin can assemble the same batch
+    from rows that ARRIVED IN DIFFERENT MICRO-BATCHES (the corpus
+    replays ride in the index-bootstrap batch, the new docs in the
+    daily batch)."""
+    from sparkml_spark.operators.llm_dedup import _DUP_OFFSET
+
+    return (
+        arriving.select("doc_id", "text")
         .unionByName(
             corpus.filter(F.col("doc_id") % 20 == 0).select(
                 (F.col("doc_id") + _DUP_OFFSET).alias("doc_id"), "text"
             )
         )
         .unionByName(
-            d.filter(F.col("doc_id") % 50 == 3).select(
+            arriving.filter(F.col("doc_id") % 50 == 3).select(
                 (F.col("doc_id") + 2 * _DUP_OFFSET).alias("doc_id"), "text"
             )
         )
     )
+
+
+def refresh_manifest_incr(incr, corpus_digests, lang_map):
+    """The daily-append chain given an ALREADY-SYNTHESIZED arriving
+    batch and the standing corpus digest index (a 1-column `h` frame —
+    in production a maintained bucketed table; in the streaming twin
+    the parquet artifact the bootstrap micro-batch wrote). Everything
+    downstream of the index probe is identical to the batch chain."""
+    from sparkml_spark.operators.llm_dedup import _DUP_OFFSET, _norm
+
     ih = incr.select("doc_id", "text", _norm().alias("h"))
     # Probe the standing index WITHOUT moving it: broadcast the batch's
     # distinct digests into the corpus scan; hit set is batch-bounded.
     batch_digests = ih.select("h").distinct()
     hits = (
-        corpus.select(_norm().alias("h"))
+        corpus_digests.select("h")
         .join(F.broadcast(batch_digests), "h")
         .distinct()
     )

@@ -825,18 +825,26 @@ def events_ab_test_ztest(spark, sf_dir):
     return ab_ztest_readout(load_table(spark, sf_dir, "events"))
 
 
-def ab_ztest_readout(e):
-    """Shared A/B readout chain over any events-shaped DataFrame —
-    consumed by the batch query above and replayed per micro-batch by
-    streaming/ops.stream_ab_monitor (single-batch fixture feed ⇒ the
-    streamed readout must hash-match this batch twin)."""
-    assigned = e.groupBy("user_id").agg(
+def ab_user_converted(e):
+    """Per-user conversion partial over any events-shaped frame:
+    (user_id, converted∈{0,1}). The MERGEABLE half of the readout —
+    max() over per-batch partials equals the one-shot value, which is
+    what lets streaming/ops.stream_ab_monitor carry this as state
+    across micro-batches that each see only part of a user's events."""
+    return e.groupBy("user_id").agg(
         F.max(
             F.when(
                 (F.col("event_type") == "purchase") & (F.dayofmonth("ts") == 1), 1
             ).otherwise(0)
         ).alias("converted")
-    ).select(
+    )
+
+
+def ab_ztest_finalize(user_conv):
+    """Arm assignment + two-proportion z readout from a per-user
+    (user_id, converted) frame — the non-mergeable tail of the chain,
+    run once over the final state."""
+    assigned = user_conv.select(
         F.when(F.col("user_id") % 2 == 0, "A").otherwise("B").alias("arm"),
         "converted",
     )
@@ -874,6 +882,14 @@ def ab_ztest_readout(e):
         .otherwise(F.lit(0.0))
         .alias("z_score"),
     )
+
+
+def ab_ztest_readout(e):
+    """Shared A/B readout chain over any events-shaped DataFrame —
+    consumed by the batch query above; the streaming twin
+    (streaming/ops.stream_ab_monitor) runs the same two halves with
+    the per-user partial carried as cross-batch state."""
+    return ab_ztest_finalize(ab_user_converted(e))
 
 
 # ---------------------------------------------------------------------------

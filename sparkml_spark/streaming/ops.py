@@ -65,6 +65,47 @@ def _event_stream(spark, sf_dir):
     return stream.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
+def _multi_batch_feed(spark, sf_dir, table, splits):
+    """Replay one fixture table as a MULTI-micro-batch stream: write
+    each (name, predicate) split of the batch-loaded table as a single
+    parquet file in a fresh temp dir with ascending mtimes (the file
+    source processes oldest-first under latestFirst=false), then read
+    the dir with maxFilesPerTrigger=1 so AvailableNow delivers exactly
+    one file — one micro-batch — per split, in split order. This is
+    the harness for the cross-batch-state contracts below: a
+    single-file fixture can only ever produce one micro-batch, which
+    leaves the state carry between batches untested.
+
+    The splits are written from the REPAIRED batch loader output, so
+    the streamed rows are dtype-identical to the batch twin's input
+    (ts arrives as timestamp_ntz regardless of the fixture's physical
+    NANOS/MICROS encoding). Returns (stream_df, n_splits)."""
+    import glob as _glob
+    import os
+    import shutil
+    import tempfile
+    import time as _time
+
+    src = load_table(spark, sf_dir, table)
+    feed = tempfile.mkdtemp(prefix=f"feed_{table}_")
+    now = _time.time()
+    for i, (name, pred) in enumerate(splits):
+        part_dir = os.path.join(feed, f"_{name}")
+        src.filter(pred).coalesce(1).write.mode("overwrite").parquet(part_dir)
+        part = _glob.glob(os.path.join(part_dir, "part-*.parquet"))[0]
+        dest = os.path.join(feed, f"{i:02d}_{name}.parquet")
+        shutil.move(part, dest)
+        shutil.rmtree(part_dir)
+        os.utime(dest, (now + 30 * i, now + 30 * i))
+    schema = spark.read.parquet(os.path.join(feed, "00_*.parquet")).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(feed)
+    )
+    return stream, len(splits)
+
+
 #: State-store partition count for every streaming query in this
 #: module. A streaming job's state partitioning is a DELIBERATE,
 #: checkpoint-baked choice (Spark freezes it at the first batch) —
@@ -80,10 +121,18 @@ def _event_stream(spark, sf_dir):
 _STATE_PARTITIONS = "8"
 
 
-def _run_to_memory(df, name_prefix: str, output_mode: str = "append"):
+def _run_to_memory(
+    df, name_prefix: str, output_mode: str = "append",
+    min_nonempty_batches: int | None = None,
+):
     """Execute with AvailableNow into a memory sink; return the result
     as a (batch) DataFrame. The state partition count is pinned (see
-    _STATE_PARTITIONS) for the duration of the run."""
+    _STATE_PARTITIONS) for the duration of the run.
+
+    min_nonempty_batches: for multi-batch-feed contracts, assert the
+    run actually consumed that many data-carrying micro-batches (from
+    the query's progress log) — a silently-coalesced feed would pass
+    every value check while testing nothing about cross-batch state."""
     name = f"{name_prefix}_{uuid.uuid4().hex[:8]}"
     spark = df.sparkSession
     prev = spark.conf.get("spark.sql.shuffle.partitions")
@@ -97,6 +146,13 @@ def _run_to_memory(df, name_prefix: str, output_mode: str = "append"):
             .start()
         )
         q.awaitTermination()
+        if min_nonempty_batches is not None:
+            n = sum(1 for p in q.recentProgress if p["numInputRows"] > 0)
+            if n < min_nonempty_batches:
+                raise RuntimeError(
+                    f"{name_prefix}: feed delivered {n} non-empty "
+                    f"micro-batches, contract requires >= {min_nonempty_batches}"
+                )
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
     return spark.table(name)
@@ -274,11 +330,42 @@ def stream_dedup(spark, sf_dir):
 def stream_stateful_custom(spark, sf_dir):
     """Arbitrary per-user state via applyInPandasWithState: running
     total of `value` and event count per user (the custom-operator
-    escape hatch for streaming — Arrow-batched, watermark-bounded)."""
+    escape hatch for streaming — Arrow-batched, watermark-bounded).
+
+    MULTI-micro-batch feed (round 12): the events fixture replays as
+    TWO time-ordered micro-batches (first/second half of the event-time
+    range, the shape of a day-partitioned arrival), so every user's
+    state is genuinely carried by the state store ACROSS batch
+    boundaries — users active in both halves accumulate batch-1 totals
+    into their batch-2 update. The run asserts >=2 data-carrying
+    batches were consumed; stream_stateful_bound pins the FINAL state
+    (each user's last update) == the batch groupBy twin, which now
+    certifies cross-batch state evolution, not just within-batch
+    accumulation. The split is time-ordered, not interleaved, so the
+    watermark (max ts - 1h after batch 1) never drops batch-2 rows."""
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-    s = _event_stream(spark, sf_dir)
+    mid = (
+        load_table(spark, sf_dir, "events")
+        .agg(
+            F.timestamp_micros(
+                (
+                    (F.unix_micros(F.min("ts").cast("timestamp"))
+                     + F.unix_micros(F.max("ts").cast("timestamp"))) / 2
+                ).cast("long")
+            ).alias("mid")
+        )
+        .collect()[0]["mid"]
+    )
+    raw, _ = _multi_batch_feed(
+        spark, sf_dir, "events",
+        [
+            ("early", F.col("ts").cast("timestamp") < F.lit(mid)),
+            ("late", F.col("ts").cast("timestamp") >= F.lit(mid)),
+        ],
+    )
+    s = raw.withColumn("ts", F.col("ts").cast("timestamp"))
 
     def update(key, pdfs, state: GroupState):
         total, n = state.get if state.exists else (0.0, 0)
@@ -301,7 +388,7 @@ def stream_stateful_custom(spark, sf_dir):
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
-    return _run_to_memory(out, "stateful", "update")
+    return _run_to_memory(out, "stateful", "update", min_nonempty_batches=2)
 
 
 @query(
@@ -1071,52 +1158,73 @@ def stream_observe_metrics(spark, sf_dir):
 @query("stream_incremental_refresh", section="2.K", oracle=None)
 def stream_incremental_refresh(spark, sf_dir):
     """pipeline_incremental_refresh executed as an ACTUAL Structured
-    Streaming job — the deployment shape of the daily append: the
-    documents feed replays through the streaming file source, and
-    each micro-batch runs the IDENTICAL refresh chain (shared
-    refresh_manifest: digest dedup vs the standing index → quality
-    gates → BPE budget mix → next-fit pack) inside foreachBatch,
-    appending its manifest. ORACLE tier with the batch twin's exact
-    SQL: the availableNow file source delivers the fixture in one
-    micro-batch, so the streamed manifest must hash-match the batch
-    chain — any drift means the foreachBatch path diverged from the
-    batch path (the bug this query exists to catch). A multi-batch
-    feed is the production semantics (each batch = one day's
-    arrivals); the single-batch fixture is what makes the equality an
-    oracle rather than a rows check, and a >1-batch run fails loudly
-    instead of comparing apples to oranges.
+    Streaming job over a MULTI-micro-batch feed (round 12 — the
+    >1-batch cross-batch-state contract): the documents feed replays
+    as TWO mtime-ordered micro-batches, the production lifecycle of a
+    daily append. Batch 1 (the standing corpus) BOOTSTRAPS the state:
+    it builds the digest index and stages the corpus-side replay rows
+    — and emits nothing. Batch 2 (the arriving day) assembles the
+    day's batch (its new docs + the staged replays + its own replay
+    seeds) and runs the shared chain (refresh_manifest_incr: digest
+    dedup against the STANDING index from batch 1 → quality gates →
+    BPE budget mix → next-fit pack), emitting the manifest. Because
+    the index the daily batch probes was built in a PRIOR micro-batch,
+    the run exercises genuine state carry; because the decomposition
+    reassembles exactly the one-shot chain's inputs, the manifest
+    hash-matches the batch twin's DuckDB oracle while the feed is
+    genuinely 2 micro-batches (asserted).
 
     Scale: foreachBatch gives every micro-batch the full batch
     engine — the same broadcast-probed digest lookups and sharded
-    packer, state-free across batches because the standing index is
-    the persistent artifact, not stream state."""
-    import os
-
-    from sparkml_spark.functions.subword import refresh_manifest
+    packer. The carried index is localCheckpoint here; in production
+    it is the maintained bucketed digest table, appended (not
+    rebuilt) with each day's accepted digests."""
+    from sparkml_spark.functions.subword import refresh_manifest_incr
+    from sparkml_spark.operators.llm_dedup import _norm
     from sparkml_spark.sources.loader import load_table as _lt
 
-    path = f"{sf_dir}/documents.parquet"
-    schema = spark.read.parquet(path).schema
-    if os.path.isdir(path):
-        stream = spark.readStream.schema(schema).parquet(path)
-    else:
-        stream = (
-            spark.readStream.schema(schema)
-            .option("pathGlobFilter", "documents.parquet")
-            .parquet(sf_dir)
-        )
+    stream, n_files = _multi_batch_feed(
+        spark, sf_dir, "documents",
+        [("corpus", F.col("doc_id") % 10 != 3),
+         ("arriving", F.col("doc_id") % 10 == 3)],
+    )
     lang_map = _lt(spark, sf_dir, "documents").select(
         F.col("doc_id").alias("base_id"), "lang"
     )
+    # Cross-batch state: the standing digest index and the corpus-side
+    # replay rows the bootstrap batch contributes to the daily batch.
+    state: dict = {"index": None, "replays": None}
     out_rows: list = []
     n_batches = [0]
 
     def handle(batch_df, _bid):
+        from sparkml_spark.operators.llm_dedup import _DUP_OFFSET
+
         n_batches[0] += 1
+        d = batch_df.select("doc_id", "text")
+        if n_batches[0] == 1:
+            # Index-bootstrap batch (the corpus file arrives first —
+            # mtime-ordered feed). Build the standing digest index and
+            # stage the corpus replay rows for the daily batch.
+            state["index"] = d.select(_norm().alias("h")).localCheckpoint(
+                eager=True
+            )
+            state["replays"] = (
+                d.filter(F.col("doc_id") % 20 == 0)
+                .select((F.col("doc_id") + _DUP_OFFSET).alias("doc_id"), "text")
+                .localCheckpoint(eager=True)
+            )
+            return
+        # Daily-append batch: assemble the arriving day (new docs +
+        # staged corpus replays + the day's own replay seeds) and run
+        # the shared chain against the STANDING index from batch 1.
+        incr = d.unionByName(state["replays"]).unionByName(
+            d.filter(F.col("doc_id") % 50 == 3).select(
+                (F.col("doc_id") + 2 * _DUP_OFFSET).alias("doc_id"), "text"
+            )
+        )
         out_rows.extend(
-            refresh_manifest(
-                batch_df.select("doc_id", "text"), lang_map
-            ).collect()
+            refresh_manifest_incr(incr, state["index"], lang_map).collect()
         )
 
     q = (
@@ -1125,11 +1233,11 @@ def stream_incremental_refresh(spark, sf_dir):
         .start()
     )
     q.awaitTermination()
-    if n_batches[0] != 1:
+    if n_batches[0] != n_files:
         raise RuntimeError(
-            f"stream_incremental_refresh: fixture replay produced "
-            f"{n_batches[0]} micro-batches; the batch-twin oracle is only "
-            "valid for a single-batch feed"
+            f"stream_incremental_refresh: feed delivered {n_batches[0]} "
+            f"micro-batches, contract requires the split's {n_files} "
+            "(index bootstrap and daily append must be separate batches)"
         )
     return spark.createDataFrame(
         [(r["doc_id"], r["lang"], r["shard"], r["n_tokens"], r["bin_id"]) for r in out_rows],
@@ -1158,55 +1266,66 @@ _wire_stream_refresh_oracle()
 
 @query("stream_ab_monitor", section="2.K", oracle=None)
 def stream_ab_monitor(spark, sf_dir):
-    """events_ab_test_ztest executed as a Structured Streaming job —
-    the deployment shape of experiment monitoring: the events feed
-    replays through the streaming file source and each micro-batch
-    recomputes the full readout (arms, rates, z) via the SHARED
-    ab_ztest_readout chain inside foreachBatch. Same single-batch
-    oracle contract as stream_incremental_refresh: availableNow over
-    the fixture is one micro-batch, so the streamed readout must
-    hash-match the batch twin exactly (drift = the foreachBatch path
-    diverged); >1 batch fails loudly rather than comparing
-    incomparable readouts. Production semantics: each trigger emits
-    the updated full-history readout (foreachBatch re-aggregates
-    standing + arriving — the readout is a full-corpus statistic, so
-    state lives in the lakehouse table, not stream state).
+    """events_ab_test_ztest executed as a Structured Streaming job
+    over a MULTI-micro-batch feed (round 12 — the >1-batch
+    cross-batch-state contract): the events feed replays as TWO
+    micro-batches split by event_id parity, so a user's events are
+    deliberately SCATTERED across batches. foreachBatch carries the
+    MERGEABLE half of the shared chain as state — the per-user
+    conversion flag (ab_user_converted), whose cross-batch merge is
+    max(), so partials over any batch decomposition fold to the
+    one-shot value — and the non-mergeable tail (arm assignment +
+    two-proportion z, ab_ztest_finalize) runs once over the final
+    state. The streamed readout therefore hash-matches the batch
+    twin's DuckDB oracle exactly while the feed is genuinely 2
+    micro-batches (asserted). This partial/finalize split is the
+    production monitor: each poll merges a batch-sized partial into
+    the experiment's lakehouse state table and re-emits the readout.
 
-    Scale: the per-batch chain is one user-keyed partial agg + 2-row
-    fold — the cheapest possible readout per trigger."""
-    import os
+    Scale: state is user-count-sized (never collected; carried via
+    localCheckpoint, in production a MERGE target); per batch one
+    user-keyed partial agg over the ARRIVING rows + one equi merge;
+    the finalize is a 2-row fold."""
+    from sparkml_spark.operators.funnels import ab_user_converted, ab_ztest_finalize
 
-    from sparkml_spark.operators.funnels import ab_ztest_readout
-
-    path = f"{sf_dir}/events.parquet"
-    schema = spark.read.parquet(path).schema
-    if os.path.isdir(path):
-        stream = spark.readStream.schema(schema).parquet(path)
-    else:
-        stream = (
-            spark.readStream.schema(schema)
-            .option("pathGlobFilter", "events.parquet")
-            .parquet(sf_dir)
-        )
-    out_rows: list = []
+    stream, n_files = _multi_batch_feed(
+        spark, sf_dir, "events",
+        [("even", F.col("event_id") % 2 == 0),
+         ("odd", F.col("event_id") % 2 == 1)],
+    )
+    state: list = [None]
     n_batches = [0]
 
     def handle(batch_df, _bid):
         n_batches[0] += 1
-        out_rows.extend(ab_ztest_readout(batch_df).collect())
+        partial = ab_user_converted(batch_df)
+        s = state[0]
+        if s is None:
+            merged = partial
+        else:
+            merged = (
+                s.withColumnRenamed("converted", "c_prev")
+                .join(partial.withColumnRenamed("converted", "c_new"),
+                      "user_id", "full_outer")
+                .select(
+                    "user_id",
+                    F.greatest(
+                        F.coalesce(F.col("c_prev"), F.lit(0)),
+                        F.coalesce(F.col("c_new"), F.lit(0)),
+                    ).alias("converted"),
+                )
+            )
+        state[0] = merged.localCheckpoint(eager=True)
 
     q = stream.writeStream.foreachBatch(handle).trigger(availableNow=True).start()
     q.awaitTermination()
-    if n_batches[0] != 1:
+    if n_batches[0] != n_files:
         raise RuntimeError(
-            f"stream_ab_monitor: fixture replay produced {n_batches[0]} "
-            "micro-batches; the batch-twin oracle is only valid for a "
-            "single-batch feed"
+            f"stream_ab_monitor: feed delivered {n_batches[0]} micro-batches, "
+            f"contract requires the split's {n_files} (state carry untested "
+            "on a coalesced feed)"
         )
-    return spark.createDataFrame(
-        [tuple(r) for r in out_rows],
-        "n1 long, c1 long, n2 long, c2 long, p1 double, p2 double, z_score double",
-    )
+    return ab_ztest_finalize(state[0])
 
 
 def _wire_stream_ab_oracle():
@@ -1227,54 +1346,100 @@ _wire_stream_ab_oracle()
 
 @query("stream_cdc_apply", section="2.K", oracle=None)
 def stream_cdc_apply(spark, sf_dir):
-    """op_cdc_apply_ordered executed as a Structured Streaming job —
-    the deployment shape of change-data-capture: the change feed (the
-    events table) replays through the streaming file source and each
-    micro-batch applies the SHARED cdc_apply_chain against the
-    snapshot inside foreachBatch. Single-batch availableNow contract
-    (as stream_incremental_refresh / stream_ab_monitor): the streamed
-    merged state must hash-match the batch twin; multi-batch feeds
-    are the production semantics (each batch = one CDC poll, the
-    merged table becoming the next snapshot) and fail loudly here so
-    the oracle never compares partial applications.
+    """op_cdc_apply_ordered executed as a Structured Streaming job
+    over a MULTI-micro-batch change feed (round 12 — the >1-batch
+    cross-batch-state contract): the change stream replays as TWO
+    micro-batches split by event_id PARITY, i.e. deliberately
+    INTERLEAVED in sequence number — each batch carries changes both
+    newer and older than the other batch's, the poll-order-vs-
+    commit-order skew a real CDC consumer faces. foreachBatch carries
+    the merged table as evolving state with the standard CDC metadata
+    columns (last applied seq, origin-in-snapshot, tombstone): each
+    batch reduces ITS changes to per-key max-seq and merges
+    last-writer-wins BY SEQ against the state, so a stale change
+    arriving in a later micro-batch can never clobber a newer applied
+    one, and a tombstoned key re-inserted by a newer change
+    resurrects. Because the merge is seq-aware, the final state after
+    ANY batch decomposition equals the one-shot application — the
+    batch twin's DuckDB oracle (op_cdc_apply_ordered) stays the exact
+    hash pin while the feed is genuinely 2 micro-batches (asserted).
 
-    Scale: per batch, one key-partitioned reduction window over the
-    ARRIVING changes only + one equi merge against the standing
-    snapshot — the CDC-compaction plan, batch-sized state."""
-    import os
-
-    from sparkml_spark.operators.reshape import cdc_apply_chain
+    Scale: state is the lakehouse merge table (never collected; the
+    cross-batch carry is localCheckpoint, in production a Delta/
+    Iceberg MERGE target); per batch one key-partitioned rank window
+    over the ARRIVING changes only + one equi merge — the standard
+    CDC-compaction plan. Tombstones retain (key, seq) so the state
+    table is snapshot+churn sized, compacted by retention policy."""
     from sparkml_spark.sources.loader import load_table as _lt
 
-    path = f"{sf_dir}/events.parquet"
-    schema = spark.read.parquet(path).schema
-    if os.path.isdir(path):
-        stream = spark.readStream.schema(schema).parquet(path)
-    else:
-        stream = (
-            spark.readStream.schema(schema)
-            .option("pathGlobFilter", "events.parquet")
-            .parquet(sf_dir)
-        )
+    stream, n_files = _multi_batch_feed(
+        spark, sf_dir, "events",
+        [("even", F.col("event_id") % 2 == 0),
+         ("odd", F.col("event_id") % 2 == 1)],
+    )
     snapshot = _lt(spark, sf_dir, "documents")
-    out_rows: list = []
+    state = [
+        snapshot.select(
+            F.col("doc_id").alias("key"),
+            F.col("n_chars").cast("long").alias("val"),
+            F.lit(None).cast("long").alias("last_seq"),
+            F.lit(True).alias("in_snap0"),
+            F.lit(False).alias("deleted"),
+        ).localCheckpoint(eager=True)
+    ]
     n_batches = [0]
 
     def handle(batch_df, _bid):
+        from pyspark.sql import Window
+
         n_batches[0] += 1
-        out_rows.extend(cdc_apply_chain(snapshot, batch_df).collect())
+        changes = batch_df.select(
+            ((F.col("user_id") * 7) % 600).alias("key"),
+            F.col("event_id").alias("seq"),
+            F.when(F.col("event_type") == "error", "delete")
+            .otherwise("upsert")
+            .alias("op"),
+            F.round(F.col("value") * 100).cast("long").alias("payload"),
+        )
+        w = Window.partitionBy("key").orderBy(F.col("seq").desc())
+        last_b = (
+            changes.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("key", "seq", "op", "payload")
+        )
+        s = state[0]
+        merged = s.join(last_b, "key", "full_outer")
+        take = F.col("seq").isNotNull() & (
+            F.col("last_seq").isNull() | (F.col("seq") > F.col("last_seq"))
+        )
+        state[0] = merged.select(
+            "key",
+            F.when(take & (F.col("op") == "upsert"), F.col("payload"))
+            .when(take, F.lit(None).cast("long"))
+            .otherwise(F.col("val"))
+            .alias("val"),
+            F.when(take, F.col("seq")).otherwise(F.col("last_seq")).alias("last_seq"),
+            F.coalesce(F.col("in_snap0"), F.lit(False)).alias("in_snap0"),
+            F.when(take, F.col("op") == "delete")
+            .otherwise(F.coalesce(F.col("deleted"), F.lit(False)))
+            .alias("deleted"),
+        ).localCheckpoint(eager=True)
 
     q = stream.writeStream.foreachBatch(handle).trigger(availableNow=True).start()
     q.awaitTermination()
-    if n_batches[0] != 1:
+    if n_batches[0] != n_files:
         raise RuntimeError(
-            f"stream_cdc_apply: fixture replay produced {n_batches[0]} "
-            "micro-batches; the batch-twin oracle is only valid for a "
-            "single-batch feed"
+            f"stream_cdc_apply: feed delivered {n_batches[0]} micro-batches, "
+            f"contract requires the split's {n_files} (state carry untested "
+            "on a coalesced feed)"
         )
-    return spark.createDataFrame(
-        [(r["key"], r["val"], r["action"]) for r in out_rows],
-        "key long, val long, action string",
+    return state[0].filter(~F.col("deleted")).select(
+        "key",
+        "val",
+        F.when(F.col("last_seq").isNull(), F.lit("unchanged"))
+        .when(F.col("in_snap0"), F.lit("updated"))
+        .otherwise(F.lit("inserted"))
+        .alias("action"),
     )
 
 

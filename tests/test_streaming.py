@@ -321,3 +321,42 @@ def test_streaming_state_rocksdb_provider_swap(spark):
         for r in batch.collect()
     }
     assert s == b
+
+
+def _sorted_rows(df):
+    cols = sorted(df.columns)
+    return sorted(tuple(r[c] for c in cols) for r in df.collect())
+
+
+def test_multi_batch_state_carries_across_batches(spark):
+    """Round 12 cross-batch-state contract: the four multi-batch §2.K
+    ops consume >=2 micro-batches (each self-asserts its feed split)
+    and their FINAL output still equals the one-shot batch twin — the
+    state carried between micro-batches (running totals / per-user
+    conversion partials / seq-aware CDC merge table / the standing
+    digest index) reconstructs exactly what a single batch computes."""
+    for streamed, twin in [
+        ("stream_cdc_apply", "op_cdc_apply_ordered"),
+        ("stream_ab_monitor", "events_ab_test_ztest"),
+        ("stream_incremental_refresh", "pipeline_incremental_refresh"),
+    ]:
+        s = _sorted_rows(QUERIES[streamed](spark, SF_DIR))
+        b = _sorted_rows(QUERIES[twin](spark, SF_DIR))
+        assert s == b, f"{streamed} diverged from {twin} under a 2-batch feed"
+
+
+def test_multi_batch_stateful_updates_accumulate(spark):
+    """stream_stateful_custom on the 2-batch time-split feed: a user
+    active in BOTH halves gets one update-mode row per batch, and the
+    later row's running count strictly contains the earlier one —
+    direct evidence the state store carried the totals across the
+    micro-batch boundary (the bound op separately pins the final
+    state against the batch groupBy)."""
+    out = QUERIES["stream_stateful_custom"](spark, SF_DIR).collect()
+    by_user: dict = {}
+    for r in out:
+        by_user.setdefault(r["user_id"], []).append(r["n_events"])
+    multi = {u: sorted(ns) for u, ns in by_user.items() if len(ns) > 1}
+    assert multi, "no user spanned both micro-batches — feed split broken?"
+    for u, ns in multi.items():
+        assert ns[0] < ns[-1], f"user {u} updates did not accumulate: {ns}"
