@@ -43,6 +43,11 @@ fi
 run "sim sf0.01" timeout 900 python scripts/driver_sim.py
 if [ $quick -eq 0 ]; then
   run "sim sf0.001" timeout 900 python scripts/driver_sim.py --sf-dir /root/testdata/sf0.001
+  # Standing multi-file-layout t2 (VERDICT r11 #3): the full oracle
+  # sweep over a 4-file rebuild of sf0.01 — different parquet merge
+  # order => different float summation order; the strongest structural
+  # canary the repo owns, now in the per-round gate.
+  run "sim sf0.01 multifile" timeout 1500 python scripts/partitioned_verify.py
   # 2400s: the sf0.1 sim measured 864s at r7 HEAD and >1500s at r9
   # HEAD (315-query slate; the r9 run was killed by the old 1500s cap
   # at ~80% through with zero failures) — keep ~30% slack over the
