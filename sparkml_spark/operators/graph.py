@@ -36,37 +36,42 @@ SELECT node, ancestor, depth FROM anc
 """,
 )
 def hierarchy_closure(spark, sf_dir):
-    """Transitive closure of a hierarchy (ancestor list per node) by
-    iterative frontier extension — Spark has no recursive CTE, so the
-    recursion is an explicit loop: frontier' = step(frontier), closure
-    = union of all frontiers. The hierarchy is the binary tree
-    parent(n) = n DIV 2 over node = user_id + 1 (root 1), so depth is
-    bounded by log2(max_id) — ~40 iterations even at 100 TB id ranges.
+    """Transitive closure of a hierarchy (ancestor list per node).
+    Spark has no recursive CTE, but this hierarchy's parent function
+    is CLOSED-FORM ITERABLE — parent(n) = n DIV 2 over node =
+    user_id + 1 (root 1), so the ancestor at depth d is
+    shiftright(node, d) — and the whole per-node ancestor chain is ONE
+    integer-exact projection: transform over sequence(0, 63) (any
+    64-bit id range), filtered to depths whose previous level was
+    still above the root, exploded. No driver loop, no scalar action,
+    no union tree; plan size is O(1) in the hierarchy depth.
 
-    One driver-side action total (the max-node scalar that bounds the
-    loop); each iteration is a narrow projection+filter, no shuffle,
-    and the final union is flattened by Catalyst into one scan tree.
+    Round 12 redesign, measured (scripts/deep_plan_probe.py): the
+    previous frontier-extension loop (one union branch per level,
+    branch k carrying k chained projections) was super-linear in the
+    level count — 0.8 s exec at 16 levels, 3.3 s at 32 — and OOM'd
+    the JVM outright at the 64 levels a 100 TB id range implies, pure
+    plan/codegen bloat on identical data. The closed form is flat:
+    0.01 s compile / 0.12 s exec at every depth, row-identical. For
+    hierarchies with ARBITRARY parent EDGES (no closed form) the
+    iterative pattern remains necessary — with localCheckpoint every
+    few levels to truncate the plan, the lesson this redesign pins.
     Oracle: the same recursion as a DuckDB WITH RECURSIVE."""
     e = load_table(spark, sf_dir, "events")
     nodes = e.select((F.col("user_id") + 1).alias("node")).distinct()
-    max_node = nodes.agg(F.max("node")).collect()[0][0]  # scalar loop bound
-    levels = [
-        nodes.select("node", F.col("node").alias("ancestor"), F.lit(0).alias("depth"))
-    ]
-    frontier = levels[0]
-    depth = 0
-    while (1 << depth) <= max_node:
-        depth += 1
-        frontier = frontier.filter(F.col("ancestor") > 1).select(
-            "node",
-            F.expr("ancestor DIV 2").alias("ancestor"),
-            F.lit(depth).alias("depth"),
-        )
-        levels.append(frontier)
-    out = levels[0]
-    for lv in levels[1:]:
-        out = out.unionByName(lv)
-    return out
+    chain = F.expr(
+        """filter(
+             transform(sequence(0, 63),
+                       d -> struct(CAST(d AS INT) AS depth,
+                                   shiftright(node, d) AS ancestor)),
+             s -> s.depth = 0 OR shiftright(node, s.depth - 1) > 1
+           )"""
+    )
+    return nodes.select("node", F.explode(chain).alias("s")).select(
+        "node",
+        F.col("s.ancestor").alias("ancestor"),
+        F.col("s.depth").alias("depth"),
+    )
 
 
 def _pagerank_oracle(iters: int = 20) -> str:
