@@ -1134,7 +1134,8 @@ def pipeline_dataset_card(spark, sf_dir):
 # In-engine BPE TRAINING (round 11) — the engine learns the merge table
 # ---------------------------------------------------------------------------
 
-def train_bpe_merges(spark, sf_dir, n_merges: int = BPE_N, on_merge=None):
+def train_bpe_merges(spark, sf_dir, n_merges: int = BPE_N, on_merge=None,
+                     corpus=None):
     """Learn a BPE merge table FROM the corpus, in-engine — classic
     Sennrich-style training (most-frequent adjacent pair, merge,
     repeat) with the deterministic tie-break (max count, then
@@ -1175,7 +1176,7 @@ def train_bpe_merges(spark, sf_dir, n_merges: int = BPE_N, on_merge=None):
             if jrdd is not None:
                 jrdd.unpersist(False)
 
-    d = load_table(spark, sf_dir, "documents")
+    d = corpus if corpus is not None else load_table(spark, sf_dir, "documents")
     _known0 = _pids()  # foreign persists — never the trainer's to free
     words = (
         d.select(

@@ -1206,6 +1206,12 @@ def stream_incremental_refresh(spark, sf_dir):
             # Index-bootstrap batch (the corpus file arrives first —
             # mtime-ordered feed). Build the standing digest index and
             # stage the corpus replay rows for the daily batch.
+            if d.filter(F.col("doc_id") % 10 == 3).limit(1).count() > 0:
+                raise RuntimeError(
+                    "stream_incremental_refresh: first micro-batch "
+                    "contains arriving-day rows — the feed's mtime "
+                    "ordering did not deliver the corpus file first"
+                )
             state["index"] = d.select(_norm().alias("h")).localCheckpoint(
                 eager=True
             )
@@ -1254,6 +1260,19 @@ def _wire_stream_refresh_oracle():
     import sparkml_spark.functions.subword  # noqa: F401
     from sparkml_spark.registry import ORACLES as _O
 
+    if "pipeline_incremental_refresh" not in _O:
+        # Happens only when a caller enters the package through
+        # functions.subword directly: its module body is mid-flight
+        # (oracle registration at the bottom not yet reached) when the
+        # operators package pulls this module in, so the bare KeyError
+        # is misleading. The supported entry point is
+        # `import sparkml_spark.operators`.
+        raise ImportError(
+            "stream_incremental_refresh oracle wiring ran before "
+            "functions.subword finished initializing — import "
+            "sparkml_spark.operators (the package entry point) instead "
+            "of sparkml_spark.functions.subword directly"
+        )
     _O["stream_incremental_refresh"] = _O["pipeline_incremental_refresh"]
     _registry2.META["stream_incremental_refresh"]["tier"] = "ORACLE"
 

@@ -516,11 +516,20 @@ def test_train_bpe_reproduces_committed_merge_table(spark):
     engine itself can produce, not an unreproducible fixture."""
     from sparkml_spark.functions.subword import BPE_MERGES, train_bpe_merges
 
+    sc = spark.sparkContext
+    pinned_before = {int(i) for i in sc._jsc.getPersistentRDDs().keySet().toArray()}
     trained = train_bpe_merges(spark, SF_DIR)
     assert [(a, b) for (_, a, b, _) in trained] == BPE_MERGES
     # ranks are 1..N and pair counts strictly positive
     assert [r for (r, *_ ) in trained] == list(range(1, len(BPE_MERGES) + 1))
     assert all(c > 0 for (*_, c) in trained)
+    # Storage hygiene (r12): training must leave NO checkpoint blocks
+    # pinned — before the superseded-RDD free the trainer leaked one
+    # vocabulary-sized RDD per merge (DataFrame.unpersist is a no-op
+    # for localCheckpoint storage), an OOM at production merge counts.
+    pinned_after = {int(i) for i in sc._jsc.getPersistentRDDs().keySet().toArray()}
+    leaked = pinned_after - pinned_before
+    assert not leaked, f"trainer left {len(leaked)} RDDs pinned: {leaked}"
 
 
 def test_incremental_refresh_rerun_determinism(spark):
