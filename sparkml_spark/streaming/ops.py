@@ -6,6 +6,21 @@ the events parquet (bounded replay), transformations, memory sink,
 Deterministic on the fixture; the SAME logical plan runs unbounded in
 production by swapping source/sink and trigger.
 
+Round 12 — cross-batch state is EXERCISED, not assumed: every
+stateful op (windowed aggs, session windows, dedup, OHLC, chained
+windows, HLL rollup, stream-stream join, applyInPandasWithState, and
+the foreachBatch twins) consumes its feed as >=2 micro-batches (a
+time- or key-split multi-file feed, `_multi_batch_feed` /
+`_event_stream_2batch`, batch count asserted), so window/session/join
+state genuinely crosses micro-batch boundaries while each op keeps
+its exact one-shot oracle (time-ordered splits make the final
+watermark — and therefore append-mode emission — identical to a
+single-batch replay). Deliberately single-batch: stream_output_modes
+(its update-mode row-count oracle is per-batch by definition),
+stream_foreach_batch_sink (oracle pins batch_id=0),
+stream_checkpoint_recovery (manages its own kill/restart batching),
+stream_source_files / stream_source_kafka (source-mechanics ops).
+
 Semantics pinning: bounded AvailableNow replay of a deterministic
 fixture makes most ops' final output a pure function of the input, so
 they carry DuckDB oracles DIRECTLY (ORACLE tier) — complete-mode aggs
@@ -106,6 +121,41 @@ def _multi_batch_feed(spark, sf_dir, table, splits):
     return stream, len(splits)
 
 
+def _event_stream_2batch(spark, sf_dir):
+    """The events feed as TWO time-ordered micro-batches (first/second
+    half of the event-time range — the day-partitioned arrival shape):
+    the cross-batch-state harness for the windowed/stateful §2.K ops.
+    Windows and sessions that straddle the midpoint accumulate partial
+    state in batch 1 and finish in batch 2, so the state store's carry
+    is genuinely exercised; because the split is time-ordered, the
+    watermark after batch 1 (max(batch-1 ts) - delay < midpoint) can
+    never drop a batch-2 row, and the FINAL watermark equals the
+    single-batch replay's — append-mode emission sets and complete-mode
+    results are unchanged, so every op keeps its exact oracle. Callers
+    pass min_nonempty_batches=2 to _run_to_memory to assert the feed
+    really delivered two batches."""
+    mid = (
+        load_table(spark, sf_dir, "events")
+        .agg(
+            F.timestamp_micros(
+                (
+                    (F.unix_micros(F.min("ts").cast("timestamp"))
+                     + F.unix_micros(F.max("ts").cast("timestamp"))) / 2
+                ).cast("long")
+            ).alias("mid")
+        )
+        .collect()[0]["mid"]
+    )
+    raw, _ = _multi_batch_feed(
+        spark, sf_dir, "events",
+        [
+            ("early", F.col("ts").cast("timestamp") < F.lit(mid)),
+            ("late", F.col("ts").cast("timestamp") >= F.lit(mid)),
+        ],
+    )
+    return raw.withColumn("ts", F.col("ts").cast("timestamp"))
+
+
 #: State-store partition count for every streaming query in this
 #: module. A streaming job's state partitioning is a DELIBERATE,
 #: checkpoint-baked choice (Spark freezes it at the first batch) —
@@ -175,8 +225,12 @@ def stream_tumbling_agg(spark, sf_dir):
     Batch twin: events_hourly_batch (ORACLE) — equality asserted in
     tests/test_streaming.py. Output mode `complete` so windows still
     open at end-of-replay are emitted too (append would hold back
-    anything newer than the final watermark)."""
-    s = _event_stream(spark, sf_dir)
+    anything newer than the final watermark). Round 12: the feed is
+    TWO time-ordered micro-batches (asserted) — hour windows straddling
+    the midpoint accumulate partial counts/sums in the state store
+    across the batch boundary and must still equal the one-shot
+    aggregation the oracle computes."""
+    s = _event_stream_2batch(spark, sf_dir)
     agg = (
         s.withWatermark("ts", "1 hour")
         .groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
@@ -191,7 +245,7 @@ def stream_tumbling_agg(spark, sf_dir):
             "sum_value",
         )
     )
-    return _run_to_memory(agg, "tumbling", "complete")
+    return _run_to_memory(agg, "tumbling", "complete", min_nonempty_batches=2)
 
 
 @query(
@@ -211,8 +265,10 @@ GROUP BY win_start, event_type
 def stream_sliding_agg(spark, sf_dir):
     """1-hour window sliding every 15 minutes — each event lands in 4
     overlapping windows. Batch twin: events_sliding_batch (ORACLE) —
-    equality asserted in tests/test_streaming.py."""
-    s = _event_stream(spark, sf_dir)
+    equality asserted in tests/test_streaming.py. 2-batch time-split
+    feed (round 12): overlapping windows spanning the midpoint carry
+    partial counts across the batch boundary."""
+    s = _event_stream_2batch(spark, sf_dir)
     agg = (
         s.withWatermark("ts", "1 hour")
         .groupBy(F.window("ts", "1 hour", "15 minutes").alias("win"), "event_type")
@@ -223,7 +279,7 @@ def stream_sliding_agg(spark, sf_dir):
             "n_events",
         )
     )
-    return _run_to_memory(agg, "sliding", "complete")
+    return _run_to_memory(agg, "sliding", "complete", min_nonempty_batches=2)
 
 
 @query(
@@ -258,8 +314,11 @@ def stream_session_window(spark, sf_dir):
     MOST the 30-min gap — an exactly-30:00.000000 gap still merges
     (pinned by a synthetic probe in tests/test_streaming.py) — so the
     oracle's new-session predicate is `gap > 30 min` (micro-exact);
-    session end = last event + gap."""
-    s = _event_stream(spark, sf_dir)
+    session end = last event + gap. 2-batch time-split feed (round
+    12): sessions OPEN at the midpoint live in the state store between
+    batches and must merge with their batch-2 tail — the strongest
+    cross-batch case a session window has."""
+    s = _event_stream_2batch(spark, sf_dir)
     agg = (
         s.withWatermark("ts", "1 hour")
         .groupBy(F.session_window("ts", "30 minutes").alias("sess"), "user_id")
@@ -271,7 +330,7 @@ def stream_session_window(spark, sf_dir):
             "n_events",
         )
     )
-    return _run_to_memory(agg, "session", "complete")
+    return _run_to_memory(agg, "session", "complete", min_nonempty_batches=2)
 
 
 @query(
@@ -293,15 +352,19 @@ def stream_watermark_late(spark, sf_dir):
     contract that matters unbounded). ORACLE-tier: append mode emits
     exactly the windows whose end precedes the final watermark
     (max ts - 10 min) — the oracle applies that cutoff to the batch
-    aggregation (boundary pinned empirically, r6)."""
-    s = _event_stream(spark, sf_dir)
+    aggregation (boundary pinned empirically, r6). 2-batch
+    time-split feed (round 12): the first batch's closing advances the
+    watermark mid-stream, so append emission happens ACROSS batches —
+    the final emitted set must still be exactly the final-watermark
+    cutoff the oracle applies."""
+    s = _event_stream_2batch(spark, sf_dir)
     agg = (
         s.withWatermark("ts", "10 minutes")
         .groupBy(F.window("ts", "15 minutes").alias("win"))
         .agg(F.count(F.lit(1)).alias("n_events"))
         .select(F.col("win.start").cast("timestamp_ntz").alias("win_start"), "n_events")
     )
-    return _run_to_memory(agg, "late", "append")
+    return _run_to_memory(agg, "late", "append", min_nonempty_batches=2)
 
 
 @query(
@@ -315,15 +378,18 @@ def stream_dedup(spark, sf_dir):
     win_dedup_latest; counts survivors per event_type. ORACLE-tier:
     event_id is unique on the fixture (canary-pinned), so the
     survivor count per type equals the plain count — which is exactly
-    the invariant a dedup must preserve on already-unique input."""
-    s = _event_stream(spark, sf_dir)
+    the invariant a dedup must preserve on already-unique input.
+    2-batch time-split feed (round 12): the dedup key state carries
+    across the batch boundary — a batch-2 replay of a batch-1 id
+    would be suppressed by carried state, and unique ids must not be."""
+    s = _event_stream_2batch(spark, sf_dir)
     deduped = (
         s.withWatermark("ts", "1 hour")
         .dropDuplicatesWithinWatermark(["event_id"])
         .groupBy("event_type")
         .agg(F.count(F.lit(1)).alias("n_unique"))
     )
-    return _run_to_memory(deduped, "dedup", "complete")
+    return _run_to_memory(deduped, "dedup", "complete", min_nonempty_batches=2)
 
 
 @query("stream_stateful_custom", section="2.K")
@@ -346,26 +412,7 @@ def stream_stateful_custom(spark, sf_dir):
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-    mid = (
-        load_table(spark, sf_dir, "events")
-        .agg(
-            F.timestamp_micros(
-                (
-                    (F.unix_micros(F.min("ts").cast("timestamp"))
-                     + F.unix_micros(F.max("ts").cast("timestamp"))) / 2
-                ).cast("long")
-            ).alias("mid")
-        )
-        .collect()[0]["mid"]
-    )
-    raw, _ = _multi_batch_feed(
-        spark, sf_dir, "events",
-        [
-            ("early", F.col("ts").cast("timestamp") < F.lit(mid)),
-            ("late", F.col("ts").cast("timestamp") >= F.lit(mid)),
-        ],
-    )
-    s = raw.withColumn("ts", F.col("ts").cast("timestamp"))
+    s = _event_stream_2batch(spark, sf_dir)
 
     def update(key, pdfs, state: GroupState):
         total, n = state.get if state.exists else (0.0, 0)
@@ -406,8 +453,10 @@ def stream_static_join(spark, sf_dir):
     per-user profile (built from the batch table). Static side is
     broadcast into every micro-batch. ORACLE-tier: the enrichment is a
     deterministic equi join, so the result equals the batch join +
-    aggregation."""
-    s = _event_stream(spark, sf_dir)
+    aggregation. 2-batch time-split feed (round 12): the dimension is
+    re-broadcast into each micro-batch and the downstream agg state
+    carries across the boundary."""
+    s = _event_stream_2batch(spark, sf_dir)
     users = (
         load_table(spark, sf_dir, "events")
         .groupBy("user_id")
@@ -418,7 +467,9 @@ def stream_static_join(spark, sf_dir):
         .groupBy("user_id", "first_seen")
         .agg(F.count(F.lit(1)).alias("n_events"))
     )
-    return _run_to_memory(joined, "static_join", "complete").select(
+    return _run_to_memory(
+        joined, "static_join", "complete", min_nonempty_batches=2
+    ).select(
         "user_id",
         F.col("first_seen").cast("timestamp_ntz").alias("first_seen"),
         "n_events",
@@ -526,9 +577,12 @@ def stream_stream_join(spark, sf_dir):
     canonical funnel-attribution shape). ORACLE-tier: bounded replay
     flushes every matched pair exactly once at termination (verified
     r6: stream row set == batch interval join), so the oracle is the
-    batch interval join itself."""
+    batch interval join itself. 2-batch time-split feed on BOTH sides
+    (round 12): a batch-1 click matching a batch-2 purchase is joined
+    out of carried join state — and state eviction under the advancing
+    watermark may only evict clicks no future purchase can reach."""
     purchases = (
-        _event_stream(spark, sf_dir)
+        _event_stream_2batch(spark, sf_dir)
         .filter(F.col("event_type") == "purchase")
         .select(
             F.col("user_id").alias("p_user"),
@@ -538,7 +592,7 @@ def stream_stream_join(spark, sf_dir):
         .withWatermark("p_ts", "1 hour")
     )
     clicks = (
-        _event_stream(spark, sf_dir)
+        _event_stream_2batch(spark, sf_dir)
         .filter(F.col("event_type") == "click")
         .select(F.col("user_id").alias("c_user"), F.col("ts").alias("c_ts"))
         .withWatermark("c_ts", "2 hours")
@@ -556,7 +610,7 @@ def stream_stream_join(spark, sf_dir):
     )
     # stream-stream joins emit in APPEND mode only (each matched pair
     # exactly once, once both watermarks pass it).
-    return _run_to_memory(joined, "ss_join", "append")
+    return _run_to_memory(joined, "ss_join", "append", min_nonempty_batches=2)
 
 
 @query("stream_stateful_bound", section="2.K", oracle=ZERO_VIOLATIONS)
@@ -660,7 +714,7 @@ def stream_stateful_tws(spark, sf_dir):
         def close(self) -> None:
             pass
 
-    s = _event_stream(spark, sf_dir)
+    s = _event_stream_2batch(spark, sf_dir)
     out = (
         s.withWatermark("ts", "1 hour")
         .groupBy("user_id")
@@ -671,7 +725,7 @@ def stream_stateful_tws(spark, sf_dir):
             timeMode="None",
         )
     )
-    return _run_to_memory(out, "tws", "update")
+    return _run_to_memory(out, "tws", "update", min_nonempty_batches=2)
 
 
 @query("stream_sketch_rollup", section="2.K")
@@ -683,15 +737,19 @@ def stream_sketch_rollup(spark, sf_dir):
     (fixed memory per window, mergeable across micro-batches) instead
     of exact distinct state that grows with cardinality. ROWS tier
     (sketch runtime); the exact batch twin is one groupBy away and the
-    test suite compares them within HLL error."""
-    e = _event_stream(spark, sf_dir)
+    test suite compares them within HLL error. 2-batch time-split feed
+    (round 12): the per-window HLL registers are MERGED across the
+    batch boundary — the mergeability the 100 TB pattern relies on,
+    now exercised rather than assumed."""
+    e = _event_stream_2batch(spark, sf_dir)
     agg = (
         e.withWatermark("ts", "1 hour")
         .groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
         .agg(F.approx_count_distinct("user_id", 0.02).alias("approx_users"))
         .select(F.col("win.start").alias("hour_start"), "event_type", "approx_users")
     )
-    return _run_to_memory(agg, "stream_sketch_rollup", output_mode="complete")
+    return _run_to_memory(agg, "stream_sketch_rollup", output_mode="complete",
+                          min_nonempty_batches=2)
 
 
 @query("stream_sketch_rollup_bound", section="2.K", oracle=ZERO_VIOLATIONS)
@@ -749,8 +807,10 @@ def stream_ohlc(spark, sf_dir):
     key recipe, so bar values line up with the batch op). Watermarked
     1h; in production the same query runs unbounded from Kafka with
     RocksDB state — the window state per bar is four scalars, not the
-    events."""
-    s = _event_stream(spark, sf_dir)
+    events. 2-batch time-split feed (round 12): bars straddling the
+    midpoint accumulate open/high/low/close across the boundary; the
+    min_by/max_by tie-break key must survive the state round-trip."""
+    s = _event_stream_2batch(spark, sf_dir)
     key = F.concat(
         F.date_format("ts", "yyyyMMddHHmmssSSSSSS"),
         F.lpad(F.col("event_id").cast("string"), 12, "0"),
@@ -775,7 +835,7 @@ def stream_ohlc(spark, sf_dir):
             "n_events",
         )
     )
-    return _run_to_memory(bars, "ohlc", "append")
+    return _run_to_memory(bars, "ohlc", "append", min_nonempty_batches=2)
 
 
 @query(
@@ -798,8 +858,11 @@ def stream_chained_windows(spark, sf_dir):
     stateful stages share the pipeline; the second groups on the
     FIRST's window struct. Batch equivalence asserted in
     tests/test_streaming.py. At scale this halves the storage round
-    trip of the classic bronze->hourly->daily chain."""
-    s = _event_stream(spark, sf_dir)
+    trip of the classic bronze->hourly->daily chain. 2-batch
+    time-split feed (round 12): BOTH stateful stages carry partial
+    state across the boundary — stage 1's open hour windows and stage
+    2's open 6-hour blocks."""
+    s = _event_stream_2batch(spark, sf_dir)
     hourly = (
         s.withWatermark("ts", "1 hour")
         .groupBy(F.window("ts", "1 hour").alias("w1"), "event_type")
@@ -814,7 +877,7 @@ def stream_chained_windows(spark, sf_dir):
         "event_type",
         "n_events",
     )
-    return _run_to_memory(six_hourly, "chained", "append")
+    return _run_to_memory(six_hourly, "chained", "append", min_nonempty_batches=2)
 
 
 @query(
