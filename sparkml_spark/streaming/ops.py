@@ -1086,8 +1086,10 @@ def stream_drift_monitor(spark, sf_dir):
     explicitly bounded (#hours x #buckets — linear in wall-clock time,
     constant in data rate) and both global attachments are 1-row/
     20-row broadcasts. Replay protocol: AvailableNow into a memory
-    sink (complete mode), like every 2.K oracle."""
-    s = _event_stream(spark, sf_dir)
+    sink (complete mode), like every 2.K oracle. 2-batch time-split
+    feed (round 12): per-(hour, bucket) counts straddling the midpoint
+    accumulate across the batch boundary before the scoring pass."""
+    s = _event_stream_2batch(spark, sf_dir)
     hist = (
         s.withWatermark("ts", "1 hour")
         .groupBy(
@@ -1099,7 +1101,7 @@ def stream_drift_monitor(spark, sf_dir):
             F.col("win.start").cast("timestamp_ntz").alias("h"), "b", "c"
         )
     )
-    hc = _run_to_memory(hist, "drift", "complete")
+    hc = _run_to_memory(hist, "drift", "complete", min_nonempty_batches=2)
     nh = hc.groupBy("h").agg(F.sum("c").alias("n_hour"))
     g = hc.groupBy("b").agg(F.sum("c").alias("gn"))
     ng = g.agg(F.sum("gn").alias("n_g"))
@@ -1152,10 +1154,13 @@ def stream_observe_metrics(spark, sf_dir):
     Scale: observe() is a streaming-safe accumulator on the existing
     plan — no second scan, no state store, constant memory per
     metric. The noop sink isolates the cost to the metrics
-    themselves."""
+    themselves. 2-batch time-split feed (round 12): the merge loop
+    below genuinely combines metrics from >=2 micro-batches (asserted)
+    — counts/sums by addition, extrema by min/max — instead of
+    passing through a single batch's row."""
     import decimal
 
-    s = _event_stream(spark, sf_dir)
+    s = _event_stream_2batch(spark, sf_dir)
     obs = s.observe(
         "canary",
         F.count(F.lit(1)).alias("n_events"),
@@ -1191,10 +1196,12 @@ def stream_observe_metrics(spark, sf_dir):
             "metrics may have been evicted — raise the retention"
         )
     n, sv, mn, mx = 0, decimal.Decimal(0), None, None
+    n_contributing = 0
     for prog in progress:
         row = (prog.get("observedMetrics") or {}).get("canary")
         if row is None:
             continue
+        n_contributing += 1
         n += row["n_events"]
         if row["sum_value"] is not None:
             sv += decimal.Decimal(str(row["sum_value"]))
@@ -1202,6 +1209,12 @@ def stream_observe_metrics(spark, sf_dir):
             mn = row["min_user"] if mn is None else min(mn, row["min_user"])
         if row["max_user"] is not None:
             mx = row["max_user"] if mx is None else max(mx, row["max_user"])
+    if n_contributing < 2:
+        raise RuntimeError(
+            f"stream_observe_metrics: {n_contributing} micro-batches "
+            "contributed observed metrics; the cross-batch merge contract "
+            "requires >= 2"
+        )
     out = spark.createDataFrame(
         [(n, sv, mn, mx)],
         "n_events long, sum_value decimal(27,6), min_user long, max_user long",
