@@ -1215,3 +1215,17 @@ def test_r11_wave28_plan_shapes(spark):
     assert has_partial_aggregate(sky)
     plan = sky._jdf.queryExecution().executedPlan().toString()
     assert "Join" not in plan, plan[:2000]
+
+
+def test_hierarchy_closure_is_single_plan_no_union(spark):
+    """Round-12 redesign pin: the closure must stay the closed-form
+    single projection (transform/filter/explode), NOT a per-level
+    union of chained frontiers — the loop form measured super-linear
+    in level count and OOM'd the JVM at the 64 levels a 2^63 id range
+    implies (scripts/deep_plan_probe.py). Plan shape: one Generate
+    (the explode), zero Union nodes, zero shuffles."""
+    df = QUERIES["hierarchy_closure"](spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Union" not in plan, "closure regressed to the union-loop form"
+    assert "Generate" in plan, "expected the explode-based closed form"
+    assert shuffle_count(df) <= 1  # the nodes distinct; nothing per-level
