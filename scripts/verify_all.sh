@@ -38,7 +38,10 @@ run() { # name, cmd...
 }
 
 if [ $quick -eq 0 ]; then
-  run "pytest" timeout 1200 python -m pytest tests/ -q -x
+  # 2400s: the full suite measured 1662s at r12 HEAD (666 tests incl.
+  # the 2-batch streaming feeds); the old 1200s cap was sized for the
+  # r7-era suite and started killing healthy runs at ~43%.
+  run "pytest" timeout 2400 python -m pytest tests/ -q -x
 fi
 run "sim sf0.01" timeout 900 python scripts/driver_sim.py
 if [ $quick -eq 0 ]; then
@@ -47,12 +50,11 @@ if [ $quick -eq 0 ]; then
   # sweep over a 4-file rebuild of sf0.01 — different parquet merge
   # order => different float summation order; the strongest structural
   # canary the repo owns, now in the per-round gate.
-  run "sim sf0.01 multifile" timeout 1500 python scripts/partitioned_verify.py
-  # 2400s: the sf0.1 sim measured 864s at r7 HEAD and >1500s at r9
-  # HEAD (315-query slate; the r9 run was killed by the old 1500s cap
-  # at ~80% through with zero failures) — keep ~30% slack over the
-  # observed growth curve.
-  run "sim sf0.1" timeout 2400 python scripts/driver_sim.py --sf-dir /root/testdata/sf0.1
+  run "sim sf0.01 multifile" timeout 2100 python scripts/partitioned_verify.py
+  # 3000s: the sf0.1 sim measured 864s at r7 HEAD, >1500s at r9 (315
+  # queries), 1622s at r11 (348); at the 437-query inventory plus the
+  # 2-batch streaming feeds keep ~40% slack over the growth curve.
+  run "sim sf0.1" timeout 3000 python scripts/driver_sim.py --sf-dir /root/testdata/sf0.1
   # Cheap scale gate (VERDICT r6 #6): headline suite at x10-of-sf0.01,
   # fail on any super-linear ratio (measured ratios are <=3 here —
   # scan parallelism absorbs x10; 10 = linear is the rot alarm).
