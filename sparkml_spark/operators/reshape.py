@@ -306,6 +306,78 @@ def op_cdc_apply_ordered(spark, sf_dir):
     return cdc_apply_chain(d, e)
 
 
+def cdc_state_init(d):
+    """Initial CDC merge-table state from a documents-shaped snapshot:
+    the live rows plus the standard CDC metadata columns — last
+    applied sequence (null = untouched), origin-in-snapshot flag, and
+    tombstone marker. Shared by streaming/ops.stream_cdc_apply (which
+    carries it across micro-batches) and the any-split property test."""
+    return d.select(
+        F.col("doc_id").alias("key"),
+        F.col("n_chars").cast("long").alias("val"),
+        F.lit(None).cast("long").alias("last_seq"),
+        F.lit(True).alias("in_snap0"),
+        F.lit(False).alias("deleted"),
+    )
+
+
+def cdc_merge_step(state, e_batch):
+    """One CDC poll applied to the evolving merge table: reduce the
+    ARRIVING events-shaped changes to per-key max-seq, then merge
+    last-writer-wins BY SEQ — a stale change (lower seq than the
+    state's last applied) never clobbers a newer applied one, and a
+    tombstoned key re-inserted by a newer change resurrects. Because
+    each step keeps the per-key max seq, folding any partition of the
+    change stream through this step — in any batch order — reaches
+    the same final state as the one-shot application
+    (tests/test_properties.py pins this over random splits)."""
+    from pyspark.sql import Window
+
+    changes = e_batch.select(
+        ((F.col("user_id") * 7) % 600).alias("key"),
+        F.col("event_id").alias("seq"),
+        F.when(F.col("event_type") == "error", "delete")
+        .otherwise("upsert")
+        .alias("op"),
+        F.round(F.col("value") * 100).cast("long").alias("payload"),
+    )
+    w = Window.partitionBy("key").orderBy(F.col("seq").desc())
+    last_b = (
+        changes.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("key", "seq", "op", "payload")
+    )
+    merged = state.join(last_b, "key", "full_outer")
+    take = F.col("seq").isNotNull() & (
+        F.col("last_seq").isNull() | (F.col("seq") > F.col("last_seq"))
+    )
+    return merged.select(
+        "key",
+        F.when(take & (F.col("op") == "upsert"), F.col("payload"))
+        .when(take, F.lit(None).cast("long"))
+        .otherwise(F.col("val"))
+        .alias("val"),
+        F.when(take, F.col("seq")).otherwise(F.col("last_seq")).alias("last_seq"),
+        F.coalesce(F.col("in_snap0"), F.lit(False)).alias("in_snap0"),
+        F.when(take, F.col("op") == "delete")
+        .otherwise(F.coalesce(F.col("deleted"), F.lit(False)))
+        .alias("deleted"),
+    )
+
+
+def cdc_finalize(state):
+    """Merge-table state -> the op_cdc_apply_ordered output contract:
+    tombstones dropped; action derived from (touched, origin)."""
+    return state.filter(~F.col("deleted")).select(
+        "key",
+        "val",
+        F.when(F.col("last_seq").isNull(), F.lit("unchanged"))
+        .when(F.col("in_snap0"), F.lit("updated"))
+        .otherwise(F.lit("inserted"))
+        .alias("action"),
+    )
+
+
 def cdc_apply_chain(d, e):
     """Shared ordered-CDC application over (documents-shaped snapshot,
     events-shaped changes) — consumed by the batch query above and

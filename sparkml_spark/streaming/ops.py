@@ -1463,8 +1463,17 @@ def stream_cdc_apply(spark, sf_dir):
     cross-batch carry is localCheckpoint, in production a Delta/
     Iceberg MERGE target); per batch one key-partitioned rank window
     over the ARRIVING changes only + one equi merge — the standard
-    CDC-compaction plan. Tombstones retain (key, seq) so the state
-    table is snapshot+churn sized, compacted by retention policy."""
+    CDC-compaction plan (shared cdc_state_init/cdc_merge_step/
+    cdc_finalize, reshape.py; the any-split convergence is ALSO
+    property-tested over random decompositions in
+    tests/test_properties.py). Tombstones retain (key, seq) so the
+    state table is snapshot+churn sized, compacted by retention
+    policy."""
+    from sparkml_spark.operators.reshape import (
+        cdc_finalize,
+        cdc_merge_step,
+        cdc_state_init,
+    )
     from sparkml_spark.sources.loader import load_table as _lt
 
     stream, n_files = _multi_batch_feed(
@@ -1473,52 +1482,12 @@ def stream_cdc_apply(spark, sf_dir):
          ("odd", F.col("event_id") % 2 == 1)],
     )
     snapshot = _lt(spark, sf_dir, "documents")
-    state = [
-        snapshot.select(
-            F.col("doc_id").alias("key"),
-            F.col("n_chars").cast("long").alias("val"),
-            F.lit(None).cast("long").alias("last_seq"),
-            F.lit(True).alias("in_snap0"),
-            F.lit(False).alias("deleted"),
-        ).localCheckpoint(eager=True)
-    ]
+    state = [cdc_state_init(snapshot).localCheckpoint(eager=True)]
     n_batches = [0]
 
     def handle(batch_df, _bid):
-        from pyspark.sql import Window
-
         n_batches[0] += 1
-        changes = batch_df.select(
-            ((F.col("user_id") * 7) % 600).alias("key"),
-            F.col("event_id").alias("seq"),
-            F.when(F.col("event_type") == "error", "delete")
-            .otherwise("upsert")
-            .alias("op"),
-            F.round(F.col("value") * 100).cast("long").alias("payload"),
-        )
-        w = Window.partitionBy("key").orderBy(F.col("seq").desc())
-        last_b = (
-            changes.withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
-            .select("key", "seq", "op", "payload")
-        )
-        s = state[0]
-        merged = s.join(last_b, "key", "full_outer")
-        take = F.col("seq").isNotNull() & (
-            F.col("last_seq").isNull() | (F.col("seq") > F.col("last_seq"))
-        )
-        state[0] = merged.select(
-            "key",
-            F.when(take & (F.col("op") == "upsert"), F.col("payload"))
-            .when(take, F.lit(None).cast("long"))
-            .otherwise(F.col("val"))
-            .alias("val"),
-            F.when(take, F.col("seq")).otherwise(F.col("last_seq")).alias("last_seq"),
-            F.coalesce(F.col("in_snap0"), F.lit(False)).alias("in_snap0"),
-            F.when(take, F.col("op") == "delete")
-            .otherwise(F.coalesce(F.col("deleted"), F.lit(False)))
-            .alias("deleted"),
-        ).localCheckpoint(eager=True)
+        state[0] = cdc_merge_step(state[0], batch_df).localCheckpoint(eager=True)
 
     q = stream.writeStream.foreachBatch(handle).trigger(availableNow=True).start()
     q.awaitTermination()
@@ -1528,14 +1497,7 @@ def stream_cdc_apply(spark, sf_dir):
             f"contract requires the split's {n_files} (state carry untested "
             "on a coalesced feed)"
         )
-    return state[0].filter(~F.col("deleted")).select(
-        "key",
-        "val",
-        F.when(F.col("last_seq").isNull(), F.lit("unchanged"))
-        .when(F.col("in_snap0"), F.lit("updated"))
-        .otherwise(F.lit("inserted"))
-        .alias("action"),
-    )
+    return cdc_finalize(state[0])
 
 
 def _wire_stream_cdc_oracle():

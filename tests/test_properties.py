@@ -1503,3 +1503,48 @@ def test_skyline_sweep_matches_dominance_definition(spark):
         for r in QUERIES["agg_skyline_frontier"](spark, SF_DIR).collect()
     }
     assert got == want
+
+
+def test_cdc_merge_converges_under_any_split(spark):
+    """The claim stream_cdc_apply's oracle rests on: folding the
+    change stream through cdc_merge_step over ANY partition of the
+    changes, applied in ANY batch order, reaches exactly the one-shot
+    cdc_apply_chain state. Exercised over 2/3/4-way hash splits with
+    different salts — including reversed application order, so later
+    batches carry mostly-older sequence numbers (the stale-update
+    adversary the seq-aware merge exists for)."""
+    from sparkml_spark.operators.reshape import (
+        cdc_apply_chain,
+        cdc_finalize,
+        cdc_merge_step,
+        cdc_state_init,
+    )
+    from sparkml_spark.registry import QUERIES  # noqa: F401 (registration)
+    from sparkml_spark.sources.loader import load_table
+
+    from .conftest import SF_DIR
+
+    from pyspark.sql import functions as F
+
+    d = load_table(spark, SF_DIR, "documents")
+    e = load_table(spark, SF_DIR, "events")
+    want = sorted(map(tuple, cdc_apply_chain(d, e).collect()))
+
+    cases = [
+        (2, 7, False),
+        (3, 13, False),
+        (4, 31, True),   # reversed: last batch has the LOWEST hash bucket
+        (3, 101, True),
+    ]
+    for n_parts, salt, reverse in cases:
+        parts = list(range(n_parts))
+        if reverse:
+            parts = parts[::-1]
+        state = cdc_state_init(d).localCheckpoint(eager=True)
+        for p in parts:
+            batch = e.filter(
+                F.abs(F.hash(F.col("event_id") + salt)) % n_parts == p
+            )
+            state = cdc_merge_step(state, batch).localCheckpoint(eager=True)
+        got = sorted(map(tuple, cdc_finalize(state).collect()))
+        assert got == want, f"diverged under split n={n_parts} salt={salt} rev={reverse}"
