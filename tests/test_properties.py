@@ -1548,3 +1548,47 @@ def test_cdc_merge_converges_under_any_split(spark):
             state = cdc_merge_step(state, batch).localCheckpoint(eager=True)
         got = sorted(map(tuple, cdc_finalize(state).collect()))
         assert got == want, f"diverged under split n={n_parts} salt={salt} rev={reverse}"
+
+
+def test_ab_partial_merge_converges_under_any_split(spark):
+    """Same any-split contract for stream_ab_monitor's carried state:
+    per-user conversion partials merged by max() over any partition of
+    the events must reproduce the one-shot readout exactly."""
+    from sparkml_spark.operators.funnels import (
+        ab_user_converted,
+        ab_ztest_finalize,
+        ab_ztest_readout,
+    )
+    from sparkml_spark.sources.loader import load_table
+
+    from .conftest import SF_DIR
+
+    from pyspark.sql import functions as F
+
+    e = load_table(spark, SF_DIR, "events")
+    want = sorted(map(tuple, ab_ztest_readout(e).collect()))
+
+    for n_parts, salt in [(2, 7), (3, 13), (4, 101)]:
+        state = None
+        for p in range(n_parts):
+            partial = ab_user_converted(
+                e.filter(F.abs(F.hash(F.col("event_id") + salt)) % n_parts == p)
+            )
+            if state is None:
+                state = partial.localCheckpoint(eager=True)
+            else:
+                state = (
+                    state.withColumnRenamed("converted", "a")
+                    .join(partial.withColumnRenamed("converted", "b"),
+                          "user_id", "full_outer")
+                    .select(
+                        "user_id",
+                        F.greatest(
+                            F.coalesce(F.col("a"), F.lit(0)),
+                            F.coalesce(F.col("b"), F.lit(0)),
+                        ).alias("converted"),
+                    )
+                    .localCheckpoint(eager=True)
+                )
+        got = sorted(map(tuple, ab_ztest_finalize(state).collect()))
+        assert got == want, f"diverged under split n={n_parts} salt={salt}"
