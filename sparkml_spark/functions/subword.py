@@ -1156,29 +1156,17 @@ def train_bpe_merges(spark, sf_dir, n_merges: int = BPE_N, on_merge=None,
     """
     import time as _time
 
-    sc = spark.sparkContext
+    from sparkml_spark.session import CheckpointChain
 
-    def _pids() -> set:
-        return {int(i) for i in sc._jsc.getPersistentRDDs().keySet().toArray()}
-
-    def _free(pids: set) -> None:
-        # localCheckpoint storage is RDD-registry state, NOT cache-manager
-        # state: DataFrame.unpersist() on the superseded frame is a no-op
-        # for it (measured: 13 pinned RDDs after 12 merges). Freeing the
-        # PREVIOUS iteration's blocks after the new checkpoint has
-        # materialized is the ALS/GraphX iterative pattern; without it the
-        # trainer pins one vocabulary-sized RDD per merge and a 32k-merge
-        # production run carries 32k copies (scripts/bpe_scale_probe.py
-        # measures the flat storage this keeps).
-        jmap = sc._jsc.getPersistentRDDs()
-        for pid in pids:
-            jrdd = jmap.get(pid)
-            if jrdd is not None:
-                jrdd.unpersist(False)
+    # Per-iteration checkpoint hygiene (round 12, measured): without
+    # the chain the trainer pins one vocabulary-sized RDD PER MERGE —
+    # 13 after 12 merges, a guaranteed OOM at 32k — because
+    # DataFrame.unpersist is a no-op for localCheckpoint blocks.
+    # scripts/bpe_scale_probe.py measures the flat storage this keeps.
+    chain = CheckpointChain(spark)
 
     d = corpus if corpus is not None else load_table(spark, sf_dir, "documents")
-    _known0 = _pids()  # foreign persists — never the trainer's to free
-    words = (
+    words = chain.step(
         d.select(
             F.explode(
                 F.split(F.lower(F.trim(F.col("text"))), r"\s+")
@@ -1194,10 +1182,8 @@ def train_bpe_merges(spark, sf_dir, n_merges: int = BPE_N, on_merge=None,
                 "toks"
             ),
         )
-        .localCheckpoint()
     )
     merges: list[tuple[int, str, str, int]] = []
-    prev_ckpt: set = set()
     for rank in range(1, n_merges + 1):
         _t0 = _time.monotonic()
         best = (
@@ -1223,18 +1209,14 @@ def train_bpe_merges(spark, sf_dir, n_merges: int = BPE_N, on_merge=None,
         rule = F.struct(
             F.lit(a).alias("a"), F.lit(b).alias("b"), F.lit(a + b).alias("m")
         )
-        before = _pids()
-        words = words.withColumn(
-            "toks", _apply_rule(F.col("toks"), rule)
-        ).localCheckpoint()
-        fresh = _pids() - before
-        _free(prev_ckpt)  # superseded iteration, safe now the new one is live
-        prev_ckpt = fresh
+        words = chain.step(
+            words.withColumn("toks", _apply_rule(F.col("toks"), rule))
+        )
+        chain.reap()  # superseded iteration, safe now the new one is live
         if on_merge is not None:
             on_merge(rank, _time.monotonic() - _t0)
-    # Final iteration's blocks AND the base vocabulary checkpoint; the
-    # merge table lives on the driver, nothing distributed survives.
-    _free((prev_ckpt | _pids()) - _known0)
+    # The merge table lives on the driver; nothing distributed survives.
+    chain.close()
     return merges
 
 

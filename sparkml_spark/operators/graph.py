@@ -176,6 +176,14 @@ def graph_pagerank(spark, sf_dir):
         .distinct()
         .cache()
     )
+    from sparkml_spark.session import CheckpointChain
+
+    # Round 12: route the per-iteration checkpoints through the chain
+    # so superseded iterations' blocks are freed (unpersist on the
+    # frame is a no-op for checkpoint storage) — tiny state here (25
+    # rows), but the hygiene is the pattern, uniform with the BPE
+    # trainer and the CC loop.
+    chain = CheckpointChain(nodes.sparkSession)
     n_nodes = nodes.count()
     ranks = nodes.select("node", F.lit(1.0 / n_nodes).alias("rank"))
     for _ in range(20):
@@ -185,7 +193,7 @@ def graph_pagerank(spark, sf_dir):
             # doubles is exact on a fixed grid -> deterministic ranks
             F.round(F.col("rank") * F.col("p"), 12).cast("decimal(27,12)").alias("t"),
         )
-        ranks = (
+        ranks = chain.step(
             nodes.join(contrib.groupBy("node").agg(F.sum("t").alias("s")), "node", "left")
             .select(
                 "node",
@@ -201,8 +209,8 @@ def graph_pagerank(spark, sf_dir):
             # coalesce(1): keep the tiny state in one partition so each
             # iteration doesn't schedule 32 near-empty tasks.
             .coalesce(1)
-            .localCheckpoint(eager=True)
         )
+        chain.reap()  # the superseded iteration's 25-row blocks
     return ranks.select("node", F.round("rank", 6).alias("pagerank"))
 
 

@@ -917,15 +917,22 @@ def cc_min_label(edges, max_rounds: int = 40):
     Raises RuntimeError if max_rounds (default 40 ≈ log2 of any
     realistic id space) passes without convergence, so a pathological
     graph fails LOUDLY instead of returning partial clusters."""
+    from sparkml_spark.session import CheckpointChain
+
     sym = edges.unionByName(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
-    labels = (
+    # Checkpoint hygiene (round 12): each round's localCheckpoint pins
+    # a NODE-sized RDD, and unpersisting the superseded frame is a
+    # no-op for checkpoint blocks — the chain frees each round's
+    # blocks after its last read (the convergence diff), so the loop
+    # holds at most two generations instead of rounds_used of them.
+    chain = CheckpointChain(edges.sparkSession)
+    labels = chain.step(
         sym.select(F.col("src").alias("node"))
         .unionByName(sym.select(F.col("dst").alias("node")))
         .distinct()
         .withColumn("lbl", F.col("node"))
-        .localCheckpoint(eager=True)
     )
     for rounds_used in range(1, max_rounds + 1):
         nbr = (
@@ -940,19 +947,20 @@ def cc_min_label(edges, max_rounds: int = 40):
         ptr = stepped.select(
             F.col("node").alias("p_node"), F.col("lbl").alias("p_lbl")
         )
-        doubled = (
-            stepped.join(ptr, stepped.lbl == ptr.p_node, "left")
-            .select(
+        doubled = chain.step(
+            stepped.join(ptr, stepped.lbl == ptr.p_node, "left").select(
                 "node",
                 F.least(F.col("lbl"), F.coalesce("p_lbl", F.col("lbl"))).alias("lbl"),
             )
-            .localCheckpoint(eager=True)
         )
         changed = (
             doubled.join(labels.withColumnRenamed("lbl", "old"), "node")
             .filter(F.col("lbl") != F.col("old"))
             .count()
         )
+        # `labels`' last read was the convergence diff above — free it
+        # now (keep=1 retains `doubled`, which the caller consumes).
+        chain.reap()
         labels = doubled
         if changed == 0:
             return labels, rounds_used

@@ -90,3 +90,66 @@ def get_spark(app_name: str = "sparkml_spark", master: str | None = None) -> Spa
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return ensure_confs(spark)
+
+
+class CheckpointChain:
+    """Checkpoint hygiene for iterative DataFrame algorithms.
+
+    localCheckpoint storage lives in the RDD registry, NOT the cache
+    manager, so `DataFrame.unpersist()` on a superseded iteration is a
+    silent no-op and every iteration pins one state-sized RDD forever
+    (measured round 12: the BPE trainer held 13 RDDs after 12 merges;
+    the CC loop pins one NODE-sized set per round). The fix is the
+    ALS/GraphX pattern: materialize the new checkpoint, then free the
+    superseded blocks through `SparkContext.getPersistentRDDs`.
+
+    Usage:
+        chain = CheckpointChain(spark)
+        state = chain.step(initial_state_df)      # checkpoint + record
+        for ...:
+            new = chain.step(f(state))            # checkpoint + record
+            ... last read of `state` ...          # e.g. convergence diff
+            chain.reap()                          # free all but `new`
+            state = new
+        chain.close()     # free everything — ONLY if `state` is done;
+                          # skip when the caller consumes the result.
+
+    reap() is separate from step() because freeing is only safe after
+    the LAST read of the superseded frame: checkpointing truncates
+    lineage, so an unpersisted checkpoint cannot be recomputed — a
+    read-after-free is a job failure, not a slowdown.
+    """
+
+    def __init__(self, spark: SparkSession) -> None:
+        self._sc = spark.sparkContext
+        self._generations: list[set] = []
+
+    def _ids(self) -> set:
+        return {
+            int(i)
+            for i in self._sc._jsc.getPersistentRDDs().keySet().toArray()
+        }
+
+    def _free(self, pids: set) -> None:
+        jmap = self._sc._jsc.getPersistentRDDs()
+        for pid in pids:
+            jrdd = jmap.get(pid)
+            if jrdd is not None:
+                jrdd.unpersist(False)
+
+    def step(self, df):
+        """Eagerly localCheckpoint `df`, recording its blocks as the
+        newest generation. Does NOT free anything — call reap()."""
+        before = self._ids()
+        out = df.localCheckpoint(eager=True)
+        self._generations.append(self._ids() - before)
+        return out
+
+    def reap(self, keep: int = 1) -> None:
+        """Free every recorded generation except the newest `keep`."""
+        while len(self._generations) > keep:
+            self._free(self._generations.pop(0))
+
+    def close(self) -> None:
+        """Free ALL recorded generations (the final state included)."""
+        self.reap(keep=0)
