@@ -34,20 +34,51 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 _N_FILES = 4
 
 
+def _layout_signature(base_dir: str, tables) -> str:
+    """Cache key for the rebuilt layout: source dir + the table list +
+    each source file's (size, mtime) census. Regenerating the fixtures
+    in place, adding a table to TABLES, or touching any source parquet
+    changes the signature and forces a rebuild — previously the marker
+    recorded only base_dir, so the standing multifile t2 gate could
+    silently verify a stale or incomplete layout (ADVICE r12)."""
+    import json
+
+    census = []
+    for t in tables:
+        src = os.path.join(base_dir, f"{t}.parquet")
+        paths = (
+            sorted(
+                os.path.join(r, f)
+                for r, _, fs in os.walk(src)
+                for f in fs
+            )
+            if os.path.isdir(src)
+            else [src]
+        )
+        for p in paths:
+            st = os.stat(p)
+            census.append([os.path.relpath(p, base_dir), st.st_size,
+                           int(st.st_mtime_ns)])
+    return json.dumps({"base": base_dir, "tables": list(tables),
+                       "files": census}, sort_keys=True)
+
+
 def build_layout(base_dir: str, out_dir: str) -> None:
     """Rebuild every fixture table as _N_FILES part files. Rebuilt from
-    scratch whenever the marker is missing; the marker records the
-    source dir so a --sf-dir change invalidates the cache."""
-    marker = os.path.join(out_dir, ".layout_complete")
-    if os.path.exists(marker):
-        with open(marker) as f:
-            if f.read().strip() == base_dir:
-                return
+    scratch whenever the marker is missing or its recorded signature
+    (source dir + TABLES + per-file size/mtime) no longer matches."""
     import shutil
 
     from pyspark.sql import SparkSession
 
     from sparkml_spark.sources.loader import TABLES
+
+    sig = _layout_signature(base_dir, TABLES)
+    marker = os.path.join(out_dir, ".layout_complete")
+    if os.path.exists(marker):
+        with open(marker) as f:
+            if f.read().strip() == sig.strip():
+                return
 
     shutil.rmtree(out_dir, ignore_errors=True)
     os.makedirs(out_dir, exist_ok=True)
@@ -69,7 +100,7 @@ def build_layout(base_dir: str, out_dir: str) -> None:
     finally:
         spark.stop()
     with open(marker, "w") as f:
-        f.write(base_dir + "\n")
+        f.write(sig + "\n")
 
 
 def main() -> int:

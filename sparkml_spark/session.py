@@ -139,10 +139,25 @@ class CheckpointChain:
 
     def step(self, df):
         """Eagerly localCheckpoint `df`, recording its blocks as the
-        newest generation. Does NOT free anything — call reap()."""
+        newest generation. Does NOT free anything — call reap().
+
+        Ownership is exact, not inferred (ADVICE r12): the checkpointed
+        DataFrame's analyzed plan IS the `LogicalRDD` wrapping the one
+        persistent RDD the checkpoint created, so that id — and only
+        that id — is recorded. A before/after diff of ALL persistent
+        RDDs would also capture any cache materialized by the step's
+        job or a checkpoint taken concurrently on the shared context
+        (e.g. a streaming handler on another thread), and reap() would
+        free blocks it does not own — a read-after-free for a foreign
+        localCheckpoint, whose lineage is truncated. The diff remains
+        only as a fallback for an unexpected plan shape."""
         before = self._ids()
         out = df.localCheckpoint(eager=True)
-        self._generations.append(self._ids() - before)
+        try:
+            plan = out._jdf.queryExecution().analyzed()
+            self._generations.append({int(plan.rdd().id())})
+        except Exception:
+            self._generations.append(self._ids() - before)
         return out
 
     def reap(self, keep: int = 1) -> None:

@@ -80,6 +80,30 @@ def _event_stream(spark, sf_dir):
     return stream.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
+#: Feed dirs written by _multi_batch_feed and not yet deleted. Each
+#: holds a full copy of a fixture table, so leaving them to the OS
+#: tempdir reaper accumulates ~14 table copies per sim pass (ADVICE
+#: r12). They are reaped by _reap_feed_dirs() once the consuming
+#: query has terminated (every consumer is an AvailableNow bounded
+#: replay, so termination == feed fully ingested; the memory sink /
+#: collected handler output holds the results, never the feed files),
+#: with an atexit backstop for a run that dies mid-query.
+_FEED_DIRS: list = []
+_FEED_ATEXIT = [False]
+
+
+def _reap_feed_dirs() -> None:
+    """Delete every pending feed dir. Call ONLY after the consuming
+    streaming query has terminated (the contract: feeds are created
+    immediately before their one consuming query starts, and no op
+    reuses a feed dir across two query runs — _run_to_memory and the
+    foreachBatch ops reap in their own aftermath)."""
+    import shutil
+
+    while _FEED_DIRS:
+        shutil.rmtree(_FEED_DIRS.pop(), ignore_errors=True)
+
+
 def _multi_batch_feed(spark, sf_dir, table, splits):
     """Replay one fixture table as a MULTI-micro-batch stream: write
     each (name, predicate) split of the batch-loaded table as a single
@@ -103,6 +127,12 @@ def _multi_batch_feed(spark, sf_dir, table, splits):
 
     src = load_table(spark, sf_dir, table)
     feed = tempfile.mkdtemp(prefix=f"feed_{table}_")
+    _FEED_DIRS.append(feed)
+    if not _FEED_ATEXIT[0]:
+        import atexit
+
+        atexit.register(_reap_feed_dirs)
+        _FEED_ATEXIT[0] = True
     now = _time.time()
     for i, (name, pred) in enumerate(splits):
         part_dir = os.path.join(feed, f"_{name}")
@@ -205,6 +235,10 @@ def _run_to_memory(
                 )
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
+        # The run's feed dirs (if any) are fully ingested once the
+        # AvailableNow query terminates — the memory sink holds the
+        # results, so the table copies on disk are dead weight now.
+        _reap_feed_dirs()
     return spark.table(name)
 
 
@@ -1257,8 +1291,10 @@ def stream_incremental_refresh(spark, sf_dir):
     rebuilt) with each day's accepted digests."""
     from sparkml_spark.functions.subword import refresh_manifest_incr
     from sparkml_spark.operators.llm_dedup import _norm
+    from sparkml_spark.session import CheckpointChain
     from sparkml_spark.sources.loader import load_table as _lt
 
+    chain = CheckpointChain(spark)
     stream, n_files = _multi_batch_feed(
         spark, sf_dir, "documents",
         [("corpus", F.col("doc_id") % 10 != 3),
@@ -1288,13 +1324,10 @@ def stream_incremental_refresh(spark, sf_dir):
                     "contains arriving-day rows — the feed's mtime "
                     "ordering did not deliver the corpus file first"
                 )
-            state["index"] = d.select(_norm().alias("h")).localCheckpoint(
-                eager=True
-            )
-            state["replays"] = (
+            state["index"] = chain.step(d.select(_norm().alias("h")))
+            state["replays"] = chain.step(
                 d.filter(F.col("doc_id") % 20 == 0)
                 .select((F.col("doc_id") + _DUP_OFFSET).alias("doc_id"), "text")
-                .localCheckpoint(eager=True)
             )
             return
         # Daily-append batch: assemble the arriving day (new docs +
@@ -1315,6 +1348,11 @@ def stream_incremental_refresh(spark, sf_dir):
         .start()
     )
     q.awaitTermination()
+    # The manifest was COLLECTED inside the handler (out_rows), so
+    # every carried checkpoint block and the feed's table copy are
+    # dead — free them now (ADVICE r12) rather than at session end.
+    chain.close()
+    _reap_feed_dirs()
     if n_batches[0] != n_files:
         raise RuntimeError(
             f"stream_incremental_refresh: feed delivered {n_batches[0]} "
@@ -1382,7 +1420,9 @@ def stream_ab_monitor(spark, sf_dir):
     user-keyed partial agg over the ARRIVING rows + one equi merge;
     the finalize is a 2-row fold."""
     from sparkml_spark.operators.funnels import ab_user_converted, ab_ztest_finalize
+    from sparkml_spark.session import CheckpointChain
 
+    chain = CheckpointChain(spark)
     stream, n_files = _multi_batch_feed(
         spark, sf_dir, "events",
         [("even", F.col("event_id") % 2 == 0),
@@ -1410,7 +1450,10 @@ def stream_ab_monitor(spark, sf_dir):
                     ).alias("converted"),
                 )
             )
-        state[0] = merged.localCheckpoint(eager=True)
+        # step() materializes `merged` (which read the previous
+        # state), so the superseded generation is reapable right away.
+        state[0] = chain.step(merged)
+        chain.reap()
 
     q = stream.writeStream.foreachBatch(handle).trigger(availableNow=True).start()
     q.awaitTermination()
@@ -1420,7 +1463,16 @@ def stream_ab_monitor(spark, sf_dir):
             f"contract requires the split's {n_files} (state carry untested "
             "on a coalesced feed)"
         )
-    return ab_ztest_finalize(state[0])
+    # The readout is a 1-row global fold — land it driver-side so the
+    # final user-count-sized state block and the feed's table copies
+    # can be freed NOW (ADVICE r12) instead of living until session
+    # end. createDataFrame with the explicit schema keeps the oracle's
+    # column types byte-identical.
+    readout = ab_ztest_finalize(state[0])
+    rows, schema = readout.collect(), readout.schema
+    chain.close()
+    _reap_feed_dirs()
+    return spark.createDataFrame(rows, schema)
 
 
 def _wire_stream_ab_oracle():
@@ -1474,29 +1526,42 @@ def stream_cdc_apply(spark, sf_dir):
         cdc_merge_step,
         cdc_state_init,
     )
+    from sparkml_spark.session import CheckpointChain
     from sparkml_spark.sources.loader import load_table as _lt
 
+    chain = CheckpointChain(spark)
     stream, n_files = _multi_batch_feed(
         spark, sf_dir, "events",
         [("even", F.col("event_id") % 2 == 0),
          ("odd", F.col("event_id") % 2 == 1)],
     )
     snapshot = _lt(spark, sf_dir, "documents")
-    state = [cdc_state_init(snapshot).localCheckpoint(eager=True)]
+    state = [chain.step(cdc_state_init(snapshot))]
     n_batches = [0]
 
     def handle(batch_df, _bid):
         n_batches[0] += 1
-        state[0] = cdc_merge_step(state[0], batch_df).localCheckpoint(eager=True)
+        # step() materializes the merge (which read the previous
+        # state), so the superseded snapshot-sized generation is
+        # reapable immediately (ADVICE r12 — previously every batch
+        # pinned one more table-sized checkpoint block for the
+        # session's lifetime).
+        state[0] = chain.step(cdc_merge_step(state[0], batch_df))
+        chain.reap()
 
     q = stream.writeStream.foreachBatch(handle).trigger(availableNow=True).start()
     q.awaitTermination()
+    _reap_feed_dirs()
     if n_batches[0] != n_files:
         raise RuntimeError(
             f"stream_cdc_apply: feed delivered {n_batches[0]} micro-batches, "
             f"contract requires the split's {n_files} (state carry untested "
             "on a coalesced feed)"
         )
+    # The FINAL state block stays pinned: cdc_finalize's result is
+    # table-sized and returned lazily over it (collecting it here to
+    # free the block would be the driver-side-materialization
+    # anti-pattern). One retained block per run, freed at session end.
     return cdc_finalize(state[0])
 
 

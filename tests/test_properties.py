@@ -1592,3 +1592,87 @@ def test_ab_partial_merge_converges_under_any_split(spark):
                 )
         got = sorted(map(tuple, ab_ztest_finalize(state).collect()))
         assert got == want, f"diverged under split n={n_parts} salt={salt}"
+
+
+def test_checkpoint_chain_owns_only_its_rdd(spark):
+    """CheckpointChain generation scoping is EXACT (ADVICE r12): a
+    cache materialized by the step's own job — or by anything else on
+    the shared context between step() calls — must NOT land in the
+    chain's generation, so reap() can never free a block it does not
+    own (for a foreign localCheckpoint that would be read-after-free,
+    the lineage being truncated)."""
+    from pyspark import StorageLevel
+
+    from sparkml_spark.session import CheckpointChain
+
+    sc = spark.sparkContext
+    chain = CheckpointChain(spark)
+
+    # A foreign cache that materializes DURING the chained step's job.
+    foreign = spark.range(1000).selectExpr("id", "id * 3 AS y")
+    foreign.persist(StorageLevel.MEMORY_ONLY)
+    state = chain.step(spark.range(100).join(foreign, "id"))
+
+    # A foreign localCheckpoint taken BETWEEN step() and reap() — the
+    # concurrent-streaming-handler shape the advice called out.
+    foreign_ckpt = spark.range(50).localCheckpoint(eager=True)
+
+    state2 = chain.step(state.selectExpr("id", "y + 1 AS y"))
+    chain.reap()  # frees only generation 1 (state's own RDD)
+
+    # Both foreign frames must still be readable (their blocks alive).
+    assert foreign_ckpt.count() == 50
+    assert foreign.count() == 1000
+    assert state2.count() == 100
+
+    chain.close()
+    foreign.unpersist()
+    # The foreign checkpoint block is intentionally NOT the chain's to
+    # free; drop it via the registry so the test leaves a clean slate.
+    jmap = sc._jsc.getPersistentRDDs()
+    for i in list(jmap.keySet().toArray()):
+        jrdd = jmap.get(int(i))
+        if jrdd is not None:
+            jrdd.unpersist(False)
+
+
+def test_foreach_batch_ops_release_feed_dirs_and_state(spark):
+    """The multi-batch feed harness must not accumulate table copies
+    in /tmp (ADVICE r12): after a feed-consuming op returns, every
+    feed dir it created is deleted, and the foreachBatch state carry
+    leaves at most the documented single final block pinned
+    (stream_cdc_apply's lazily-returned merge state)."""
+    import os
+
+    import sparkml_spark.streaming.ops as sops
+    from sparkml_spark.registry import QUERIES
+
+    from .conftest import SF_DIR
+
+    sc = spark.sparkContext
+    pinned_before = {
+        int(i) for i in sc._jsc.getPersistentRDDs().keySet().toArray()
+    }
+
+    # Memory-sink path (reaps in _run_to_memory's finally).
+    QUERIES["stream_tumbling_agg"](spark, SF_DIR).collect()
+    assert sops._FEED_DIRS == []
+
+    # foreachBatch with collected output: everything freed.
+    QUERIES["stream_ab_monitor"](spark, SF_DIR).collect()
+    assert sops._FEED_DIRS == []
+    pinned_now = {
+        int(i) for i in sc._jsc.getPersistentRDDs().keySet().toArray()
+    }
+    assert pinned_now - pinned_before == set()
+
+    # foreachBatch with a lazily-returned table-sized state: exactly
+    # one retained block (the final merge state), feed dirs gone.
+    out = QUERIES["stream_cdc_apply"](spark, SF_DIR)
+    feed_dirs_left = [d for d in sops._FEED_DIRS if os.path.isdir(d)]
+    assert feed_dirs_left == []
+    pinned_after = {
+        int(i) for i in sc._jsc.getPersistentRDDs().keySet().toArray()
+    }
+    assert len(pinned_after - pinned_before) == 1
+    assert out.count() > 0  # final state still readable (not reaped)
