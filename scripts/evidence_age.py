@@ -8,12 +8,23 @@ the report IS the rotation's view. Prints an age histogram, the
 stalest 20 ids, and the projected next-round slate, then one JSON
 summary line.
 
-Usage: python scripts/evidence_age.py
+Usage: python scripts/evidence_age.py [--gate]
+
+--gate (VERDICT r12 #2): exit non-zero unless the freshness ledger is
+inside its steady-state bounds, so inventory growth can never again
+silently outrun driver re-verification. The gate fails when
+  * any id has NEVER been driver-checked AND is not in the front of
+    the NEXT slate (i.e. it would not land a row next round — a
+    registration that outran the rotation), or
+  * the stalest driver evidence exceeds the rotation's steady-state
+    bound, ceil(#queries / slots) + 1 rounds (the +1 absorbs the
+    round in flight).
 """
 
 from __future__ import annotations
 
 import json
+import math
 import os
 import sys
 
@@ -53,6 +64,7 @@ def main() -> int:
     nxt = entry._priority_order()[:entry._DRIVER_SLOTS]
     print(f"# next slate ({len(nxt)}): {' '.join(nxt)}")
 
+    max_age = max((a for a in ages.values() if a is not None), default=0)
     print(json.dumps({
         "metric": "evidence_age",
         "rounds": n_rounds,
@@ -60,8 +72,29 @@ def main() -> int:
         "never_checked": len(never),
         "hash_verified": len(verified & set(QUERIES)),
         "rows_evidence_only": len((rows_ok - verified) & set(QUERIES)),
-        "max_age": max((a for a in ages.values() if a is not None), default=0),
+        "max_age": max_age,
     }))
+
+    if "--gate" in sys.argv[1:]:
+        bound = math.ceil(len(QUERIES) / entry._DRIVER_SLOTS) + 1
+        failures = []
+        stranded = [q for q in never if q not in nxt]
+        if stranded:
+            failures.append(
+                f"{len(stranded)} never-driver-checked id(s) not in the "
+                f"next slate (registration outran the rotation): "
+                f"{' '.join(stranded[:8])}"
+            )
+        if max_age > bound:
+            failures.append(
+                f"max evidence age {max_age} exceeds the steady-state "
+                f"bound {bound} (= ceil({len(QUERIES)}/{entry._DRIVER_SLOTS}) + 1)"
+            )
+        if failures:
+            for msg in failures:
+                print(f"GATE FAIL: {msg}")
+            return 1
+        print(f"GATE PASS: never-stranded=0, max_age={max_age} <= {bound}")
     return 0
 
 

@@ -37,6 +37,12 @@ run() { # name, cmd...
   summary+=("ok    ${name} (${dt}s): ${tail_line}")
 }
 
+# Evidence-staleness gate (VERDICT r12 #2): fail fast if any id's
+# driver evidence is older than the rotation's steady-state bound or
+# a never-checked id would miss the next slate — registration growth
+# must never silently outrun driver re-verification. Cheap (no JVM).
+run "evidence age gate" timeout 120 python scripts/evidence_age.py --gate
+
 if [ $quick -eq 0 ]; then
   # 2400s: the full suite measured 1662s at r12 HEAD (666 tests incl.
   # the 2-batch streaming feeds); the old 1200s cap was sized for the
