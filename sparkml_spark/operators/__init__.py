@@ -18,6 +18,7 @@ from sparkml_spark.operators import (  # noqa: F401
     subqueries,
     timeseries,
     tpch_corpus,
+    tpch_partsupp,
     tpch_shapes,
     udfs,
     windows,

@@ -1676,3 +1676,40 @@ def test_foreach_batch_ops_release_feed_dirs_and_state(spark):
     }
     assert len(pinned_after - pinned_before) == 1
     assert out.count() > 0  # final state still readable (not reaped)
+
+
+def test_partsupp_bridge_invariants(spark):
+    """The derived partsupp generator's contract (round 13): exactly 4
+    rows per part, the 4 suppliers DISTINCT (the constant S DIV 4 step
+    guarantees no mod wraparound for any supplier count >= 4 — the
+    property that makes the bridge a valid PK relation at every SF),
+    every ps_suppkey a real supplier key, and the integer columns
+    inside their documented domains."""
+    from pyspark.sql import functions as F
+
+    from sparkml_spark.operators.tpch_partsupp import partsupp_df
+    from sparkml_spark.sources.loader import load_table
+
+    from .conftest import SF_DIR
+
+    ps = partsupp_df(spark, SF_DIR)
+    per_part = ps.groupBy("ps_partkey").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("ps_suppkey").alias("nd"),
+    )
+    bad = per_part.filter((F.col("n") != 4) | (F.col("nd") != 4)).count()
+    assert bad == 0
+    n_parts = load_table(spark, SF_DIR, "part").count()
+    assert per_part.count() == n_parts
+    supp_keys = load_table(spark, SF_DIR, "supplier").select(
+        F.col("s_suppkey").alias("k")
+    )
+    dangling = ps.join(
+        supp_keys, ps.ps_suppkey == F.col("k"), "left_anti"
+    ).count()
+    assert dangling == 0
+    out_of_domain = ps.filter(
+        ~F.col("ps_availqty").between(1, 9999)
+        | ~F.col("ps_supplycost_cents").between(100, 100099)
+    ).count()
+    assert out_of_domain == 0
