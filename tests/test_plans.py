@@ -1229,3 +1229,38 @@ def test_hierarchy_closure_is_single_plan_no_union(spark):
     assert "Union" not in plan, "closure regressed to the union-loop form"
     assert "Generate" in plan, "expected the explode-based closed form"
     assert shuffle_count(df) <= 1  # the nodes distinct; nothing per-level
+
+
+def test_partsupp_family_plan_shapes(spark):
+    """Round-13 partsupp bridge (derived inventory relation): the
+    build itself must be shuffle-free (part scan x 1-row broadcast x
+    explode), and each true-shape query may shuffle only for its own
+    aggregate — the supplier/part/threshold sides all broadcast. A
+    non-broadcast join against the 4x|part| bridge or a second
+    exchange in the build is the 100x regression this pins against."""
+    from sparkml_spark.operators.tpch_partsupp import partsupp_df
+    from sparkml_spark.plans import has_broadcast_join, shuffle_count
+    from sparkml_spark.plans.explain import executed_plan
+
+    ps = partsupp_df(spark, SF_DIR)
+    assert shuffle_count(ps) == 0, executed_plan(ps)
+
+    q11 = QUERIES["tpch_q11_partsupp"](spark, SF_DIR)
+    assert has_broadcast_join(q11)
+    # one exchange for the ps_partkey aggregate (+ its AQE read side);
+    # the nation-filtered supplier set and the threshold broadcast
+    assert shuffle_count(q11) <= 2, executed_plan(q11)
+
+    q16 = QUERIES["tpch_q16_partsupp"](spark, SF_DIR)
+    assert has_broadcast_join(q16)
+    # two-phase distinct aggregate: partial -> exchange on the group
+    # keys (+ distinct expansion) — never an exchange per join side
+    assert shuffle_count(q16) <= 2, executed_plan(q16)
+
+    q20 = QUERIES["tpch_q20_partsupp"](spark, SF_DIR)
+    assert has_broadcast_join(q20)
+    plan = executed_plan(q20)
+    assert "CartesianProduct" not in plan
+    # the (suppkey, partkey) shipped aggregate is the one corpus-sized
+    # shuffle; everything downstream broadcasts
+    assert shuffle_count(q20) <= 2, plan
