@@ -19,6 +19,12 @@ the driver's pandas-based hash diverged). fetchall() returns Python
 ints for HUGEINT and hides the drift; toPandas/.df() reproduce it.
 
 Usage: python scripts/driver_sim.py [--sf-dir /root/testdata/sf0.01] [names...]
+
+Scale-evidence mode: the defaults (local[8], stock heap) are the
+driver-exact profile; `--cpus/--driver-mem/--exclude` exist ONLY for
+t2 sweeps on replicated layouts (.artifacts/scalebench/*) whose data
+no longer fits the driver-shaped JVM — the compare protocol itself is
+unchanged.
 """
 
 from __future__ import annotations
@@ -109,6 +115,15 @@ def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.01")
     ap.add_argument("--smoke-dir", default="/root/testdata/sf0.001")
+    ap.add_argument("--cpus", type=int, default=8,
+                    help="local[N] (scale-evidence sweeps only)")
+    ap.add_argument("--driver-mem", default=None,
+                    help="spark.driver.memory (scale-evidence sweeps only)")
+    ap.add_argument("--no-smoke", action="store_true",
+                    help="skip the t1 entry() smoke (chunked sweeps)")
+    ap.add_argument("--exclude", nargs="*", default=[],
+                    help="query ids to skip (documented-cutoff ops on "
+                         "replicated layouts); each is reported")
     ap.add_argument("names", nargs="*")
     args = ap.parse_args()
 
@@ -116,22 +131,29 @@ def main() -> int:
     import __spark_entry__ as mod
 
     # Plain session — deliberately NOT using sparkml_spark.get_spark.
-    spark = (
-        SparkSession.builder.master("local[8]")
+    builder = (
+        SparkSession.builder.master(f"local[{args.cpus}]")
         .appName("driver-sim")
         .config("spark.ui.enabled", "false")
-        .getOrCreate()
     )
+    if args.driver_mem:
+        builder = builder.config("spark.driver.memory", args.driver_mem)
+    spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
-    t0 = time.time()
-    entry_rows = mod.entry(spark).collect()
-    print(f"t1 smoke: entry() -> {len(entry_rows)} rows in {time.time()-t0:.1f}s "
-          f"({'PASS' if len(entry_rows) > 0 else 'FAIL'})")
+    if not args.no_smoke:
+        t0 = time.time()
+        entry_rows = mod.entry(spark).collect()
+        print(f"t1 smoke: entry() -> {len(entry_rows)} rows in {time.time()-t0:.1f}s "
+              f"({'PASS' if len(entry_rows) > 0 else 'FAIL'})")
 
     queries = mod.queries()
     oracles = mod.oracle_sql()
     names = args.names or sorted(queries)
+    for x in args.exclude:
+        if x in names:
+            names.remove(x)
+            print(f"  {x}: EXCLUDED (documented cutoff at this layout)")
 
     con = duckdb.connect()
     for t in ("region nation customer supplier part orders lineitem events "
