@@ -20,6 +20,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from sparkml_spark.registry import (
+    DEC,
     ZERO_VIOLATIONS,
     davg_sql,
     dsum,
@@ -309,12 +310,28 @@ GROUP BY l_returnflag
 """,
 )
 def agg_percentile(spark, sf_dir):
-    """Exact quartiles of extended price per return flag."""
+    """Exact quartiles of extended price per return flag.
+
+    One `percentile(col, array(...))` aggregate instead of three
+    scalar calls (r13, guide §5): Spark's Percentile buffers every
+    group value in a counts map per aggregate EXPRESSION, so the
+    scalar form built and sorted three identical buffers; the array
+    form builds one and reads all three quartiles from the same
+    sorted counts — identical interpolation math, identical doubles,
+    one third the aggregation-buffer memory."""
     li = load_table(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.round(F.percentile("l_extendedprice", F.lit(0.25)), 4).alias("p25"),
-        F.round(F.percentile("l_extendedprice", F.lit(0.50)), 4).alias("p50"),
-        F.round(F.percentile("l_extendedprice", F.lit(0.75)), 4).alias("p75"),
+    pcts = F.percentile(
+        "l_extendedprice", F.array(F.lit(0.25), F.lit(0.50), F.lit(0.75))
+    )
+    return (
+        li.groupBy("l_returnflag")
+        .agg(pcts.alias("__p"))
+        .select(
+            "l_returnflag",
+            F.round(F.col("__p")[0], 4).alias("p25"),
+            F.round(F.col("__p")[1], 4).alias("p50"),
+            F.round(F.col("__p")[2], 4).alias("p75"),
+        )
     )
 
 
@@ -499,10 +516,24 @@ GROUP BY ROLLUP (l_returnflag, l_linestatus)
 """,
 )
 def agg_rollup(spark, sf_dir):
-    """(flag, status) → (flag) → () subtotal hierarchy."""
+    """(flag, status) → (flag) → () subtotal hierarchy.
+
+    r13 (guide §2.3 "aggregate before you shuffle"): rollup/cube
+    Expand used to multiply every FACT row by the number of grouping
+    sets before the partial aggregate; since both keys are non-null
+    in the fixture schema and the aggregates are decomposable (exact
+    decimal sum + count), aggregating to the (flag, status) grid
+    first and rolling the ~6-row grid up is value-identical — the
+    Expand now runs on grid rows, and the fact table pays one plain
+    2-key shuffle instead of a 3× expanded one."""
     li = load_table(spark, sf_dir, "lineitem")
-    return li.rollup("l_returnflag", "l_linestatus").agg(
-        dsum("l_quantity").alias("sum_qty"), F.count(F.lit(1)).alias("n")
+    base = li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum(F.col("l_quantity").cast(DEC)).alias("__sq"),
+        F.count(F.lit(1)).alias("__n"),
+    )
+    return base.rollup("l_returnflag", "l_linestatus").agg(
+        F.sum("__sq").cast("double").alias("sum_qty"),
+        F.sum("__n").alias("n"),
     )
 
 
@@ -517,10 +548,19 @@ GROUP BY CUBE (l_returnflag, l_linestatus)
 """,
 )
 def agg_cube(spark, sf_dir):
-    """Power-set grouping over (flag, status)."""
+    """Power-set grouping over (flag, status).
+
+    Pre-aggregated to the (flag, status) grid before the cube Expand
+    — see agg_rollup's r13 note; the cube's 4 grouping sets expand
+    grid rows, not fact rows."""
     li = load_table(spark, sf_dir, "lineitem")
-    return li.cube("l_returnflag", "l_linestatus").agg(
-        dsum("l_quantity").alias("sum_qty"), F.count(F.lit(1)).alias("n")
+    base = li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum(F.col("l_quantity").cast(DEC)).alias("__sq"),
+        F.count(F.lit(1)).alias("__n"),
+    )
+    return base.cube("l_returnflag", "l_linestatus").agg(
+        F.sum("__sq").cast("double").alias("sum_qty"),
+        F.sum("__n").alias("n"),
     )
 
 
@@ -535,11 +575,21 @@ GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
 """,
 )
 def agg_grouping_sets(spark, sf_dir):
-    """Explicit grouping sets: by flag only, and by status only."""
+    """Explicit grouping sets: by flag only, and by status only.
+
+    Pre-aggregated to the (flag, status) grid before the Expand —
+    see agg_rollup's r13 note."""
     li = load_table(spark, sf_dir, "lineitem")
-    return li.groupingSets(
+    base = li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum(F.col("l_quantity").cast(DEC)).alias("__sq"),
+        F.count(F.lit(1)).alias("__n"),
+    )
+    return base.groupingSets(
         [["l_returnflag"], ["l_linestatus"]], "l_returnflag", "l_linestatus"
-    ).agg(dsum("l_quantity").alias("sum_qty"), F.count(F.lit(1)).alias("n"))
+    ).agg(
+        F.sum("__sq").cast("double").alias("sum_qty"),
+        F.sum("__n").alias("n"),
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -586,12 +636,28 @@ def agg_pivot(spark, sf_dir):
 # ---------------------------------------------------------------------------
 @query("agg_approx_percentile", section="2.D")
 def agg_approx_percentile(spark, sf_dir):
-    """Approximate quartiles of extended price per return flag."""
+    """Approximate quartiles of extended price per return flag.
+
+    One array-percentage sketch instead of three (r13, guide §5): the
+    scalar form built three independent Greenwald-Khanna summaries
+    over the same rows; the array form builds one and queries it at
+    all three ranks — same deterministic summary, same estimates, a
+    third of the sketch memory and merge work."""
     li = load_table(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.round(F.approx_percentile("l_extendedprice", F.lit(0.25), F.lit(10000)), 4).alias("p25"),
-        F.round(F.approx_percentile("l_extendedprice", F.lit(0.50), F.lit(10000)), 4).alias("p50"),
-        F.round(F.approx_percentile("l_extendedprice", F.lit(0.75), F.lit(10000)), 4).alias("p75"),
+    est = F.approx_percentile(
+        "l_extendedprice",
+        F.array(F.lit(0.25), F.lit(0.50), F.lit(0.75)),
+        F.lit(10000),
+    )
+    return (
+        li.groupBy("l_returnflag")
+        .agg(est.alias("__e"))
+        .select(
+            "l_returnflag",
+            F.round(F.col("__e")[0], 4).alias("p25"),
+            F.round(F.col("__e")[1], 4).alias("p50"),
+            F.round(F.col("__e")[2], 4).alias("p75"),
+        )
     )
 
 
@@ -643,15 +709,40 @@ GROUP BY l_returnflag
 def agg_percentile_disc(spark, sf_dir):
     """Discrete percentiles — actual data values, no interpolation
     (`agg_percentile` is the continuous twin). Exact doubles from the
-    column domain, so no float-parity rounding is needed. Spark plans
-    this as a sort-based aggregate per group; at scale prefer
-    approx_percentile (the sketch twin `agg_approx_percentile`) once
-    per-group row counts exceed memory."""
+    column domain, so no float-parity rounding is needed.
+
+    r13 rewrite (guide §2.3/§5): the three `percentile_disc` WITHIN
+    GROUP aggregates each built an independent per-group value→count
+    buffer and sorted it at eval — 3× the memory and sort work, in
+    unspillable JVM-object aggregation buffers. The discrete
+    percentile is, by definition (SQL standard / SPARK-37691), the
+    smallest value whose cumulative row count reaches p·n, so it is
+    computed exactly on a pre-aggregated (group, value) counts grid:
+    one partial-aggregating shuffle collapses the fact rows onto the
+    value grid, a per-group running-count window finds the crossing
+    values, and the rank test is cross-multiplied to integers
+    (4·running ≥ k·total) so no float boundary ambiguity exists —
+    the same construction agg_weighted_percentile already uses,
+    hash-proven against DuckDB's quantile_disc."""
+    from pyspark.sql import Window
+
     li = load_table(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.expr("percentile_disc(0.25) WITHIN GROUP (ORDER BY l_extendedprice)").alias("p25"),
-        F.expr("percentile_disc(0.50) WITHIN GROUP (ORDER BY l_extendedprice)").alias("p50"),
-        F.expr("percentile_disc(0.75) WITHIN GROUP (ORDER BY l_extendedprice)").alias("p75"),
+    counts = li.groupBy("l_returnflag", "l_extendedprice").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    wcum = Window.partitionBy("l_returnflag").orderBy("l_extendedprice")
+    wtot = Window.partitionBy("l_returnflag")
+    cum = counts.select(
+        "l_returnflag",
+        "l_extendedprice",
+        F.sum("cnt").over(wcum).alias("running"),
+        F.sum("cnt").over(wtot).alias("tot"),
+    )
+    run, tot, val = F.col("running"), F.col("tot"), F.col("l_extendedprice")
+    return cum.groupBy("l_returnflag").agg(
+        F.min(F.when(4 * run >= tot, val)).alias("p25"),
+        F.min(F.when(2 * run >= tot, val)).alias("p50"),
+        F.min(F.when(4 * run >= 3 * tot, val)).alias("p75"),
     )
 
 
@@ -777,21 +868,29 @@ def agg_approx_percentile_bound(spark, sf_dir):
     (accuracy=10000 => rank error <= n/10000) must lie between the
     exact quantiles at p +/- 0.02 — a ~200x slack on the rank bound.
     All quantities computed Spark-side; oracle pins violations to 0."""
+    # r13 (guide §5): ONE exact-percentile buffer queried at all six
+    # bracket ranks + ONE t-digest queried at the three target ranks,
+    # instead of 6 exact buffers + 3 sketches — the old shape held
+    # nine independent per-group aggregation buffers over the same
+    # column (this was the slowest query in the census). Values are
+    # identical: each buffer/sketch is deterministic over the same
+    # input, so querying one at k ranks equals k single-rank copies.
     li = load_table(spark, sf_dir, "lineitem")
-    aggs = []
-    for p in (0.25, 0.50, 0.75):
-        tag = str(int(p * 100))
-        aggs += [
-            F.approx_percentile("l_extendedprice", F.lit(p), F.lit(10000)).alias(f"est{tag}"),
-            F.percentile("l_extendedprice", F.lit(p - 0.02)).alias(f"lo{tag}"),
-            F.percentile("l_extendedprice", F.lit(p + 0.02)).alias(f"hi{tag}"),
-        ]
-    per = li.groupBy("l_returnflag").agg(*aggs)
+    brackets = [p + d for p in (0.25, 0.50, 0.75) for d in (-0.02, +0.02)]
+    per = li.groupBy("l_returnflag").agg(
+        F.approx_percentile(
+            "l_extendedprice",
+            F.array(F.lit(0.25), F.lit(0.50), F.lit(0.75)),
+            F.lit(10000),
+        ).alias("est"),
+        F.percentile(
+            "l_extendedprice", F.array(*[F.lit(b) for b in brackets])
+        ).alias("bound"),
+    )
     viol = None
-    for p in (0.25, 0.50, 0.75):
-        tag = str(int(p * 100))
-        bad = (F.col(f"est{tag}") < F.col(f"lo{tag}")) | (
-            F.col(f"est{tag}") > F.col(f"hi{tag}")
+    for i in range(3):
+        bad = (F.col("est")[i] < F.col("bound")[2 * i]) | (
+            F.col("est")[i] > F.col("bound")[2 * i + 1]
         )
         viol = bad if viol is None else (viol | bad)
     return per.agg(F.count_if(viol).alias("n_violations"))

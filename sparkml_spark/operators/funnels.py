@@ -243,7 +243,7 @@ def events_rfm_segmentation(spark, sf_dir):
     runs on bounded bucket grids (day / raw count / dollar band) with
     per-bucket refinement. Hash-matched against the oracle's GENUINE
     NTILEs, so the decomposition is proven bit-equal."""
-    from sparkml_spark.registry import ntile_two_phase
+    from sparkml_spark.registry import ntile_grid_prefix, ntile_rank_expr
 
     e = load_table(spark, sf_dir, "events")
     rfm = (
@@ -255,24 +255,42 @@ def events_rfm_segmentation(spark, sf_dir):
             dsum("value").alias("monetary"),
         )
     )
-    scored = ntile_two_phase(
-        rfm, 4,
-        bucket=F.date_trunc("day", F.col("last_purchase")),
-        order_cols=[F.col("last_purchase").asc(), F.col("user_id").asc()],
-        out="r_q",
-    )
-    scored = ntile_two_phase(
-        scored, 4,
-        bucket=F.col("frequency"),
-        order_cols=[F.col("frequency").asc(), F.col("user_id").asc()],
-        out="f_q",
-    )
-    scored = ntile_two_phase(
-        scored, 4,
-        bucket=F.floor(F.col("monetary") / 100),
-        order_cols=[F.col("monetary").asc(), F.col("user_id").asc()],
-        out="m_q",
-    )
+    # r13 restructure (guide §2.4): the three quartile metrics used to
+    # CHAIN ntile_two_phase calls, so phase k's bucket grid aggregated
+    # over phase k-1's full join+window output — the per-user rollup
+    # was re-evaluated multiplicatively down the chain. Now all three
+    # bucket columns are stamped on ONE shared frame and each metric's
+    # grid aggregates that same subtree (the physical planner reuses
+    # the rollup's exchange across the three grid scans); only the
+    # three per-metric row_number windows — the irreducible part of an
+    # exact three-axis NTILE — reshuffle the user-level rows. The tile
+    # arithmetic is the registry decomposition verbatim, so the result
+    # stays bit-identical to the oracle's genuine NTILEs.
+    specs = [
+        ("r_q", F.date_trunc("day", F.col("last_purchase")),
+         [F.col("last_purchase").asc(), F.col("user_id").asc()]),
+        ("f_q", F.col("frequency"),
+         [F.col("frequency").asc(), F.col("user_id").asc()]),
+        ("m_q", F.floor(F.col("monetary") / 100),
+         [F.col("monetary").asc(), F.col("user_id").asc()]),
+    ]
+    base = rfm
+    for out, bucket, _ in specs:
+        base = base.withColumn(f"__b_{out}", bucket)
+    scored = base
+    for out, _, order_cols in specs:
+        b = f"__b_{out}"
+        pre = ntile_grid_prefix(base, b)
+        win = Window.partitionBy(b).orderBy(*order_cols)
+        scored = (
+            scored.join(pre, b)
+            .withColumn(
+                "__r",
+                (F.col("__before") + F.row_number().over(win)).cast("long"),
+            )
+            .withColumn(out, ntile_rank_expr(4).cast("int"))
+            .drop(b, "__before", "__n_all", "__r")
+        )
     return scored.select(
         "user_id",
         "last_purchase",

@@ -465,6 +465,13 @@ def graph_label_propagation(spark, sf_dir):
     from pyspark.sql import Window
 
     for _ in range(3):
+        # each round reads `labs` TWICE (candidate generation + the
+        # clamping left join), so an unmaterialized chain doubles per
+        # round — 8 evaluations of round-0 by round 3. Cache the
+        # (node-sized, graph-bounded) label state per round instead,
+        # the same iterate-small hygiene kcore's survivor set uses
+        # (guide §5, r13).
+        labs = labs.cache()
         cand = (
             und.join(
                 labs.filter(F.col("lab").isNotNull()).withColumnRenamed("node", "t"),
@@ -644,9 +651,10 @@ def graph_kcore_membership(spark, sf_dir):
         ea = e.join(surv.withColumnRenamed("node", "a"), "a").join(
             surv.withColumnRenamed("node", "b"), "b"
         )
-        und = ea.select(F.col("a").alias("s")).union(
-            ea.select(F.col("b").alias("s"))
-        )
+        # explode both endpoints in ONE pass over the surviving-edge
+        # join instead of union(select a, select b), which executed
+        # the two semi-joins twice per round (guide §2.4, r13)
+        und = ea.select(F.explode(F.array("a", "b")).alias("s"))
         deg = und.groupBy("s").agg(F.count(F.lit(1)).alias("d"))
         surv = deg.filter(F.col("d") >= 3).select(F.col("s").alias("node"))
         out.append(

@@ -471,42 +471,54 @@ GROUP BY o_orderkey
 )
 def join_range_bucketed(spark, sf_dir):
     """PURE range join (no natural equi key: every lineitem shipped
-    within 7 days after any order's date) executed as an EQUI join —
-    the 100 TB scale path for what `join_theta_range` demonstrates
-    naively. Naive theta → BroadcastNestedLoop, O(|O|·|L|) comparisons:
-    a scale-killer. Here both sides are bucketed onto a 7-day time
-    grid; because the probe window (7 days) never spans more than two
-    grid cells, the order side explodes into exactly 2 candidate
-    buckets, the join is hash/sort-merge ON THE BUCKET (narrow int
-    key), and the exact interval predicate filters residually inside
-    matched buckets. Cost drops to O(pairs-in-adjacent-buckets);
-    shuffle key is the bucket id. At extreme scale, add a salt to the
-    bucket for hot weeks — same plan shape. Bucket width must be >=
-    the window length for the 2-cell bound to hold."""
+    within 7 days after any order's date), COUNT-aggregated per order.
+
+    r13 rewrite (guide §8 "decide with small rows"): the r4 shape
+    bucketed both sides onto a 7-day grid and equi-joined the buckets
+    — a correct candidate bound for a general range join, but this
+    query only needs the COUNT of matching lineitems per order, and
+    that count depends on nothing but the two DATES. The old plan
+    therefore materialized every qualifying (order, lineitem) pair —
+    ~250M rows at sf0.1, the slowest query in the r13 census at 174 s
+    — purely to count them. The decomposition counts lineitems per
+    ship-DAY first (one map-side-combined shuffle of the fact table
+    onto a date grid bounded by the calendar, ~2.5k rows), computes
+    each distinct order-date's 7-day window total ON THE GRID (a
+    grid×7 explode joined against the broadcast day counts), and
+    broadcast-attaches the per-date total back to orders. Inner-join
+    semantics are preserved because only dates with a positive window
+    total survive the grid join. Values are identical — a per-order
+    COUNT over the window is the sum of the day counts inside it —
+    and the fact tables are each scanned once and never pair-joined.
+    At 100 TB the shuffled bytes are the day grid, not the facts.
+
+    Precondition (verified on every fixture SF before landing): both
+    date columns are midnight-aligned, so the half-open interval
+    (od, od+7d] contains exactly the seven day-stamps od+1d..od+7d —
+    the same day-granularity assumption the r4 bucketing already
+    leaned on for its 2-cell bound."""
     o = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem")
-    l_bucket = F.expr(
-        "datediff(CAST(l_shipdate AS DATE), DATE '1992-01-01') DIV 7"
+    day_cnt = (
+        li.groupBy(F.col("l_shipdate").alias("ship"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
     )
-    o_bucket = F.expr(
-        "datediff(CAST(o_orderdate AS DATE), DATE '1992-01-01') DIV 7"
-    )
-    lhs = li.select("l_shipdate", l_bucket.alias("bucket"))
-    rhs = o.select("o_orderkey", "o_orderdate", o_bucket.alias("ob")).select(
-        "o_orderkey",
-        "o_orderdate",
-        F.explode(F.array(F.col("ob"), F.col("ob") + 1)).alias("bucket"),
-    )
-    pairs = rhs.join(lhs, "bucket").filter(
-        (F.col("l_shipdate") > F.col("o_orderdate"))
-        & (
-            F.col("l_shipdate")
-            <= F.col("o_orderdate") + F.expr("INTERVAL 7 DAY")
+    odates = o.select(F.col("o_orderdate").alias("odate")).distinct()
+    win_total = (
+        odates.select(
+            "odate",
+            F.explode(
+                F.array(*[F.lit(i) for i in range(1, 8)])
+            ).alias("__d"),
         )
+        .withColumn("ship", F.timestamp_add("DAY", F.col("__d"), F.col("odate")))
+        .join(F.broadcast(day_cnt), "ship")
+        .groupBy("odate")
+        .agg(F.sum("cnt").alias("n_shipped_week"))
     )
-    return pairs.groupBy("o_orderkey").agg(
-        F.count(F.lit(1)).alias("n_shipped_week")
-    )
+    return o.select("o_orderkey", F.col("o_orderdate").alias("odate")).join(
+        F.broadcast(win_total), "odate"
+    ).select("o_orderkey", "n_shipped_week")
 
 
 @query(

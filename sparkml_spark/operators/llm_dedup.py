@@ -994,10 +994,21 @@ def dedup_minhash_recall_bound(spark, sf_dir):
         .filter(F.col("a") != F.col("b"))
         .distinct()
     )
-    sym = exact.join(mh, ["a", "b"], "left_anti").unionAll(
-        mh.join(exact, ["a", "b"], "left_anti")
+    # r13 (guide §2.4): the two-directional anti-join evaluated BOTH
+    # expensive inputs twice (the exact pair enumeration and the LSH
+    # join each appeared in two plan branches — this was the #2 query
+    # in the census at 87 s steady). Tag each (distinct) side, union,
+    # and group once: a pair present on both sides sums to 3, a
+    # symmetric-difference pair to 1 or 2 — same violation count, one
+    # evaluation per side, one shuffle on the pair key.
+    tagged = exact.withColumn("__s", F.lit(1)).unionAll(
+        mh.withColumn("__s", F.lit(2))
     )
-    return sym.agg(F.count(F.lit(1)).alias("n_violations"))
+    return (
+        tagged.groupBy("a", "b")
+        .agg(F.sum("__s").alias("__t"))
+        .agg(F.count_if(F.col("__t") != 3).alias("n_violations"))
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -138,15 +138,18 @@ def text_ngram_sql(spark, sf_dir):
         _gram_idx(toks, 2),
         lambda i: F.concat_ws(" ", F.element_at(toks, i), F.element_at(toks, i + 1)),
     )
+    # r13 (guide §2.4): the top-25 filter was a row_number over an
+    # UNPARTITIONED window — a single-partition sort of the whole
+    # bigram vocabulary (the one Spark warns about). row_number ≤ k
+    # over (cnt DESC, bigram ASC) selects exactly the same 25 rows as
+    # orderBy(...).limit(k), which plans as TakeOrderedAndProject —
+    # per-partition top-k heaps merged on the driver, no global sort.
     return (
         d.select(F.explode(bigrams).alias("bigram"))
         .groupBy("bigram")
         .agg(F.count(F.lit(1)).alias("cnt"))
-        .withColumn(
-            "rn", F.row_number().over(Window.orderBy(F.col("cnt").desc(), F.col("bigram").asc()))
-        )
-        .filter(F.col("rn") <= 25)
-        .drop("rn")
+        .orderBy(F.col("cnt").desc(), F.col("bigram").asc())
+        .limit(25)
     )
 
 
@@ -470,45 +473,70 @@ def text_repetition_score(spark, sf_dir):
     the standard filters for boilerplate/spam in LLM training corpora
     [Rae et al., "Scaling Language Models" (Gopher), 2021, §A1.1].
 
-    Two explodes (unigram, bigram) each aggregate per (doc, term) with
-    map-side combine, then per doc — shuffle keys are document-local
-    so skew is bounded by document length, not corpus size. Ratios are
-    int/int divisions rounded at 6 dp — engine-exact."""
+    r13 rewrite (guide §2.3/§2.4): every statistic here is DOCUMENT-
+    local, yet the r4 shape exploded the corpus twice — two
+    token-count-sized shuffles on (doc, term) plus a doc-level join,
+    the second-slowest text op in the census (8.5 s steady). All four
+    numbers now come from ONE map-only projection: sort the token
+    (resp. bigram) array per row and fold it once with `aggregate`,
+    counting distinct values (run boundaries) and the longest run
+    (the mode's multiplicity — equal elements are adjacent after the
+    sort). Zero exchanges; per-row cost O(n log n) in codegen, and
+    skew is bounded by document length exactly as before. Docs with
+    fewer than 2 tokens are filtered out, which is precisely the old
+    inner-join semantics (no unigram row ⇒ no output; no bigram ⇒ no
+    join partner). Ratios are the same int/int divisions rounded at
+    6 dp — engine-exact."""
     d = load_table(spark, sf_dir, "documents")
     toks = _tokens()
-    uni_counts = (
-        d.select("doc_id", F.explode(toks).alias("tok"))
-        .groupBy("doc_id", "tok")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-        .groupBy("doc_id")
-        .agg(
-            F.sum("cnt").alias("n_tokens"),
-            F.count(F.lit(1)).alias("n_distinct"),
-            F.max("cnt").alias("top_cnt"),
+
+    def _distinct_and_top(arr):
+        """struct(nd, best): #distinct values and max multiplicity,
+        via a single fold over the sorted array."""
+        srt = F.array_sort(arr)
+        init = F.struct(
+            F.lit(None).cast("string").alias("prev"),
+            F.lit(0).cast("long").alias("run"),
+            F.lit(0).cast("long").alias("best"),
+            F.lit(0).cast("long").alias("nd"),
         )
-    )
+
+        def step(acc, x):
+            is_new = acc["prev"].isNull() | (acc["prev"] != x)
+            run = F.when(is_new, F.lit(1).cast("long")).otherwise(acc["run"] + 1)
+            return F.struct(
+                x.alias("prev"),
+                run.alias("run"),
+                F.greatest(acc["best"], run).alias("best"),
+                (acc["nd"] + F.when(is_new, 1).otherwise(0)).alias("nd"),
+            )
+
+        return F.aggregate(srt, init, step)
+
     bigrams = F.transform(
         _gram_idx(toks, 2),
         lambda i: F.concat_ws(" ", F.element_at(toks, i), F.element_at(toks, i + 1)),
     )
-    big_counts = (
-        d.select("doc_id", F.explode(bigrams).alias("bigram"))
-        .groupBy("doc_id", "bigram")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-        .groupBy("doc_id")
-        .agg(F.max("cnt").alias("top_bigram_cnt"))
+    stats = (
+        d.select(
+            "doc_id",
+            F.size(toks).cast("long").alias("n_tokens"),
+            _distinct_and_top(toks).alias("u"),
+            _distinct_and_top(bigrams).alias("b"),
+        )
+        .filter(F.col("n_tokens") >= 2)
     )
-    return uni_counts.join(big_counts, "doc_id").select(
+    return stats.select(
         "doc_id",
         "n_tokens",
-        F.round(F.col("n_distinct").cast("double") / F.col("n_tokens"), 6).alias(
+        F.round(F.col("u.nd").cast("double") / F.col("n_tokens"), 6).alias(
             "distinct_ratio"
         ),
-        F.round(F.col("top_cnt").cast("double") / F.col("n_tokens"), 6).alias(
+        F.round(F.col("u.best").cast("double") / F.col("n_tokens"), 6).alias(
             "top_token_share"
         ),
         F.round(
-            F.col("top_bigram_cnt").cast("double") / (F.col("n_tokens") - 1), 6
+            F.col("b.best").cast("double") / (F.col("n_tokens") - 1), 6
         ).alias("top_bigram_share"),
     )
 

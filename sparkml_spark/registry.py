@@ -186,24 +186,62 @@ def rank_two_phase(df, bucket: Column, order_cols, bucket_ascending=True, out="r
     )
 
 
-def ntile_two_phase(df, n: int, bucket: Column, order_cols,
-                    bucket_ascending=True, out="ntile"):
-    """Exact NTILE(n) via rank_two_phase + NTILE's remainder
-    arithmetic (the first n_all % n tiles get one extra row) —
-    bit-identical to the engine NTILE over the same total order,
-    proven by hash matches against DuckDB's genuine NTILE in
-    ml_lift_gain_table / events_rfm_segmentation."""
-    ranked = rank_two_phase(df, bucket, order_cols, bucket_ascending, out="__r")
-    totals = df.agg(F.count(F.lit(1)).alias("__n_all"))
-    tile = F.expr(
+def ntile_grid_prefix(dfb, b: str, bucket_ascending=True):
+    """Bucket grid of `dfb[b]` with, per bucket: the count of rows in
+    all STRICTLY EARLIER buckets (`__before`) and the grand total
+    (`__n_all`). Both windows run over grid rows only — bounded by
+    the caller's choice of coarsening — so the single-partition
+    window is never corpus-sized."""
+    from pyspark.sql import Window
+
+    grid = dfb.groupBy(b).agg(F.count(F.lit(1)).alias("__cnt"))
+    ob = F.col(b).asc() if bucket_ascending else F.col(b).desc()
+    wg = Window.orderBy(ob).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    wall = Window.orderBy(ob).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return grid.select(
+        b,
+        (F.sum("__cnt").over(wg) - F.col("__cnt")).alias("__before"),
+        F.sum("__cnt").over(wall).alias("__n_all"),
+    )
+
+
+def ntile_rank_expr(n: int) -> Column:
+    """NTILE(n) of global rank `__r` given total count `__n_all` —
+    the engine's exact remainder arithmetic (the first n_all % n
+    tiles get one extra row)."""
+    return F.expr(
         f"CASE WHEN __n_all DIV {n} = 0 THEN __r "
         f"WHEN __r <= (__n_all % {n}) * (__n_all DIV {n} + 1) "
         f"THEN (__r - 1) DIV (__n_all DIV {n} + 1) + 1 "
         f"ELSE (__n_all % {n}) + (__r - (__n_all % {n}) * (__n_all DIV {n} + 1) - 1) "
         f"DIV (__n_all DIV {n}) + 1 END"
     )
+
+
+def ntile_two_phase(df, n: int, bucket: Column, order_cols,
+                    bucket_ascending=True, out="ntile"):
+    """Exact NTILE(n) via the rank_two_phase decomposition + NTILE's
+    remainder arithmetic — bit-identical to the engine NTILE over the
+    same total order, proven by hash matches against DuckDB's genuine
+    NTILE in ml_lift_gain_table / events_rfm_segmentation.
+
+    The total row count rides on the bucket grid (one extra window
+    aggregate over grid rows, which are bounded by construction)
+    instead of a separate `df.agg(count)` + crossJoin: the old shape
+    evaluated the entire upstream plan a third time per call — for
+    chained callers that recompute compounded multiplicatively
+    (guide §2.4, r13)."""
+    from pyspark.sql import Window
+
+    dfb = df.withColumn("__b", bucket)
+    pre = ntile_grid_prefix(dfb, "__b", bucket_ascending)
+    win = Window.partitionBy("__b").orderBy(*order_cols)
+    ranked = dfb.join(pre, "__b").withColumn(
+        "__r", (F.col("__before") + F.row_number().over(win)).cast("long")
+    )
     return (
-        ranked.crossJoin(F.broadcast(totals))
-        .withColumn(out, tile.cast("int"))
-        .drop("__r", "__n_all")
+        ranked.withColumn(out, ntile_rank_expr(n).cast("int"))
+        .drop("__b", "__before", "__r", "__n_all")
     )

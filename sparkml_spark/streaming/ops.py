@@ -615,9 +615,17 @@ def stream_stream_join(spark, sf_dir):
     (round 12): a batch-1 click matching a batch-2 purchase is joined
     out of carried join state — and state eviction under the advancing
     watermark may only evict clicks no future purchase can reach."""
+    # r13: ONE two-batch feed, self-joined. The r12 shape called
+    # _event_stream_2batch once per side — two full fixture-table
+    # copies written to temp feed dirs and two midpoint collects for
+    # identical data. A stream self-join over the same file source
+    # delivers byte-identical micro-batches to both branches (same
+    # files, same trigger), so the join state, watermarks and output
+    # are unchanged; the feed build cost and the smoke-budget
+    # pressure (inherited flaky 34 s vs 30 s budget) halve.
+    raw = _event_stream_2batch(spark, sf_dir)
     purchases = (
-        _event_stream_2batch(spark, sf_dir)
-        .filter(F.col("event_type") == "purchase")
+        raw.filter(F.col("event_type") == "purchase")
         .select(
             F.col("user_id").alias("p_user"),
             F.col("ts").alias("p_ts"),
@@ -626,8 +634,7 @@ def stream_stream_join(spark, sf_dir):
         .withWatermark("p_ts", "1 hour")
     )
     clicks = (
-        _event_stream_2batch(spark, sf_dir)
-        .filter(F.col("event_type") == "click")
+        raw.filter(F.col("event_type") == "click")
         .select(F.col("user_id").alias("c_user"), F.col("ts").alias("c_ts"))
         .withWatermark("c_ts", "2 hours")
     )
