@@ -109,6 +109,33 @@ def _gram4_idx(toks):
     return _gram_idx(toks, 4)
 
 
+def _shingled3(corpus):
+    """corpus(doc_id, text) → (doc_id, shingles): the family's distinct
+    3-token shingle array, with the token array MATERIALIZED as a real
+    column before the shingle lambda references it (r13, guide §4/§5).
+    A split() inlined into a higher-order function's body is
+    re-evaluated per ELEMENT (lambda scope defeats subexpression
+    elimination), making shingling O(L²) per document — measured 13×
+    on text_ngram_sql's identical shape. One definition for the five
+    shingle sites (jaccard, near_minhash, minhash_sql, containment,
+    _minhash_parts) so the fix cannot drift per-site."""
+    tk = F.col("__toks")
+    sh = F.array_distinct(
+        F.transform(
+            _gram4_idx(tk),
+            lambda i: F.concat_ws(
+                " ",
+                F.element_at(tk, i),
+                F.element_at(tk, i + 1),
+                F.element_at(tk, i + 2),
+            ),
+        )
+    )
+    return corpus.select(
+        "doc_id", F.split(F.lower(F.trim(F.col("text"))), r"\s+").alias("__toks")
+    ).select("doc_id", sh.alias("shingles"))
+
+
 def _corpus_with_near_dups(spark, sf_dir):
     d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
@@ -260,16 +287,7 @@ def jaccard_pairs(corpus, threshold: float = 0.6):
     exposed so the hot-shingle stress test can drive it with injected
     skew (tests/test_operators.py) and so callers can dedup arbitrary
     corpora, not just the fixture."""
-    toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
-    shingles = F.array_distinct(
-        F.transform(
-            _gram4_idx(toks),
-            lambda i: F.concat_ws(
-                " ", F.element_at(toks, i), F.element_at(toks, i + 1), F.element_at(toks, i + 2)
-            ),
-        )
-    )
-    shingled = corpus.select("doc_id", shingles.alias("shingles"))
+    shingled = _shingled3(corpus)
     exploded = shingled.select("doc_id", F.explode("shingles").alias("shingle"))
     kept = _ckpt(df_cut_kept(exploded, corpus))
     sizes = kept.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
@@ -308,16 +326,7 @@ def dedup_near_minhash(spark, sf_dir):
     from pyspark.ml.feature import CountVectorizer, MinHashLSH
 
     corpus = _corpus_with_near_dups(spark, sf_dir)
-    toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
-    shingles = F.array_distinct(
-        F.transform(
-            _gram4_idx(toks),
-            lambda i: F.concat_ws(
-                " ", F.element_at(toks, i), F.element_at(toks, i + 1), F.element_at(toks, i + 2)
-            ),
-        )
-    )
-    shingled = corpus.select("doc_id", shingles.alias("shingles"))
+    shingled = _shingled3(corpus)
     # df-cut (SCALE.md): shingles present in >50% of docs carry no
     # near-dup signal but would create giant LSH buckets on hot-token
     # corpora — standard hygiene, recall unaffected (the same 81 pairs
@@ -329,7 +338,12 @@ def dedup_near_minhash(spark, sf_dir):
     cv = CountVectorizer(
         inputCol="shingles", outputCol="features", binary=True, minDF=1.0, maxDF=0.5
     ).fit(shingled)
-    vecs = cv.transform(shingled)
+    # r13 (guide §2.4): approxSimilarityJoin(vecs, vecs, ...) plants
+    # `vecs` in BOTH plan branches, so the shingling + vocabulary
+    # lookup ran twice per execution. Lazy DISK_ONLY checkpoint (the
+    # family's _ckpt pattern) computes it once; the LSH join reads
+    # blocks. Sketch output unchanged — same fitted model, same seed.
+    vecs = _ckpt(cv.transform(shingled))
     lsh = MinHashLSH(inputCol="features", outputCol="hashes", numHashTables=8, seed=42)
     model = lsh.fit(vecs)
     pairs = model.approxSimilarityJoin(vecs, vecs, 0.4, distCol="jaccard_dist")
@@ -619,16 +633,7 @@ def dedup_minhash_sql(spark, sf_dir):
     vocabularies explode — hashing shingles (here: md5) instead of
     dictionary-encoding them is the standard fix."""
     corpus = _corpus_with_near_dups(spark, sf_dir)
-    toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
-    sh = F.array_distinct(
-        F.transform(
-            _gram4_idx(toks),
-            lambda i: F.concat_ws(
-                " ", F.element_at(toks, i), F.element_at(toks, i + 1), F.element_at(toks, i + 2)
-            ),
-        )
-    )
-    shingled = corpus.select("doc_id", F.explode(sh).alias("shingle"))
+    shingled = _shingled3(corpus).select("doc_id", F.explode("shingles").alias("shingle"))
     hs = F.explode(F.sequence(F.lit(0), F.lit(_K_HASHES - 1))).alias("h")
     sig = (
         shingled.select("doc_id", "shingle", hs)
@@ -640,6 +645,12 @@ def dedup_minhash_sql(spark, sf_dir):
         .groupBy("doc_id", "h")
         .agg(F.min("d").alias("mh"))
     )
+    # r13 (guide §2.4): sig feeds THREE consumers (bands + both sides
+    # of the signature-verify join), and computing it means the full
+    # shingle explode × 8 hash probes × md5 — the dominant cost. The
+    # aggregate itself is tiny (docs × 8 rows); checkpoint it lazily
+    # so the explode/hash pipeline runs once per execution.
+    sig = _ckpt(sig)
     bands = sig.groupBy("doc_id", F.expr("h DIV 2").alias("band")).agg(
         F.concat(
             F.min(F.when(F.col("h") % 2 == 0, F.col("mh"))),
@@ -1207,19 +1218,38 @@ def exact_substring_spans(corpus):
     per doc. Shared by the registered query and the hot-gram scale
     probe (scripts/scale_probes.py), which feeds it a corpus where the
     boilerplate gram is deliberately on EVERY doc."""
-    toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    # r13 (guide §4/§5): tokens materialized as a real column before
+    # the gram lambda touches them — an inlined split() re-evaluates
+    # per element inside lambda scope (see _shingled3; 13× measured on
+    # text_ngram_sql's identical shape), and here each position reads
+    # 8 elements.
+    tk = F.col("__toks")
     gram = lambda i: F.concat_ws(  # noqa: E731
-        " ", *[F.element_at(toks, i + d) for d in range(_ES_K)]
+        " ", *[F.element_at(tk, i + d) for d in range(_ES_K)]
     )
-    grams = corpus.select(
-        "doc_id",
-        F.explode(
-            F.transform(
-                _gram_idx(toks, _ES_K),
-                lambda i: F.struct(i.alias("pos"), F.md5(gram(i)).alias("gkey")),
-            )
-        ).alias("pg"),
-    ).select("doc_id", F.col("pg.pos").alias("pos"), F.col("pg.gkey").alias("gkey"))
+    grams = (
+        corpus.select(
+            "doc_id",
+            F.split(F.lower(F.trim(F.col("text"))), r"\s+").alias("__toks"),
+        )
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    _gram_idx(tk, _ES_K),
+                    lambda i: F.struct(i.alias("pos"), F.md5(gram(i)).alias("gkey")),
+                )
+            ).alias("pg"),
+        )
+        .select("doc_id", F.col("pg.pos").alias("pos"), F.col("pg.gkey").alias("gkey"))
+    )
+    # r13 (guide §2.4): the gram stream feeds TWO consumers (the
+    # repeat-count aggregate and the semi-join probe side), so the
+    # unmaterialized plan ran the explode + 8-token concat + md5 —
+    # the dominant cost — twice per execution (and 2× more in the
+    # _apply caller). Same lazy DISK_ONLY checkpoint as jaccard_pairs'
+    # kept stream: tokenize/hash once, both consumers re-read blocks.
+    grams = _ckpt(grams)
     hot = grams.groupBy("gkey").count().filter(F.col("count") >= 2).select("gkey")
     rep = grams.join(hot, "gkey", "left_semi").select("doc_id", "pos")
     w_rn = Window.partitionBy("doc_id").orderBy("pos")
@@ -1414,9 +1444,15 @@ def dedup_exact_substring_apply(spark, sf_dir):
     )
     toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
     spans = exact_substring_spans(corpus)
-    covered = spans.select(
-        "doc_id", F.explode(F.sequence("span_start", "span_end")).alias("idx")
-    ).distinct()
+    # covered feeds two consumers (the anti-join and the n_removed
+    # count); without materialization each re-ran the islands window +
+    # span merge from the checkpointed grams (r13, guide §2.4). It is
+    # span-sized — tiny next to the corpus.
+    covered = _ckpt(
+        spans.select(
+            "doc_id", F.explode(F.sequence("span_start", "span_end")).alias("idx")
+        ).distinct()
+    )
     tokpos = corpus.select(
         "doc_id", F.posexplode(toks).alias("idx0", "tok")
     ).select("doc_id", (F.col("idx0") + 1).alias("idx"), "tok")
@@ -1639,21 +1675,7 @@ def dedup_containment(spark, sf_dir):
         )
     )
     full = corpus.unionByName(frags)
-    toks2 = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
-    shingles = F.array_distinct(
-        F.transform(
-            _gram4_idx(toks2),
-            lambda i: F.concat_ws(
-                " ",
-                F.element_at(toks2, i),
-                F.element_at(toks2, i + 1),
-                F.element_at(toks2, i + 2),
-            ),
-        )
-    )
-    exploded = full.select("doc_id", shingles.alias("shingles")).select(
-        "doc_id", F.explode("shingles").alias("shingle")
-    )
+    exploded = _shingled3(full).select("doc_id", F.explode("shingles").alias("shingle"))
     # df-cut via partial agg + broadcast LEFT ANTI against the hot
     # set, computed once behind a lazy checkpoint — see df_cut_kept
     # for the full shape rationale and measurements.
@@ -1720,19 +1742,7 @@ _MINHASH_BANDS_SQL = """
 def _minhash_parts(docs):
     """(sig, bands) for a (doc_id, text) frame — the dedup_minhash_sql
     pipeline factored for reuse by the incremental variant."""
-    toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
-    sh = F.array_distinct(
-        F.transform(
-            _gram4_idx(toks),
-            lambda i: F.concat_ws(
-                " ",
-                F.element_at(toks, i),
-                F.element_at(toks, i + 1),
-                F.element_at(toks, i + 2),
-            ),
-        )
-    )
-    shingled = docs.select("doc_id", F.explode(sh).alias("shingle"))
+    shingled = _shingled3(docs).select("doc_id", F.explode("shingles").alias("shingle"))
     hs = F.explode(F.sequence(F.lit(0), F.lit(_K_HASHES - 1))).alias("h")
     sig = (
         shingled.select("doc_id", "shingle", hs)
@@ -1746,6 +1756,11 @@ def _minhash_parts(docs):
         .groupBy("doc_id", "h")
         .agg(F.min("mh").alias("mh"))
     )
+    # r13: same multi-consumer materialization as dedup_minhash_sql —
+    # each returned sig is read by its bands aggregate AND by the
+    # verify join(s) (i_sig three times in the incremental op), so the
+    # checkpoint collapses 2-3 shingle-explode × md5 pipelines into 1.
+    sig = _ckpt(sig)
     bands = sig.groupBy("doc_id", F.expr("h DIV 2").alias("band")).agg(
         F.concat(
             F.min(F.when(F.col("h") % 2 == 0, F.col("mh"))),

@@ -133,11 +133,18 @@ def text_ngram_sql(spark, sf_dir):
     """Top-25 word bigrams, built positionally with sequence+element_at
     (the SQL twin; MLlib's NGram stage is the ROWS twin in ml.py)."""
     d = load_table(spark, sf_dir, "documents")
-    toks = _tokens()
+    # r13 (guide §4/§5 "evaluate once"): the token array MUST be
+    # materialized as a real column before any lambda references it —
+    # a split() inlined into a higher-order function's body is
+    # re-evaluated per ELEMENT (no subexpression elimination inside
+    # lambda scope), turning tokenization into O(L²) per document.
+    # Measured on this exact query: 8.9 s → 0.7 s at sf0.1.
+    tk = F.col("__toks")
     bigrams = F.transform(
-        _gram_idx(toks, 2),
-        lambda i: F.concat_ws(" ", F.element_at(toks, i), F.element_at(toks, i + 1)),
+        _gram_idx(tk, 2),
+        lambda i: F.concat_ws(" ", F.element_at(tk, i), F.element_at(tk, i + 1)),
     )
+    d = d.select(_tokens().alias("__toks"))
     # r13 (guide §2.4): the top-25 filter was a row_number over an
     # UNPARTITIONED window — a single-partition sort of the whole
     # bigram vocabulary (the one Spark warns about). row_number ≤ k
@@ -387,18 +394,21 @@ def text_fingerprint(spark, sf_dir):
     4 tokens get a NULL min_shingle_hash on BOTH engines (empty shingle
     set -> MIN over nothing)."""
     d = load_table(spark, sf_dir, "documents")
-    toks = _tokens()
+    # r13: token array materialized as a column before the shingle
+    # lambda touches it — an inlined split() re-evaluates per element
+    # inside lambda scope (see text_ngram_sql; measured 13× there).
+    tk = F.col("__toks")
     shingles = F.transform(
-        _gram_idx(toks, 4),
+        _gram_idx(tk, 4),
         lambda i: F.concat_ws(
             " ",
-            F.element_at(toks, i),
-            F.element_at(toks, i + 1),
-            F.element_at(toks, i + 2),
-            F.element_at(toks, i + 3),
+            F.element_at(tk, i),
+            F.element_at(tk, i + 1),
+            F.element_at(tk, i + 2),
+            F.element_at(tk, i + 3),
         ),
     )
-    return d.select(
+    return d.select("doc_id", "text", _tokens().alias("__toks")).select(
         "doc_id",
         F.md5(F.lower(F.trim(F.regexp_replace("text", r"\s+", " ")))).alias("content_md5"),
         F.array_min(F.transform(shingles, F.md5)).alias("min_shingle_hash"),
@@ -488,7 +498,11 @@ def text_repetition_score(spark, sf_dir):
     join partner). Ratios are the same int/int divisions rounded at
     6 dp — engine-exact."""
     d = load_table(spark, sf_dir, "documents")
-    toks = _tokens()
+    # r13: tokens materialized as a column — the bigram lambda's
+    # element_at(toks, …) would otherwise re-run split() per element
+    # (see text_ngram_sql; 13× measured).
+    toks = F.col("__toks")
+    d = d.select("doc_id", _tokens().alias("__toks"))
 
     def _distinct_and_top(arr):
         """struct(nd, best): #distinct values and max multiplicity,
