@@ -136,6 +136,24 @@ def _shingled3(corpus):
     ).select("doc_id", sh.alias("shingles"))
 
 
+def _shingled3_exploded(corpus):
+    """(doc_id, shingle) stream over _shingled3, via explode_OUTER +
+    isnotnull instead of plain explode. A plain explode makes
+    InferFiltersFromGenerate add `size(shingles) > 0` which predicate
+    pushdown then rewrites through the projection — re-inlining the
+    split() into the shingle lambda and resurrecting the O(L²)
+    per-element tokenization at the SCAN (measured 26.8 s of the
+    jaccard corpus's 58 s first run at sf0.1). An outer generate
+    infers no filter; the null-row cut on the generator OUTPUT column
+    is exact (shingle values are concat_ws results, never null, and
+    docs with an empty shingle array contributed no rows before)."""
+    return (
+        _shingled3(corpus)
+        .select("doc_id", F.explode_outer("shingles").alias("shingle"))
+        .filter(F.col("shingle").isNotNull())
+    )
+
+
 def _corpus_with_near_dups(spark, sf_dir):
     d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
@@ -287,8 +305,7 @@ def jaccard_pairs(corpus, threshold: float = 0.6):
     exposed so the hot-shingle stress test can drive it with injected
     skew (tests/test_operators.py) and so callers can dedup arbitrary
     corpora, not just the fixture."""
-    shingled = _shingled3(corpus)
-    exploded = shingled.select("doc_id", F.explode("shingles").alias("shingle"))
+    exploded = _shingled3_exploded(corpus)
     kept = _ckpt(df_cut_kept(exploded, corpus))
     sizes = kept.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     a = kept.select(F.col("doc_id").alias("id_a"), "shingle")
@@ -734,7 +751,7 @@ def dedup_minhash_sql(spark, sf_dir):
     vocabularies explode — hashing shingles (here: md5) instead of
     dictionary-encoding them is the standard fix."""
     corpus = _corpus_with_near_dups(spark, sf_dir)
-    shingled = _shingled3(corpus).select("doc_id", F.explode("shingles").alias("shingle"))
+    shingled = _shingled3_exploded(corpus)
     hs = F.explode(F.sequence(F.lit(0), F.lit(_K_HASHES - 1))).alias("h")
     sig = (
         shingled.select("doc_id", "shingle", hs)
@@ -1776,7 +1793,7 @@ def dedup_containment(spark, sf_dir):
         )
     )
     full = corpus.unionByName(frags)
-    exploded = _shingled3(full).select("doc_id", F.explode("shingles").alias("shingle"))
+    exploded = _shingled3_exploded(full)
     # df-cut via partial agg + broadcast LEFT ANTI against the hot
     # set, computed once behind a lazy checkpoint — see df_cut_kept
     # for the full shape rationale and measurements.
@@ -1843,7 +1860,7 @@ _MINHASH_BANDS_SQL = """
 def _minhash_parts(docs):
     """(sig, bands) for a (doc_id, text) frame — the dedup_minhash_sql
     pipeline factored for reuse by the incremental variant."""
-    shingled = _shingled3(docs).select("doc_id", F.explode("shingles").alias("shingle"))
+    shingled = _shingled3_exploded(docs)
     hs = F.explode(F.sequence(F.lit(0), F.lit(_K_HASHES - 1))).alias("h")
     sig = (
         shingled.select("doc_id", "shingle", hs)
