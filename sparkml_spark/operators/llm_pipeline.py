@@ -227,27 +227,43 @@ def pipeline_decontaminate(spark, sf_dir):
     count, skew bounded by gram frequency. Counts are exact, so the op
     is ORACLE-tier end to end."""
     d = load_table(spark, sf_dir, "documents")
-    toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    # r13 (guide §4/§5): tokens materialized as a real column before
+    # the gram lambda touches them — an inlined split() re-evaluates
+    # per ELEMENT inside lambda scope (see llm_dedup._shingled3; 13×
+    # measured on the identical shape).
+    tk = F.col("__toks")
     # Guard docs shorter than n: Spark's sequence(1, size-2) DESCENDS
     # when size < 3 (default step -1), and element_at(toks, 0) then
     # throws INVALID_INDEX_OF_ZERO — whereas the oracle's range(1, n-1)
     # yields empty. Emit an explicitly-empty index array instead
     # (ADVICE r4, medium).
     idx = F.when(
-        F.size(toks) >= 3, F.sequence(F.lit(1), F.size(toks) - 2)
+        F.size(tk) >= 3, F.sequence(F.lit(1), F.size(tk) - 2)
     ).otherwise(F.array().cast("array<int>"))
     ngrams = F.array_distinct(
         F.transform(
             idx,
             lambda i: F.concat_ws(
                 " ",
-                F.element_at(toks, i),
-                F.element_at(toks, i + 1),
-                F.element_at(toks, i + 2),
+                F.element_at(tk, i),
+                F.element_at(tk, i + 1),
+                F.element_at(tk, i + 2),
             ),
         )
     )
-    grams = d.select("doc_id", F.explode(ngrams).alias("gram"))
+    # explode_OUTER + isnotnull on the generator output, not a plain
+    # explode: the inferred size()>0 filter would be pushed to the
+    # scan with the whole gram expression re-inlined per element
+    # (llm_dedup._shingled3_exploded has the measurement). Exact:
+    # grams are concat_ws (never null); gram-less docs contributed no
+    # rows before.
+    grams = (
+        d.select(
+            "doc_id", F.split(F.lower(F.trim(F.col("text"))), r"\s+").alias("__toks")
+        )
+        .select("doc_id", F.explode_outer(ngrams).alias("gram"))
+        .filter(F.col("gram").isNotNull())
+    )
     eval_grams = (
         grams.filter(F.col("doc_id") % 97 == 0).select("gram").distinct()
     )
