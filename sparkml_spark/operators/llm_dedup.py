@@ -1277,31 +1277,35 @@ def semdedup_within_clusters(qz, cap: int = _SEM_MAX_CLUSTER):
     single cell, making the capped plan semantically identical to the
     uncapped join."""
     cells = sem_cells(qz, cap)
-    a = cells.select(
-        F.col("vec_id").alias("id_a"),
-        F.col("label").alias("label_a"),
-        F.col("cell").alias("cell_a"),
-        F.col("q8").alias("q8_a"),
-    )
-    b = cells.select(
-        F.col("vec_id").alias("id_b"),
-        F.col("label").alias("label_b"),
-        F.col("cell").alias("cell_b"),
-        F.col("q8").alias("q8_b"),
-    )
-    qdot = F.aggregate(
-        F.zip_with("q8_a", "q8_b", lambda x, y: x * y), F.lit(0).cast("long"), lambda acc, v: acc + v
-    )
-    dup = (
-        a.join(
-            b,
-            (F.col("label_a") == F.col("label_b"))
-            & (F.col("cell_a") == F.col("cell_b"))
-            & (F.col("id_a") < F.col("id_b")),
+    # r13 (guide §4.2, same rationale as dedup_embedding_cosine): the
+    # within-cell pair scoring used a self-join whose qdot was an
+    # interpreted zip_with+aggregate fold — ~21 µs/pair, 3.4 s steady
+    # at sf0.1 for ~220k in-cell pairs. A (label, cell) group is at
+    # most `cap` members, so score each cell as ONE int64 matrix
+    # product in a grouped Arrow call and emit (vec_id, min matching
+    # lower id) directly. INTEGER arithmetic — no accumulation-order
+    # caveat at all: the dots are exactly the old fold's values, and
+    # a vector's candidate pairs all live in its single (label, cell)
+    # group, so the per-group min IS the global min keeper.
+    def _cell_dups(pdf):
+        import numpy as np
+        import pandas as pd
+
+        ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+        Q = np.stack([np.asarray(v, dtype=np.int64) for v in pdf["q8"]])
+        D = Q @ Q.T
+        mask = (D >= _SEM_QDOT_MIN) & (ids[:, None] < ids[None, :])
+        cand = np.where(mask, ids[:, None], np.iinfo(np.int64).max)
+        keeper = cand.min(axis=0)
+        has = keeper != np.iinfo(np.int64).max
+        return pd.DataFrame(
+            {"vec_id": ids[has], "keeper_id": keeper[has]}
         )
-        .filter(qdot >= F.lit(_SEM_QDOT_MIN))
-        .groupBy(F.col("id_b").alias("vec_id"))
-        .agg(F.min("id_a").alias("keeper_id"))
+
+    dup = (
+        cells.select("label", "cell", "vec_id", "q8")
+        .groupBy("label", "cell")
+        .applyInPandas(_cell_dups, "vec_id long, keeper_id long")
     )
     return (
         qz.join(dup, "vec_id", "left")

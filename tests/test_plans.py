@@ -321,11 +321,17 @@ def test_semdedup_pairs_meet_inside_cluster_only(spark):
     )
     assert "CartesianProduct" not in plan, plan[:1500]
     assert "BroadcastNestedLoop" not in plan, plan[:1500]
-    # salted form (VERDICT r7 #3): the equi keys must be BOTH the
-    # cluster id and the size-cap sub-cell, so giant clusters stay
-    # bounded at ~cap^2 pairs per cell
+    # salted form (VERDICT r7 #3, reshaped r13): pairs may only meet
+    # inside a (cluster id, size-cap sub-cell) group. Since r13 the
+    # scoring is one int64 matrix product per cell — a
+    # FlatMapGroupsInPandas whose grouping (and therefore shuffle)
+    # keys must be BOTH label and cell, so giant clusters stay bounded
+    # at ~cap^2 pairs per cell exactly as the old equi join was.
     assert re.search(
-        r"(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin) \[label_a[^\]]*cell_a", plan
+        r"FlatMapGroupsInPandas \[label[^\]]*cell", plan
+    ), plan[:1500]
+    assert re.search(
+        r"Exchange hashpartitioning\(label[^)]*cell", plan
     ), plan[:1500]
 
 
