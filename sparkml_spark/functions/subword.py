@@ -1186,16 +1186,22 @@ def train_bpe_merges(spark, sf_dir, n_merges: int = BPE_N, on_merge=None,
     merges: list[tuple[int, str, str, int]] = []
     for rank in range(1, n_merges + 1):
         _t0 = _time.monotonic()
+        # r13: explode_OUTER + isnotnull — a plain explode's inferred
+        # size()>0 filter evaluates the whole pair-transform a SECOND
+        # time per row, doubling each merge iteration's dominant cost
+        # (see llm_dedup._shingled3_exploded). Exact: pair structs are
+        # never null; single-token words contributed no rows before.
         best = (
             words.select(
                 "f",
-                F.explode(
+                F.explode_outer(
                     F.expr(
                         "transform(slice(toks, 1, size(toks) - 1),"
                         " (x, i) -> struct(x AS a, element_at(toks, i + 2) AS b))"
                     )
                 ).alias("p"),
             )
+            .filter(F.col("p").isNotNull())
             .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
             .agg(F.sum("f").alias("cnt"))
             .orderBy(F.desc("cnt"), "a", "b")

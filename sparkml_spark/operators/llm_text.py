@@ -953,12 +953,18 @@ def text_boilerplate_ngrams(spark, sf_dir):
     shuffle; a distinct-before-count keeps per-key state bounded."""
     d = load_table(spark, sf_dir, "documents")
     toks = d.select("doc_id", _tokens().alias("t")).filter(F.size("t") >= 8)
+    # r13: explode_OUTER + isnotnull — a plain explode's inferred
+    # size()>0 filter re-inlines the tokenization into the lambda when
+    # pushed below the projection (llm_dedup._shingled3_exploded has
+    # the measurement). Exact: shingles are array_join results (never
+    # null); the size("t") >= 8 filter already guarantees a non-empty
+    # shingle array.
     sh = toks.select(
         "doc_id",
-        F.explode(
+        F.explode_outer(
             F.expr("transform(sequence(1, size(t) - 7), i -> array_join(slice(t, i, 8), ' '))")
         ).alias("shingle"),
-    )
+    ).filter(F.col("shingle").isNotNull())
     return (
         sh.groupBy("shingle")
         .agg(
@@ -1851,12 +1857,20 @@ def text_char_ngram_profile(spark, sf_dir):
     d = load_table(spark, sf_dir, "documents")
     t = F.lower(F.trim(F.regexp_replace("text", r"\s+", " ")))
     chars = d.select("lang", t.alias("t"))
+    # r13: explode_OUTER + isnotnull, not plain explode — the inferred
+    # size()>0 filter would be pushed below the projection with `t`'s
+    # normalization re-inlined into the lambda, re-running the
+    # regexp_replace per ELEMENT at the scan (see
+    # llm_dedup._shingled3_exploded for the measurement). Exact: gram
+    # values are substrings of a non-null t (never null); docs shorter
+    # than 3 chars produce an empty array and contributed no rows
+    # before.
     grams = chars.select(
         "lang",
-        F.explode(
+        F.explode_outer(
             F.expr("transform(sequence(1, greatest(length(t) - 2, 0)), i -> substring(t, i, 3))")
         ).alias("g"),
-    )
+    ).filter(F.col("g").isNotNull())
     counts = grams.groupBy("lang", "g").agg(
         F.count(F.lit(1)).cast("long").alias("n")
     )
