@@ -1495,13 +1495,25 @@ def synth_incr_batch(arriving, corpus):
     )
 
 
-def refresh_manifest_incr(incr, corpus_digests, lang_map):
+def refresh_manifest_incr(incr, corpus_digests, lang_map, ckpt=None):
     """The daily-append chain given an ALREADY-SYNTHESIZED arriving
     batch and the standing corpus digest index (a 1-column `h` frame —
     in production a maintained bucketed table; in the streaming twin
     the parquet artifact the bootstrap micro-batch wrote). Everything
-    downstream of the index probe is identical to the batch chain."""
-    from sparkml_spark.operators.llm_dedup import _DUP_OFFSET, _norm
+    downstream of the index probe is identical to the batch chain.
+
+    ``ckpt`` (r13, guide §2.4): the chain's two batch-sized
+    multi-consumer intermediates — `quality` (read by the BPE token
+    coster AND the lang re-attach) and `enriched` (read by the budget
+    aggregate AND the mix filter) — are materialized through this
+    callable so the corpus-digest probe and the BPE vocabulary fold
+    run ONCE instead of once per consumer. Defaults to the dedup
+    family's lazy DISK_ONLY `_ckpt`; the streaming twin passes its
+    CheckpointChain.step so every block is freed at chain.close()."""
+    from sparkml_spark.operators.llm_dedup import _DUP_OFFSET, _ckpt, _norm
+
+    if ckpt is None:
+        ckpt = _ckpt
 
     ih = incr.select("doc_id", "text", _norm().alias("h"))
     # Probe the standing index WITHOUT moving it: broadcast the batch's
@@ -1532,7 +1544,8 @@ def refresh_manifest_incr(incr, corpus_digests, lang_map):
         .filter(F.col("n_ws").between(5, 1000) & (F.col("dr") > 0.3))
         .select("doc_id", "text")
     )
-    enriched = (
+    quality = ckpt(quality)
+    enriched = ckpt(
         quality.join(bpe_doc_token_counts(quality), "doc_id")
         .withColumn("base_id", F.expr(f"doc_id % {_DUP_OFFSET}"))
         .join(lang_map, "base_id")

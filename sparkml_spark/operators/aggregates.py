@@ -853,10 +853,18 @@ def agg_approx_distinct_bound(spark, sf_dir):
     """Error-bound pin for agg_approx_distinct: HLL++ (rsd=2%) per-
     priority distinct-customer estimates must sit within 10% of the
     exact countDistinct. Returns the violation count (oracle: 0)."""
+    # r13 (guide §2.3): mixing countDistinct with another aggregate
+    # forced an Expand (×2 row duplication) plus a distinct-aggregate
+    # shuffle of raw rows. Pre-distinct the (priority, custkey) pairs
+    # with a map-side-combining groupBy first: the exact count is then
+    # a plain count, and the HLL++ estimate is IDENTICAL because
+    # sketch registers depend only on the SET of inserted values —
+    # re-inserting a duplicate is a no-op (max of equal hashes).
     o = load_table(spark, sf_dir, "orders")
-    per = o.groupBy("o_orderpriority").agg(
+    pairs = o.select("o_orderpriority", "o_custkey").distinct()
+    per = pairs.groupBy("o_orderpriority").agg(
         F.approx_count_distinct("o_custkey", 0.02).alias("est"),
-        F.countDistinct("o_custkey").alias("exact"),
+        F.count(F.lit(1)).alias("exact"),
     )
     viol = F.abs(F.col("est") - F.col("exact")) > 0.10 * F.col("exact")
     return per.agg(F.count_if(viol).alias("n_violations"))

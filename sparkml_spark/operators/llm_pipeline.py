@@ -678,21 +678,31 @@ def pipeline_filter_funnel(spark, sf_dir):
     exploding a literal array over that one aggregate row. No joins,
     no windows, no shuffle of document rows."""
     d = load_table(spark, sf_dir, "documents")
-    toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
-    nc = F.length("text")
-    alpha = F.length(F.regexp_replace(F.lower("text"), "[^a-z]", ""))
-    stops = F.size(F.filter(toks, lambda s: s.isin(*_STOPWORDS)))
+    # r13 (guide §4, the _shingled3 lesson): materialize the token
+    # array as a real column BEFORE the repetition-cap lambda
+    # references it — a split() inlined into a higher-order function's
+    # body is re-evaluated per element (here: once per DISTINCT
+    # token), making the gate O(L²·split) per document.
+    tk = F.col("__toks")
+    base = d.select(
+        F.split(F.lower(F.trim(F.col("text"))), r"\s+").alias("__toks"),
+        F.length("text").alias("__nc"),
+        F.length(F.regexp_replace(F.lower("text"), "[^a-z]", "")).alias(
+            "__alpha"
+        ),
+    )
+    stops = F.size(F.filter(tk, lambda s: s.isin(*_STOPWORDS)))
     maxtok = F.array_max(
         F.transform(
-            F.array_distinct(toks),
-            lambda u: F.size(F.filter(toks, lambda x: x == u)),
+            F.array_distinct(tk),
+            lambda u: F.size(F.filter(tk, lambda x: x == u)),
         )
     )
-    flags = d.select(
-        (F.size(toks) >= _FUNNEL_MIN_TOKENS).alias("p1"),
-        (100 * alpha >= 81 * nc).alias("p2"),
-        (100 * stops >= 3 * F.size(toks)).alias("p3"),
-        (25 * maxtok <= 4 * F.size(toks)).alias("p4"),
+    flags = base.select(
+        (F.size(tk) >= _FUNNEL_MIN_TOKENS).alias("p1"),
+        (100 * F.col("__alpha") >= 81 * F.col("__nc")).alias("p2"),
+        (100 * stops >= 3 * F.size(tk)).alias("p3"),
+        (25 * maxtok <= 4 * F.size(tk)).alias("p4"),
     )
     agg = flags.agg(
         F.count(F.lit(1)).alias("n0"),
@@ -1955,24 +1965,28 @@ def pipeline_dsir_select(spark, sf_dir):
         "lang",
         (md5_chunk16(F.col("tok")) % _DSIR_B).alias("b"),
     )
-    tgt = (
-        bt.filter(F.col("lang") == "en")
-        .groupBy("b")
-        .agg(F.count(F.lit(1)).cast("long").alias("ct"))
+    # r13 (guide §1.2/§2.4): the exploded+hashed token stream was
+    # re-derived FIVE times (tgt, raw, both sums inside tot, scored) —
+    # five full tokenization passes over the corpus. Checkpoint it
+    # once, and fold tgt/raw into ONE grouped pass (ct as a
+    # conditional count: a bucket with no 'en' tokens gets ct=0,
+    # exactly the old coalesce(ct, 0) on the left join).
+    from sparkml_spark.operators.llm_dedup import _ckpt
+
+    bt = _ckpt(bt)
+    g = bt.groupBy("b").agg(
+        F.count(F.lit(1)).cast("long").alias("cr"),
+        F.count(F.when(F.col("lang") == "en", 1)).cast("long").alias("ct"),
     )
-    raw = bt.groupBy("b").agg(F.count(F.lit(1)).cast("long").alias("cr"))
-    tot = tgt.agg(F.sum("ct").alias("nt")).crossJoin(
-        raw.agg(F.sum("cr").alias("nr"))
-    )
+    tot = g.agg(F.sum("ct").alias("nt"), F.sum("cr").alias("nr"))
     w = (
-        raw.crossJoin(F.broadcast(tot))
-        .join(tgt, "b", "left")
+        g.crossJoin(F.broadcast(tot))
         .select(
             "b",
             F.round(
                 F.log(
                     (
-                        (F.coalesce(F.col("ct"), F.lit(0)) + 1).cast("double")
+                        (F.col("ct") + 1).cast("double")
                         * (F.col("nr") + _DSIR_B).cast("double")
                     )
                     / (
@@ -2302,6 +2316,16 @@ def pipeline_consistent_hash_ring(spark, sf_dir):
     Scale: the ring is 128/136 rows broadcast; assignment is one
     conditional-min aggregation per doc over the broadcast ring —
     one scan, no shuffle of the corpus."""
+    # r13 (guide §2.4 "remove shuffles outright"): the ring is 128/136
+    # CONSTANT points — md5 of literal 'ring:s:v' strings — so both
+    # assignments fold into ONE per-row array expression over a
+    # constant-folded literal array. The previous shape paid two
+    # corpus×ring crossJoin explosions (128×/136× row inflation), two
+    # corpus-wide doc_id groupBys and a doc_id self-join; now the only
+    # shuffle left is the final 16-row shard rollup. The clockwise-min
+    # algebra is unchanged: combined = (pos·32+shard)·16+v sorts
+    # primarily by pos (shard·16+v ≤ 511 < 512), so
+    # min(combined | pos ≥ p) ≡ min(filter(ring, c ≥ p·512)) exactly.
     d = load_table(spark, sf_dir, "documents").select(
         "doc_id",
         md5_chunk16(F.concat(F.lit("doc:"), F.col("doc_id").cast("string"))).alias(
@@ -2309,47 +2333,33 @@ def pipeline_consistent_hash_ring(spark, sf_dir):
         ),
     )
 
-    def ring(n_shards):
-        rows = [(s, v) for s in range(n_shards) for v in range(8)]
-        rdf = spark.createDataFrame(rows, "shard INT, v INT")
-        return rdf.select(
-            "shard",
-            "v",
-            md5_chunk16(
-                F.concat(
-                    F.lit("ring:"),
-                    F.col("shard").cast("string"),
-                    F.lit(":"),
-                    F.col("v").cast("string"),
-                )
-            ).alias("pos"),
+    def owner(n_shards):
+        # Built as ONE F.expr string: composing the 128/136 constant
+        # elements from per-element Column objects costs ~8 py4j
+        # round-trips each (measured 8.7 s of pure Python plan
+        # construction); one SQL parse is milliseconds. The element
+        # formula mirrors md5_chunk16's convention exactly
+        # (CONV(SUBSTRING(MD5(x),1,4),16,10) cast BIGINT).
+        arr = (
+            "array("
+            + ",".join(
+                f"(CAST(CONV(SUBSTRING(MD5('ring:{s}:{v}'),1,4),16,10)"
+                f" AS BIGINT) * 32 + {s}) * 16 + {v}"
+                for s in range(n_shards)
+                for v in range(8)
+            )
+            + ")"
+        )
+        return F.expr(
+            f"CAST((COALESCE(ARRAY_MIN(FILTER({arr}, x -> x >= p * 512)),"
+            f" ARRAY_MIN({arr})) DIV 16) % 32 AS BIGINT)"
         )
 
-    def owners(ring_df):
-        combined = (F.col("pos") * 32 + F.col("shard")) * 16 + F.col("v")
-        return (
-            d.crossJoin(F.broadcast(ring_df))
-            .groupBy("doc_id")
-            .agg(
-                (
-                    F.coalesce(
-                        F.min(F.when(F.col("pos") >= F.col("p"), combined)),
-                        F.min(combined),
-                    )
-                )
-                .alias("c")
-            )
-            .select(
-                "doc_id",
-                (F.expr("c DIV 16") % 32).cast("long").alias("shard"),
-            )
-        )
-
-    a = owners(ring(16)).withColumnRenamed("shard", "shard16")
-    b = owners(ring(17)).withColumnRenamed("shard", "shard17")
+    both = d.select(
+        owner(16).alias("shard16"), owner(17).alias("shard17")
+    )
     return (
-        a.join(b, "doc_id")
-        .groupBy(F.col("shard16").alias("shard"))
+        both.groupBy(F.col("shard16").alias("shard"))
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_at_16"),
             F.sum(F.when(F.col("shard17") == F.col("shard16"), 1).otherwise(0))

@@ -1377,10 +1377,44 @@ def ml_text_hash_bound(spark, sf_dir):
             F.size("tokens").alias("n_tokens"),
         )
     )
-    base = out.filter(
+    # r13 (guide §1.2/§5): `out` — the full 4096-wide transform — was
+    # re-executed by all four consumers (base, twin, v_mass, v_neg).
+    # Reduce per-doc FIRST (each doc's mass/negativity checks collapse
+    # to one flag; the wide tfidf vector survives only for rows the
+    # twin join can touch), checkpoint that once, and aggregate the
+    # flags in a single pass. Every flag expression is unchanged.
+    from sparkml_spark.operators.llm_dedup import _ckpt
+
+    twin_rel = (F.col("doc_id") % 13 == 0) | (F.col("doc_id") >= 10_000_000)
+    per = _ckpt(
+        out.select(
+            "doc_id",
+            (
+                F.abs(
+                    F.aggregate("tf_vec", F.lit(0.0), lambda acc, v: acc + v)
+                    - F.col("n_tokens")
+                )
+                > 1e-9
+            )
+            .cast("long")
+            .alias("m"),
+            (
+                F.aggregate(
+                    "vec",
+                    F.lit(0.0),
+                    lambda acc, v: acc + (v < 0).cast("double"),
+                )
+                > 0
+            )
+            .cast("long")
+            .alias("g"),
+            F.when(twin_rel, F.col("vec")).alias("vec"),
+        )
+    )
+    base = per.filter(
         (F.col("doc_id") % 13 == 0) & (F.col("doc_id") < 10_000_000)
     ).select(F.col("doc_id").alias("k"), F.col("vec").alias("vec_a"))
-    twin = out.filter(
+    twin = per.filter(
         (F.col("doc_id") >= 10_000_000) & (F.col("doc_id") < 20_000_000)
     ).select((F.col("doc_id") - 10_000_000).alias("k"), F.col("vec").alias("vec_b"))
     v_twin = base.join(twin, "k").agg(
@@ -1395,25 +1429,11 @@ def ml_text_hash_bound(spark, sf_dir):
             ).cast("long")
         ).alias("v_twin")
     )
-    v_mass = out.agg(
-        F.sum(
-            (
-                F.abs(
-                    F.aggregate("tf_vec", F.lit(0.0), lambda acc, v: acc + v)
-                    - F.col("n_tokens")
-                )
-                > 1e-9
-            ).cast("long")
-        ).alias("v_mass")
-    )
-    v_neg = out.agg(
-        F.sum(
-            (F.aggregate("vec", F.lit(0.0), lambda acc, v: acc + (v < 0).cast("double")) > 0).cast("long")
-        ).alias("v_neg")
+    v_scal = per.agg(
+        F.sum("m").alias("v_mass"), F.sum("g").alias("v_neg")
     )
     return (
-        v_twin.crossJoin(v_mass)
-        .crossJoin(v_neg)
+        v_twin.crossJoin(v_scal)
         .select((F.col("v_twin") + F.col("v_mass") + F.col("v_neg")).alias("n_violations"))
     )
 

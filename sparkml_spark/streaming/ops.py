@@ -1346,7 +1346,9 @@ def stream_incremental_refresh(spark, sf_dir):
             )
         )
         out_rows.extend(
-            refresh_manifest_incr(incr, state["index"], lang_map).collect()
+            refresh_manifest_incr(
+                incr, state["index"], lang_map, ckpt=chain.step
+            ).collect()
         )
 
     q = (

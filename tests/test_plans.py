@@ -1027,11 +1027,19 @@ def test_r11_wave15_plan_shapes(spark):
 
 
 def test_r11_wave16_plan_shapes(spark):
-    """Wave-16 plan gate (r11): ring assignment must broadcast the
-    ring (a 128/136-row side) onto one corpus scan — broadcast joins,
-    partial agg, no corpus shuffle."""
+    """Wave-16 plan gate (r13-tightened): the ring is a CONSTANT
+    128/136-point literal array folded into the scan projection, so
+    the assignment plan must carry NO join of any kind (the r11 shape
+    broadcast the ring onto two corpus crossJoins and self-joined the
+    results) and exactly ONE shuffle — the 16-row shard rollup, which
+    must map-side combine."""
     ring = QUERIES["pipeline_consistent_hash_ring"](spark, SF_DIR)
-    assert has_broadcast_join(ring)
+    plan = ring._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan, plan[:2000]
+    # count exchanges on the simple plan string: the formatted
+    # explain (shuffle_count) truncates plans carrying the folded
+    # 128/136-element ring literals and loses the Exchange line
+    assert plan.count("Exchange hashpartitioning") == 1, plan[:2000]
     assert has_partial_aggregate(ring)
 
 
