@@ -1805,24 +1805,52 @@ def dedup_containment(spark, sf_dir):
     sizes = kept.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     a = kept.select(F.col("doc_id").alias("id_a"), "shingle")
     b = kept.select(F.col("doc_id").alias("id_b"), "shingle")
-    inter = (
+    # r13 (guide §2.3): |S_A ∩ S_B| is SYMMETRIC, so count each
+    # unordered pair once (id_a < id_b — half the pair-count shuffle
+    # and aggregation state) behind a lazy checkpoint, then evaluate
+    # the two DIRECTED thresholds from the one count. Each qualifying
+    # direction is emitted exactly as before; only the duplicate
+    # mirror-image counting work is gone.
+    half = (
         a.join(b, ["shingle"])
-        .filter(F.col("id_a") != F.col("id_b"))
+        .filter(F.col("id_a") < F.col("id_b"))
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("n_inter"))
     )
     sa = sizes.select(F.col("doc_id").alias("id_a"), F.col("n_sh").alias("n_sh_a"))
-    return (
-        inter.join(sa, "id_a")
-        .filter((F.col("n_sh_a") >= 5) & (10 * F.col("n_inter") >= 9 * F.col("n_sh_a")))
-        .select(
-            "id_a",
-            "id_b",
-            "n_inter",
-            "n_sh_a",
-            F.round(F.col("n_inter").cast("double") / F.col("n_sh_a"), 6).alias(
-                "containment"
+    sb = sizes.select(F.col("doc_id").alias("id_b"), F.col("n_sh").alias("n_sh_b"))
+
+    def directed(id_a, id_b, n_sh):
+        return F.when(
+            (F.col(n_sh) >= 5) & (10 * F.col("n_inter") >= 9 * F.col(n_sh)),
+            F.struct(
+                F.col(id_a).alias("id_a"),
+                F.col(id_b).alias("id_b"),
+                F.col("n_inter").alias("n_inter"),
+                F.col(n_sh).alias("n_sh_a"),
             ),
+        )
+
+    return (
+        half.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            F.explode(
+                F.array(
+                    directed("id_a", "id_b", "n_sh_a"),
+                    directed("id_b", "id_a", "n_sh_b"),
+                )
+            ).alias("e")
+        )
+        .filter(F.col("e").isNotNull())
+        .select(
+            "e.id_a",
+            "e.id_b",
+            "e.n_inter",
+            "e.n_sh_a",
+            F.round(
+                F.col("e.n_inter").cast("double") / F.col("e.n_sh_a"), 6
+            ).alias("containment"),
         )
     )
 
