@@ -49,22 +49,26 @@ if [ $quick -eq 0 ]; then
   # r7-era suite and started killing healthy runs at ~43%.
   run "pytest" timeout 2400 python -m pytest tests/ -q -x
 fi
-run "sim sf0.01" timeout 900 python scripts/driver_sim.py
+run "sim sf0.01" timeout 1800 python scripts/driver_sim.py
 if [ $quick -eq 0 ]; then
-  run "sim sf0.001" timeout 900 python scripts/driver_sim.py --sf-dir /root/testdata/sf0.001
+  run "sim sf0.001" timeout 1800 python scripts/driver_sim.py --sf-dir /root/testdata/sf0.001
   # Standing multi-file-layout t2 (VERDICT r11 #3): the full oracle
   # sweep over a 4-file rebuild of sf0.01 — different parquet merge
   # order => different float summation order; the strongest structural
   # canary the repo owns, now in the per-round gate.
-  run "sim sf0.01 multifile" timeout 2100 python scripts/partitioned_verify.py
-  # 3000s: the sf0.1 sim measured 864s at r7 HEAD, >1500s at r9 (315
-  # queries), 1622s at r11 (348); at the 437-query inventory plus the
-  # 2-batch streaming feeds keep ~40% slack over the growth curve.
-  run "sim sf0.1" timeout 3000 python scripts/driver_sim.py --sf-dir /root/testdata/sf0.1
+  run "sim sf0.01 multifile" timeout 3000 python scripts/partitioned_verify.py
+  # 4800s: the sf0.1 sim measured 864s at r7 HEAD, >1500s at r9 (315
+  # queries), 1622s at r11 (348), 2780s at the r13 441-query seal —
+  # and r13 additionally measured the BOX drifting ~1.4x slower on
+  # identical code within a day (OPTIMIZATION_r13.md census control;
+  # the 900s sf0.01 cap killed two healthy runs at the 441-query
+  # tail). All sim caps now carry ~70% slack over the latest healthy
+  # measurement so host drift can't fail a green protocol.
+  run "sim sf0.1" timeout 4800 python scripts/driver_sim.py --sf-dir /root/testdata/sf0.1
   # Cheap scale gate (VERDICT r6 #6): headline suite at x10-of-sf0.01,
   # fail on any super-linear ratio (measured ratios are <=3 here —
   # scan parallelism absorbs x10; 10 = linear is the rot alarm).
-  run "stress x10" timeout 900 python scripts/stress_scale.py --k 10 \
+  run "stress x10" timeout 1500 python scripts/stress_scale.py --k 10 \
     --sf-dir /root/testdata/sf0.01 --fail-ratio 10
 fi
 # BPE OOV-drift contract at the LARGE scale (VERDICT r9 #4): the
