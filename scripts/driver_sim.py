@@ -129,6 +129,7 @@ def main() -> int:
 
     sys.path.insert(0, "/root/repo")
     import __spark_entry__ as mod
+    from sparkml_spark.session import persistent_rdd_count, reap_registered
 
     # Plain session — deliberately NOT using sparkml_spark.get_spark.
     builder = (
@@ -170,7 +171,14 @@ def main() -> int:
         )
 
     n_pass = n_fail = n_rows_tier = 0
+    rdds_start, rdds_peak = persistent_rdd_count(spark), 0
     for name in names:
+        # r14 (VERDICT r13 #2): the previous query's result is fully
+        # consumed (toPandas) — deterministically free its registered
+        # checkpoint/cache blocks so the sweep holds O(1) standing
+        # RDDs; peak tracked for VERIFY_r14's evidence.
+        rdds_peak = max(rdds_peak, persistent_rdd_count(spark))
+        reap_registered(spark)
         fn = queries[name]
         t0 = time.time()
         try:
@@ -216,9 +224,13 @@ def main() -> int:
             print(f"  {name}: hash-match, {len(s_rows)} rows [{dt:.1f}s]")
             n_pass += 1
 
+    rdds_peak = max(rdds_peak, persistent_rdd_count(spark))
+    reap_registered(spark)
     print(json.dumps({
         "t2_pass": n_pass, "t2_fail": n_fail, "rows_tier": n_rows_tier,
         "declared": len(queries), "oracle_declared": len(oracles),
+        "rdds_start": rdds_start, "rdds_peak": rdds_peak,
+        "rdds_end": persistent_rdd_count(spark),
     }))
     return 1 if n_fail else 0
 

@@ -50,6 +50,7 @@ def main() -> int:
 
     import sparkml_spark.operators  # noqa: F401
     from sparkml_spark.registry import QUERIES
+    from sparkml_spark.session import persistent_rdd_count, reap_registered
 
     names = args.names or list(QUERIES)
     t_all = time.time()
@@ -74,6 +75,12 @@ def main() -> int:
                 traceback.print_exc(file=sys.stderr)
             finally:
                 spark.sparkContext.setJobDescription(None)
+                # r14 (VERDICT r13 #2): this query's result is fully
+                # consumed — free its registered checkpoint/cache
+                # blocks deterministically so the sweep holds O(1)
+                # standing RDDs instead of GC-paced accumulation.
+                rec["reaped"] = reap_registered(spark)
+                rec["standing_rdds"] = persistent_rdd_count(spark)
             out.write(json.dumps(rec) + "\n")
             out.flush()
             print(f"[{i+1}/{len(names)}] {qid}: {rec.get('build_s')}s / "

@@ -176,7 +176,7 @@ def graph_pagerank(spark, sf_dir):
         .distinct()
         .cache()
     )
-    from sparkml_spark.session import CheckpointChain
+    from sparkml_spark.session import CheckpointChain, register_reapable_cache
 
     # Round 12: route the per-iteration checkpoints through the chain
     # so superseded iterations' blocks are freed (unpersist on the
@@ -211,6 +211,11 @@ def graph_pagerank(spark, sf_dir):
             .coalesce(1)
         )
         chain.reap()  # the superseded iteration's 25-row blocks
+    # the FINAL iteration's checkpoint feeds the returned frame — hand
+    # it (and the three caches above) to the sweep-boundary reaper
+    chain.release_to_registry()
+    for df in (edges, norm, nodes):
+        register_reapable_cache(df)
     return ranks.select("node", F.round("rank", 6).alias("pagerank"))
 
 
@@ -348,7 +353,10 @@ def graph_triangle_count(spark, sf_dir):
     Output: one row of graph invariants incl. the global clustering
     coefficient 3*triangles/wedges (single exact int division,
     rounded at 6dp on both engines)."""
+    from sparkml_spark.session import register_reapable_cache
+
     e = _cooccur_edges(spark, sf_dir).cache()
+    register_reapable_cache(e)
     und = e.select(F.col("a").alias("s"), F.col("b").alias("t")).unionAll(
         e.select(F.col("b").alias("s"), F.col("a").alias("t"))
     )
@@ -369,6 +377,7 @@ def graph_triangle_count(spark, sf_dir):
         )
         .cache()
     )
+    register_reapable_cache(o)
     e1 = o.select(F.col("src").alias("u"), F.col("dst").alias("v"))
     e2 = o.select(F.col("src").alias("v"), F.col("dst").alias("w"))
     e3 = o.select(F.col("src").alias("u"), F.col("dst").alias("w"))
@@ -454,10 +463,13 @@ def graph_label_propagation(spark, sf_dir):
     run on the aggregated edge list (graph-sized), each round one
     groupBy + one window on <= |E| rows; the raw event log is touched
     once, inside the shared edge extraction."""
+    from sparkml_spark.session import register_reapable_cache
+
     e = _cooccur_edges(spark, sf_dir)
     und = e.select(
         F.col("a").alias("s"), F.col("b").alias("t"), "w"
     ).unionAll(e.select(F.col("b").alias("s"), F.col("a").alias("t"), "w")).cache()
+    register_reapable_cache(und)
     labs = und.select(F.col("s").alias("node")).distinct().select(
         "node",
         F.when(F.col("node") % 3 == 0, (F.col("node") % 7).cast("long")).alias("lab"),
@@ -470,8 +482,13 @@ def graph_label_propagation(spark, sf_dir):
         # round — 8 evaluations of round-0 by round 3. Cache the
         # (node-sized, graph-bounded) label state per round instead,
         # the same iterate-small hygiene kcore's survivor set uses
-        # (guide §5, r13).
+        # (guide §5, r13). The superseded rounds' caches are registered
+        # for sweep-boundary unpersist (r14, VERDICT r13 #8) — they
+        # cannot be freed mid-build because the lazy caches only
+        # materialize (and are re-read by the next round) at the
+        # query's first action.
         labs = labs.cache()
+        register_reapable_cache(labs)
         cand = (
             und.join(
                 labs.filter(F.col("lab").isNotNull()).withColumnRenamed("node", "t"),
@@ -540,10 +557,14 @@ def graph_jaccard_links(spark, sf_dir):
     so candidate generation is sum-of-squares over CAPPED bucket
     memberships, not over raw hub degrees; the top-50 is a
     TakeOrderedAndProject, never a global sort materialization."""
+    from sparkml_spark.session import register_reapable_cache
+
     e = _cooccur_edges(spark, sf_dir).cache()
     nb = e.select(F.col("a").alias("s"), F.col("b").alias("t")).unionAll(
         e.select(F.col("b").alias("s"), F.col("a").alias("t"))
     ).cache()
+    register_reapable_cache(e)
+    register_reapable_cache(nb)
     deg = nb.groupBy(F.col("s").alias("node")).agg(
         F.count(F.lit(1)).cast("long").alias("d")
     )
@@ -633,7 +654,10 @@ def graph_kcore_membership(spark, sf_dir):
     Scale: iterate-small — every round is one degree aggregation and
     one semi-join on the (graph-sized, capped) edge list; the raw
     event log is touched once in the shared extraction."""
+    from sparkml_spark.session import register_reapable_cache
+
     e = _cooccur_edges(spark, sf_dir).select("a", "b").cache()
+    register_reapable_cache(e)
     nodes = (
         e.select(F.col("a").alias("node"))
         .union(e.select(F.col("b").alias("node")))
@@ -646,8 +670,11 @@ def graph_kcore_membership(spark, sf_dir):
         # cache each round's survivor set: it feeds BOTH sides of the
         # next round's semi-join and the census — without this the
         # lineage re-executes the whole peel chain per consumer
-        # (measured 53 s -> ~8 s at sf0.01)
+        # (measured 53 s -> ~8 s at sf0.01). Superseded rounds go to
+        # the sweep-boundary reaper (they can't be freed mid-build:
+        # the lazy caches materialize at the query's first action).
         surv = surv.cache()
+        register_reapable_cache(surv)
         ea = e.join(surv.withColumnRenamed("node", "a"), "a").join(
             surv.withColumnRenamed("node", "b"), "b"
         )

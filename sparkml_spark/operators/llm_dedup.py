@@ -297,14 +297,38 @@ def _ckpt(df):
     must disable executor decommissioning of storage blocks."""
     from pyspark.storagelevel import StorageLevel
 
-    return df.localCheckpoint(eager=False, storageLevel=StorageLevel.DISK_ONLY)
+    from sparkml_spark.session import register_reapable
+
+    out = df.localCheckpoint(eager=False, storageLevel=StorageLevel.DISK_ONLY)
+    # r14 (VERDICT r13 #2): record the block-owning RDD id so sweep
+    # harnesses can free it deterministically between queries instead
+    # of waiting on the GC/ContextCleaner backstop (which remains the
+    # fallback for drivers that never call reap_registered).
+    register_reapable(out)
+    return out
 
 
 def jaccard_pairs(corpus, threshold: float = 0.6):
     """Core of dedup_ngram_jaccard over any (doc_id, text) DataFrame —
     exposed so the hot-shingle stress test can drive it with injected
     skew (tests/test_operators.py) and so callers can dedup arbitrary
-    corpora, not just the fixture."""
+    corpora, not just the fixture.
+
+    r14 NEGATIVE RESULT, kept for the record (VERDICT r13 #4): prefix
+    filtering [Bayardo/Chaudhuri lineage] was implemented here —
+    sorted per-doc arrays, each side's join input cut to the first
+    n - max(1, floor(t·n)) + 1 shingles, exact rerank per candidate
+    via array_intersect — and PROVED output-preserving (hash-green vs
+    the DuckDB oracle at sf0.01 AND sf0.1). It measured 2-3× SLOWER
+    steady on this corpus and was reverted: the fixture is
+    candidate-DENSE (5,500 docs → 1.31M distinct co-occurring pairs;
+    the lexicographic prefix cut candidates only 2.4×, to 539k), so
+    the exact-rerank join shuffles ~2 KB of array per candidate where
+    this counting join shuffles ~20-byte rows and aggregates them
+    map-side. Prefix filtering pays off when candidates are sparse
+    relative to the corpus (the 100 TB diverse-corpus case); on a
+    near-dup-dense corpus the partial-aggregated counting join is the
+    right shape. Measurements in OPTIMIZATION_r14.md."""
     exploded = _shingled3_exploded(corpus)
     kept = _ckpt(df_cut_kept(exploded, corpus))
     sizes = kept.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
@@ -352,17 +376,35 @@ def dedup_near_minhash(spark, sf_dir):
     # LSH candidate density comes from corpus homogeneity instead —
     # every doc shares common shingles, so pairwise Jaccard is high
     # corpus-wide and candidates are inherently dense).
-    cv = CountVectorizer(
-        inputCol="shingles", outputCol="features", binary=True, minDF=1.0, maxDF=0.5
-    ).fit(shingled)
+    # r14 (VERDICT r13 #1): both fitted artifacts are memoized per
+    # session — dedup_minhash_recall_bound re-runs this whole query in
+    # the same session, refitting an identical vocabulary (one full
+    # shingling pass) and an identical seed-42 hash draw. One fit per
+    # session; a fresh process always refits from parquet.
+    import os
+
+    from sparkml_spark.session import session_artifact
+
+    cv = session_artifact(
+        spark,
+        ("dedup_nearmh_cv", os.path.realpath(sf_dir)),
+        lambda: CountVectorizer(
+            inputCol="shingles", outputCol="features", binary=True, minDF=1.0, maxDF=0.5
+        ).fit(shingled),
+    )
     # r13 (guide §2.4): approxSimilarityJoin(vecs, vecs, ...) plants
     # `vecs` in BOTH plan branches, so the shingling + vocabulary
     # lookup ran twice per execution. Lazy DISK_ONLY checkpoint (the
     # family's _ckpt pattern) computes it once; the LSH join reads
     # blocks. Sketch output unchanged — same fitted model, same seed.
     vecs = _ckpt(cv.transform(shingled))
-    lsh = MinHashLSH(inputCol="features", outputCol="hashes", numHashTables=8, seed=42)
-    model = lsh.fit(vecs)
+    model = session_artifact(
+        spark,
+        ("dedup_nearmh_lsh", os.path.realpath(sf_dir)),
+        lambda: MinHashLSH(
+            inputCol="features", outputCol="hashes", numHashTables=8, seed=42
+        ).fit(vecs),
+    )
     pairs = model.approxSimilarityJoin(vecs, vecs, 0.4, distCol="jaccard_dist")
     return (
         pairs.select(
@@ -1092,6 +1134,9 @@ def cc_min_label(edges, max_rounds: int = 40):
         chain.reap()
         labels = doubled
         if changed == 0:
+            # the FINAL generation feeds the returned frame — hand it
+            # to the sweep-boundary reaper (r14, VERDICT r13 #2)
+            chain.release_to_registry()
             return labels, rounds_used
     raise RuntimeError(
         f"cc_min_label did not converge within {max_rounds} rounds — "
@@ -1807,10 +1852,14 @@ def dedup_containment(spark, sf_dir):
     b = kept.select(F.col("doc_id").alias("id_b"), "shingle")
     # r13 (guide §2.3): |S_A ∩ S_B| is SYMMETRIC, so count each
     # unordered pair once (id_a < id_b — half the pair-count shuffle
-    # and aggregation state) behind a lazy checkpoint, then evaluate
-    # the two DIRECTED thresholds from the one count. Each qualifying
-    # direction is emitted exactly as before; only the duplicate
-    # mirror-image counting work is gone.
+    # and aggregation state), then evaluate the two DIRECTED
+    # thresholds from the one count. Each qualifying direction is
+    # emitted exactly as before; only the duplicate mirror-image
+    # counting work is gone. (`half` has a single consumer, so no
+    # checkpoint is needed here — `kept` above is the _ckpt.)
+    # r14: contained-side prefix filtering was tried and REVERTED —
+    # output-preserving (hash-proved tri-scale) but measurably slower
+    # on this candidate-dense corpus; see jaccard_pairs' docstring.
     half = (
         a.join(b, ["shingle"])
         .filter(F.col("id_a") < F.col("id_b"))
@@ -1819,6 +1868,7 @@ def dedup_containment(spark, sf_dir):
     )
     sa = sizes.select(F.col("doc_id").alias("id_a"), F.col("n_sh").alias("n_sh_a"))
     sb = sizes.select(F.col("doc_id").alias("id_b"), F.col("n_sh").alias("n_sh_b"))
+    half = half.join(sa, "id_a").join(sb, "id_b")
 
     def directed(id_a, id_b, n_sh):
         return F.when(
@@ -1832,8 +1882,7 @@ def dedup_containment(spark, sf_dir):
         )
 
     return (
-        half.join(sa, "id_a")
-        .join(sb, "id_b")
+        half
         .select(
             F.explode(
                 F.array(
@@ -2351,6 +2400,9 @@ def dedup_cascade_keep(spark, sf_dir):
             )
         )
     ).cache()
+    from sparkml_spark.session import register_reapable_cache
+
+    register_reapable_cache(corpus)
     hashed = corpus.select("doc_id", _norm().alias("h"))
     grp = hashed.groupBy("h").agg(F.min("doc_id").alias("canon"))
     ex = hashed.join(grp, "h").select("doc_id", "canon")

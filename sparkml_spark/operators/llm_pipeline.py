@@ -2567,6 +2567,9 @@ def pipeline_release_gate(spark, sf_dir):
         .cast("long")
         .alias("toks"),
     ).cache()
+    from sparkml_spark.session import register_reapable_cache
+
+    register_reapable_cache(norm)
     n_docs = norm.agg(F.count(F.lit(1)).cast("long").alias("value")).select(
         F.lit("corpus").alias("artifact"), F.lit("n_docs").alias("metric"), "value"
     )

@@ -153,16 +153,13 @@ def sim_lsh_ann(spark, sf_dir):
 
     The 100 TB path: candidates only ever meet inside a hash bucket —
     shuffle is (bucket, vector), never all-pairs."""
-    from pyspark.ml.feature import BucketedRandomProjectionLSH
     from pyspark.ml.functions import array_to_vector
 
     e = load_table(spark, sf_dir, "embeddings")
     vecs = e.select("vec_id", array_to_vector("embedding").alias("features"))
     q = vecs.filter(F.col("vec_id") < _N_QUERIES)
-    lsh = BucketedRandomProjectionLSH(
-        inputCol="features", outputCol="hashes", bucketLength=0.5, numHashTables=4, seed=42
-    )
-    model = lsh.fit(vecs)
+    # r14: the seeded fit is shared across the sim family's session
+    model = _brp_lsh_model(spark, sf_dir)
     pairs = model.approxSimilarityJoin(q, vecs, 1.2, distCol="euclid")
     w = Window.partitionBy("query_id").orderBy(F.col("euclid").asc(), F.col("neighbor_id").asc())
     return (
@@ -183,9 +180,25 @@ def build_ivf_index(spark, sf_dir):
     """Fit the IVF coarse quantizer (KMeans k=16, seed=42) and return
     the index as two RELATIONS: `assign` (vec_id, embedding, cell) —
     the inverted file — and `centroids` (cell, centroid). Pure data,
-    so the index persists as plain parquet (save/load_ivf_index)."""
-    return build_ivf_index_from(
-        spark, load_table(spark, sf_dir, "embeddings")
+    so the index persists as plain parquet (save/load_ivf_index).
+
+    r14 (VERDICT r13 #1): the quantizer fit is memoized per session —
+    five sim queries (sim_ivf_ann, the persisted twin, both recall
+    bounds, the rrf-ann pair) each refit the identical seeded KMeans
+    on the identical embeddings table. One build per session per
+    artifact; a fresh process always refits from parquet (the memo is
+    keyed by the live applicationId — nothing keyed on the input path
+    survives the process)."""
+    import os
+
+    from sparkml_spark.session import session_artifact
+
+    return session_artifact(
+        spark,
+        ("sim_ivf_index", os.path.realpath(sf_dir)),
+        lambda: build_ivf_index_from(
+            spark, load_table(spark, sf_dir, "embeddings")
+        ),
     )
 
 
@@ -484,6 +497,9 @@ def sim_ann_recall_bound(spark, sf_dir):
     exact = (
         sim_topk_bruteforce(spark, sf_dir).select("query_id", "neighbor_id").persist()
     )
+    from sparkml_spark.session import register_reapable_cache
+
+    register_reapable_cache(exact)
     n_exact = exact.agg(F.count(F.lit(1)).alias("n_exact"))
 
     def audit(df, tag, floor):
@@ -890,10 +906,23 @@ def ensure_ivf_index(spark, sf_dir) -> str:
         "/root/repo/.artifacts",
         f"ivf_index_{os.path.basename(sf_dir.rstrip('/'))}",
     )
-    assign, centroids = build_ivf_index(spark, sf_dir)
-    assign.write.mode("overwrite").parquet(os.path.join(path, "assign"))
-    centroids.write.mode("overwrite").parquet(os.path.join(path, "centroids"))
-    return path
+
+    def _build() -> str:
+        assign, centroids = build_ivf_index(spark, sf_dir)
+        assign.write.mode("overwrite").parquet(os.path.join(path, "assign"))
+        centroids.write.mode("overwrite").parquet(os.path.join(path, "centroids"))
+        return path
+
+    # r14 (VERDICT r13 #1): write the artifact once per SESSION, not
+    # once per caller — the three persisted-index queries each
+    # re-materialized identical parquet. Keyed by applicationId, so a
+    # fresh process always rebuilds+rewrites from source (a stale
+    # on-disk artifact from an earlier process is never trusted).
+    from sparkml_spark.session import session_artifact
+
+    return session_artifact(
+        spark, ("sim_ivf_index_path", os.path.realpath(sf_dir)), _build
+    )
 
 
 def load_ivf_index(spark, path: str):
@@ -912,21 +941,47 @@ def ensure_lsh_model(spark, sf_dir) -> str:
     Returns the model path."""
     import os
 
-    from pyspark.ml.feature import BucketedRandomProjectionLSH
-    from pyspark.ml.functions import array_to_vector
-
     path = os.path.join(
         "/root/repo/.artifacts",
         f"lsh_model_{os.path.basename(sf_dir.rstrip('/'))}",
     )
-    e = load_table(spark, sf_dir, "embeddings")
-    vecs = e.select("vec_id", array_to_vector("embedding").alias("features"))
-    lsh = BucketedRandomProjectionLSH(
-        inputCol="features", outputCol="hashes",
-        bucketLength=0.5, numHashTables=4, seed=42,
+
+    def _build() -> str:
+        _brp_lsh_model(spark, sf_dir).write().overwrite().save(path)
+        return path
+
+    # r14: one MLWriter materialization per session (see
+    # ensure_ivf_index for the scope rules).
+    from sparkml_spark.session import session_artifact
+
+    return session_artifact(
+        spark, ("sim_lsh_model_path", os.path.realpath(sf_dir)), _build
     )
-    lsh.fit(vecs).write().overwrite().save(path)
-    return path
+
+
+def _brp_lsh_model(spark, sf_dir):
+    """The family's one BucketedRandomProjectionLSH fit (bucketLength
+    0.5, 4 tables, seed 42) — memoized per session (r14): sim_lsh_ann,
+    sim_ann_recall_bound, sim_ann_recall_reload_bound and
+    ensure_lsh_model all fit the identical seeded model."""
+    import os
+
+    from pyspark.ml.feature import BucketedRandomProjectionLSH
+    from pyspark.ml.functions import array_to_vector
+
+    from sparkml_spark.session import session_artifact
+
+    def _fit():
+        e = load_table(spark, sf_dir, "embeddings")
+        vecs = e.select("vec_id", array_to_vector("embedding").alias("features"))
+        return BucketedRandomProjectionLSH(
+            inputCol="features", outputCol="hashes",
+            bucketLength=0.5, numHashTables=4, seed=42,
+        ).fit(vecs)
+
+    return session_artifact(
+        spark, ("sim_brp_lsh_model", os.path.realpath(sf_dir)), _fit
+    )
 
 
 def _lsh_topk_from_model(spark, sf_dir, model):
@@ -987,11 +1042,7 @@ def sim_ann_recall_reload_bound(spark, sf_dir):
           production queries, so the reload is what the bound
           audits.
       (d) structure — no self-match, no rank beyond k."""
-    from pyspark.ml.feature import (
-        BucketedRandomProjectionLSH,
-        BucketedRandomProjectionLSHModel,
-    )
-    from pyspark.ml.functions import array_to_vector
+    from pyspark.ml.feature import BucketedRandomProjectionLSHModel
 
     # --- IVF: fresh vs reloaded
     fresh_a, fresh_c = build_ivf_index(spark, sf_dir)
@@ -1021,13 +1072,11 @@ def sim_ann_recall_reload_bound(spark, sf_dir):
             ).alias("v_integrity")
         )
     )
-    # --- LSH: fresh vs reloaded (MLWriter round trip)
-    e = load_table(spark, sf_dir, "embeddings")
-    vecs = e.select("vec_id", array_to_vector("embedding").alias("features"))
-    lsh_fresh_model = BucketedRandomProjectionLSH(
-        inputCol="features", outputCol="hashes",
-        bucketLength=0.5, numHashTables=4, seed=42,
-    ).fit(vecs)
+    # --- LSH: fresh vs reloaded (MLWriter round trip). r14: the
+    # "fresh" side is the session's shared seeded fit — identical to
+    # the refit it replaces (seed 42 draw); the reload side still
+    # exercises the full MLWriter round trip per run.
+    lsh_fresh_model = _brp_lsh_model(spark, sf_dir)
     lsh_re_model = BucketedRandomProjectionLSHModel.load(
         ensure_lsh_model(spark, sf_dir)
     )
@@ -1046,6 +1095,9 @@ def sim_ann_recall_reload_bound(spark, sf_dir):
     exact = (
         sim_topk_bruteforce(spark, sf_dir).select("query_id", "neighbor_id").persist()
     )
+    from sparkml_spark.session import register_reapable_cache
+
+    register_reapable_cache(exact)
     n_exact = exact.agg(F.count(F.lit(1)).alias("n_exact"))
 
     def audit(df, tag, floor):
@@ -1629,6 +1681,9 @@ def _pq_parts(spark, sf_dir):
         .select("vec_id", "s", "aid", d2expr.alias("d2"))
         .cache()
     )
+    from sparkml_spark.session import register_reapable_cache
+
+    register_reapable_cache(d2)
     wcode = Window.partitionBy("vec_id", "s").orderBy(
         F.col("d2").asc(), F.col("aid").asc()
     )
@@ -1854,6 +1909,9 @@ def sim_matryoshka_prefix_recall(spark, sf_dir):
         .select("query_id", "neighbor_id", dot16.alias("dot16"), dot64.alias("dot64"))
         .cache()
     )
+    from sparkml_spark.session import register_reapable_cache
+
+    register_reapable_cache(dots)
     w16 = Window.partitionBy("query_id").orderBy(
         F.col("dot16").desc(), F.col("neighbor_id").asc()
     )

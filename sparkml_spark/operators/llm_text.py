@@ -1974,6 +1974,9 @@ def text_tfidf_knn(spark, sf_dir):
         )
         .cache()
     )
+    from sparkml_spark.session import register_reapable_cache
+
+    register_reapable_cache(w)
     norms = w.groupBy("doc_id").agg(
         F.sqrt(
             F.sum((F.col("wm") * F.col("wm")).cast("decimal(38,0)")).cast("double")

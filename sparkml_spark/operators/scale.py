@@ -267,6 +267,9 @@ def cache_hot_dim_reuse(spark, sf_dir):
         )
         .cache()
     )
+    from sparkml_spark.session import register_reapable_cache
+
+    register_reapable_cache(hot)
     total = hot.agg(dsum("spent").alias("grand_total"))
     return hot.crossJoin(F.broadcast(total)).select(
         "o_custkey",

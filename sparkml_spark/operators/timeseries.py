@@ -330,6 +330,9 @@ def ts_autocorr(spark, sf_dir):
     dev = daily.crossJoin(F.broadcast(m)).select(
         "d", (F.col("c").cast("double") - F.col("mean")).alias("dv")
     ).cache()
+    from sparkml_spark.session import register_reapable_cache
+
+    register_reapable_cache(dev)
     den = dev.agg(
         F.sum(F.round(F.col("dv") * F.col("dv"), 9).cast("decimal(30,9)"))
         .cast("double")
